@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Cross-engine-exact arithmetic helpers.
+  *
+  * The driver's correctness gate hash-compares our parquet output against
+  * DuckDB running the oracle SQL. Double-precision SUMs are order-dependent
+  * (Spark partial aggregation vs DuckDB's scan order), so any floating sum
+  * would differ in the last ulps and fail the hash. Convention used by every
+  * query in this repo:
+  *
+  *   - monetary / 2-dp columns  -> DECIMAL(12,2)  (exact sum in both engines)
+  *   - rates (discount, tax)    -> DECIMAL(4,2)
+  *   - free doubles to be summed-> DECIMAL(18,6)  (both engines round the
+  *     double to nearest 6-dp decimal; identical because the double is never
+  *     exactly on a midpoint)
+  *   - final results            -> cast the exact decimal to DOUBLE (IEEE
+  *     nearest; bit-identical in both engines)
+  *   - averages                 -> CAST(exact-decimal-sum AS DOUBLE)/COUNT(*)
+  *
+  * Derived factors like (1 - discount) are cast back to DECIMAL(4,2) to keep
+  * product precision far below 38 digits, where Spark and DuckDB would start
+  * applying different precision-loss rules.
+  */
+object Exact {
+  /** 2-dp money column -> exact decimal. */
+  def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** small 2-dp rate -> exact decimal. */
+  def pct2(c: Column): Column = c.cast(DecimalType(4, 2))
+
+  /** arbitrary double -> 6-dp decimal (deterministic nearest rounding). */
+  def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  def dbl(c: Column): Column = c.cast(DoubleType)
+
+  /** (1 - rate) kept at DECIMAL(4,2) so downstream products stay exact. */
+  def oneMinus(rate: Column): Column = (lit(1) - pct2(rate)).cast(DecimalType(4, 2))
+
+  /** (1 + rate) kept at DECIMAL(4,2). */
+  def onePlus(rate: Column): Column = (lit(1) + pct2(rate)).cast(DecimalType(4, 2))
+}

@@ -1,0 +1,217 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Exact._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Analytics / benchmark queries (SURVEY §2 B1–B5) plus the flagship
+  * per-entity feature aggregation (A3).
+  *
+  * Scale notes: `lineitem`/`orders` are the fact side and are never
+  * broadcast; dimension tables (`nation`, `region`, `supplier`,
+  * `customer` at small SF) carry explicit `broadcast()` hints. Aggregates
+  * are declarative `groupBy.agg` so Catalyst plans partial (map-side)
+  * aggregation before the shuffle, and filters/projections sit directly on
+  * the scan so they push into parquet.
+  */
+object CoreQueries {
+  private def ts(s: String): Column = to_timestamp(lit(s))
+
+  /** TPC-H Q1-style pricing summary (B1). */
+  def q1Pricing(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+    li.filter(col("l_shipdate") <= ts("2000-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dbl(sum(dec2(col("l_quantity")))).as("sum_qty"),
+        dbl(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
+        dbl(sum(dec2(col("l_extendedprice")) * oneMinus(col("l_discount")))).as("sum_disc_price"),
+        dbl(sum(dec2(col("l_extendedprice")) * oneMinus(col("l_discount")) * onePlus(col("l_tax")))).as("sum_charge"),
+        (dbl(sum(dec2(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+        (dbl(sum(dec2(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
+        (dbl(sum(pct2(col("l_discount")))) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1PricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)/COUNT(*) AS avg_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)/COUNT(*) AS avg_price,
+      | CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)/COUNT(*) AS avg_disc,
+      | COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Shipping-priority-style revenue top-k (B2). Customer dim broadcast. */
+  def q3TopK(spark: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(spark, d)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(spark, d)
+      .filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dbl(sum(dec2(col("l_extendedprice")) * oneMinus(col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3TopKSql: String =
+    """SELECT l_orderkey, o_orderdate,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Local-supplier revenue by nation (B3); dims broadcast, facts shuffled. */
+  def q5RegionRevenue(spark: SparkSession, d: String): DataFrame = {
+    val region = Tables.region(spark, d).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, d)
+    val supplier = Tables.supplier(spark, d)
+    val cust = Tables.customer(spark, d).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+              col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
+                  col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dbl(sum(dec2(col("l_extendedprice")) * oneMinus(col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5RegionRevenueSql: String =
+    """SELECT n_name,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Selective filter + single aggregate (B4): pure scan-pushdown showcase. */
+  def q6FilterAgg(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+    li.filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+              col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+              col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24)
+      .agg(dbl(sum(dec2(col("l_extendedprice")) * pct2(col("l_discount")))).as("revenue"),
+           count(lit(1)).as("n_items"))
+  }
+
+  val q6FilterAggSql: String =
+    """SELECT
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** Returned-item revenue ranking (B5). */
+  def q10Returns(spark: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(spark, d)
+    val nation = Tables.nation(spark, d)
+    val ord = Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+              col("o_orderdate") < ts("1997-01-01 00:00:00"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, d)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(dbl(sum(dec2(col("l_extendedprice")) * oneMinus(col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10ReturnsSql: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      | JOIN lineitem ON l_orderkey = o_orderkey
+      | JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** A3: per-entity feature materialization — the reference's
+    * `compute_feature` (reference compute.py:10) as one shuffle-once
+    * aggregate over the raw table. */
+  def featCustomerStats(spark: SparkSession, d: String): DataFrame = {
+    Tables.orders(spark, d)
+      .groupBy(col("o_custkey").as("entity_id"))
+      .agg(
+        count(lit(1)).as("order_cnt"),
+        dbl(sum(dec2(col("o_totalprice")))).as("total_spend"),
+        (dbl(sum(dec2(col("o_totalprice")))) / count(lit(1))).as("avg_spend"),
+        max(col("o_totalprice")).as("max_spend"),
+        min(col("o_totalprice")).as("min_spend"),
+        min(col("o_orderdate")).as("first_order"),
+        max(col("o_orderdate")).as("last_order"))
+      .orderBy(col("entity_id"))
+  }
+
+  val featCustomerStatsSql: String =
+    """SELECT o_custkey AS entity_id,
+      | COUNT(*) AS order_cnt,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)/COUNT(*) AS avg_spend,
+      | MAX(o_totalprice) AS max_spend,
+      | MIN(o_totalprice) AS min_spend,
+      | MIN(o_orderdate) AS first_order,
+      | MAX(o_orderdate) AS last_order
+      |FROM orders
+      |GROUP BY o_custkey
+      |ORDER BY entity_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> q1Pricing _,
+    "q3_topk" -> q3TopK _,
+    "q5_region_revenue" -> q5RegionRevenue _,
+    "q6_filter_agg" -> q6FilterAgg _,
+    "q10_returns" -> q10Returns _,
+    "feat_customer_stats" -> featCustomerStats _)
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing" -> q1PricingSql,
+    "q3_topk" -> q3TopKSql,
+    "q5_region_revenue" -> q5RegionRevenueSql,
+    "q6_filter_agg" -> q6FilterAggSql,
+    "q10_returns" -> q10ReturnsSql,
+    "feat_customer_stats" -> featCustomerStatsSql)
+}
