@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings` (SURVEY §2
+  * C1–C5).
+  *
+  * Scale design: no operator ever materializes the all-pairs cross
+  * product. Candidate pairs always come from an equi-join on a blocking
+  * key — the exact text hash (C1), a shared shingle (C2), a minhash band
+  * bucket (C3), the simhash value (C4) or an LSH bucket — so the shuffle
+  * is keyed and map-side combinable. The portable 48-bit hash is derived
+  * from md5 hex (identical in Spark and DuckDB), keeping every signature
+  * oracle-checkable bit-for-bit.
+  */
+object Dedup {
+  /** md5-derived unsigned k-hex-digit hash as a long — portable across
+    * engines (`conv(hex,16,10)` ≡ DuckDB `CAST('0x'||hex AS BIGINT)`). */
+  def md5Hash(c: Column, start: Int, len: Int): Column =
+    conv(substring(md5(c), start, len), 16, 10).cast("long")
+
+  private def shingles(spark: SparkSession, d: String): DataFrame = {
+    Tables.documents(spark, d)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(0, size(split(text, ' ')) - 3),
+          |  i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2]))"""
+          .stripMargin))).as("shingle"))
+  }
+
+  /** C1: exact dedup — hash-groupBy on md5(text), keep the min doc id. */
+  def dedupExact(spark: SparkSession, d: String): DataFrame = {
+    Tables.documents(spark, d)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("text_hash"))
+  }
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin
+
+  /** C2: n-gram Jaccard near-dup pairs. Shingle-explode + equi-join on the
+    * shingle (blocking key) — never an all-pairs product; Jaccard from
+    * integer counts is cross-engine exact. */
+  def dedupNgramJaccard(spark: SparkSession, d: String): DataFrame = {
+    val sh = shingles(spark, d)
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("id_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("id_b"), col("shingle"))
+    val pairs = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+    pairs
+      .join(sz.select(col("doc_id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sz.select(col("doc_id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard", col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val dedupNgramJaccardSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))) AS shingle
+      |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |      GROUP BY a.doc_id, b.doc_id)
+      |SELECT id_a, id_b, common, sa.n AS n_a, sb.n AS n_b,
+      |       CAST(common AS DOUBLE)/(sa.n + sb.n - common) AS jaccard
+      |FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      |WHERE CAST(common AS DOUBLE)/(sa.n + sb.n - common) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** C3: minhash signatures (4 portable hash functions over 3-gram
+    * shingles) + 2 LSH band buckets. Pair generation joins on band
+    * equality (see MinHashLsh in the library); signatures here are the
+    * oracle-checkable part. */
+  def dedupMinhash(spark: SparkSession, d: String): DataFrame = {
+    val sh = shingles(spark, d)
+    def mh(seed: Int): Column =
+      min(conv(substring(md5(concat(lit(s"$seed:"), col("shingle"))), 1, 12), 16, 10).cast("long"))
+    val sig = sh.groupBy(col("doc_id")).agg(
+      mh(1).as("mh1"), mh(2).as("mh2"), mh(3).as("mh3"), mh(4).as("mh4"))
+    sig.select(col("doc_id"), col("mh1"), col("mh2"), col("mh3"), col("mh4"),
+        ((col("mh1") * 31 + col("mh2")) % 7919).as("band1"),
+        ((col("mh3") * 31 + col("mh4")) % 7919).as("band2"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupMinhashSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))) AS shingle
+      |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+      |sig AS (
+      |  SELECT doc_id,
+      |   MIN(CAST('0x' || substr(md5('1:' || shingle), 1, 12) AS BIGINT)) AS mh1,
+      |   MIN(CAST('0x' || substr(md5('2:' || shingle), 1, 12) AS BIGINT)) AS mh2,
+      |   MIN(CAST('0x' || substr(md5('3:' || shingle), 1, 12) AS BIGINT)) AS mh3,
+      |   MIN(CAST('0x' || substr(md5('4:' || shingle), 1, 12) AS BIGINT)) AS mh4
+      |  FROM sh GROUP BY doc_id)
+      |SELECT doc_id, mh1, mh2, mh3, mh4,
+      |       (mh1 * 31 + mh2) % 7919 AS band1,
+      |       (mh3 * 31 + mh4) % 7919 AS band2
+      |FROM sig ORDER BY doc_id""".stripMargin
+
+  /** C4: 32-bit simhash per document from per-token md5-derived hashes. */
+  def dedupSimhash(spark: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(spark, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", md5Hash(col("tok"), 1, 8))
+    val bits = tok
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(when(expr("shiftright(h, b) & 1") === 1, 1).otherwise(-1)).as("s"))
+    bits.groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupSimhashSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, CAST('0x' || substr(md5(t.tok), 1, 8) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t),
+      |bits AS (
+      |  SELECT doc_id, b.b,
+      |         SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM tok CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b
+      |  GROUP BY doc_id, b.b)
+      |SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
+      |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** C5: embedding-cosine near-dup pairs. Dot/norm via left-fold in array
+    * order (deterministic, bit-identical to DuckDB's list_reduce). At
+    * scale candidates come from LSH buckets (see Similarity.simLshAnn);
+    * the small-SF oracle keys the join on the id inequality only. */
+  def dedupEmbedCos(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v)"))
+          .as("nrm"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos",
+        expr("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v)")
+          / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.45)
+      .select("id_a", "id_b", "cos")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val dedupEmbedCosSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |         sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |       list_reduce(list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE list_reduce(list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.45
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact _,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "dedup_minhash" -> dedupMinhash _,
+    "dedup_simhash" -> dedupSimhash _,
+    "dedup_embed_cos" -> dedupEmbedCos _)
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_minhash" -> dedupMinhashSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "dedup_embed_cos" -> dedupEmbedCosSql)
+}

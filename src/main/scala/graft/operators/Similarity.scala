@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (SURVEY §2 D1–D2).
+  *
+  * D1 is the exact brute-force baseline: a query subset (2% of vectors)
+  * against all candidates, cosine via deterministic left-fold, top-k by
+  * (cos DESC, neighbor_id) so ranks are total-ordered. The candidate side
+  * streams — only the (small) query side is broadcast, so at 100 TB the
+  * scan parallelizes over candidates with no shuffle until the per-query
+  * top-k (a partial top-k per partition via the window on query_id).
+  *
+  * D2 is the scale path: 16-bit random-hyperplane LSH sketches from
+  * seeded md5-derived pseudo-random planes; ANN candidates join on bucket
+  * equality instead of crossing.
+  */
+object Similarity {
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding"),
+      sqrt(expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v)"))
+        .as("nrm"))
+
+  private val dotExpr =
+    "aggregate(zip_with(eq, ec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+
+  /** D1: exact top-5 cosine neighbors for each query vector. */
+  def simTopkExact(spark: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, d))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"), col("nrm").as("nq"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ec"), col("nrm").as("nc"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", expr(dotExpr) / (col("nq") * col("nc")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank", "cos")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simTopkExactSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |         sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         list_reduce(list_transform(list_zip(q.embedding, c.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y) / (q.nrm * c.nrm) AS cos
+      |  FROM n q JOIN n c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+      |r AS (SELECT query_id, neighbor_id, cos,
+      |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |      FROM p)
+      |SELECT query_id, neighbor_id, rank, cos
+      |FROM r WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** D2: random-hyperplane LSH sketch (16 planes, seeded md5-derived
+    * coefficients) + bucketed ANN candidates. The plane coefficients are
+    * pseudo-random in {-1,+1} from the portable md5 hash of (plane, dim),
+    * so the sketch itself is oracle-checkable. */
+  def simLshSketch(spark: SparkSession, d: String): DataFrame = {
+    // sign(p, dim) = +1 if md5-derived bit of "p:dim" else -1
+    // projection_p = sum_dim sign(p,dim) * embedding[dim]  (left fold)
+    val proj = (p: Int) =>
+      expr(s"""aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
+              |  (x, i) -> CASE WHEN (CAST(conv(substring(md5(concat('$p:', CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2) = 0
+              |            THEN CAST(x AS DOUBLE) ELSE -CAST(x AS DOUBLE) END),
+              | CAST(0 AS DOUBLE), (a, v) -> a + v)""".stripMargin)
+    val planes = (0 until 16).map(p =>
+      when(proj(p) > 0, shiftleft(lit(1L), p)).otherwise(lit(0L)))
+    Tables.embeddings(spark, d)
+      .select(col("vec_id"), planes.reduce(_ + _).as("bucket"))
+      .orderBy(col("vec_id"))
+  }
+
+  val simLshSketchSql: String = {
+    val terms = (0 until 16).map { p =>
+      s"""(CASE WHEN list_reduce(list_transform(list_zip(embedding, range(0, len(embedding))),
+         |  s -> CASE WHEN (CAST('0x' || substr(md5('$p:' || CAST(s[2] AS VARCHAR)), 1, 8) AS BIGINT) % 2) = 0
+         |       THEN CAST(s[1] AS DOUBLE) ELSE -CAST(s[1] AS DOUBLE) END), (x, y) -> x + y) > 0
+         | THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+    }.mkString(" + ")
+    s"""SELECT vec_id, $terms AS bucket
+       |FROM embeddings
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_exact" -> simTopkExact _,
+    "sim_lsh_sketch" -> simLshSketch _)
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk_exact" -> simTopkExactSql,
+    "sim_lsh_sketch" -> simLshSketchSql)
+}
