@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash+LSH near-duplicate pair generation — the 100 TB-scale path for
+  * C2/C3 (the oracle queries verify the signatures; this operator turns
+  * them into candidate pairs without ever crossing all documents).
+  *
+  * Pipeline: shingle → k portable minhashes → b bands of r hashes →
+  * explode one row per band → equi-join on (band_idx, band_hash) →
+  * distinct candidate pairs → exact Jaccard verification on just the
+  * candidates. Shuffle volume is O(docs × b), never O(docs²); band-bucket
+  * skew (a band value shared by many docs) is handled by AQE skew-join
+  * splitting since the join is a plain equi-join.
+  */
+object MinHashLsh {
+  /** portable 48-bit minhash of an exploded (id, shingle) relation. */
+  def signatures(shingled: DataFrame, id: String, numHashes: Int): DataFrame = {
+    val mhs = (1 to numHashes).map(s =>
+      min(conv(substring(md5(concat(lit(s"$s:"), col("shingle"))), 1, 12), 16, 10).cast("long"))
+        .as(s"mh$s"))
+    shingled.groupBy(col(id)).agg(mhs.head, mhs.tail: _*)
+  }
+
+  /** candidate pairs via band-bucket equi-join. */
+  def candidatePairs(sigs: DataFrame, id: String, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val bandCols: Seq[Column] = (0 until bands).map { b =>
+      val hs = (1 to r).map(i => col(s"mh${b * r + i}"))
+      struct(lit(b).as("band_idx"),
+        hs.reduce((a, c) => a * 31 + c).as("band_hash"))
+    }
+    val exploded = sigs.select(col(id), explode(array(bandCols: _*)).as("band"))
+      .select(col(id), col("band.band_idx"), col("band.band_hash"))
+    val a = exploded.select(col(id).as("id_a"), col("band_idx"), col("band_hash"))
+    val b = exploded.select(col(id).as("id_b"), col("band_idx"), col("band_hash"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** exact Jaccard on candidates only (shingle semi-joined to survivors). */
+  def verifiedPairs(shingled: DataFrame, id: String, candidates: DataFrame,
+      threshold: Double): DataFrame = {
+    val sz = shingled.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    val sa = shingled.select(col(id).as("id_a"), col("shingle"))
+    val sb = shingled.select(col(id).as("id_b"), col("shingle"))
+    val common = sa.join(sb, Seq("shingle"))
+      .join(candidates, Seq("id_a", "id_b"), "left_semi")
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+    common
+      .join(sz.select(col(id).as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sz.select(col(id).as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}
