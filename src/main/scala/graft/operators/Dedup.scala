@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import org.apache.spark.sql.graft.VecDot
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -22,12 +23,13 @@ object Dedup {
     conv(substring(md5(c), start, len), 16, 10).cast("long")
 
   private def shingles(spark: SparkSession, d: String): DataFrame = {
+    // materialize the token array once: indexing split(...) inside the
+    // lambda would re-split the string per element access (O(tokens^2))
     Tables.documents(spark, d)
-      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
-        """transform(sequence(0, size(split(text, ' ')) - 3),
-          |  i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2]))"""
-          .stripMargin))).as("shingle"))
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("shingle"))
   }
 
   /** C1: exact dedup — hash-groupBy on md5(text), keep the min doc id. */
@@ -46,7 +48,10 @@ object Dedup {
     * shingle (blocking key) — never an all-pairs product; Jaccard from
     * integer counts is cross-engine exact. */
   def dedupNgramJaccard(spark: SparkSession, d: String): DataFrame = {
-    val sh = shingles(spark, d)
+    // 8-byte hash as the blocking key: same pair counts as joining on the
+    // string (64-bit collisions are ~1e-8 here), far cheaper to shuffle
+    // and compare at 100 TB.
+    val sh = shingles(spark, d).select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("id_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("id_b"), col("shingle"))
@@ -81,9 +86,11 @@ object Dedup {
     * equality (see MinHashLsh in the library); signatures here are the
     * oracle-checkable part. */
   def dedupMinhash(spark: SparkSession, d: String): DataFrame = {
-    val sh = shingles(spark, d)
-    def mh(seed: Int): Column =
-      min(conv(substring(md5(concat(lit(s"$seed:"), col("shingle"))), 1, 12), 16, 10).cast("long"))
+    // one md5 per shingle; the four hash functions are disjoint 32-bit
+    // lanes of the digest (portable, and 4x cheaper than per-seed md5)
+    val sh = shingles(spark, d).withColumn("m", md5(col("shingle")))
+    def mh(k: Int): Column =
+      min(conv(substring(col("m"), 1 + 8 * (k - 1), 8), 16, 10).cast("long"))
     val sig = sh.groupBy(col("doc_id")).agg(
       mh(1).as("mh1"), mh(2).as("mh2"), mh(3).as("mh3"), mh(4).as("mh4"))
     sig.select(col("doc_id"), col("mh1"), col("mh2"), col("mh3"), col("mh4"),
@@ -99,11 +106,11 @@ object Dedup {
       |  FROM documents WHERE len(string_split(text,' ')) >= 3),
       |sig AS (
       |  SELECT doc_id,
-      |   MIN(CAST('0x' || substr(md5('1:' || shingle), 1, 12) AS BIGINT)) AS mh1,
-      |   MIN(CAST('0x' || substr(md5('2:' || shingle), 1, 12) AS BIGINT)) AS mh2,
-      |   MIN(CAST('0x' || substr(md5('3:' || shingle), 1, 12) AS BIGINT)) AS mh3,
-      |   MIN(CAST('0x' || substr(md5('4:' || shingle), 1, 12) AS BIGINT)) AS mh4
-      |  FROM sh GROUP BY doc_id)
+      |   MIN(CAST('0x' || substr(m, 1, 8) AS BIGINT)) AS mh1,
+      |   MIN(CAST('0x' || substr(m, 9, 8) AS BIGINT)) AS mh2,
+      |   MIN(CAST('0x' || substr(m, 17, 8) AS BIGINT)) AS mh3,
+      |   MIN(CAST('0x' || substr(m, 25, 8) AS BIGINT)) AS mh4
+      |  FROM (SELECT doc_id, md5(shingle) AS m FROM sh) GROUP BY doc_id)
       |SELECT doc_id, mh1, mh2, mh3, mh4,
       |       (mh1 * 31 + mh2) % 7919 AS band1,
       |       (mh3 * 31 + mh4) % 7919 AS band2
@@ -142,14 +149,11 @@ object Dedup {
   def dedupEmbedCos(spark: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(spark, d)
       .select(col("vec_id"), col("embedding"),
-        sqrt(expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v)"))
-          .as("nrm"))
+        VecDot.vecNorm(col("embedding")).as("nrm"))
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos",
-        expr("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v)")
-          / (col("na") * col("nb")))
+      .withColumn("cos", VecDot.cosine(col("ea"), col("na"), col("eb"), col("nb")))
       .filter(col("cos") >= 0.45)
       .select("id_a", "id_b", "cos")
       .orderBy(col("id_a"), col("id_b"))

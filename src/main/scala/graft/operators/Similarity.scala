@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import org.apache.spark.sql.graft.VecDot
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -21,11 +22,7 @@ import org.apache.spark.sql.functions._
 object Similarity {
   private def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding"),
-      sqrt(expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v)"))
-        .as("nrm"))
-
-  private val dotExpr =
-    "aggregate(zip_with(eq, ec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+      VecDot.vecNorm(col("embedding")).as("nrm"))
 
   /** D1: exact top-5 cosine neighbors for each query vector. */
   def simTopkExact(spark: SparkSession, d: String): DataFrame = {
@@ -35,7 +32,7 @@ object Similarity {
     val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ec"), col("nrm").as("nc"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", expr(dotExpr) / (col("nq") * col("nc")))
+      .withColumn("cos", VecDot.cosine(col("eq"), col("nq"), col("ec"), col("nc")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("query_id", "neighbor_id", "rank", "cos")
