@@ -12,11 +12,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ FeatureOps.queries ++ TextOps.queries ++
-      Dedup.queries ++ Similarity.queries ++ Multimodal.queries
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
+      ExtendedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ FeatureOps.oracles ++ TextOps.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles
+      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
+      ExtendedQueries.oracles
 }

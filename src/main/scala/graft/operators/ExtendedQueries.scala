@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Exact._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extended analytics coverage (SURVEY §2 B6–B9): promo-share conditional
+  * aggregation over `part`, large-order semi-join-style HAVING, supplier
+  * revenue ranking, and JSON property extraction from `events.props` —
+  * the semi-structured-column operator family.
+  */
+object ExtendedQueries {
+
+  /** B6: promotion revenue share — broadcast `part` dim, conditional agg. */
+  def q14Promo(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val part = Tables.part(spark, d).select("p_partkey", "p_type")
+    val rev = dec2(col("l_extendedprice")) * oneMinus(col("l_discount"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) * dbl(sum(when(col("p_type") === "ECONOMY", rev).otherwise(lit(0).cast("decimal(4,2)")))) /
+          dbl(sum(rev))).as("promo_revenue_pct"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q14PromoSql: String =
+    """SELECT
+      | 100.0 * CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+      |     THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+      |     ELSE CAST(0 AS DECIMAL(4,2)) END) AS DOUBLE)
+      |   / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS promo_revenue_pct,
+      | COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
+
+  /** B7: large orders — aggregate-then-filter (HAVING) plus order join. */
+  def q18LargeOrders(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d).select("l_orderkey", "l_quantity")
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(dbl(sum(dec2(col("l_quantity")))).as("total_qty"))
+      .filter(col("total_qty") > 150)
+    val ord = Tables.orders(spark, d)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    big.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "total_qty")
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+  }
+
+  val q18LargeOrdersSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, total_qty
+      |FROM (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      |      FROM lineitem GROUP BY l_orderkey HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 150)
+      | JOIN orders ON l_orderkey = o_orderkey
+      |ORDER BY total_qty DESC, o_orderkey""".stripMargin
+
+  /** B8: supplier revenue ranking — dense_rank over a revenue aggregate. */
+  def supplierRank(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select("l_suppkey", "l_extendedprice", "l_discount")
+    val sup = Tables.supplier(spark, d).select("s_suppkey", "s_name", "s_nationkey")
+    val nat = Tables.nation(spark, d).select("n_nationkey", "n_name")
+    val byS = li.groupBy(col("l_suppkey"))
+      .agg(dbl(sum(dec2(col("l_extendedprice")) * oneMinus(col("l_discount")))).as("revenue"))
+    byS.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"), col("revenue"),
+        dense_rank().over(Window.orderBy(col("revenue").desc, col("s_suppkey"))).as("rnk"))
+      .orderBy(col("rnk"), col("s_suppkey"))
+  }
+
+  val supplierRankSql: String =
+    """SELECT s_suppkey, s_name, n_name, revenue,
+      |       dense_rank() OVER (ORDER BY revenue DESC, s_suppkey) AS rnk
+      |FROM (SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |      FROM lineitem GROUP BY l_suppkey)
+      | JOIN supplier ON l_suppkey = s_suppkey
+      | JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY rnk, s_suppkey""".stripMargin
+
+  /** B9: semi-structured extraction — per-user aggregate of a JSON
+    * property from `events.props` (stays in codegen; at scale the JSON
+    * parse is the scan-side CPU cost, so it's projected once). */
+  def featJsonExtract(spark: SparkSession, d: String): DataFrame = {
+    Tables.events(spark, d)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("user_id").as("entity_id"))
+      .agg(sum(col("k")).as("k_sum"), max(col("k")).as("k_max"),
+        count(when(col("k") > 50, lit(1))).as("n_high"))
+      .orderBy(col("entity_id"))
+  }
+
+  val featJsonExtractSql: String =
+    """SELECT user_id AS entity_id,
+      | SUM(k) AS k_sum, MAX(k) AS k_max,
+      | COUNT(CASE WHEN k > 50 THEN 1 END) AS n_high
+      |FROM (SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      |GROUP BY user_id
+      |ORDER BY entity_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_promo" -> q14Promo _,
+    "q18_large_orders" -> q18LargeOrders _,
+    "supplier_rank" -> supplierRank _,
+    "feat_json_extract" -> featJsonExtract _)
+
+  val oracles: Map[String, String] = Map(
+    "q14_promo" -> q14PromoSql,
+    "q18_large_orders" -> q18LargeOrdersSql,
+    "supplier_rank" -> supplierRankSql,
+    "feat_json_extract" -> featJsonExtractSql)
+}
