@@ -100,15 +100,80 @@ object ExtendedQueries {
       |GROUP BY user_id
       |ORDER BY entity_id""".stripMargin
 
+
+  /** B10: hierarchical rollup totals over documents (source → lang). */
+  def docsRollup(spark: SparkSession, d: String): DataFrame = {
+    Tables.documents(spark, d)
+      .rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+      .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
+  }
+
+  val docsRollupSql: String =
+    """SELECT source, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+      | CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+      |FROM documents
+      |GROUP BY ROLLUP (source, lang)
+      |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin
+
+  /** B11: discrete percentiles per event type (portable selection — no
+    * interpolation, raw stored doubles pass through exactly). */
+  def aggPercentiles(spark: SparkSession, d: String): DataFrame = {
+    Tables.events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").as("p90"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").as("p99"),
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  val aggPercentilesSql: String =
+    """SELECT event_type,
+      | quantile_disc(value, 0.5) AS p50,
+      | quantile_disc(value, 0.9) AS p90,
+      | quantile_disc(value, 0.99) AS p99,
+      | COUNT(DISTINCT user_id) AS n_users,
+      | COUNT(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** B12: anti-join — customers with no order above 300k (left_anti keeps
+    * the build side small: the filtered orders projection). */
+  def custNoBigOrder(spark: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(spark, d).select("c_custkey", "c_name", "c_acctbal")
+    val big = Tables.orders(spark, d)
+      .filter(col("o_totalprice") > 300000).select("o_custkey")
+    cust.join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .orderBy(col("c_custkey"))
+  }
+
+  val custNoBigOrderSql: String =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_promo" -> q14Promo _,
     "q18_large_orders" -> q18LargeOrders _,
     "supplier_rank" -> supplierRank _,
-    "feat_json_extract" -> featJsonExtract _)
+    "feat_json_extract" -> featJsonExtract _,
+    "docs_rollup" -> docsRollup _,
+    "agg_percentiles" -> aggPercentiles _,
+    "cust_no_big_order" -> custNoBigOrder _)
 
   val oracles: Map[String, String] = Map(
     "q14_promo" -> q14PromoSql,
     "q18_large_orders" -> q18LargeOrdersSql,
     "supplier_rank" -> supplierRankSql,
-    "feat_json_extract" -> featJsonExtractSql)
+    "feat_json_extract" -> featJsonExtractSql,
+    "docs_rollup" -> docsRollupSql,
+    "agg_percentiles" -> aggPercentilesSql,
+    "cust_no_big_order" -> custNoBigOrderSql)
 }
