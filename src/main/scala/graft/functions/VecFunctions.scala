@@ -75,3 +75,14 @@ object VecDot {
   def cosine(a: Column, aNorm: Column, b: Column, bNorm: Column): Column =
     vecDot(a, b) / (aNorm * bNorm)
 }
+
+/** SQL-surface registration so `spark.sql("... vec_dot(a, b) ...")` works —
+  * the FunctionRegistry injection point an extension jar would use via
+  * SparkSessionExtensions.injectFunction. */
+object VecFunctions {
+  import org.apache.spark.sql.SparkSession
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
+  }
+}
