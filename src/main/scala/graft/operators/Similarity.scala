@@ -59,16 +59,24 @@ object Similarity {
     * coefficients) + bucketed ANN candidates. The plane coefficients are
     * pseudo-random in {-1,+1} from the portable md5 hash of (plane, dim),
     * so the sketch itself is oracle-checkable. */
+  /** sign(p, dim) = +1 if the md5-derived bit of "p:dim" is even else -1 —
+    * the same constant the oracle derives in SQL; precomputed here so the
+    * per-row work is 16 codegen'd VecDots against literal ±1 arrays
+    * instead of 1024 md5 calls inside a lambda. x*(+1.0f)=x and
+    * x*(-1.0f)=-x exactly, so results stay bit-identical to the oracle. */
+  private def planeSign(p: Int, i: Int): Float = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$p:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2 == 0) 1.0f else -1.0f
+  }
+
   def simLshSketch(spark: SparkSession, d: String): DataFrame = {
-    // sign(p, dim) = +1 if md5-derived bit of "p:dim" else -1
-    // projection_p = sum_dim sign(p,dim) * embedding[dim]  (left fold)
-    val proj = (p: Int) =>
-      expr(s"""aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
-              |  (x, i) -> CASE WHEN (CAST(conv(substring(md5(concat('$p:', CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2) = 0
-              |            THEN CAST(x AS DOUBLE) ELSE -CAST(x AS DOUBLE) END),
-              | CAST(0 AS DOUBLE), (a, v) -> a + v)""".stripMargin)
-    val planes = (0 until 16).map(p =>
-      when(proj(p) > 0, shiftleft(lit(1L), p)).otherwise(lit(0L)))
+    val dims = 64
+    val planes = (0 until 16).map { p =>
+      val signs = array((0 until dims).map(i => lit(planeSign(p, i))): _*)
+      when(VecDot.vecDot(col("embedding"), signs) > 0, shiftleft(lit(1L), p))
+        .otherwise(lit(0L))
+    }
     Tables.embeddings(spark, d)
       .select(col("vec_id"), planes.reduce(_ + _).as("bucket"))
       .orderBy(col("vec_id"))
