@@ -1,0 +1,19 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.graft.VecDot
+
+/** Extension entry point for cluster deployment:
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions` makes the
+  * native functions available in every session without code changes —
+  * the standard SparkSessionExtensions injection path. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit = {
+    extensions.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      exprs => VecDot(exprs(0), exprs(1))))
+  }
+}
