@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.graft.VecDot
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest-neighbor search — the cluster-scale path for D1.
+  *
+  * Multi-table random-hyperplane LSH: `tables` independent sketches of
+  * `planesPerTable` seeded hyperplanes each. A candidate is any vector
+  * sharing at least one (table, bucket) cell with the query; exact cosine
+  * then ranks only the candidates. Probe cost per query is O(candidates)
+  * instead of O(n); the bucket join is a plain equi-join on
+  * (table_idx, bucket) so it shuffles by cell and AQE splits hot cells.
+  * More tables → higher recall, more candidates. Defaults (6 tables × 4
+  * planes) are tuned for near-orthogonal random vectors — the hardest
+  * case; clustered real embeddings allow more planes and harder pruning.
+  */
+object AnnSearch {
+  private def planeSign(table: Int, p: Int, i: Int): Float = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$table:$p:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2 == 0) 1.0f else -1.0f
+  }
+
+  /** (id, table_idx, bucket) cells for every vector. */
+  def sketchCells(vecs: DataFrame, id: String, dims: Int,
+      tables: Int, planesPerTable: Int): DataFrame = {
+    val cells = (0 until tables).map { t =>
+      val bucket = (0 until planesPerTable).map { p =>
+        val signs = array((0 until dims).map(i => lit(planeSign(t, p, i))): _*)
+        when(VecDot.vecDot(col("embedding"), signs) > 0, shiftleft(lit(1L), p))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("table_idx"), bucket.as("bucket"))
+    }
+    vecs.select(col(id), col("embedding"), explode(array(cells: _*)).as("cell"))
+      .select(col(id), col("embedding"), col("cell.table_idx"), col("cell.bucket"))
+  }
+
+  /** Approximate top-k neighbors for each query vector. */
+  def annTopK(vecs: DataFrame, queries: DataFrame, id: String, dims: Int,
+      k: Int, tables: Int = 6, planesPerTable: Int = 4): DataFrame = {
+    val corpus = sketchCells(vecs, id, dims, tables, planesPerTable)
+      .select(col(id).as("neighbor_id"), col("embedding").as("ec"),
+        col("table_idx"), col("bucket"))
+    val probes = sketchCells(queries, id, dims, tables, planesPerTable)
+      .select(col(id).as("query_id"), col("embedding").as("eq"),
+        col("table_idx"), col("bucket"))
+    val cands = probes.join(corpus, Seq("table_idx", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "eq", "neighbor_id", "ec")
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cands
+      .withColumn("cos", VecDot.vecDot(col("eq"), col("ec")) /
+        (VecDot.vecNorm(col("eq")) * VecDot.vecNorm(col("ec"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+}
