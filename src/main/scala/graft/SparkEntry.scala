@@ -13,12 +13,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ FeatureOps.queries ++ TextOps.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      ExtendedQueries.queries ++ TemporalOps.queries ++ CrossModal.queries
+      ExtendedQueries.queries ++ TemporalOps.queries ++ CrossModal.queries ++
+      PipelineOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ FeatureOps.oracles ++ TextOps.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
-      ExtendedQueries.oracles ++ TemporalOps.oracles ++ CrossModal.oracles
+      ExtendedQueries.oracles ++ TemporalOps.oracles ++ CrossModal.oracles ++
+      PipelineOps.oracles
 }
