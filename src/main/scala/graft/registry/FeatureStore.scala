@@ -102,6 +102,40 @@ final class FeatureStore(spark: SparkSession, storePath: String,
       .drop("rn")
   }
 
+  /** Time-travel resolution: the latest active version AS OF `ts` —
+    * reproducible training: re-running with the same timestamp serves
+    * exactly the features a historical job saw, regardless of versions
+    * computed since. */
+  def latestValuesAsOf(ts: Long, featureNames: Option[Seq[String]] = None): DataFrame = {
+    val active = versions.values
+      .filter(v => v.status == "active" && v.computedAt <= ts)
+      .map(v => (v.feature, v.version)).toSeq
+    val activeDf = spark.createDataFrame(active).toDF("feature_name", "version")
+    val w = Window.partitionBy(col("entity_id"), col("feature_name"))
+      .orderBy(col("computed_at").desc, col("version").desc)
+    val filtered = featureNames.fold(store)(ns =>
+      store.filter(col("feature_name").isin(ns: _*)))
+    filtered
+      .join(broadcast(activeDf), Seq("feature_name", "version"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Backfill: recompute a feature version over a filtered slice of the
+    * raw table (e.g. one day's partition) and append it — the batch
+    * catch-up path complementing StreamingMaterializer. */
+  def backfill(feature: String, version: String, slice: DataFrame => DataFrame,
+      metadata: Map[String, String] = Map.empty): Either[List[String], FeatureVersion] = {
+    val fd = features.getOrElse(feature,
+      return Left(List(s"Feature '$feature' not found")))
+    val orig = fd.compute
+    val sliced = fd.copy(compute = df => orig(slice(df)))
+    features.put(feature, sliced)
+    try computeVersion(feature, version, metadata)
+    finally features.put(feature, fd)
+  }
+
   /** reference main.py:237 POST /feature-vectors: wide vector per entity.
     * Pinned version prunes straight to the store partition; latest goes
     * through the window resolution. */
