@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan regression guards: the scale properties §5 claims must stay true
+  * as operators evolve — pushdown reaching the scan, pruned read
+  * schemas, dims broadcast, facts never broadcast. */
+class PlanAuditSpec extends SparkSpec {
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q6 pushes every predicate into the parquet scan") {
+    val p = plan("q6_filter_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)")
+      || p.contains("GreaterThanOrEqual(l_shipdate"), s"missing pushdown:\n$p")
+    // projection pruned to the 4 needed columns
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>"),
+      s"unpruned read schema:\n$p")
+  }
+
+  test("q1 reads only the aggregation columns") {
+    val p = plan("q1_pricing")
+    assert(!p.contains("l_orderkey"), "q1 must not read join keys it doesn't use")
+    assert(p.contains("l_returnflag") && p.contains("l_quantity"))
+  }
+
+  test("q5 broadcasts dimensions, never the lineitem fact") {
+    val p = plan("q5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the lineitem scan must be on the streamed (left) side of the first join:
+    // no BroadcastExchange subtree may contain the lineitem file scan
+    val broadcastSubtrees = p.split("BroadcastExchange").drop(1)
+    assert(!broadcastSubtrees.exists(_.split("\n").take(4).mkString.contains("lineitem")),
+      s"lineitem must not be broadcast:\n$p")
+  }
+
+  test("dedup ngram plan contains no cartesian or nested-loop join") {
+    val p = plan("dedup_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("window queries partition by entity (no global sort of the fact)") {
+    val p = plan("feat_rolling_agg")
+    assert(p.contains("user_id"), p)
+  }
+}
