@@ -41,12 +41,19 @@ object MinHashLsh {
       .select("id_a", "id_b").distinct()
   }
 
-  /** exact Jaccard on candidates only (shingle semi-joined to survivors). */
+  /** exact Jaccard on candidates only. The shingle relation is first
+    * semi-joined to the docs that appear in any candidate pair, so the
+    * verification join never touches shingles of unpaired documents —
+    * without this, verifying 1% of docs would still re-join 100% of the
+    * corpus. */
   def verifiedPairs(shingled: DataFrame, id: String, candidates: DataFrame,
       threshold: Double): DataFrame = {
+    val candDocs = candidates.select(col("id_a").as(id))
+      .union(candidates.select(col("id_b").as(id))).distinct()
+    val sh = shingled.join(candDocs, Seq(id), "left_semi")
     val sz = shingled.groupBy(col(id)).agg(count(lit(1)).as("n"))
-    val sa = shingled.select(col(id).as("id_a"), col("shingle"))
-    val sb = shingled.select(col(id).as("id_b"), col("shingle"))
+    val sa = sh.select(col(id).as("id_a"), col("shingle"))
+    val sb = sh.select(col(id).as("id_b"), col("shingle"))
     val common = sa.join(sb, Seq("shingle"))
       .join(candidates, Seq("id_a", "id_b"), "left_semi")
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
