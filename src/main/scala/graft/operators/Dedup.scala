@@ -145,7 +145,7 @@ object Dedup {
       |         SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
       |  FROM tok CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b
       |  GROUP BY doc_id, b.b)
-      |SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
+      |SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** C5: embedding-cosine near-dup pairs. Dot/norm via left-fold in array

@@ -94,7 +94,7 @@ object ExtendedQueries {
 
   val featJsonExtractSql: String =
     """SELECT user_id AS entity_id,
-      | SUM(k) AS k_sum, MAX(k) AS k_max,
+      | CAST(SUM(k) AS BIGINT) AS k_sum, MAX(k) AS k_max,
       | COUNT(CASE WHEN k > 50 THEN 1 END) AS n_high
       |FROM (SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
       |GROUP BY user_id
@@ -112,7 +112,7 @@ object ExtendedQueries {
   }
 
   val docsRollupSql: String =
-    """SELECT source, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+    """SELECT source, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       | CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
       |FROM documents
       |GROUP BY ROLLUP (source, lang)
