@@ -1,5 +1,19 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-run benchmark: one JSON line of per-query seconds at the SF in
+  * SPARK_GRAFT_SF_DIR.
+  *
+  * Methodology: every plan is exercised once at the smallest SF (JIT,
+  * codegen compile, parquet footer caches), then timed over TWO full
+  * passes at the target SF and reported as the per-query minimum. A
+  * sequential single-JVM harness bills whatever GC/JIT happens to fire
+  * to the query that is running at that moment — round-1 numbers showed
+  * a 500k-row projection at 12 s for exactly that reason; min-of-2 is
+  * robust to one unlucky pass. Queries are materialized through the
+  * noop sink (full computation, no driver collect, and no chance of a
+  * count() being answered from parquet metadata).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,20 +24,29 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up: run every plan once at the smallest SF so JVM/codegen/IO
-    // warmup isn't billed to whichever query happens to run first.
+
+    def runOnce(fn: (SparkSession, String) => DataFrame, dir: String): Unit =
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try runOnce(fn, warmDir) catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val names = SparkEntry.queries.keys.toSeq
+    val best = collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to 2) {
+      System.gc() // pay accumulated garbage before the pass, not inside it
+      names.foreach { name =>
+        val t0 = System.nanoTime()
+        try runOnce(SparkEntry.queries(name), sfDir)
+        catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qs = names.map(n => s"\"" + n + "\":" + best(n)).mkString("{", ",", "}")
+    val total = names.map(best).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
