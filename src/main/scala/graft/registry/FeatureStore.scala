@@ -1,8 +1,10 @@
 package graft.registry
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import scala.collection.concurrent.TrieMap
 
@@ -11,11 +13,25 @@ import scala.collection.concurrent.TrieMap
   * re-expression of the reference FastAPI service (reference main.py).
   *
   * Storage layout (scale design): one long-format parquet dataset
-  * `(entity_id, feature_name, version, value, computed_at)` written with
+  * `(entity_id, value, value_str, computed_at)` written with
   * `partitionBy(feature_name, version)` so version pins prune to a single
   * directory and latest-version resolution scans only the needed feature
-  * partitions. At cluster scale the store would additionally be bucketed
-  * by `entity_id` to make the serving join shuffle-free; locally the
+  * partitions. Numeric features fill `value`; categorical/text/json
+  * features fill `value_str` (reference compute.py:74-88 stores every
+  * value as a string and decodes at serve time; we keep numerics native
+  * so aggregates stay codegen'd, and route by the declared featureType).
+  *
+  * Version metadata is durable: every lifecycle transition (computed /
+  * deprecated / archived / purged) appends one JSON record under
+  * `storePath/_versions/` (underscore-prefixed → invisible to parquet
+  * discovery), written atomically via create-temp-then-rename. A new
+  * FeatureStore over an existing storePath replays the log and serves
+  * identical vectors — the durable half of the reference's
+  * FeatureVersion table (reference models.py:45-62) without requiring a
+  * transactional table format.
+  *
+  * At cluster scale the store would additionally be bucketed by
+  * `entity_id` to make the serving join shuffle-free; locally the
   * partition pruning is the part that matters and is visible in
   * `.explain` as PartitionFilters.
   */
@@ -25,6 +41,12 @@ final class FeatureStore(spark: SparkSession, storePath: String,
   private val tables = TrieMap.empty[String, (TableDef, DataFrame)]
   private val features = TrieMap.empty[String, FeatureDef]
   private val versions = TrieMap.empty[(String, String), FeatureVersion]
+  // feature -> declared type, kept durable via the manifest so a fresh
+  // instance over an existing store routes value/value_str correctly
+  private val featureTypes = TrieMap.empty[String, String]
+  private val seqCtr = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  loadManifest()
 
   /** reference main.py:38 POST /raw-tables */
   def registerTable(defn: TableDef, data: DataFrame): Either[List[String], TableDef] =
@@ -41,7 +63,10 @@ final class FeatureStore(spark: SparkSession, storePath: String,
     if (!tables.contains(defn.table)) Left(List(s"Raw table '${defn.table}' not found"))
     else if (features.putIfAbsent(defn.name, defn).isDefined)
       Left(List(s"Feature '${defn.name}' already exists"))
-    else Right(defn)
+    else {
+      featureTypes.put(defn.name, defn.featureType)
+      Right(defn)
+    }
   }
 
   def listFeatures: Seq[FeatureDef] = features.values.toSeq.sortBy(_.name)
@@ -49,7 +74,9 @@ final class FeatureStore(spark: SparkSession, storePath: String,
   /** reference main.py:117 POST /features/{id}/versions — compute and
     * persist one version of one feature. The computation is a declarative
     * plan over the registered table; Spark plans partial aggregation +
-    * a single shuffle on the entity key. */
+    * a single shuffle on the entity key. Numeric features land in
+    * `value`; any other featureType is stringified into `value_str`
+    * (complex values should be pre-encoded with to_json in the compute). */
   def computeVersion(feature: String, version: String,
       metadata: Map[String, String] = Map.empty): Either[List[String], FeatureVersion] = {
     val fd = features.getOrElse(feature,
@@ -62,16 +89,19 @@ final class FeatureStore(spark: SparkSession, storePath: String,
     if (!cols.contains("entity_id") || cols.length != 2)
       return Left(List("Computation must return (entity_id, value) columns"))
     val valueCol = cols.filter(_ != "entity_id").head
+    val numeric = fd.featureType == "numeric"
     val now = clock()
     computed
       .select(col("entity_id").cast("string"),
-        col(valueCol).cast("double").as("value"),
+        (if (numeric) col(valueCol).cast("double") else lit(null).cast("double")).as("value"),
+        (if (numeric) lit(null).cast("string") else col(valueCol).cast("string")).as("value_str"),
         lit(feature).as("feature_name"), lit(version).as("version"),
         lit(new java.sql.Timestamp(now)).as("computed_at"))
       .write.mode("append").partitionBy("feature_name", "version")
       .parquet(storePath)
     val fv = FeatureVersion(feature, version, "active", now, metadata)
     versions.put((feature, version), fv)
+    appendManifest(fv, fd.featureType)
     invalidateCache()
     Right(fv)
   }
@@ -79,36 +109,61 @@ final class FeatureStore(spark: SparkSession, storePath: String,
   def listVersions(feature: String): Seq[FeatureVersion] =
     versions.collect { case ((f, _), v) if f == feature => v }.toSeq.sortBy(_.version)
 
+  /** reference models.py:52 status lifecycle: active → deprecated. */
   def deprecate(feature: String, version: String): Unit =
-    versions.updateWith((feature, version))(_.map(_.copy(status = "deprecated")))
+    setStatus(feature, version, "deprecated")
+
+  /** reference models.py:52 status lifecycle: → archived. Archived
+    * versions are excluded from serving but their data stays on disk
+    * until [[purgeArchived]]. */
+  def archive(feature: String, version: String): Unit =
+    setStatus(feature, version, "archived")
+
+  private def setStatus(feature: String, version: String, status: String): Unit =
+    versions.updateWith((feature, version))(_.map { v =>
+      val nv = v.copy(status = status)
+      appendManifest(nv, featureTypes.getOrElse(feature, "numeric"))
+      nv
+    })
+
+  /** Physically delete the store partitions of every archived version and
+    * tombstone them in the manifest. Returns the purged (feature, version)
+    * pairs. Partition dir names assume feature/version values without
+    * characters parquet would escape (enforced by usage: version tags like
+    * `v1.0`, feature names are identifiers). */
+  def purgeArchived(): Seq[(String, String)] = {
+    val archived = versions.collect { case (k, v) if v.status == "archived" => k }.toSeq
+    val hconf = spark.sparkContext.hadoopConfiguration
+    archived.foreach { case (f, v) =>
+      val dir = new Path(s"$storePath/feature_name=$f/version=$v")
+      val hfs = dir.getFileSystem(hconf)
+      if (hfs.exists(dir)) hfs.delete(dir, true)
+      val fv = versions((f, v))
+      appendManifest(fv.copy(status = "purged"), featureTypes.getOrElse(f, "numeric"))
+      versions.remove((f, v))
+    }
+    if (archived.nonEmpty) invalidateCache()
+    archived
+  }
 
   private def store: DataFrame = spark.read.parquet(storePath)
 
   /** Latest ACTIVE version per (entity, feature) — reference main.py:269's
     * per-feature `ORDER BY computed_at DESC LIMIT 1`, done for all
     * entities in one window pass. */
-  def latestValues(featureNames: Option[Seq[String]] = None): DataFrame = {
-    val active = versions.values.filter(_.status == "active")
-      .map(v => (v.feature, v.version)).toSeq
-    val activeDf = spark.createDataFrame(active).toDF("feature_name", "version")
-    val w = Window.partitionBy(col("entity_id"), col("feature_name"))
-      .orderBy(col("computed_at").desc, col("version").desc)
-    val filtered = featureNames.fold(store)(ns =>
-      store.filter(col("feature_name").isin(ns: _*)))
-    filtered
-      .join(broadcast(activeDf), Seq("feature_name", "version"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
-  }
+  def latestValues(featureNames: Option[Seq[String]] = None): DataFrame =
+    resolveLatest(_.status == "active", featureNames)
 
   /** Time-travel resolution: the latest active version AS OF `ts` —
     * reproducible training: re-running with the same timestamp serves
     * exactly the features a historical job saw, regardless of versions
     * computed since. */
-  def latestValuesAsOf(ts: Long, featureNames: Option[Seq[String]] = None): DataFrame = {
-    val active = versions.values
-      .filter(v => v.status == "active" && v.computedAt <= ts)
+  def latestValuesAsOf(ts: Long, featureNames: Option[Seq[String]] = None): DataFrame =
+    resolveLatest(v => v.status == "active" && v.computedAt <= ts, featureNames)
+
+  private def resolveLatest(keep: FeatureVersion => Boolean,
+      featureNames: Option[Seq[String]]): DataFrame = {
+    val active = versions.values.filter(keep)
       .map(v => (v.feature, v.version)).toSeq
     val activeDf = spark.createDataFrame(active).toDF("feature_name", "version")
     val w = Window.partitionBy(col("entity_id"), col("feature_name"))
@@ -137,18 +192,32 @@ final class FeatureStore(spark: SparkSession, storePath: String,
   }
 
   /** reference main.py:237 POST /feature-vectors: wide vector per entity.
-    * Pinned version prunes straight to the store partition; latest goes
-    * through the window resolution. */
+    * The column set comes from the version manifest — never from a
+    * hidden distinct-values scan of the store (Spark's `pivot` without
+    * explicit values runs one); assembly is a single conditional
+    * aggregation, so an entity_id filter pushes through the aggregate to
+    * the scan. Numeric features surface as double columns, all others as
+    * string columns. */
   def featureVectors(featureNames: Option[Seq[String]] = None,
       version: Option[String] = None): DataFrame = {
+    val known = version match {
+      case Some(v) => versions.keys.collect { case (f, `v`) => f }.toSeq.distinct.sorted
+      case None    => versions.keys.map(_._1).toSeq.distinct.sorted
+    }
+    val names = featureNames.fold(known)(ns => known.filter(ns.contains))
     val base = version match {
       case Some(v) =>
         val pinned = store.filter(col("version") === v)
         featureNames.fold(pinned)(ns => pinned.filter(col("feature_name").isin(ns: _*)))
       case None => latestValues(featureNames)
     }
-    base.groupBy(col("entity_id")).pivot(col("feature_name"))
-      .agg(first(col("value")))
+    val aggs = names.map { f =>
+      val src = if (featureTypes.getOrElse(f, "numeric") == "numeric") col("value")
+                else col("value_str")
+      max(when(col("feature_name") === f, src)).as(f)
+    }
+    if (aggs.isEmpty) base.select(col("entity_id")).distinct()
+    else base.groupBy(col("entity_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   // ---- serving cache (reference cache.py: TTL-memoized vectors) ----
@@ -159,11 +228,21 @@ final class FeatureStore(spark: SparkSession, storePath: String,
   var cacheHits = 0L
   var cacheMisses = 0L
 
-  /** Single-entity vector with TTL memoization — the hot serving path. */
+  private def cacheKey(entityId: String, featureNames: Option[Seq[String]],
+      version: Option[String]) =
+    (entityId, featureNames.map(_.sorted.mkString(",")).getOrElse(""),
+      version.getOrElse(""))
+
+  private def rowToVec(r: org.apache.spark.sql.Row): Map[String, Any] =
+    r.schema.fieldNames.filter(_ != "entity_id")
+      .map(f => f -> r.getAs[Any](f)).toMap
+
+  /** Single-entity vector with TTL memoization — the hot serving path.
+    * Batch consumers should warm the cache with [[prefetchVectors]]: one
+    * Spark job for N entities instead of N jobs. */
   def getVector(entityId: String, featureNames: Option[Seq[String]] = None,
       version: Option[String] = None): Map[String, Any] = {
-    val key = (entityId, featureNames.map(_.sorted.mkString(",")).getOrElse(""),
-      version.getOrElse(""))
+    val key = cacheKey(entityId, featureNames, version)
     val now = clock()
     cache.get(key).filter(now - _._1 < cacheTtlMs) match {
       case Some((_, v)) => cacheHits += 1; v
@@ -171,10 +250,86 @@ final class FeatureStore(spark: SparkSession, storePath: String,
         cacheMisses += 1
         val row = featureVectors(featureNames, version)
           .filter(col("entity_id") === entityId).collect().headOption
-        val vec = row.map(r => r.schema.fieldNames.filter(_ != "entity_id")
-          .map(f => f -> r.getAs[Any](f)).toMap).getOrElse(Map.empty)
+        val vec = row.map(rowToVec).getOrElse(Map.empty)
         cache.put(key, (now, vec))
         vec
+    }
+  }
+
+  /** Warm the serving cache for a set of entities in ONE Spark job — the
+    * scale answer to per-entity collect: the entity filter pushes through
+    * the vector aggregate to the store scan, and every hit afterwards is
+    * an in-memory map lookup. */
+  def prefetchVectors(entityIds: Seq[String],
+      featureNames: Option[Seq[String]] = None,
+      version: Option[String] = None): Int = {
+    val now = clock()
+    val rows = featureVectors(featureNames, version)
+      .filter(col("entity_id").isin(entityIds: _*)).collect()
+    rows.foreach { r =>
+      val key = cacheKey(r.getAs[String]("entity_id"), featureNames, version)
+      cache.put(key, (now, rowToVec(r)))
+    }
+    rows.length
+  }
+
+  // ---- durable version manifest ----------------------------------------
+
+  private def manifestDir = new Path(s"$storePath/_versions")
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** One JSON-lines record per lifecycle transition, atomic via
+    * temp-file + rename (both on the store's FileSystem, so the layout
+    * works unchanged on HDFS/S3A-with-committer). */
+  private def appendManifest(v: FeatureVersion, featureType: String): Unit = {
+    val seq = seqCtr.updateAndGet(prev => math.max(prev + 1, clock() * 1000))
+    val meta = v.metadata.toSeq.sortBy(_._1)
+      .map { case (k, mv) => s""""${jsonEscape(k)}":"${jsonEscape(mv)}"""" }
+      .mkString("{", ",", "}")
+    val rec = s"""{"seq":$seq,"feature":"${jsonEscape(v.feature)}","version":"${jsonEscape(v.version)}","status":"${jsonEscape(v.status)}","computedAt":${v.computedAt},"featureType":"${jsonEscape(featureType)}","metadata":$meta}"""
+    val hfs = manifestDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(manifestDir)) hfs.mkdirs(manifestDir)
+    val name = f"$seq%020d-${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = new Path(manifestDir, s".$name.tmp")
+    val out = hfs.create(tmp, false)
+    try out.write((rec + "\n").getBytes("UTF-8")) finally out.close()
+    hfs.rename(tmp, new Path(manifestDir, s"$name.json"))
+  }
+
+  /** Replay the manifest log in seq order: last record per
+    * (feature, version) wins; `purged` tombstones drop the version. */
+  private def loadManifest(): Unit = {
+    val hfs = manifestDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(manifestDir)) return
+    val schema = StructType(Seq(
+      StructField("seq", LongType), StructField("feature", StringType),
+      StructField("version", StringType), StructField("status", StringType),
+      StructField("computedAt", LongType), StructField("featureType", StringType),
+      StructField("metadata", MapType(StringType, StringType))))
+    val recs = spark.read.schema(schema).json(manifestDir.toString)
+      .collect().sortBy(_.getAs[Long]("seq"))
+    recs.foreach { r =>
+      val key = (r.getAs[String]("feature"), r.getAs[String]("version"))
+      r.getAs[String]("status") match {
+        case "purged" => versions.remove(key)
+        case st =>
+          val mi = r.fieldIndex("metadata")
+          val meta = if (r.isNullAt(mi)) Map.empty[String, String]
+                     else r.getMap[String, String](mi).toMap
+          versions.put(key, FeatureVersion(key._1, key._2, st,
+            r.getAs[Long]("computedAt"), meta))
+          featureTypes.put(key._1, r.getAs[String]("featureType"))
+      }
+      seqCtr.updateAndGet(prev => math.max(prev, r.getAs[Long]("seq")))
     }
   }
 }

@@ -103,6 +103,88 @@ class FeatureStoreSpec extends SparkSpec {
     assert(versionsUsed == Set("v1"))
   }
 
+  test("categorical feature materializes into value_str and serves end-to-end") {
+    var now = 1000L
+    val fs = freshStore(() => now)
+    fs.registerTable(TableDef("orders", Seq("o_custkey", "o_orderstatus", "o_totalprice"),
+      Map("o_orderstatus" -> "string")), Tables.orders(spark, sf))
+    fs.defineFeature(FeatureDef("last_status", "orders", "categorical",
+      df => df.groupBy(col("o_custkey").as("entity_id"))
+        .agg(max(col("o_orderstatus")).as("value"))))
+    fs.defineFeature(FeatureDef("total_spend", "orders", "numeric",
+      df => df.groupBy(col("o_custkey").as("entity_id"))
+        .agg(sum("o_totalprice").as("value"))))
+    assert(fs.computeVersion("last_status", "v1").isRight)
+    now = 2000L
+    assert(fs.computeVersion("total_spend", "v1").isRight)
+
+    // long-format store: categorical rows carry value_str, numeric carry value
+    val stored = fs.latestValues(Some(Seq("last_status")))
+    assert(stored.filter(col("value_str").isNull).count() == 0)
+    assert(stored.filter(col("value").isNotNull).count() == 0)
+
+    // wide vector: string column next to double column
+    val vecs = fs.featureVectors()
+    assert(vecs.schema("last_status").dataType == org.apache.spark.sql.types.StringType)
+    assert(vecs.schema("total_spend").dataType == org.apache.spark.sql.types.DoubleType)
+    val entity = vecs.select("entity_id").first().getString(0)
+    val served = fs.getVector(entity)
+    assert(served("last_status").isInstanceOf[String])
+    assert(Set("O", "F", "P").contains(served("last_status").asInstanceOf[String]))
+  }
+
+  test("version metadata survives a restart: fresh instance serves same vectors") {
+    var now = 1000L
+    val dir = java.nio.file.Files.createTempDirectory("graft-persist").toString
+    val path = s"$dir/values"
+    val fs1 = new FeatureStore(spark, path, () => now)
+    fs1.registerTable(ordersDef, Tables.orders(spark, sf))
+    fs1.defineFeature(FeatureDef("total_spend", "orders", "numeric",
+      df => df.groupBy(col("o_custkey").as("entity_id"))
+        .agg(sum("o_totalprice").as("value"))))
+    fs1.computeVersion("total_spend", "v1", Map("job" -> "nightly"))
+    now = 2000L
+    fs1.computeVersion("total_spend", "v2")
+    fs1.deprecate("total_spend", "v2")
+    val before = fs1.featureVectors().collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    // a brand-new instance over the same path, no re-registration
+    val fs2 = new FeatureStore(spark, path, () => now)
+    assert(fs2.listVersions("total_spend").map(v => v.version -> v.status).toMap
+      == Map("v1" -> "active", "v2" -> "deprecated"))
+    assert(fs2.listVersions("total_spend").find(_.version == "v1").get.metadata("job") == "nightly")
+    val after = fs2.featureVectors().collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(after == before)
+  }
+
+  test("archive excludes from serving; purge deletes partitions and survives restart") {
+    var now = 1000L
+    val dir = java.nio.file.Files.createTempDirectory("graft-purge").toString
+    val path = s"$dir/values"
+    val fs = new FeatureStore(spark, path, () => now)
+    fs.registerTable(ordersDef, Tables.orders(spark, sf))
+    fs.defineFeature(FeatureDef("total_spend", "orders", "numeric",
+      df => df.groupBy(col("o_custkey").as("entity_id"))
+        .agg(sum("o_totalprice").as("value"))))
+    fs.computeVersion("total_spend", "v1")
+    now = 2000L
+    fs.computeVersion("total_spend", "v2")
+
+    fs.archive("total_spend", "v1")
+    assert(fs.latestValues().select("version").distinct()
+      .collect().map(_.getString(0)).toSet == Set("v2"))
+
+    assert(fs.purgeArchived() == Seq(("total_spend", "v1")))
+    assert(!new java.io.File(s"$path/feature_name=total_spend/version=v1").exists())
+    assert(new java.io.File(s"$path/feature_name=total_spend/version=v2").exists())
+    assert(fs.listVersions("total_spend").map(_.version) == Seq("v2"))
+
+    // restart: the tombstone keeps the purged version gone
+    val fs2 = new FeatureStore(spark, path, () => now)
+    assert(fs2.listVersions("total_spend").map(_.version) == Seq("v2"))
+    assert(fs2.featureVectors().count() > 0)
+  }
+
   test("serving cache: hit within TTL, recompute after invalidation") {
     var now = 1000L
     val fs = freshStore(() => now)
@@ -122,5 +204,20 @@ class FeatureStoreSpec extends SparkSpec {
     now += 3600 * 1000L + 1
     fs.getVector(someEntity)
     assert(fs.cacheMisses == 2)
+  }
+
+  test("prefetchVectors warms the cache in one job") {
+    var now = 1000L
+    val fs = freshStore(() => now)
+    fs.registerTable(ordersDef, Tables.orders(spark, sf))
+    fs.defineFeature(FeatureDef("total_spend", "orders", "numeric",
+      df => df.groupBy(col("o_custkey").as("entity_id"))
+        .agg(sum("o_totalprice").as("value"))))
+    fs.computeVersion("total_spend", "v1")
+    val ids = fs.latestValues().select("entity_id").limit(5)
+      .collect().map(_.getString(0)).toSeq
+    assert(fs.prefetchVectors(ids) == ids.size)
+    ids.foreach(id => assert(fs.getVector(id).contains("total_spend")))
+    assert(fs.cacheHits == ids.size && fs.cacheMisses == 0)
   }
 }
