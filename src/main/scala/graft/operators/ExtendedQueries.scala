@@ -3,7 +3,6 @@ package graft.operators
 import graft.Tables
 import graft.functions.Exact._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Extended analytics coverage (SURVEY §2 B6–B9): promo-share conditional
@@ -55,7 +54,11 @@ object ExtendedQueries {
       | JOIN orders ON l_orderkey = o_orderkey
       |ORDER BY total_qty DESC, o_orderkey""".stripMargin
 
-  /** B8: supplier revenue ranking — dense_rank over a revenue aggregate. */
+  /** B8: supplier revenue ranking. The sort key (revenue, s_suppkey) is
+    * unique per row, so dense_rank ≡ row_number — computed with RankOps'
+    * two-phase range-partitioned numbering instead of a global
+    * single-partition window, which would serialize the supplier
+    * dimension through one task at 100× scale. */
   def supplierRank(spark: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(spark, d)
       .select("l_suppkey", "l_extendedprice", "l_discount")
@@ -63,10 +66,12 @@ object ExtendedQueries {
     val nat = Tables.nation(spark, d).select("n_nationkey", "n_name")
     val byS = li.groupBy(col("l_suppkey"))
       .agg(dbl(sum(dec2(col("l_extendedprice")) * oneMinus(col("l_discount")))).as("revenue"))
-    byS.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    val joined = byS.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey"), col("s_name"), col("n_name"), col("revenue"),
-        dense_rank().over(Window.orderBy(col("revenue").desc, col("s_suppkey"))).as("rnk"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"), col("revenue"))
+    RankOps.twoPhaseRowNumber(joined, "rnk", 32,
+        col("revenue").desc, col("s_suppkey"))
+      .select("s_suppkey", "s_name", "n_name", "revenue", "rnk")
       .orderBy(col("rnk"), col("s_suppkey"))
   }
 

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Pipeline hygiene operators (SURVEY §2 E6–E9): redaction, repetition
@@ -56,12 +55,17 @@ object PipelineOps {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
       |ORDER BY doc_id""".stripMargin
 
-  /** E8: corpus-relative length rank (percent_rank — pure count
-    * arithmetic, engine-portable). */
+  /** E8: corpus-relative length rank. percent_rank(v) is pure count
+    * arithmetic — (# rows shorter) / (n-1) — so it's computed via
+    * RankOps' banded counting instead of an empty-partitionBy window
+    * (which would drag the whole corpus through one task at scale).
+    * Same doubles bit-for-bit: identical integer operands, one double
+    * division in both engines. */
   def textLengthRank(spark: SparkSession, d: String): DataFrame = {
-    Tables.documents(spark, d)
-      .select(col("doc_id"), col("n_chars"),
-        percent_rank().over(Window.orderBy(col("n_chars"))).as("len_pct_rank"))
+    RankOps.percentRankByCounts(
+        Tables.documents(spark, d).select(col("doc_id"), col("n_chars")),
+        "n_chars", "len_pct_rank")
+      .select("doc_id", "n_chars", "len_pct_rank")
       .orderBy(col("doc_id"))
   }
 

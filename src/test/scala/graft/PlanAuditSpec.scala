@@ -44,4 +44,13 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("feat_rolling_agg")
     assert(p.contains("user_id"), p)
   }
+
+  test("rank queries contain no single-partition window exchange") {
+    // a Window with empty partitionBy plans Exchange SinglePartition —
+    // the whole input through one task; RankOps must keep these out
+    for (q <- Seq("text_length_rank", "supplier_rank")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange SinglePartition"), s"$q has a global window:\n$p")
+    }
+  }
 }
