@@ -92,6 +92,11 @@ object Stress {
       AnnSearch.annTopK(vecs, vecs.filter(col("vec_id") % 1000 === 0),
         "vec_id", dims = 64, k = 5).count()
     }
+    time("ivf_topk") {
+      val vecs = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      IvfSearch.ivfTopK(vecs, vecs.filter(col("vec_id") % 1000 === 0),
+        "vec_id", k = 5).count()
+    }
     spark.stop()
   }
 }

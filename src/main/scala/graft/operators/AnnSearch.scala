@@ -24,7 +24,9 @@ object AnnSearch {
     if (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2 == 0) 1.0f else -1.0f
   }
 
-  /** (id, table_idx, bucket) cells for every vector. */
+  /** (id, table_idx, bucket) cells for every vector — ids and bucket
+    * keys only, so downstream bucket joins and candidate dedup shuffle a
+    * few bytes per cell instead of the embedding arrays. */
   def sketchCells(vecs: DataFrame, id: String, dims: Int,
       tables: Int, planesPerTable: Int): DataFrame = {
     val cells = (0 until tables).map { t =>
@@ -35,23 +37,30 @@ object AnnSearch {
       }.reduce(_ + _)
       struct(lit(t).as("table_idx"), bucket.as("bucket"))
     }
-    vecs.select(col(id), col("embedding"), explode(array(cells: _*)).as("cell"))
-      .select(col(id), col("embedding"), col("cell.table_idx"), col("cell.bucket"))
+    vecs.select(col(id), explode(array(cells: _*)).as("cell"))
+      .select(col(id), col("cell.table_idx"), col("cell.bucket"))
   }
 
-  /** Approximate top-k neighbors for each query vector. */
+  /** Approximate top-k neighbors for each query vector. The multi-table
+    * candidate dedup runs on (query_id, neighbor_id) id pairs only; the
+    * float arrays are re-attached AFTER dedup — query embeddings by
+    * broadcast (the query side is small by construction), corpus
+    * embeddings by one keyed join against the deduped candidates. */
   def annTopK(vecs: DataFrame, queries: DataFrame, id: String, dims: Int,
       k: Int, tables: Int = 6, planesPerTable: Int = 4): DataFrame = {
-    val corpus = sketchCells(vecs, id, dims, tables, planesPerTable)
-      .select(col(id).as("neighbor_id"), col("embedding").as("ec"),
-        col("table_idx"), col("bucket"))
-    val probes = sketchCells(queries, id, dims, tables, planesPerTable)
-      .select(col(id).as("query_id"), col("embedding").as("eq"),
-        col("table_idx"), col("bucket"))
-    val cands = probes.join(corpus, Seq("table_idx", "bucket"))
+    val corpusCells = sketchCells(vecs, id, dims, tables, planesPerTable)
+      .select(col(id).as("neighbor_id"), col("table_idx"), col("bucket"))
+    val probeCells = sketchCells(queries, id, dims, tables, planesPerTable)
+      .select(col(id).as("query_id"), col("table_idx"), col("bucket"))
+    val candIds = probeCells.join(corpusCells, Seq("table_idx", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "eq", "neighbor_id", "ec")
+      .select("query_id", "neighbor_id")
       .distinct()
+    val cands = candIds
+      .join(broadcast(queries.select(col(id).as("query_id"),
+        col("embedding").as("eq"))), Seq("query_id"))
+      .join(vecs.select(col(id).as("neighbor_id"),
+        col("embedding").as("ec")), Seq("neighbor_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     cands
