@@ -92,6 +92,12 @@ object Stress {
       AnnSearch.annTopK(vecs, vecs.filter(col("vec_id") % 1000 === 0),
         "vec_id", dims = 64, k = 5).count()
     }
+    time("mm_batched_decode") {
+      val media = graft.multimodal.MultimodalPipeline.asMediaTable(
+        Tables.documents(spark, dir))
+      graft.multimodal.MultimodalPipeline.decodeAudio(media).count() +
+        graft.multimodal.MultimodalPipeline.decodeVideo(media).count()
+    }
     time("ivf_topk") {
       val vecs = Tables.embeddings(spark, dir).select("vec_id", "embedding")
       IvfSearch.ivfTopK(vecs, vecs.filter(col("vec_id") % 1000 === 0),

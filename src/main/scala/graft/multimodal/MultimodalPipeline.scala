@@ -78,4 +78,111 @@ object MultimodalPipeline {
       .withColumn("thumb_height", ceil(col("height") * scale).cast("int"))
       .withColumn("sampled_frames", least(col("n_frames"), lit(4)))
   }
+
+  // ---- modality-typed metadata + bounded-memory batch extraction -------
+
+  /** Audio: container-level metadata + a pooled acoustic feature. */
+  val audioSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_channels", IntegerType, nullable = false),
+    StructField("duration_ms", IntegerType, nullable = false),
+    StructField("feature", ArrayType(FloatType), nullable = false)))
+
+  /** Video: frame geometry + timing; `feature` pools sampled frames. */
+  val videoSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("fps", FloatType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("duration_ms", IntegerType, nullable = false),
+    StructField("feature", ArrayType(FloatType), nullable = false)))
+
+  /** STUB audio probe — deterministic on payload bytes, same shape a real
+    * header-parse + resample + pooled-MFCC pipeline would return. */
+  object FakeAudioDecoder {
+    private val rates = Array(8000, 16000, 22050, 44100)
+    def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
+      def u16(i: Int): Int = ((md(i) & 0xff) << 8) | (md(i + 1) & 0xff)
+      val rate = rates(u16(0) % rates.length)
+      val channels = u16(2) % 2 + 1
+      val durationMs = u16(4) % 60000 + 100
+      val feat = (0 until 8).map(i => (md(i * 2 + 1) & 0xff) / 255.0f).toArray
+      (rate, channels, durationMs, feat)
+    }
+  }
+
+  /** STUB video probe — deterministic frame geometry/timing. */
+  object FakeVideoDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Float, Int, Int, Array[Float]) = {
+      val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
+      def u16(i: Int): Int = ((md(i) & 0xff) << 8) | (md(i + 1) & 0xff)
+      val (w, h) = (u16(0) % 1920 + 16, u16(2) % 1080 + 16)
+      val fps = Array(23.976f, 24f, 25f, 29.97f, 30f, 60f)(u16(4) % 6)
+      val frames = u16(6) % 1800 + 1
+      val durationMs = math.max(1, (frames * 1000 / fps).toInt)
+      val feat = (0 until 8).map(i => (md(15 - i) & 0xff) / 255.0f).toArray
+      (w, h, fps, frames, durationMs, feat)
+    }
+  }
+
+  /** Bounded-memory batched extraction over binary payloads: rows are
+    * grouped into batches capped by BOTH row count and total payload
+    * bytes before `decodeBatch` sees them — the contract a native/FFI
+    * media library needs (it amortizes per-call overhead over a batch,
+    * but an unbounded batch of 4K-video payloads would OOM the
+    * executor). Batches are built and emitted lazily from the partition
+    * iterator, so at most one batch of payloads is resident per task at
+    * any time — the same bounded-buffer shape `mapInPandas` gives a
+    * Pandas UDF via arrow batch sizing. A payload larger than maxBytes
+    * still forms its own singleton batch rather than erroring. */
+  def decodeBatched(media: DataFrame, schema: StructType,
+      maxRows: Int, maxBytes: Long)(
+      decodeBatch: Seq[(Long, Array[Byte])] => Seq[Row]): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        val it = rows.map(r =>
+          (r.getAs[Long]("media_id"), r.getAs[Array[Byte]]("payload"))).buffered
+        new Iterator[Seq[(Long, Array[Byte])]] {
+          def hasNext: Boolean = it.hasNext
+          def next(): Seq[(Long, Array[Byte])] = {
+            val batch = collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+            var bytes = 0L
+            while (it.hasNext && batch.size < maxRows &&
+                (batch.isEmpty || bytes + it.head._2.length <= maxBytes)) {
+              val item = it.next()
+              batch += item
+              bytes += item._2.length
+            }
+            batch.toSeq
+          }
+        }.flatMap(decodeBatch)
+      }(enc)
+  }
+
+  /** Audio metadata/feature extraction with bounded batches. */
+  def decodeAudio(media: DataFrame, maxRows: Int = 64,
+      maxBytes: Long = 8L << 20): DataFrame =
+    decodeBatched(media, audioSchema, maxRows, maxBytes) { batch =>
+      // a real impl would make ONE library call for the whole batch
+      batch.map { case (id, payload) =>
+        val (rate, ch, ms, feat) = FakeAudioDecoder.decode(payload)
+        Row(id, payload.length, rate, ch, ms, feat)
+      }
+    }
+
+  /** Video metadata/feature extraction with bounded batches. */
+  def decodeVideo(media: DataFrame, maxRows: Int = 16,
+      maxBytes: Long = 32L << 20): DataFrame =
+    decodeBatched(media, videoSchema, maxRows, maxBytes) { batch =>
+      batch.map { case (id, payload) =>
+        val (w, h, fps, frames, ms, feat) = FakeVideoDecoder.decode(payload)
+        Row(id, payload.length, w, h, fps, frames, ms, feat)
+      }
+    }
 }
