@@ -87,6 +87,21 @@ object Stress {
           "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("shingle"))
       NgramDedup.scalablePairs(sh, "doc_id", 0.8, maxDf = 40).count()
     }
+    // cluster consolidation over the scalable near-dup pairs: the
+    // pairs→components→representatives tail of the dedup pipeline
+    time("dedup_clusters_cc") {
+      val docs = Tables.documents(spark, dir)
+      val reps = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .join(docs, Seq("doc_id"))
+      val sh = reps
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("shingle"))
+      val pairs = NgramDedup.scalablePairs(sh, "doc_id", 0.8, maxDf = 40)
+      DedupClusters.connectedComponents(pairs, "id_a", "id_b").count()
+    }
     time("ann_topk_lsh") {
       val vecs = Tables.embeddings(spark, dir).select("vec_id", "embedding")
       AnnSearch.annTopK(vecs, vecs.filter(col("vec_id") % 1000 === 0),

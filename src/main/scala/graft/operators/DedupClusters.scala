@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup cluster consolidation (SURVEY §2 C6): near-dup PAIRS are only
+  * half of deduplication — a training-data pipeline must group pairs
+  * into connected components and keep one representative per cluster
+  * (a↔b and b↔c must collapse to ONE kept doc, not two).
+  *
+  * Connected components by iterative min-label propagation: every vertex
+  * starts labeled with its own id; each round, labels flow across edges
+  * and every vertex keeps the minimum label seen. Each round is one
+  * keyed join + one keyed aggregation — no driver-side graph, no
+  * single-partition structure — and converges in O(component diameter)
+  * rounds. Near-dup clusters are dense and shallow (diameter rarely > a
+  * few hops), so the loop terminates in a handful of rounds; lineage is
+  * truncated every round with localCheckpoint so plans stay flat. The
+  * same alternating-join structure is how GraphX/GraphFrames implement
+  * CC on billion-edge graphs.
+  */
+object DedupClusters {
+
+  /** (id, comp) for every vertex appearing in `edges`; comp = min vertex
+    * id in the component. Undirected. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 20): DataFrame = {
+    // materialize the edge list once — every propagation round joins
+    // against it, and without this each round would recompute the whole
+    // upstream pair pipeline (candidate generation, jaccard verify, ...)
+    val und = edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .union(edges.select(col(dstCol).cast("long").as("s"), col(srcCol).cast("long").as("d")))
+      .localCheckpoint(true)
+    var labels = und.select(col("s").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val msgs = und.join(labels, und("s") === labels("id"))
+        .select(col("d").as("id"), col("comp"))
+      val next = labels.union(msgs)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
+        .filter(col("comp") < col("prev")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** C6 query: every document labeled with its near-dup cluster id
+    * (docs with no near-dup keep their own id). Pairs come from the
+    * n-gram Jaccard operator; clusters from connected components. */
+  def dedupClusters(spark: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.dedupNgramJaccard(spark, d).select("id_a", "id_b")
+    val comps = connectedComponents(pairs, "id_a", "id_b")
+    Tables.documents(spark, d).select(col("doc_id"))
+      .join(comps, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The recursive-CTE equivalent: labels propagate along the closure of
+    * the (bidirectional) near-dup edges; MIN over all reaching sources
+    * is the component's minimum id. */
+  val dedupClustersSql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))) AS shingle
+      |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |      GROUP BY a.doc_id, b.doc_id),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      |  WHERE CAST(common AS DOUBLE)/(sa.n + sb.n - common) >= 0.5),
+      |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+      |          UNION ALL SELECT id_b, id_a FROM pairs),
+      |walk(id, comp) AS (
+      |  SELECT DISTINCT s, s FROM edges
+      |  UNION
+      |  SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.id),
+      |cc AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id)
+      |SELECT doc_id, COALESCE(comp, doc_id) AS cluster_id
+      |FROM documents LEFT JOIN cc ON doc_id = cc.id
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> dedupClusters _)
+
+  val oracles: Map[String, String] = Map(
+    "dedup_clusters" -> dedupClustersSql)
+}

@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class DedupClustersSpec extends SparkSpec {
+  test("connected components: chain, clique, and disjoint pairs") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), clique 10-11-12, pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("a", "b")
+    val cc = DedupClusters.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L))
+    assert(Seq(20L, 21L).forall(cc(_) == 20L))
+    assert(cc.size == 9)
+  }
+
+  test("dedup clusters: every near-dup pair lands in one cluster") {
+    val clusters = DedupClusters.dedupClusters(spark, sf).cache()
+    assert(clusters.count() === Tables.documents(spark, sf).count())
+    // both endpoints of every near-dup pair share a cluster id
+    val pairs = Dedup.dedupNgramJaccard(spark, sf).select("id_a", "id_b")
+    val broken = pairs
+      .join(clusters.select(col("doc_id").as("id_a"), col("cluster_id").as("ca")), Seq("id_a"))
+      .join(clusters.select(col("doc_id").as("id_b"), col("cluster_id").as("cb")), Seq("id_b"))
+      .filter(col("ca") =!= col("cb")).count()
+    assert(broken === 0)
+    // representatives: exactly one doc per cluster keeps cluster_id == doc_id
+    val reps = clusters.filter(col("cluster_id") === col("doc_id")).count()
+    assert(reps === clusters.select("cluster_id").distinct().count())
+  }
+}
