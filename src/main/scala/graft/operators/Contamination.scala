@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark-contamination detection (SURVEY §2 E10): flag training
+  * documents sharing word n-grams with an evaluation/benchmark set —
+  * the standard decontamination step before LLM training.
+  *
+  * Scale shape: both sides shingle-explode, the overlap is ONE
+  * equi-join on the shingle hash (8-byte key, not the string), and
+  * aggregation is per (doc, benchmark-doc) then per doc — all keyed,
+  * all map-side combinable. The benchmark side is orders of magnitude
+  * smaller than the corpus, so its exploded shingles broadcast; the
+  * corpus streams. Dedup-vs-benchmark is thus O(corpus shingles), never
+  * pairwise.
+  */
+object Contamination {
+
+  private def shingleHashes(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col(idCol), explode(array_distinct(expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("shingle"))
+      .select(col(idCol), xxhash64(col("shingle")).as("sh"))
+
+  /** Documents with ≥ `minOverlap` distinct 3-grams shared with the
+    * benchmark set: (doc_id, n_contaminated, n_shingles, worst_bench_id,
+    * worst_overlap). */
+  def contamination(docs: DataFrame, bench: DataFrame,
+      minOverlap: Int = 3): DataFrame = {
+    val corpusSh = shingleHashes(docs, "doc_id")
+    val benchSh = shingleHashes(bench, "bench_id")
+    val sizes = corpusSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val perPair = corpusSh
+      .join(broadcast(benchSh), Seq("sh"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("overlap"))
+    // worst benchmark match via a packed (overlap, bench_id) key — MAX of
+    // overlap*1e7+bench_id is engine-portable where struct arg_max isn't
+    perPair
+      .groupBy(col("doc_id"))
+      .agg(sum(col("overlap")).as("n_contaminated"),
+        max(col("overlap") * lit(10000000L) + col("bench_id")).as("_wk"))
+      .select(col("doc_id"), col("n_contaminated"),
+        (col("_wk") % lit(10000000L)).as("worst_bench_id"),
+        expr("_wk DIV 10000000").as("worst_overlap"))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("worst_overlap") >= minOverlap)
+      .select("doc_id", "n_shingles", "n_contaminated", "worst_bench_id", "worst_overlap")
+      .orderBy(col("doc_id"))
+  }
+
+  /** E10 query: benchmark set = every 50th doc (deterministic,
+    * oracle-expressible); contaminated = ≥3 shared 3-grams with some
+    * benchmark doc. Self-hits (a benchmark doc matching itself) are
+    * excluded on both engines by keying the join on doc_id != bench_id. */
+  def textContamination(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    contamination(corpus, bench)
+  }
+
+  val textContaminationSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))) AS shingle
+      |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+      |corpus AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+      |bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 50 = 0),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id),
+      |pp AS (SELECT c.doc_id, b.bench_id, COUNT(*) AS overlap
+      |       FROM corpus c JOIN bench b ON c.shingle = b.shingle
+      |       GROUP BY c.doc_id, b.bench_id),
+      |agg AS (
+      |  SELECT doc_id, CAST(SUM(overlap) AS BIGINT) AS n_contaminated,
+      |         MAX(overlap * 10000000 + bench_id) AS wk
+      |  FROM pp GROUP BY doc_id)
+      |SELECT a.doc_id, s.n_shingles, a.n_contaminated,
+      |       wk % 10000000 AS worst_bench_id, wk // 10000000 AS worst_overlap
+      |FROM agg a JOIN sizes s ON a.doc_id = s.doc_id
+      |WHERE wk // 10000000 >= 3
+      |ORDER BY a.doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_contamination" -> textContamination _)
+
+  val oracles: Map[String, String] = Map(
+    "text_contamination" -> textContaminationSql)
+}

@@ -45,6 +45,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("user_id"), p)
   }
 
+  test("contamination broadcasts the benchmark shingles, streams the corpus") {
+    val p = plan("text_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("rank queries contain no single-partition window exchange") {
     // a Window with empty partitionBy plans Exchange SinglePartition —
     // the whole input through one task; RankOps must keep these out
