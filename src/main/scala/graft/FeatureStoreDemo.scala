@@ -10,13 +10,16 @@ import org.apache.spark.sql.functions._
   * through the public API, including the durability path: the second
   * FeatureStore instance proves the `_versions` manifest replays.
   *
-  * Usage: sbt "runMain graft.FeatureStoreDemo [sfDir] [storeDir]"
+  * Usage: sbt "runMain graft.FeatureStoreDemo [sfDir] [storeDir] [nBuckets]"
+  * A third argument enables the bucketed store layout (shuffle-free
+  * serving plans — the cluster-scale configuration).
   */
 object FeatureStoreDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val storeDir = args.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("graft-demo").toString + "/values")
+    val buckets = args.lift(2).map(_.toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -25,7 +28,7 @@ object FeatureStoreDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val fs = new FeatureStore(spark, storeDir)
+    val fs = new FeatureStore(spark, storeDir, bucketEntities = buckets)
     fs.registerTable(TableDef("orders",
       Seq("o_custkey", "o_totalprice", "o_orderstatus"),
       Map("o_totalprice" -> "numeric", "o_orderstatus" -> "string")),
@@ -48,6 +51,11 @@ object FeatureStoreDemo {
 
     val vecs = fs.featureVectors()
     println(s"vector schema: ${vecs.schema.simpleString}")
+    buckets.foreach { _ =>
+      val shuffles = vecs.queryExecution.executedPlan.toString
+        .split("\n").count(_.contains("Exchange hashpartitioning"))
+      println(s"bucketed serving plan shuffle exchanges: $shuffles")
+    }
     vecs.orderBy("entity_id").show(5, truncate = false)
 
     val ids = vecs.select("entity_id").orderBy("entity_id").limit(3)
@@ -57,7 +65,7 @@ object FeatureStoreDemo {
     println(s"cache hits=${fs.cacheHits} misses=${fs.cacheMisses}")
 
     // durability: a brand-new instance over the same path, nothing re-registered
-    val fs2 = new FeatureStore(spark, storeDir)
+    val fs2 = new FeatureStore(spark, storeDir, bucketEntities = buckets)
     println(s"restarted versions: ${fs2.listVersions("total_spend")}")
     println(s"restarted serve ${ids.head} -> ${fs2.getVector(ids.head)}")
     spark.stop()

@@ -36,7 +36,8 @@ import scala.collection.concurrent.TrieMap
   * `.explain` as PartitionFilters.
   */
 final class FeatureStore(spark: SparkSession, storePath: String,
-    clock: () => Long = () => System.currentTimeMillis()) {
+    clock: () => Long = () => System.currentTimeMillis(),
+    bucketEntities: Option[Int] = None) {
 
   private val tables = TrieMap.empty[String, (TableDef, DataFrame)]
   private val features = TrieMap.empty[String, FeatureDef]
@@ -91,14 +92,28 @@ final class FeatureStore(spark: SparkSession, storePath: String,
     val valueCol = cols.filter(_ != "entity_id").head
     val numeric = fd.featureType == "numeric"
     val now = clock()
-    computed
+    val rows = computed
       .select(col("entity_id").cast("string"),
         (if (numeric) col(valueCol).cast("double") else lit(null).cast("double")).as("value"),
         (if (numeric) lit(null).cast("string") else col(valueCol).cast("string")).as("value_str"),
-        lit(feature).as("feature_name"), lit(version).as("version"),
-        lit(new java.sql.Timestamp(now)).as("computed_at"))
-      .write.mode("append").partitionBy("feature_name", "version")
-      .parquet(storePath)
+        lit(new java.sql.Timestamp(now)).as("computed_at"),
+        lit(feature).as("feature_name"), lit(version).as("version"))
+    bucketEntities match {
+      case Some(n) =>
+        // declare the table (and recover any partitions already on disk)
+        // BEFORE writing: a fresh session whose first store operation is
+        // a write would otherwise let saveAsTable create the catalog
+        // entry with only the new partition, hiding prior versions
+        ensureBucketTable(n)
+        rows.write.mode("append").format("parquet")
+          .option("path", storePath)
+          .partitionBy("feature_name", "version")
+          .bucketBy(n, "entity_id").sortBy("entity_id")
+          .saveAsTable(bucketTable)
+      case None =>
+        rows.write.mode("append").partitionBy("feature_name", "version")
+          .parquet(storePath)
+    }
     val fv = FeatureVersion(feature, version, "active", now, metadata)
     versions.put((feature, version), fv)
     appendManifest(fv, fd.featureType)
@@ -138,6 +153,9 @@ final class FeatureStore(spark: SparkSession, storePath: String,
       val dir = new Path(s"$storePath/feature_name=$f/version=$v")
       val hfs = dir.getFileSystem(hconf)
       if (hfs.exists(dir)) hfs.delete(dir, true)
+      if (bucketEntities.isDefined && spark.catalog.tableExists(bucketTable))
+        spark.sql(s"ALTER TABLE $bucketTable DROP IF EXISTS PARTITION " +
+          s"(feature_name='$f', version='$v')")
       val fv = versions((f, v))
       appendManifest(fv.copy(status = "purged"), featureTypes.getOrElse(f, "numeric"))
       versions.remove((f, v))
@@ -146,7 +164,37 @@ final class FeatureStore(spark: SparkSession, storePath: String,
     archived
   }
 
-  private def store: DataFrame = spark.read.parquet(storePath)
+  /** Catalog name of the bucketed store table — deterministic from the
+    * path, so every FeatureStore instance over the same files shares it. */
+  val bucketTable: String = "graft_store_" +
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(storePath.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+
+  /** The session catalog is not durable with the in-memory metastore: a
+    * fresh session re-declares the external bucketed table over the
+    * existing files and recovers its partitions — the bucket layout on
+    * disk is what makes the serving plans shuffle-free, the catalog
+    * entry just describes it. */
+  private def ensureBucketTable(n: Int): Unit =
+    if (!spark.catalog.tableExists(bucketTable)) {
+      val dir = new Path(storePath)
+      val hfs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!hfs.exists(dir)) hfs.mkdirs(dir) // CREATE TABLE LOCATION + RECOVER both need it
+      spark.sql(
+        s"""CREATE TABLE $bucketTable
+           |  (entity_id STRING, value DOUBLE, value_str STRING, computed_at TIMESTAMP,
+           |   feature_name STRING, version STRING)
+           |USING parquet
+           |PARTITIONED BY (feature_name, version)
+           |CLUSTERED BY (entity_id) SORTED BY (entity_id) INTO $n BUCKETS
+           |LOCATION '$storePath'""".stripMargin)
+      spark.sql(s"ALTER TABLE $bucketTable RECOVER PARTITIONS")
+    }
+
+  private def store: DataFrame = bucketEntities match {
+    case Some(n) => ensureBucketTable(n); spark.table(bucketTable)
+    case None    => spark.read.parquet(storePath)
+  }
 
   /** Latest ACTIVE version per (entity, feature) — reference main.py:269's
     * per-feature `ORDER BY computed_at DESC LIMIT 1`, done for all

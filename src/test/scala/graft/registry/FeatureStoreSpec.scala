@@ -206,6 +206,49 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fs.cacheMisses == 2)
   }
 
+  test("bucketed store: serving plans with no shuffle exchange, same values, survives restart") {
+    var now = 1000L
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    def define(fs: FeatureStore): Unit = {
+      fs.registerTable(ordersDef, Tables.orders(spark, sf))
+      fs.defineFeature(FeatureDef("total_spend", "orders", "numeric",
+        df => df.groupBy(col("o_custkey").as("entity_id"))
+          .agg(sum("o_totalprice").as("value"))))
+      fs.defineFeature(FeatureDef("order_cnt", "orders", "numeric",
+        df => df.groupBy(col("o_custkey").as("entity_id"))
+          .agg(count(lit(1)).cast("double").as("value"))))
+    }
+    val fsB = new FeatureStore(spark, s"$dir/values", () => now, bucketEntities = Some(8))
+    define(fsB)
+    fsB.computeVersion("total_spend", "v1")
+    now = 2000L
+    fsB.computeVersion("order_cnt", "v1")
+
+    // the whole serving path (scan -> active filter -> latest window ->
+    // vector aggregate) is keyed by entity_id, which the bucketed scan
+    // already clusters: no shuffle exchange anywhere in the plan
+    val vecs = fsB.featureVectors()
+    val plan = vecs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed serving must not shuffle:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"expected bucketed scan:\n$plan")
+
+    // identical values to an unbucketed store over the same features
+    val dirP = java.nio.file.Files.createTempDirectory("graft-plain").toString
+    val fsP = new FeatureStore(spark, s"$dirP/values", () => now)
+    define(fsP)
+    fsP.computeVersion("total_spend", "v1")
+    fsP.computeVersion("order_cnt", "v1")
+    def snap(fs: FeatureStore) = fs.featureVectors().collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(snap(fsB) === snap(fsP))
+
+    // restart: catalog entry gone (fresh session semantics), files remain
+    spark.sql(s"DROP TABLE ${fsB.bucketTable}")
+    val fsB2 = new FeatureStore(spark, s"$dir/values", () => now, bucketEntities = Some(8))
+    assert(snap(fsB2) === snap(fsP))
+  }
+
   test("prefetchVectors warms the cache in one job") {
     var now = 1000L
     val fs = freshStore(() => now)
