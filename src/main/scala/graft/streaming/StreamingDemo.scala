@@ -47,6 +47,16 @@ object StreamingDemo {
     pairs.select("id_a", "id_b").distinct().orderBy("id_a", "id_b")
       .show(10, truncate = false)
     q.stop()
+
+    val qv = StreamingNearDedup.verifiedPairs(docs, threshold = 0.5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_verified").start()
+    qv.processAllAvailable()
+    val verified = spark.table("stream_verified")
+      .select("id_a", "id_b", "jaccard").distinct()
+    println(s"online VERIFIED pairs (jaccard >= 0.5): ${verified.count()}")
+    verified.orderBy("id_a", "id_b").show(10, truncate = false)
+    qv.stop()
     spark.stop()
   }
 }

@@ -29,6 +29,8 @@ object StreamingNearDedup {
   case class CandidatePair(id_a: Long, id_b: Long, band_idx: Int,
       band_hash: Long, ts: Timestamp)
   case class CellDocs(ids: List[Long], maxTs: Long)
+  case class VerifiedPair(id_a: Long, id_b: Long, jaccard: Double, ts: Timestamp)
+  case class CellSigs(ids: List[Long], sigs: List[Array[Long]], maxTs: Long)
 
   /** (doc_id, ts, band_idx, band_hash) — per-document signature + bands
     * in one projection (no aggregation: a stream row IS a whole doc, so
@@ -46,13 +48,15 @@ object StreamingNearDedup {
     val mhs = (1 to numHashes).map(s => expr(
       s"array_min(transform(shingles, x -> CAST(conv(substring(md5(concat('$s:', x)), 1, 12), 16, 10) AS BIGINT)))")
       .as(s"mh$s"))
-    val sig = sh.select(col("doc_id") +: col("ts") +: mhs: _*)
+    val sig = sh.select(col("doc_id") +: col("ts") +: col("shingles") +: mhs: _*)
     val bandCols = (0 until bands).map { b =>
       val hs = (1 to r).map(i => col(s"mh${b * r + i}"))
       struct(lit(b).as("band_idx"), hs.reduce((a, c) => a * 31 + c).as("band_hash"))
     }
-    sig.select(col("doc_id"), col("ts"), explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("ts"), col("band.band_idx"), col("band.band_hash"))
+    sig.select(col("doc_id"), col("ts"), col("shingles"),
+        explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("ts"), col("band.band_idx"),
+        col("band.band_hash"), col("shingles"))
   }
 
   /** Online candidate pairs. `horizon` (ms of event time) bounds how far
@@ -86,8 +90,64 @@ object StreamingNearDedup {
     }
 
     bandedCells(docs.toDF().withWatermark("ts", watermarkDelay), numHashes, bands)
+      .select("doc_id", "ts", "band_idx", "band_hash")
       .as[(Long, Timestamp, Int, Long)]
       .groupByKey(c => (c._3, c._4))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  /** Online EXACT-VERIFIED near-dup pairs — the streaming analogue of
+    * batch `MinHashLsh.verifiedPairs`: cell residents keep their full
+    * shingle-hash set in state, so an arriving document's candidates are
+    * confirmed by exact Jaccard over the hash sets at arrival time (no
+    * second verification pass, no false-positive LSH emissions). Emits
+    * one row per (band, pair) that clears `threshold`; distinct
+    * (id_a, id_b) downstream if a pair verifying in multiple bands
+    * should count once. State grows by one shingle-hash array per
+    * resident — still bounded by maxPerCell × shingles/doc and the
+    * event-time timeout. */
+  def verifiedPairs(docs: Dataset[StreamDoc], threshold: Double,
+      numHashes: Int = 4, bands: Int = 2, watermarkDelay: String = "1 hour",
+      horizonMs: Long = 3600 * 1000L, maxPerCell: Int = 8): Dataset[VerifiedPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    def fn(key: (Int, Long),
+        batch: Iterator[(Long, Timestamp, Int, Long, Seq[Long])],
+        state: GroupState[CellSigs]): Iterator[VerifiedPair] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val out = ListBuffer.empty[VerifiedPair]
+        var cur = state.getOption.getOrElse(CellSigs(Nil, Nil, 0L))
+        batch.toSeq.sortBy(d => (d._2.getTime, d._1)).foreach {
+          case (id, ts, _, _, shingleHashes) =>
+            val mine = shingleHashes.toSet
+            cur.ids.lazyZip(cur.sigs).foreach { (prev, prevSig) =>
+              if (prev != id) {
+                val common = prevSig.count(mine.contains)
+                val j = common.toDouble / (mine.size + prevSig.length - common)
+                if (j >= threshold)
+                  out += VerifiedPair(math.min(prev, id), math.max(prev, id), j, ts)
+              }
+            }
+            if (cur.ids.size < maxPerCell && !cur.ids.contains(id))
+              cur = cur.copy(ids = cur.ids :+ id, sigs = cur.sigs :+ mine.toArray.sorted)
+            cur = cur.copy(maxTs = math.max(cur.maxTs, ts.getTime))
+        }
+        state.update(cur)
+        state.setTimeoutTimestamp(
+          math.max(cur.maxTs + horizonMs, state.getCurrentWatermarkMs() + 1))
+        out.iterator
+      }
+    }
+
+    bandedCells(docs.toDF().withWatermark("ts", watermarkDelay), numHashes, bands)
+      .withColumn("shingle_hashes", expr("transform(shingles, x -> xxhash64(x))"))
+      .select(col("doc_id"), col("ts"), col("band_idx"), col("band_hash"),
+        col("shingle_hashes"))
+      .as[(Long, Timestamp, Int, Long, Seq[Long])]
+      .groupByKey(c => (c._3, c._4))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
 }

