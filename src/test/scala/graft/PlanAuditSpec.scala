@@ -45,6 +45,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("user_id"), p)
   }
 
+  test("dedup clusters plan has no cartesian product in any iteration") {
+    val p = plan("dedup_clusters")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("contamination broadcasts the benchmark shingles, streams the corpus") {
     val p = plan("text_contamination")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -46,6 +46,17 @@ def main():
             ok = True
             for c in exp.columns:
                 e, g = exp[c].values, got[c].values
+                # the driver's hash is type-sensitive: an int column on one
+                # side vs float on the other (e.g. an uncast DuckDB SUM ->
+                # HUGEINT -> float64) fails the driver even when values are
+                # identical.  int32 vs int64 and datetime unit differences
+                # are known-tolerated; int-vs-float is known-fatal.
+                ek, gk = exp[c].dtype.kind, got[c].dtype.kind
+                if (ek in "iu") != (gk in "iu") and "f" in (ek + gk):
+                    print(f"FAIL {name}: col {c} dtype oracle={exp[c].dtype} "
+                          f"spark={got[c].dtype} — driver hash will diverge "
+                          f"(cast the oracle aggregate, e.g. CAST(... AS BIGINT))")
+                    ok = False
                 if np.issubdtype(exp[c].dtype, np.floating) or np.issubdtype(got[c].dtype, np.floating):
                     e = e.astype(float); g = g.astype(float)
                     same = (e == g) | (np.isnan(e) & np.isnan(g))
