@@ -68,6 +68,14 @@ object FeatureStoreDemo {
     val fs2 = new FeatureStore(spark, storeDir, bucketEntities = buckets)
     println(s"restarted versions: ${fs2.listVersions("total_spend")}")
     println(s"restarted serve ${ids.head} -> ${fs2.getVector(ids.head)}")
+
+    // pre-materialization quality gate: route dirty rows out, keep them inspectable
+    val (clean, dirty) = Expectations.quarantine(
+      Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice", "o_orderstatus"),
+      Seq(Expectations.InRange("o_totalprice", 0, 300000),
+        Expectations.OneOf("o_orderstatus", Seq("O", "F"))))
+    println(s"quarantine: clean=${clean.count()} dirty=${dirty.count()}")
+    dirty.orderBy("o_orderkey").show(3, truncate = false)
     spark.stop()
   }
 }

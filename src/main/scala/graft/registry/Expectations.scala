@@ -44,4 +44,21 @@ object Expectations {
   /** Uniqueness needs its own (shuffled) pass — keyed count. */
   def checkUnique(df: DataFrame, cols: Seq[String]): Long =
     df.groupBy(cols.map(col): _*).count().filter(col("count") > 1).count()
+
+  /** Quarantine routing: split a relation into (clean, quarantined),
+    * where quarantined rows carry a `_violations` array naming every
+    * rule they break. Both sides derive from ONE violation-tagging
+    * projection (a narrow codegen'd stage — no shuffle, no collect);
+    * writing both sides costs two scans unless the caller persists the
+    * tagged frame. This is the enforcement half of [[check]]: counting
+    * tells you the corpus is dirty, routing keeps the dirt out of the
+    * materialized version while preserving it for inspection. */
+  def quarantine(df: DataFrame, rules: Seq[Rule]): (DataFrame, DataFrame) = {
+    val tags = array(rules.map(r =>
+      when(r.violation, lit(r.name)).otherwise(lit(null))): _*)
+    val tagged = df.withColumn("_violations",
+      filter(tags, c => c.isNotNull))
+    (tagged.filter(size(col("_violations")) === 0).drop("_violations"),
+      tagged.filter(size(col("_violations")) > 0))
+  }
 }

@@ -103,4 +103,25 @@ class GuaranteesSpec extends SparkSpec {
     assert(!report.passed)
     assert(Expectations.checkUnique(docs, Seq("doc_id")) === 0)
   }
+
+  test("quarantine routes failing rows with named violations, loses nothing") {
+    val docs = Tables.documents(spark, sf)
+    val rules = Seq(
+      Expectations.InRange("n_chars", 0, 100),  // deliberately tight
+      Expectations.OneOf("lang", Seq("en", "es")))  // excludes fr/de/zh
+    val (clean, dirty) = Expectations.quarantine(docs, rules)
+    assert(clean.count() + dirty.count() === docs.count())
+    // clean side really satisfies every rule and carries no tag column
+    assert(!clean.columns.contains("_violations"))
+    assert(clean.filter(col("n_chars") > 100).count() === 0)
+    assert(clean.filter(!col("lang").isin("en", "es")).count() === 0)
+    // quarantined rows name exactly the rules they break
+    val both = dirty.filter(col("n_chars") > 100 && !col("lang").isin("en", "es"))
+    assert(both.filter(size(col("_violations")) =!= 2).count() === 0)
+    val langOnly = dirty.filter(col("n_chars") <= 100 && !col("lang").isin("en", "es"))
+    assert(langOnly.filter(!array_contains(col("_violations"), "one_of(lang)")).count() === 0)
+    // and the counting pass agrees with the routing pass
+    val report = Expectations.check(docs, rules)
+    assert(report.violations.values.max <= dirty.count())
+  }
 }
