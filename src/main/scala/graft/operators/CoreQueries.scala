@@ -60,7 +60,10 @@ object CoreQueries {
     val li = Tables.lineitem(spark, d)
       .filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+    // no broadcast hint on customer: it grows with the dataset (7.5M rows
+    // at the 50x stress already made a forced broadcast the bottleneck);
+    // size stats/AQE broadcast it while small and shuffle-join at scale
+    li.join(ord.join(cust, col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(dbl(sum(dec2(col("l_extendedprice")) * oneMinus(col("l_discount")))).as("revenue"))
@@ -91,7 +94,7 @@ object CoreQueries {
       .select("o_orderkey", "o_custkey")
     val li = Tables.lineitem(spark, d)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+    li.join(supplier.select("s_suppkey", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey") &&

@@ -18,7 +18,8 @@ object ExtendedQueries {
       .select("l_partkey", "l_extendedprice", "l_discount")
     val part = Tables.part(spark, d).select("p_partkey", "p_type")
     val rev = dec2(col("l_extendedprice")) * oneMinus(col("l_discount"))
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    // part grows with the dataset — no forced broadcast; stats decide
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .agg(
         (lit(100.0) * dbl(sum(when(col("p_type") === "ECONOMY", rev).otherwise(lit(0).cast("decimal(4,2)")))) /
           dbl(sum(rev))).as("promo_revenue_pct"),
@@ -66,7 +67,7 @@ object ExtendedQueries {
     val nat = Tables.nation(spark, d).select("n_nationkey", "n_name")
     val byS = li.groupBy(col("l_suppkey"))
       .agg(dbl(sum(dec2(col("l_extendedprice")) * oneMinus(col("l_discount")))).as("revenue"))
-    val joined = byS.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    val joined = byS.join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name"), col("revenue"))
     RankOps.twoPhaseRowNumber(joined, "rnk", 32,

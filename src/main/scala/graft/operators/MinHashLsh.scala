@@ -15,11 +15,23 @@ import org.apache.spark.sql.functions._
   * splitting since the join is a plain equi-join.
   */
 object MinHashLsh {
-  /** portable 48-bit minhash of an exploded (id, shingle) relation. */
+  /** portable 48-bit minhash of an exploded (id, shingle) relation.
+    * md5-derived so DuckDB reproduces it bit-for-bit — the ORACLE form;
+    * production banding should use [[signaturesFast]]. */
   def signatures(shingled: DataFrame, id: String, numHashes: Int): DataFrame = {
     val mhs = (1 to numHashes).map(s =>
       min(conv(substring(md5(concat(lit(s"$s:"), col("shingle"))), 1, 12), 16, 10).cast("long"))
         .as(s"mh$s"))
+    shingled.groupBy(col(id)).agg(mhs.head, mhs.tail: _*)
+  }
+
+  /** xxhash64-lane signatures — the cluster-scale variant: same banding
+    * quality (uniform 64-bit lanes, seeded per lane), ~an order of
+    * magnitude cheaper per shingle than cryptographic md5. Use this for
+    * real corpora; [[signatures]] exists for cross-engine oracle checks. */
+  def signaturesFast(shingled: DataFrame, id: String, numHashes: Int): DataFrame = {
+    val mhs = (1 to numHashes).map(s =>
+      min(xxhash64(lit(s), col("shingle"))).as(s"mh$s"))
     shingled.groupBy(col(id)).agg(mhs.head, mhs.tail: _*)
   }
 
@@ -29,8 +41,10 @@ object MinHashLsh {
     val r = numHashes / bands
     val bandCols: Seq[Column] = (0 until bands).map { b =>
       val hs = (1 to r).map(i => col(s"mh${b * r + i}"))
+      // xxhash64 combine, not a*31+c: full-range 64-bit lanes from
+      // signaturesFast overflow a polynomial combine under ANSI mode
       struct(lit(b).as("band_idx"),
-        hs.reduce((a, c) => a * 31 + c).as("band_hash"))
+        xxhash64(hs: _*).as("band_hash"))
     }
     val exploded = sigs.select(col(id), explode(array(bandCols: _*)).as("band"))
       .select(col(id), col("band.band_idx"), col("band.band_hash"))
