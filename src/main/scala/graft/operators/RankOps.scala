@@ -26,16 +26,22 @@ import org.apache.spark.sql.functions._
 object RankOps {
 
   /** Append `outCol` = percent_rank of `valueCol` (ascending, global)
-    * computed by count arithmetic. `valueCol` must be numeric. */
+    * computed by count arithmetic. `valueCol` must be numeric. NULL
+    * values rank first (all peers → percent_rank 0.0), matching
+    * `percent_rank() OVER (ORDER BY v)` nulls-first semantics; non-null
+    * ranks are offset by the null count. */
   def percentRankByCounts(df: DataFrame, valueCol: String, outCol: String,
       maxBands: Int = 1024): DataFrame = {
     val v = col(valueCol)
     // one row per distinct value — the only data the rank math needs
-    val perValue = df.groupBy(v.as("_rv")).agg(count(lit(1)).as("_rcnt"))
+    val perValue = df.filter(v.isNotNull).groupBy(v.as("_rv")).agg(count(lit(1)).as("_rcnt"))
     val statsRow = df.agg(min(v).cast("double"), max(v).cast("double"),
-      count(lit(1))).collect()(0)
+      count(lit(1)), count(v)).collect()(0)
     if (statsRow.getLong(2) == 0) return df.withColumn(outCol, lit(0.0))
-    val (mn, mx, n) = (statsRow.getDouble(0), statsRow.getDouble(1), statsRow.getLong(2))
+    val n = statsRow.getLong(2)
+    val nNulls = n - statsRow.getLong(3)
+    if (nNulls == n) return df.withColumn(outCol, lit(0.0)) // all-null: one peer group
+    val (mn, mx) = (statsRow.getDouble(0), statsRow.getDouble(1))
     val width = math.max((mx - mn) / maxBands, java.lang.Double.MIN_NORMAL)
     val bandOf = least(floor((col("_rv").cast("double") - lit(mn)) / lit(width)),
       lit(maxBands - 1)).cast("long")
@@ -53,22 +59,27 @@ object RankOps {
       .withColumn("_rcum", sum(col("_rcnt")).over(wInBand) - col("_rcnt"))
       .select(col("_rv"), (col("_roff") + col("_rcum")).as("_rless"))
     val pct = if (n <= 1) lit(0.0)
-              else col("_rless").cast("double") / lit((n - 1).toDouble)
-    df.join(cntLess, v === col("_rv"))
+              else (col("_rless") + lit(nNulls)).cast("double") / lit((n - 1).toDouble)
+    val ranked = df.filter(v.isNotNull).join(cntLess, v === col("_rv"))
       .withColumn(outCol, pct)
       .drop("_rv", "_rless")
+    if (nNulls == 0) ranked
+    else ranked.unionByName(df.filter(v.isNull).withColumn(outCol, lit(0.0)))
   }
 
   /** Append `outCol` = row_number over a global sort by `sortCols`,
     * without a global single-partition sort: range-repartition, number
     * within partitions, add per-partition offsets. The input is
-    * materialized once (persist) so the range boundaries sampled for the
-    * count job and the output job are identical. */
+    * materialized once (eager localCheckpoint) so the range boundaries
+    * sampled for the count job and the output job are identical — and,
+    * unlike `persist()`, the blocks are NOT pinned in the CacheManager:
+    * the ContextCleaner reclaims them once the frame is unreferenced, so
+    * repeated calls (e.g. bench loops) don't accumulate cached copies. */
   def twoPhaseRowNumber(df: DataFrame, outCol: String, numPartitions: Int,
       sortCols: Column*): DataFrame = {
     val ranged = df.repartitionByRange(numPartitions, sortCols: _*)
       .withColumn("_rpid", spark_partition_id())
-      .persist()
+      .localCheckpoint(true)
     val counts = ranged.groupBy(col("_rpid")).agg(count(lit(1)).as("_rc"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.map(_._1)

@@ -47,6 +47,18 @@ final class FeatureStore(spark: SparkSession, storePath: String,
   private val featureTypes = TrieMap.empty[String, String]
   private val seqCtr = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Feature names and version tags flow into partition directory names,
+    * `ALTER TABLE ... DROP PARTITION` statements and manifest-lock file
+    * names — restricting them to identifier-safe characters at the door
+    * is what makes those paths injection-proof (the purge path relies on
+    * it; a quote or slash here would otherwise break the SQL or point the
+    * recursive delete at the wrong directory). */
+  private val safeIdent = "^[A-Za-z0-9][A-Za-z0-9._-]*$".r
+  private def requireSafe(kind: String, s: String): Either[List[String], Unit] =
+    if (safeIdent.matches(s)) Right(())
+    else Left(List(s"$kind '$s' must match ${safeIdent.regex} " +
+      "(it names partition directories and manifest records)"))
+
   loadManifest()
 
   /** reference main.py:38 POST /raw-tables */
@@ -61,6 +73,10 @@ final class FeatureStore(spark: SparkSession, storePath: String,
 
   /** reference main.py:82 POST /features */
   def defineFeature(defn: FeatureDef): Either[List[String], FeatureDef] = {
+    requireSafe("Feature name", defn.name) match {
+      case Left(errs) => return Left(errs)
+      case Right(())  =>
+    }
     if (!tables.contains(defn.table)) Left(List(s"Raw table '${defn.table}' not found"))
     else if (features.putIfAbsent(defn.name, defn).isDefined)
       Left(List(s"Feature '${defn.name}' already exists"))
@@ -82,13 +98,27 @@ final class FeatureStore(spark: SparkSession, storePath: String,
       metadata: Map[String, String] = Map.empty): Either[List[String], FeatureVersion] = {
     val fd = features.getOrElse(feature,
       return Left(List(s"Feature '$feature' not found")))
+    requireSafe("Version tag", version) match {
+      case Left(errs) => return Left(errs)
+      case Right(())  =>
+    }
     if (versions.contains((feature, version)))
       return Left(List(s"Version '$version' already exists for feature $feature"))
+    // multi-writer safety: another store instance (possibly another JVM)
+    // may have computed this version since our manifest replay — re-read
+    // the log, then take the per-version lock before writing any data,
+    // so a lost race fails cleanly instead of interleaving a parquet
+    // append with a manifest record that shadows it
+    loadManifest()
+    if (versions.contains((feature, version)))
+      return Left(List(s"Version '$version' already exists for feature $feature (concurrent writer)"))
     val (_, raw) = tables(fd.table)
     val computed = fd.compute(raw)
     val cols = computed.columns
     if (!cols.contains("entity_id") || cols.length != 2)
       return Left(List("Computation must return (entity_id, value) columns"))
+    if (!tryAcquireVersionLock(feature, version))
+      return Left(List(s"Version '$version' of feature $feature is being computed by another writer"))
     val valueCol = cols.filter(_ != "entity_id").head
     val numeric = fd.featureType == "numeric"
     val now = clock()
@@ -134,12 +164,17 @@ final class FeatureStore(spark: SparkSession, storePath: String,
   def archive(feature: String, version: String): Unit =
     setStatus(feature, version, "archived")
 
-  private def setStatus(feature: String, version: String, status: String): Unit =
+  private def setStatus(feature: String, version: String, status: String): Unit = {
     versions.updateWith((feature, version))(_.map { v =>
       val nv = v.copy(status = status)
       appendManifest(nv, featureTypes.getOrElse(feature, "numeric"))
       nv
     })
+    // archived/deprecated versions must drop out of served vectors NOW,
+    // not when the TTL happens to expire (computeVersion and purge
+    // already invalidate; a lifecycle transition is no different)
+    invalidateCache()
+  }
 
   /** Physically delete the store partitions of every archived version and
     * tombstone them in the manifest. Returns the purged (feature, version)
@@ -159,6 +194,9 @@ final class FeatureStore(spark: SparkSession, storePath: String,
       val fv = versions((f, v))
       appendManifest(fv.copy(status = "purged"), featureTypes.getOrElse(f, "numeric"))
       versions.remove((f, v))
+      // free the version tag: after a purge the data is gone, so a
+      // recompute under the same tag is a fresh computation, not a race
+      hfs.delete(versionLockPath(f, v), false)
     }
     if (archived.nonEmpty) invalidateCache()
     archived
@@ -268,11 +306,34 @@ final class FeatureStore(spark: SparkSession, storePath: String,
     else base.groupBy(col("entity_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  // ---- serving cache (reference cache.py: TTL-memoized vectors) ----
-  private val cache = TrieMap.empty[(String, String, String), (Long, Map[String, Any])]
+  // ---- serving cache (reference cache.py: TTLCache(maxsize=1000)) ----
+  // access-ordered LinkedHashMap = LRU: entries past `cacheMaxSize` evict
+  // least-recently-used on insert, so a long-lived server with unbounded
+  // entity cardinality holds at most maxSize vectors on the driver heap
+  // (the reference's cachetools TTLCache bounds both ways; so do we)
+  private type CacheKey = (String, String, String)
+  @volatile private var cacheMaxSize: Int = 1000
+  private val cache =
+    new java.util.LinkedHashMap[CacheKey, (Long, Map[String, Any])](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[CacheKey, (Long, Map[String, Any])]): Boolean =
+        size() > cacheMaxSize
+    }
   @volatile private var cacheTtlMs: Long = 3600 * 1000L
   def setCacheTtl(ms: Long): Unit = cacheTtlMs = ms
-  def invalidateCache(): Unit = cache.clear()
+  def setCacheMaxSize(n: Int): Unit = cache.synchronized {
+    cacheMaxSize = n
+    val it = cache.entrySet().iterator()
+    while (cache.size() > n && it.hasNext) { it.next(); it.remove() }
+  }
+  def cacheSize: Int = cache.synchronized(cache.size())
+  def invalidateCache(): Unit = cache.synchronized(cache.clear())
+  private def cacheGet(k: CacheKey, now: Long): Option[Map[String, Any]] =
+    cache.synchronized(Option(cache.get(k))).collect {
+      case (t, v) if now - t < cacheTtlMs => v
+    }
+  private def cachePut(k: CacheKey, now: Long, v: Map[String, Any]): Unit =
+    cache.synchronized(cache.put(k, (now, v)))
   var cacheHits = 0L
   var cacheMisses = 0L
 
@@ -292,14 +353,14 @@ final class FeatureStore(spark: SparkSession, storePath: String,
       version: Option[String] = None): Map[String, Any] = {
     val key = cacheKey(entityId, featureNames, version)
     val now = clock()
-    cache.get(key).filter(now - _._1 < cacheTtlMs) match {
-      case Some((_, v)) => cacheHits += 1; v
+    cacheGet(key, now) match {
+      case Some(v) => cacheHits += 1; v
       case None =>
         cacheMisses += 1
         val row = featureVectors(featureNames, version)
           .filter(col("entity_id") === entityId).collect().headOption
         val vec = row.map(rowToVec).getOrElse(Map.empty)
-        cache.put(key, (now, vec))
+        cachePut(key, now, vec)
         vec
     }
   }
@@ -316,7 +377,7 @@ final class FeatureStore(spark: SparkSession, storePath: String,
       .filter(col("entity_id").isin(entityIds: _*)).collect()
     rows.foreach { r =>
       val key = cacheKey(r.getAs[String]("entity_id"), featureNames, version)
-      cache.put(key, (now, rowToVec(r)))
+      cachePut(key, now, rowToVec(r))
     }
     rows.length
   }
@@ -324,6 +385,35 @@ final class FeatureStore(spark: SparkSession, storePath: String,
   // ---- durable version manifest ----------------------------------------
 
   private def manifestDir = new Path(s"$storePath/_versions")
+
+  /** Per-(feature, version) write lock: an empty marker file created
+    * atomically with overwrite=false — exactly one concurrent
+    * `computeVersion` can create it, the loser fails cleanly before
+    * writing any data (detect-and-fail, the minimum a multi-writer store
+    * needs; a transactional table format would arbitrate instead).
+    * Feature/version are identifier-validated, so the name is path-safe.
+    * Empty files are invisible to the JSON manifest replay. On the local
+    * scheme Hadoop's create(overwrite=false) is check-then-create, so we
+    * use NIO's atomic CREATE_NEW there; on HDFS/object stores the Hadoop
+    * call itself is atomic. A crash between lock and manifest append
+    * leaves an orphan lock that blocks that version tag until an operator
+    * removes it (or the version is purged) — fail-safe, never lost data. */
+  private def versionLockPath(feature: String, version: String): Path =
+    new Path(manifestDir, s"lock_${feature}__$version")
+
+  private def tryAcquireVersionLock(feature: String, version: String): Boolean = {
+    val lock = versionLockPath(feature, version)
+    val hfs = manifestDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(manifestDir)) hfs.mkdirs(manifestDir)
+    if ("file" == lock.toUri.getScheme || hfs.getScheme == "file") {
+      try { java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(lock.toUri.getPath)); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try { hfs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
+  }
 
   private def jsonEscape(s: String): String = s.flatMap {
     case '"'  => "\\\""
@@ -364,6 +454,9 @@ final class FeatureStore(spark: SparkSession, storePath: String,
       StructField("computedAt", LongType), StructField("featureType", StringType),
       StructField("metadata", MapType(StringType, StringType))))
     val recs = spark.read.schema(schema).json(manifestDir.toString)
+      // lock markers are empty (no rows), but a torn concurrent write
+      // could surface as an all-null row — skip anything without a key
+      .filter("feature IS NOT NULL AND version IS NOT NULL")
       .collect().sortBy(_.getAs[Long]("seq"))
     recs.foreach { r =>
       val key = (r.getAs[String]("feature"), r.getAs[String]("version"))

@@ -249,6 +249,95 @@ class FeatureStoreSpec extends SparkSpec {
     assert(snap(fsB2) === snap(fsP))
   }
 
+  test("serving cache is LRU-bounded: maxsize evicts least-recently-used") {
+    var now = 1000L
+    val fs = freshStore(() => now)
+    fs.registerTable(ordersDef, Tables.orders(spark, sf))
+    fs.defineFeature(FeatureDef("total_spend", "orders", "numeric",
+      df => df.groupBy(col("o_custkey").as("entity_id"))
+        .agg(sum("o_totalprice").as("value"))))
+    fs.computeVersion("total_spend", "v1")
+    val ids = fs.latestValues().select("entity_id").orderBy("entity_id").limit(5)
+      .collect().map(_.getString(0)).toSeq
+    fs.setCacheMaxSize(3)
+    ids.take(4).foreach(fs.getVector(_))        // e0..e3 -> e0 evicted
+    assert(fs.cacheSize == 3 && fs.cacheMisses == 4)
+    fs.getVector(ids(1))                        // touch e1 (hit) -> LRU is e2
+    assert(fs.cacheHits == 1)
+    fs.getVector(ids(4))                        // insert e4 -> evicts e2
+    assert(fs.cacheSize == 3)
+    fs.getVector(ids(1))                        // e1 still resident
+    assert(fs.cacheHits == 2)
+    val missesBefore = fs.cacheMisses
+    fs.getVector(ids(2))                        // e2 was evicted -> miss
+    assert(fs.cacheMisses == missesBefore + 1)
+    // shrinking trims immediately
+    fs.setCacheMaxSize(1)
+    assert(fs.cacheSize == 1)
+  }
+
+  test("archive/deprecate invalidate the serving cache immediately") {
+    var now = 1000L
+    val fs = freshStore(() => now)
+    fs.registerTable(ordersDef, Tables.orders(spark, sf))
+    fs.defineFeature(FeatureDef("total_spend", "orders", "numeric",
+      df => df.groupBy(col("o_custkey").as("entity_id"))
+        .agg(sum("o_totalprice").as("value"))))
+    fs.computeVersion("total_spend", "v1")
+    now = 2000L
+    fs.computeVersion("total_spend", "v2")
+    val entity = fs.latestValues().select("entity_id").first().getString(0)
+    fs.getVector(entity)                         // cached from v2
+    fs.archive("total_spend", "v2")              // must not serve stale v2
+    val misses = fs.cacheMisses
+    fs.getVector(entity)
+    assert(fs.cacheMisses == misses + 1, "archived version served from stale cache")
+  }
+
+  test("feature names and version tags are identifier-validated") {
+    val fs = freshStore()
+    fs.registerTable(ordersDef, Tables.orders(spark, sf))
+    val bad = FeatureDef("evil'; DROP TABLE x--", "orders", "numeric",
+      df => df.groupBy(col("o_custkey").as("entity_id"))
+        .agg(sum("o_totalprice").as("value")))
+    assert(fs.defineFeature(bad).isLeft)
+    fs.defineFeature(FeatureDef("total_spend", "orders", "numeric",
+      df => df.groupBy(col("o_custkey").as("entity_id"))
+        .agg(sum("o_totalprice").as("value"))))
+    assert(fs.computeVersion("total_spend", "v1/../../etc").isLeft)
+    assert(fs.computeVersion("total_spend", "v1.0").isRight)
+  }
+
+  test("concurrent computeVersion on one (feature, version): exactly one writer wins") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mw").toString
+    val path = s"$dir/values"
+    def mkStore() = {
+      val fs = new FeatureStore(spark, path)
+      fs.registerTable(ordersDef, Tables.orders(spark, sf))
+      fs.defineFeature(FeatureDef("total_spend", "orders", "numeric",
+        df => df.groupBy(col("o_custkey").as("entity_id"))
+          .agg(sum("o_totalprice").as("value"))))
+      fs
+    }
+    val (fs1, fs2) = (mkStore(), mkStore())
+    // two store instances (separate in-memory state, same path) racing
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val results = Await.result(Future.sequence(Seq(
+      Future(fs1.computeVersion("total_spend", "v1")),
+      Future(fs2.computeVersion("total_spend", "v1")))), 120.seconds)
+    assert(results.count(_.isRight) == 1, s"expected exactly one winner: $results")
+    assert(results.count(_.isLeft) == 1)
+    // a third, late writer is rejected via manifest refresh, not just the lock
+    val fs3 = mkStore()
+    assert(fs3.computeVersion("total_spend", "v1").isLeft)
+    // the winning version is intact and serves
+    val fresh = new FeatureStore(spark, path)
+    assert(fresh.listVersions("total_spend").map(_.version) == Seq("v1"))
+    assert(fresh.featureVectors().count() > 0)
+  }
+
   test("prefetchVectors warms the cache in one job") {
     var now = 1000L
     val fs = freshStore(() => now)
