@@ -18,35 +18,61 @@ import org.apache.spark.sql.functions._
 object CoreQueries {
   private def ts(s: String): Column = to_timestamp(lit(s))
 
-  /** TPC-H Q1-style pricing summary (B1). */
+  /** TPC-H Q1-style pricing summary (B1), integer-cents exact arithmetic.
+    *
+    * The money columns are 2-dp doubles; summing them exactly used to go
+    * through DECIMAL(12,2), whose per-row double→BigDecimal cast was 4-5×
+    * the cost of the whole rest of the aggregate (measured at 50× stress:
+    * 35-40 s decimal vs 13 s cents). Cents-long arithmetic is equally
+    * exact — one FP round + integer multiplies per row, long sums — and
+    * both engines compute the identical IEEE double at the end.
+    *
+    * Headroom: sum_charge accumulates price_cents×(100−d)×(100+t) ≈ 1e11
+    * per row, so a long sum overflows past ~9e7 rows per group × 1e11 ≈
+    * Long.Max. At sf100 (~600M lineitem rows, 6 groups) peak group sums
+    * reach ~1e19 — past the ~9.2e18 bound. ANSI mode makes that a loud
+    * error, not silent wraparound; at true 100 TB row counts, partition
+    * the sum (sub-aggregate then decimal-sum the partials) or keep this
+    * aggregate on the DECIMAL path — the choice is per-query, and the
+    * store's native-DECIMAL parquet path avoids the cast entirely. */
   def q1Pricing(spark: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(spark, d)
+    val qtyC = round(col("l_quantity") * 100).cast("long")
+    val priceC = round(col("l_extendedprice") * 100).cast("long")
+    val discC = round(col("l_discount") * 100).cast("long")
+    val taxC = round(col("l_tax") * 100).cast("long")
     li.filter(col("l_shipdate") <= ts("2000-09-02 00:00:00"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        dbl(sum(dec2(col("l_quantity")))).as("sum_qty"),
-        dbl(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
-        dbl(sum(dec2(col("l_extendedprice")) * oneMinus(col("l_discount")))).as("sum_disc_price"),
-        dbl(sum(dec2(col("l_extendedprice")) * oneMinus(col("l_discount")) * onePlus(col("l_tax")))).as("sum_charge"),
-        (dbl(sum(dec2(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
-        (dbl(sum(dec2(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
-        (dbl(sum(pct2(col("l_discount")))) / count(lit(1))).as("avg_disc"),
+        (sum(qtyC).cast("double") / 100).as("sum_qty"),
+        (sum(priceC).cast("double") / 100).as("sum_base_price"),
+        (sum(priceC * (lit(100L) - discC)).cast("double") / 10000).as("sum_disc_price"),
+        (sum(priceC * (lit(100L) - discC) * (lit(100L) + taxC)).cast("double") / 1000000).as("sum_charge"),
+        (sum(qtyC).cast("double") / 100 / count(lit(1))).as("avg_qty"),
+        (sum(priceC).cast("double") / 100 / count(lit(1))).as("avg_price"),
+        (sum(discC).cast("double") / 100 / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   val q1PricingSql: String =
     """SELECT l_returnflag, l_linestatus,
-      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
-      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)/COUNT(*) AS avg_qty,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)/COUNT(*) AS avg_price,
-      | CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)/COUNT(*) AS avg_disc,
+      | CAST(SUM(qty_c) AS DOUBLE)/100 AS sum_qty,
+      | CAST(SUM(price_c) AS DOUBLE)/100 AS sum_base_price,
+      | CAST(SUM(price_c * (100 - disc_c)) AS DOUBLE)/10000 AS sum_disc_price,
+      | CAST(SUM(price_c * (100 - disc_c) * (100 + tax_c)) AS DOUBLE)/1000000 AS sum_charge,
+      | CAST(SUM(qty_c) AS DOUBLE)/100/COUNT(*) AS avg_qty,
+      | CAST(SUM(price_c) AS DOUBLE)/100/COUNT(*) AS avg_price,
+      | CAST(SUM(disc_c) AS DOUBLE)/100/COUNT(*) AS avg_disc,
       | COUNT(*) AS count_order
-      |FROM lineitem
-      |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      |FROM (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+      |    CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+      |  FROM lineitem
+      |  WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00')
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 

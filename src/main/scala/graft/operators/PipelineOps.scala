@@ -13,15 +13,20 @@ import org.apache.spark.sql.functions._
 object PipelineOps {
 
   /** E6: PII-style redaction — digits and emails masked, with a
-    * before/after audit hash. */
+    * before/after audit hash. The redacted string is materialized in its
+    * own projection: referenced twice (hash + length), the double-regex
+    * chain would otherwise be evaluated once per reference — codegen
+    * subexpression elimination does not reach across the two regex
+    * calls nested inside different parent expressions. */
   def textRedact(spark: SparkSession, d: String): DataFrame = {
-    val redacted = regexp_replace(
-      regexp_replace(col("text"), "[a-z0-9._%+-]+@[a-z0-9.-]+", "<EMAIL>"),
-      "[0-9]+", "<NUM>")
     Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"),
+        regexp_replace(
+          regexp_replace(col("text"), "[a-z0-9._%+-]+@[a-z0-9.-]+", "<EMAIL>"),
+          "[0-9]+", "<NUM>").as("redacted"))
       .select(col("doc_id"), md5(col("text")).as("orig_hash"),
-        md5(redacted).as("redacted_hash"),
-        (length(col("text")) - length(redacted)).as("chars_redacted"))
+        md5(col("redacted")).as("redacted_hash"),
+        (length(col("text")) - length(col("redacted"))).as("chars_redacted"))
       .orderBy(col("doc_id"))
   }
 

@@ -17,38 +17,45 @@ import org.apache.spark.sql.functions._
 object TextOps {
   private val stopArr = "x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'in'"
 
-  /** E1: per-document surface statistics. */
+  /** E1: per-document surface statistics. The token array is projected
+    * ONCE and every stat reads it (G3 convention): aliases referenced
+    * more than once are non-cheap, so CollapseProject keeps the barrier
+    * and the row is tokenized a single time instead of once per stat. */
   def textStats(spark: SparkSession, d: String): DataFrame = {
     Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
         length(col("text")).as("n_chars"),
-        size(split(col("text"), " ")).as("n_tokens"),
-        size(array_distinct(split(col("text"), " "))).as("n_distinct_tokens"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct_tokens"),
         (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
           length(col("text"))).as("alpha_ratio"),
         (length(regexp_replace(col("text"), " ", "")).cast("double") /
-          size(split(col("text"), " "))).as("avg_token_len"),
-        expr(s"size(filter(split(text, ' '), $stopArr))").as("n_stopwords"))
+          size(col("toks"))).as("avg_token_len"),
+        expr(s"size(filter(toks, $stopArr))").as("n_stopwords"))
       .orderBy(col("doc_id"))
   }
 
   val textStatsSql: String =
     """SELECT doc_id,
       | length(text) AS n_chars,
-      | len(string_split(text, ' ')) AS n_tokens,
-      | len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+      | len(toks) AS n_tokens,
+      | len(list_distinct(toks)) AS n_distinct_tokens,
       | CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
-      | CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
-      | len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'in')) AS n_stopwords
-      |FROM documents
+      | CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) / len(toks) AS avg_token_len,
+      | len(list_filter(toks, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'in')) AS n_stopwords
+      |FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
       |ORDER BY doc_id""".stripMargin
 
   /** E2: stopword-profile language identification (deterministic n-gram
     * heuristic; compared against the generator's `lang` label). */
   def textLangid(spark: SparkSession, d: String): DataFrame = {
+    // tokenize ONCE, score all four profiles from the materialized array
+    // (embedding split() in each score re-tokenized the row 4×)
     def score(words: Seq[String]) =
-      expr(s"size(filter(split(text, ' '), x -> ${words.map(w => s"x = '$w'").mkString(" OR ")}))")
+      expr(s"size(filter(toks, x -> ${words.map(w => s"x = '$w'").mkString(" OR ")}))")
     Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("lang").as("actual"),
         score(Seq("the", "a")).as("s_en"),
         score(Seq("el", "la", "los")).as("s_es"),
@@ -75,19 +82,21 @@ object TextOps {
       |       ELSE 'de' END) = actual AS is_match
       |FROM (
       |  SELECT doc_id, lang AS actual,
-      |   len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS s_en,
-      |   len(list_filter(string_split(text, ' '), x -> x = 'el' OR x = 'la' OR x = 'los')) AS s_es,
-      |   len(list_filter(string_split(text, ' '), x -> x = 'le' OR x = 'les' OR x = 'des')) AS s_fr,
-      |   len(list_filter(string_split(text, ' '), x -> x = 'der' OR x = 'die' OR x = 'das')) AS s_de
-      |  FROM documents)
+      |   len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS s_en,
+      |   len(list_filter(toks, x -> x = 'el' OR x = 'la' OR x = 'los')) AS s_es,
+      |   len(list_filter(toks, x -> x = 'le' OR x = 'les' OR x = 'des')) AS s_fr,
+      |   len(list_filter(toks, x -> x = 'der' OR x = 'die' OR x = 'das')) AS s_de
+      |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents))
       |ORDER BY doc_id""".stripMargin
 
-  /** E3: composite quality score + keep/drop decision. */
+  /** E3: composite quality score + keep/drop decision (single tokenize,
+    * same materialized-array convention as [[textStats]]). */
   def textQuality(spark: SparkSession, d: String): DataFrame = {
     Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
-        size(split(col("text"), " ")).as("n_tokens"),
-        expr(s"size(filter(split(text, ' '), $stopArr))").as("stop_cnt"),
+        size(col("toks")).as("n_tokens"),
+        expr(s"size(filter(toks, $stopArr))").as("stop_cnt"),
         length(regexp_replace(col("text"), "[^a-z]", "")).as("alpha_chars"),
         length(col("text")).as("n_chars"))
       .select(col("doc_id"), col("n_tokens"),
