@@ -37,15 +37,19 @@ object Contamination {
       .join(broadcast(benchSh), Seq("sh"))
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("overlap"))
-    // worst benchmark match via a packed (overlap, bench_id) key — MAX of
-    // overlap*1e7+bench_id is engine-portable where struct arg_max isn't
+    // worst benchmark match via a struct-valued MAX: both engines order
+    // structs lexicographically by field, so max((overlap, bench_id)) is
+    // the argmax with a deterministic bench_id tie-break — and unlike the
+    // earlier packed overlap*1e7+bench_id key, it cannot corrupt when
+    // bench_id >= 1e7 (the stress generator's id-shift produces exactly
+    // such ids)
     perPair
       .groupBy(col("doc_id"))
       .agg(sum(col("overlap")).as("n_contaminated"),
-        max(col("overlap") * lit(10000000L) + col("bench_id")).as("_wk"))
+        max(struct(col("overlap"), col("bench_id"))).as("_wk"))
       .select(col("doc_id"), col("n_contaminated"),
-        (col("_wk") % lit(10000000L)).as("worst_bench_id"),
-        expr("_wk DIV 10000000").as("worst_overlap"))
+        col("_wk.bench_id").as("worst_bench_id"),
+        col("_wk.overlap").as("worst_overlap"))
       .join(sizes, Seq("doc_id"))
       .filter(col("worst_overlap") >= minOverlap)
       .select("doc_id", "n_shingles", "n_contaminated", "worst_bench_id", "worst_overlap")
@@ -77,12 +81,12 @@ object Contamination {
       |       GROUP BY c.doc_id, b.bench_id),
       |agg AS (
       |  SELECT doc_id, CAST(SUM(overlap) AS BIGINT) AS n_contaminated,
-      |         MAX(overlap * 10000000 + bench_id) AS wk
+      |         MAX(struct_pack(overlap := overlap, bench_id := bench_id)) AS wk
       |  FROM pp GROUP BY doc_id)
       |SELECT a.doc_id, s.n_shingles, a.n_contaminated,
-      |       wk % 10000000 AS worst_bench_id, wk // 10000000 AS worst_overlap
+      |       wk.bench_id AS worst_bench_id, wk.overlap AS worst_overlap
       |FROM agg a JOIN sizes s ON a.doc_id = s.doc_id
-      |WHERE wk // 10000000 >= 3
+      |WHERE wk.overlap >= 3
       |ORDER BY a.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -38,15 +38,21 @@ object DedupClusters {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      // one keyed aggregation per round computes BOTH the new label and
+      // whether it changed: the vertex's own (self-tagged) label rides
+      // along as min(when(self)), so no next-vs-prev join is needed. The
+      // convergence flag is then a cheap scan of the already-checkpointed
+      // result — not a second join+count job per round.
+      val self = labels.select(col("id"), col("comp"), lit(true).as("_self"))
       val msgs = und.join(labels, und("s") === labels("id"))
-        .select(col("d").as("id"), col("comp"))
-      val next = labels.union(msgs)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .select(col("d").as("id"), col("comp"), lit(false).as("_self"))
+      val next = self.union(msgs)
+        .groupBy(col("id"))
+        .agg(min(col("comp")).as("comp"),
+          (min(col("comp")) < min(when(col("_self"), col("comp")))).as("_chg"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
-        .filter(col("comp") < col("prev")).count()
-      labels = next
-      converged = changed == 0
+      converged = next.filter(col("_chg")).limit(1).isEmpty
+      labels = next.select("id", "comp")
       iter += 1
     }
     labels

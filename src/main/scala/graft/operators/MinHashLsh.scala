@@ -35,17 +35,26 @@ object MinHashLsh {
     shingled.groupBy(col(id)).agg(mhs.head, mhs.tail: _*)
   }
 
-  /** candidate pairs via band-bucket equi-join. */
-  def candidatePairs(sigs: DataFrame, id: String, numHashes: Int, bands: Int): DataFrame = {
+  /** THE banding definition: one struct column per band,
+    * (band_idx, band_hash) with band_hash = xxhash64 over the band's
+    * minhash lanes (columns `mh1..mhN`). xxhash64, not a*31+c: full-range
+    * 64-bit lanes from [[signaturesFast]] overflow a polynomial combine
+    * under ANSI mode. Shared by [[candidatePairs]] and the streaming
+    * operator's `bandedCells`, so online and batch banding are
+    * bit-identical by construction (parity-spec-asserted on the emitted
+    * (band_idx, band_hash) sets, not just the pair sets). */
+  def bandColumns(numHashes: Int, bands: Int): Seq[Column] = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val bandCols: Seq[Column] = (0 until bands).map { b =>
+    (0 until bands).map { b =>
       val hs = (1 to r).map(i => col(s"mh${b * r + i}"))
-      // xxhash64 combine, not a*31+c: full-range 64-bit lanes from
-      // signaturesFast overflow a polynomial combine under ANSI mode
-      struct(lit(b).as("band_idx"),
-        xxhash64(hs: _*).as("band_hash"))
+      struct(lit(b).as("band_idx"), xxhash64(hs: _*).as("band_hash"))
     }
+  }
+
+  /** candidate pairs via band-bucket equi-join. */
+  def candidatePairs(sigs: DataFrame, id: String, numHashes: Int, bands: Int): DataFrame = {
+    val bandCols: Seq[Column] = bandColumns(numHashes, bands)
     val exploded = sigs.select(col(id), explode(array(bandCols: _*)).as("band"))
       .select(col(id), col("band.band_idx"), col("band.band_hash"))
     val a = exploded.select(col(id).as("id_a"), col("band_idx"), col("band_hash"))

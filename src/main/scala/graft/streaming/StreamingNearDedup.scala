@@ -40,7 +40,6 @@ object StreamingNearDedup {
     * identical input. */
   def bandedCells(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     val sh = docs.withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .withColumn("shingles", array_distinct(expr(
@@ -49,10 +48,8 @@ object StreamingNearDedup {
       s"array_min(transform(shingles, x -> CAST(conv(substring(md5(concat('$s:', x)), 1, 12), 16, 10) AS BIGINT)))")
       .as(s"mh$s"))
     val sig = sh.select(col("doc_id") +: col("ts") +: col("shingles") +: mhs: _*)
-    val bandCols = (0 until bands).map { b =>
-      val hs = (1 to r).map(i => col(s"mh${b * r + i}"))
-      struct(lit(b).as("band_idx"), hs.reduce((a, c) => a * 31 + c).as("band_hash"))
-    }
+    // the one shared banding definition — bit-identical to batch
+    val bandCols = graft.operators.MinHashLsh.bandColumns(numHashes, bands)
     sig.select(col("doc_id"), col("ts"), col("shingles"),
         explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("ts"), col("band.band_idx"),

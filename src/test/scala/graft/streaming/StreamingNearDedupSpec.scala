@@ -42,6 +42,30 @@ class StreamingNearDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("banding is bit-identical to batch: equal (doc, band_idx, band_hash) sets") {
+    import spark.implicits._
+    val docs = Seq(
+      StreamDoc(1L, t("2024-01-01 10:00:00"), textA),
+      StreamDoc(2L, t("2024-01-01 10:05:00"), textA),
+      StreamDoc(3L, t("2024-01-01 10:10:00"), textB))
+    val df = spark.createDataset(docs).toDF()
+    // bandedCells is pure column arithmetic — run it on the static frame
+    val online = bandedCells(df, 4, 2)
+      .select("doc_id", "band_idx", "band_hash")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val shingled = df
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("shingle"))
+    val batch = MinHashLsh.signatures(shingled, "doc_id", 4)
+      .select(col("doc_id"), explode(array(MinHashLsh.bandColumns(4, 2): _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(online === batch, "streaming band cells diverge from batch banding")
+    assert(online.nonEmpty)
+  }
+
   test("hot cells are bounded: overflow docs pair with residents but don't grow state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
