@@ -9,11 +9,14 @@ import org.apache.spark.sql.types._
   * per-partition in batches (the Scala analogue of `mapInPandas`: one
   * iterator pass per partition, no per-row JVM/library round-trips).
   *
-  * The actual media decode is STUBBED — this container ships no
-  * image/audio codecs — behind [[FakeDecoder]], a deterministic
-  * hash-derived stand-in with the same signature a real header-parse +
-  * pixel-decode would have. Everything around it (schema, batching,
-  * partition-level execution, output contract) is real Spark and tested.
+  * IMAGE decode is REAL: [[ImageDecoder]] decodes PNG/JPEG/GIF/BMP
+  * pixels with the JDK's javax.imageio (no native dependencies) and
+  * pools actual channel/quadrant statistics — spec-verified against
+  * known images. AUDIO/VIDEO decode remains stubbed ([[FakeAudioDecoder]]
+  * / [[FakeVideoDecoder]]: the JDK ships no audio/video codecs), with
+  * the real bounded-batch plumbing around both paths spec-tested.
+  * [[FakeDecoder]] is kept for the deterministic text-payload pipeline
+  * tests ("image/fake" media_type).
   */
 object MultimodalPipeline {
 
@@ -45,6 +48,70 @@ object MultimodalPipeline {
       (width, height, frames, feat)
     }
   }
+
+  /** REAL image decode via javax.imageio — JDK-only (PNG/JPEG/GIF/BMP),
+    * no native dependencies, so unlike the audio/video stubs this path
+    * decodes actual pixels. Feature = 8-dim pooled image statistics:
+    * mean R/G/B over the image, mean luma of the four quadrants, aspect
+    * ratio, and a constant bias lane — deterministic, and the same shape
+    * a pooled feature map from a vision model would occupy.
+    * Returns None for payloads no registered ImageReader accepts. */
+  object ImageDecoder {
+    def decode(payload: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+      val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+                catch { case _: java.io.IOException => null }
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr, sg, sb = 0.0
+        val quadLuma = new Array[Double](4)
+        val quadN = new Array[Long](4)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            sr += r; sg += g; sb += b
+            val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+            quadLuma(q) += 0.299 * r + 0.587 * g + 0.114 * b
+            quadN(q) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        def quad(i: Int): Float =
+          (quadLuma(i) / math.max(quadN(i), 1L) / 255.0).toFloat
+        val feat = Array(
+          (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat,
+          quad(0), quad(1), quad(2), quad(3),
+          w.toFloat / h.toFloat)
+        Some((w, h, 1, feat))
+      }
+    }
+  }
+
+  /** Batched REAL image decode (same bounded-batch contract as the
+    * audio/video paths). Payloads ImageIO cannot parse surface as
+    * width/height/n_frames = 0 with a zero feature — callers filter on
+    * `width > 0` instead of losing the row (a dropped row would make
+    * corrupt-input rates invisible downstream). */
+  def decodeImages(media: DataFrame, maxRows: Int = 64,
+      maxBytes: Long = 64L << 20): DataFrame =
+    decodeBatched(media, decodedSchema, maxRows, maxBytes) { batch =>
+      batch.map { case (id, payload) =>
+        ImageDecoder.decode(payload) match {
+          case Some((w, h, f, feat)) =>
+            Row(id, "image", payload.length, w, h, f, feat)
+          case None =>
+            Row(id, "undecodable", payload.length, 0, 0, 0, Array.fill(8)(0.0f))
+        }
+      }
+    }
 
   /** Wrap a text/documents table as a media table (payload = utf8 bytes)
     * — used by tests; a real ingest would read image/audio files. */

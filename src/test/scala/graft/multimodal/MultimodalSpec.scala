@@ -21,6 +21,61 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded.filter(col("n_frames") < 1 || col("n_frames") > 16).count() === 0)
   }
 
+  test("real image decode: ImageIO pixels, channel means, quadrant lumas, aspect") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def png(img: BufferedImage): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    // 8x4 solid red
+    val red = new BufferedImage(8, 4, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8) red.setRGB(x, y, 0xff0000)
+    // 6x6 top half black, bottom half white
+    val split2 = new BufferedImage(6, 6, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 6)
+      split2.setRGB(x, y, if (y < 3) 0x000000 else 0xffffff)
+
+    val rows = Seq((1L, png(red), "image/png"), (2L, png(split2), "image/png"),
+      (3L, "not an image".getBytes("UTF-8"), "image/png"))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3))),
+      MultimodalPipeline.mediaSchema)
+    val decoded = MultimodalPipeline.decodeImages(media)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val r1 = decoded(1L)
+    assert(r1.getInt(3) === 8 && r1.getInt(4) === 4 && r1.getInt(5) === 1)
+    val f1 = r1.getSeq[Float](6)
+    assert(math.abs(f1(0) - 1.0f) < 1e-3, s"mean R of solid red: ${f1(0)}")
+    assert(math.abs(f1(1)) < 1e-3 && math.abs(f1(2)) < 1e-3)
+    assert(math.abs(f1(7) - 2.0f) < 1e-6, "aspect ratio 8/4")
+    // all four quadrants have the red luma 0.299
+    (3 to 6).foreach(i => assert(math.abs(f1(i) - 0.299f) < 1e-3))
+
+    val f2 = decoded(2L).getSeq[Float](6)
+    assert(math.abs(f2(3)) < 1e-3 && math.abs(f2(4)) < 1e-3, "top quadrants black")
+    assert(math.abs(f2(5) - 1.0f) < 1e-3 && math.abs(f2(6) - 1.0f) < 1e-3, "bottom white")
+
+    // undecodable payload is kept, flagged with zero dims — not dropped
+    val r3 = decoded(3L)
+    assert(r3.getString(1) === "undecodable" && r3.getInt(3) === 0)
+
+    // JPEG round-trips through the same decoder (lossy: loose tolerance)
+    val jout = new ByteArrayOutputStream()
+    ImageIO.write(red, "jpg", jout)
+    val jmedia = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(9L, jout.toByteArray, "image/jpeg"))),
+      MultimodalPipeline.mediaSchema)
+    val j = MultimodalPipeline.decodeImages(jmedia).collect().head
+    assert(j.getInt(3) === 8 && j.getInt(4) === 4)
+    assert(math.abs(j.getSeq[Float](6)(0) - 1.0f) < 0.1, "JPEG red channel")
+  }
+
   test("thumbnail plan caps the max dimension and stays codegen-friendly") {
     val media = MultimodalPipeline.asMediaTable(Tables.documents(spark, sf))
     val thumbs = MultimodalPipeline.thumbnailPlan(
