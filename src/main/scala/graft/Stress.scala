@@ -176,6 +176,13 @@ object Stress {
       IvfSearch.ivfTopK(vecs, vecs.filter(col("vec_id") % 1000 === 0),
         "vec_id", k = 5)
     }
+    // memory-bounded variant: inverted lists carry 16-byte PQ codes
+    // instead of 256-byte float arrays; exact re-rank on the shortlist
+    time("ivfpq_topk") {
+      val vecs = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      IvfPq.ivfPqTopK(vecs, vecs.filter(col("vec_id") % 1000 === 0),
+        "vec_id", k = 5)
+    }
     spark.stop()
   }
 }

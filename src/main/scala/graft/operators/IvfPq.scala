@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.graft.{PqFunctions, VecDot}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ approximate nearest-neighbor search — the memory-bounded form
+  * of [[IvfSearch]] (SURVEY §2 D4 scale path): the inverted lists store
+  * an m-byte product-quantization code per vector instead of the
+  * 4·dim-byte float array, candidates are scored by table lookups
+  * against a per-query ADC table, and only the top k·rerankFactor
+  * shortlist touches real embeddings for an exact cosine re-rank.
+  *
+  * Memory bound per indexed vector: m bytes of code + the id — for
+  * dim=64 float embeddings and the default m=16 that is 16 B vs 256 B,
+  * a 16× compression of the candidate-scoring working set (the part of
+  * the index that must be hot at query time; full vectors are only read
+  * for the shortlist, an equi-join on neighbor_id). Defaults (m=16,
+  * ksub=64, rerank 8×k) were measured on the synthetic near-uniform
+  * embeddings — PQ's worst case, no cluster structure to exploit — and
+  * hold recall exactly equal to the uncompressed IVF at the same nprobe
+  * (IvfPqSpec); real embedding distributions quantize better.
+  *
+  * Training is bounded exactly like IVF's coarse quantizer: the m
+  * sub-quantizers run Lloyd's iterations on a ≤ maxTrainRows sample
+  * COLLECTED to the driver (the sample bound makes this O(maxTrainRows ·
+  * ksub · dim) regardless of corpus size — same argument as the coarse
+  * k-means sample), and the flat codebook (m·ksub·dsub floats, a few KB)
+  * ships to executors as a literal inside the codegen'd
+  * encode/tab/score expressions (PqFunctions.scala).
+  */
+object IvfPq {
+
+  /** Flat PQ codebook laid out [(j·ksub + c)·dsub + t] — driver-side
+    * Lloyd's per subspace over the sampled sub-vectors. */
+  private[operators] def trainCodebooks(sample: Array[Array[Float]], m: Int,
+      ksub: Int, dsub: Int, seed: Long, iters: Int = 15): Array[Float] = {
+    val flat = new Array[Float](m * ksub * dsub)
+    for (j <- 0 until m) {
+      val rnd = new scala.util.Random(seed + j)
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      val centers = Array.tabulate(ksub)(_ =>
+        subs(rnd.nextInt(subs.length)).map(_.toDouble))
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val cnts = new Array[Long](ksub)
+        subs.foreach { s =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            var d = 0.0
+            var t = 0
+            while (t < dsub) { val df = s(t) - centers(c)(t); d += df * df; t += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          cnts(best) += 1
+          var t = 0
+          while (t < dsub) { sums(best)(t) += s(t); t += 1 }
+        }
+        for (c <- 0 until ksub if cnts(c) > 0) {
+          var t = 0
+          while (t < dsub) { centers(c)(t) = sums(c)(t) / cnts(c); t += 1 }
+        }
+      }
+      for (c <- 0 until ksub; t <- 0 until dsub)
+        flat((j * ksub + c) * dsub + t) = centers(c)(t).toFloat
+    }
+    flat
+  }
+
+  /** Approximate top-k neighbors via PQ-coded inverted lists.
+    * nlist = 0 → auto (≈√corpus). Same probe structure as
+    * [[IvfSearch.ivfTopK]] (salted equi-join, broadcast centroids);
+    * the difference is what the lists hold (codes, not vectors) and a
+    * two-stage ranking: ADC shortlist of k·rerankFactor, then exact
+    * cosine on the shortlist only. */
+  def ivfPqTopK(vecs: DataFrame, queries: DataFrame, id: String, k: Int,
+      nlist: Int = 0, nprobe: Int = 4, m: Int = 16, ksub: Int = 64,
+      rerankFactor: Int = 8, seed: Long = 42L,
+      maxTrainRows: Long = 50000L, saltFactor: Int = 4): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val n = vecs.count()
+    val nl = if (nlist > 0) nlist else IvfSearch.defaultNlist(n)
+    val model = IvfSearch.trainModel(vecs, n, nl, seed, maxTrainRows)
+    val centroidsDf = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) =>
+        (i, c.toArray.map(_.toFloat), c.toArray.map(x => x * x).sum) }
+      .toDF("list_id", "centroid", "cnorm2")
+
+    // PQ training sample (bounded, driver-side)
+    val sample = (if (n > maxTrainRows)
+        vecs.sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
+      else vecs)
+      .select(col("embedding")).limit(maxTrainRows.toInt)
+      .collect().map(_.getSeq[Float](0).toArray)
+    val dim = sample.head.length
+    require(dim % m == 0, s"embedding dim $dim must be divisible by m=$m")
+    val dsub = dim / m
+    val cbLit: Column = lit(trainCodebooks(sample, m, ksub, dsub, seed))
+
+    // index: coarse assignment (broadcast model, zero shuffle) + m-byte
+    // codes — the only per-vector payload the probe join carries
+    val corpus = model.transform(
+        vecs.withColumn("features", array_to_vector(col("embedding"))))
+      .select(col(id).as("neighbor_id"),
+        col("prediction").as("list_id"),
+        PqFunctions.pqEncode(col("embedding"), cbLit, m, ksub).as("codes"),
+        pmod(xxhash64(col(id)), lit(saltFactor)).cast("int").as("_salt"))
+
+    // probes: nprobe nearest lists per query + the per-query ADC table
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col("list_id"))
+    val probes = queries
+      .select(col(id).as("query_id"), col("embedding").as("eq"))
+      .crossJoin(broadcast(centroidsDf))
+      .withColumn("cscore",
+        lit(2.0) * VecDot.vecDot(col("eq"), col("centroid")) - col("cnorm2"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= nprobe)
+      .select(col("query_id"), col("eq"),
+        PqFunctions.pqTab(col("eq"), cbLit, m, ksub).as("tab"),
+        col("list_id"),
+        explode(sequence(lit(0), lit(saltFactor - 1))).as("_salt"))
+
+    // stage 1: ADC shortlist — m table lookups per candidate
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val shortlist = probes.join(corpus, Seq("list_id", "_salt"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx", PqFunctions.pqAdc(col("codes"), col("tab")))
+      .withColumn("arnk", row_number().over(wa))
+      .filter(col("arnk") <= k * rerankFactor)
+      .select("query_id", "eq", "neighbor_id")
+
+    // stage 2: exact cosine re-rank on the shortlist only
+    val emb = vecs.select(col(id).as("neighbor_id"), col("embedding").as("ec"))
+    val wk = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    shortlist.join(emb, Seq("neighbor_id"))
+      .withColumn("cos", VecDot.vecDot(col("eq"), col("ec")) /
+        (VecDot.vecNorm(col("eq")) * VecDot.vecNorm(col("ec"))))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+}

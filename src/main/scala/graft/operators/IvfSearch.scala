@@ -32,7 +32,7 @@ object IvfSearch {
   def defaultNlist(n: Long): Int =
     math.max(16, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
 
-  private def trainModel(vecs: DataFrame, n: Long, nlist: Int, seed: Long,
+  private[operators] def trainModel(vecs: DataFrame, n: Long, nlist: Int, seed: Long,
       maxTrainRows: Long): KMeansModel = {
     val sample = if (n > maxTrainRows)
       vecs.sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
