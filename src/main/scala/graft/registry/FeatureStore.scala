@@ -71,6 +71,14 @@ final class FeatureStore(spark: SparkSession, storePath: String,
 
   def listTables: Seq[TableDef] = tables.values.map(_._1).toSeq.sortBy(_.name)
 
+  /** Deterministic (sorted) pagination window — the reference's list
+    * endpoints take skip/limit (main.py:67,120); saturating end bound. */
+  private def page[A](xs: Seq[A], skip: Int, limit: Int): Seq[A] =
+    xs.slice(skip, if (limit > Int.MaxValue - skip) Int.MaxValue else skip + limit)
+
+  /** reference main.py:67 GET /raw-tables?skip=&limit= */
+  def listTables(skip: Int, limit: Int): Seq[TableDef] = page(listTables, skip, limit)
+
   /** reference main.py:82 POST /features */
   def defineFeature(defn: FeatureDef): Either[List[String], FeatureDef] = {
     requireSafe("Feature name", defn.name) match {
@@ -87,6 +95,9 @@ final class FeatureStore(spark: SparkSession, storePath: String,
   }
 
   def listFeatures: Seq[FeatureDef] = features.values.toSeq.sortBy(_.name)
+
+  /** reference main.py:120 GET /features?skip=&limit= */
+  def listFeatures(skip: Int, limit: Int): Seq[FeatureDef] = page(listFeatures, skip, limit)
 
   /** reference main.py:117 POST /features/{id}/versions — compute and
     * persist one version of one feature. The computation is a declarative
@@ -153,6 +164,9 @@ final class FeatureStore(spark: SparkSession, storePath: String,
 
   def listVersions(feature: String): Seq[FeatureVersion] =
     versions.collect { case ((f, _), v) if f == feature => v }.toSeq.sortBy(_.version)
+
+  def listVersions(feature: String, skip: Int, limit: Int): Seq[FeatureVersion] =
+    page(listVersions(feature), skip, limit)
 
   /** reference models.py:52 status lifecycle: active → deprecated. */
   def deprecate(feature: String, version: String): Unit =

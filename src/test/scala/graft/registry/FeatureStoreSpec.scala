@@ -45,6 +45,24 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fs.listTables.map(_.name) == Seq("orders"))
   }
 
+  test("list endpoints paginate with skip/limit") {
+    val fs = freshStore()
+    val orders = Tables.orders(spark, sf)
+    Seq("t_a", "t_b", "t_c", "t_d").foreach { n =>
+      fs.registerTable(TableDef(n, Seq("o_custkey")), orders)
+      fs.defineFeature(FeatureDef(s"f_$n", n, "numeric",
+        df => df.groupBy(col("o_custkey").as("entity_id"))
+          .agg(count(lit(1)).cast("double").as("value"))))
+    }
+    assert(fs.listTables(1, 2).map(_.name) == Seq("t_b", "t_c"))
+    assert(fs.listTables(3, 10).map(_.name) == Seq("t_d"))
+    assert(fs.listTables(0, Int.MaxValue).size == 4) // saturating end
+    assert(fs.listFeatures(2, 1).map(_.name) == Seq("f_t_c"))
+    fs.computeVersion("f_t_a", "v1")
+    fs.computeVersion("f_t_a", "v2")
+    assert(fs.listVersions("f_t_a", 1, 5).map(_.version) == Seq("v2"))
+  }
+
   test("schema validation rejects bad registration") {
     val fs = freshStore()
     val bad = TableDef("orders", Seq("missing_col"))
