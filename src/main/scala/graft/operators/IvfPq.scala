@@ -34,11 +34,21 @@ import org.apache.spark.sql.functions._
 object IvfPq {
 
   /** Flat PQ codebook laid out [(j·ksub + c)·dsub + t] — driver-side
-    * Lloyd's per subspace over the sampled sub-vectors. */
+    * Lloyd's per subspace over the sampled sub-vectors. Subspaces are
+    * independent, so they train in parallel across driver cores. */
   private[operators] def trainCodebooks(sample: Array[Array[Float]], m: Int,
       ksub: Int, dsub: Int, seed: Long, iters: Int = 15): Array[Float] = {
     val flat = new Array[Float](m * ksub * dsub)
-    for (j <- 0 until m) {
+    java.util.stream.IntStream.range(0, m).parallel().forEach { j =>
+      trainSubspace(sample, j, ksub, dsub, seed, iters, flat)
+    }
+    flat
+  }
+
+  // disjoint flat-array ranges per subspace -> safe to fill in parallel
+  private def trainSubspace(sample: Array[Array[Float]], j: Int,
+      ksub: Int, dsub: Int, seed: Long, iters: Int, flat: Array[Float]): Unit = {
+    {
       val rnd = new scala.util.Random(seed + j)
       val subs = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
       val centers = Array.tabulate(ksub)(_ =>
@@ -69,7 +79,6 @@ object IvfPq {
       for (c <- 0 until ksub; t <- 0 until dsub)
         flat((j * ksub + c) * dsub + t) = centers(c)(t).toFloat
     }
-    flat
   }
 
   /** Approximate top-k neighbors via PQ-coded inverted lists.
@@ -92,11 +101,15 @@ object IvfPq {
         (i, c.toArray.map(_.toFloat), c.toArray.map(x => x * x).sum) }
       .toDF("list_id", "centroid", "cnorm2")
 
-    // PQ training sample (bounded, driver-side)
-    val sample = (if (n > maxTrainRows)
-        vecs.sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
+    // PQ training sample — capped at ~100 points per sub-centroid (the
+    // standard PQ training budget): sub-quantizer centroids are dsub-dim,
+    // they converge with orders of magnitude fewer samples than the
+    // coarse quantizer, and Lloyd's cost is linear in the sample
+    val pqTrainRows = math.min(maxTrainRows, 100L * ksub)
+    val sample = (if (n > pqTrainRows)
+        vecs.sample(withReplacement = false, pqTrainRows.toDouble / n, seed)
       else vecs)
-      .select(col("embedding")).limit(maxTrainRows.toInt)
+      .select(col("embedding")).limit(pqTrainRows.toInt)
       .collect().map(_.getSeq[Float](0).toArray)
     val dim = sample.head.length
     require(dim % m == 0, s"embedding dim $dim must be divisible by m=$m")
@@ -112,7 +125,11 @@ object IvfPq {
         PqFunctions.pqEncode(col("embedding"), cbLit, m, ksub).as("codes"),
         pmod(xxhash64(col(id)), lit(saltFactor)).cast("int").as("_salt"))
 
-    // probes: nprobe nearest lists per query + the per-query ADC table
+    // probes: nprobe nearest lists per query + the per-query ADC table.
+    // The query embedding is NOT carried here — only the table — and the
+    // shortlist shuffle below carries just (query_id, neighbor_id,
+    // approx): the wide payloads (tab ≈ m·ksub floats, eq) must never
+    // ride a per-candidate shuffle
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cscore").desc, col("list_id"))
     val probes = queries
@@ -122,26 +139,33 @@ object IvfPq {
         lit(2.0) * VecDot.vecDot(col("eq"), col("centroid")) - col("cnorm2"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= nprobe)
-      .select(col("query_id"), col("eq"),
+      .select(col("query_id"),
         PqFunctions.pqTab(col("eq"), cbLit, m, ksub).as("tab"),
         col("list_id"),
         explode(sequence(lit(0), lit(saltFactor - 1))).as("_salt"))
 
-    // stage 1: ADC shortlist — m table lookups per candidate
+    // stage 1: ADC shortlist — m table lookups per candidate; tab is
+    // projected away in the same stage, so the window shuffle moves
+    // ~24 B/candidate
     val wa = Window.partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("neighbor_id"))
     val shortlist = probes.join(corpus, Seq("list_id", "_salt"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("approx", PqFunctions.pqAdc(col("codes"), col("tab")))
+      .select(col("query_id"), col("neighbor_id"),
+        PqFunctions.pqAdc(col("codes"), col("tab")).as("approx"))
       .withColumn("arnk", row_number().over(wa))
       .filter(col("arnk") <= k * rerankFactor)
-      .select("query_id", "eq", "neighbor_id")
+      .select("query_id", "neighbor_id")
 
-    // stage 2: exact cosine re-rank on the shortlist only
+    // stage 2: exact cosine re-rank on the shortlist only — embeddings
+    // re-attached by keyed equi-joins (no broadcast hint: the query set
+    // grows with the workload, stats/AQE pick the strategy)
     val emb = vecs.select(col(id).as("neighbor_id"), col("embedding").as("ec"))
+    val qemb = queries.select(col(id).as("query_id"), col("embedding").as("eq"))
     val wk = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     shortlist.join(emb, Seq("neighbor_id"))
+      .join(qemb, Seq("query_id"))
       .withColumn("cos", VecDot.vecDot(col("eq"), col("ec")) /
         (VecDot.vecNorm(col("eq")) * VecDot.vecNorm(col("ec"))))
       .withColumn("rank", row_number().over(wk))
