@@ -14,7 +14,8 @@ object SparkEntry {
     CoreQueries.queries ++ FeatureOps.queries ++ TextOps.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       ExtendedQueries.queries ++ TemporalOps.queries ++ CrossModal.queries ++
-      PipelineOps.queries ++ DedupClusters.queries ++ Contamination.queries
+      PipelineOps.queries ++ DedupClusters.queries ++ Contamination.queries ++
+      ShapeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -22,5 +23,6 @@ object SparkEntry {
     CoreQueries.oracles ++ FeatureOps.oracles ++ TextOps.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
       ExtendedQueries.oracles ++ TemporalOps.oracles ++ CrossModal.oracles ++
-      PipelineOps.oracles ++ DedupClusters.oracles ++ Contamination.oracles
+      PipelineOps.oracles ++ DedupClusters.oracles ++ Contamination.oracles ++
+      ShapeQueries.oracles
 }

@@ -56,6 +56,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q1 runs on long sums: no decimal cast anywhere in the plan") {
+    // the integer-cents form exists to kill the per-row double->BigDecimal
+    // cast; a decimal type reappearing in the plan is the regression
+    val p = plan("q1_pricing")
+    assert(!p.toLowerCase.contains("decimal"), s"decimal crept back into q1:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p)
+  }
+
+  test("text ops tokenize once: a single split() per document scan") {
+    for (q <- Seq("text_langid", "text_quality", "text_stats")) {
+      val p = plan(q)
+      val splits = "split\\(text".r.findAllIn(p).length
+      assert(splits <= 1, s"$q re-tokenizes ($splits split calls):\n$p")
+    }
+  }
+
+  test("text_redact evaluates the regex chain once") {
+    val p = plan("text_redact")
+    val regexes = "regexp_replace".r.findAllIn(p).length
+    // two nested replaces (email, number), each exactly once
+    assert(regexes <= 2, s"redact chain duplicated ($regexes regexp_replace):\n$p")
+  }
+
+  test("q4 EXISTS plans as a left-semi hash join, not an aggregate") {
+    val p = plan("q4_priority_exists")
+    assert(p.contains("LeftSemi"), s"expected semi join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q19's quantity envelope pushes to the lineitem scan under the disjunction") {
+    val p = plan("q19_disjunct")
+    assert(p.contains("GreaterThanOrEqual(l_quantity") ||
+           p.contains("PushedFilters: [IsNotNull(l_quantity)"),
+      s"quantity envelope not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part dim should broadcast:\n$p")
+  }
+
   test("rank queries contain no single-partition window exchange") {
     // a Window with empty partitionBy plans Exchange SinglePartition —
     // the whole input through one task; RankOps must keep these out
