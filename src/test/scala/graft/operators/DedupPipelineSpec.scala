@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact groups, near-dup chains and uniques collapse to the right clusters") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota lambda" // 1 word off
+    val far = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, base),  // cluster 1: exact copies of base ...
+      (2L, base),
+      (3L, near),  // ... plus a near-dup chained to it
+      (4L, near),  // exact copy of the near-dup
+      (5L, far),   // separate cluster with one exact copy
+      (6L, far),
+      (7L, "totally unrelated words without any overlap whatsoever here now")
+    ).toDF("doc_id", "text")
+
+    val out = DedupPipeline.dedup(docs, threshold = 0.5).cache()
+    // every row labeled, none dropped
+    assert(out.count() === 7)
+    val byDoc = out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // docs 1-4 merge (exact 1=2, 3=4; near 1~3) into cluster 1
+    (1L to 4L).foreach(i => assert(byDoc(i)._1 === 1L, s"doc $i: ${byDoc(i)}"))
+    // 5,6 exact-merge into cluster 5; 7 is its own cluster
+    assert(byDoc(5L)._1 === 5L && byDoc(6L)._1 === 5L)
+    assert(byDoc(7L)._1 === 7L)
+    // exactly one keeper per cluster, and it is the min id
+    assert(out.filter(col("keep")).select("doc_id").as[Long].collect().toSet
+      === Set(1L, 5L, 7L))
+    val keepers = out.groupBy("cluster_id").agg(
+      sum(when(col("keep"), 1).otherwise(0)).as("n"))
+    assert(keepers.filter(col("n") =!= 1).count() === 0)
+  }
+
+  test("pipeline agrees with running near-dup over the full corpus") {
+    // the exact-first optimization must not change the final clusters
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val viaPipeline = DedupPipeline.dedup(docs, threshold = 0.5, maxDf = 1000)
+      .select("doc_id", "cluster_id")
+    // reference: clusters from ALL-docs pairs (oracle-grade composition:
+    // exact pairs = same md5; near pairs = verified jaccard on all docs)
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("shingle"))
+    val nearPairs = NgramDedup.scalablePairs(sh, "doc_id", 0.5, maxDf = 1000)
+    val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val exactPairs = hashed.join(
+        hashed.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
+      .filter(col("doc_id") < col("id_b"))
+      .select(col("doc_id").as("id_a"), col("id_b"))
+    val allPairs = nearPairs.select("id_a", "id_b").union(exactPairs)
+    val comps = DedupClusters.connectedComponents(allPairs, "id_a", "id_b")
+    val reference = docs.select(col("doc_id"))
+      .join(comps, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+    assert(viaPipeline.except(reference).count() === 0)
+    assert(reference.except(viaPipeline).count() === 0)
+  }
+}
