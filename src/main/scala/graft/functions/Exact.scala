@@ -26,7 +26,21 @@ import org.apache.spark.sql.types._
   * applying different precision-loss rules.
   */
 object Exact {
-  /** 2-dp money column -> exact decimal. */
+  /** 2-dp money/rate column -> integer cents (long): round(x·100), one
+    * FP round + integer ops per row instead of a double→BigDecimal cast
+    * (the cast was 4-5× the rest of q1's aggregate — see
+    * CoreQueries.q1Pricing for the measured tradeoff and the ~1e18
+    * overflow headroom note; ANSI mode errors loudly on overflow). */
+  def cents(c: Column): Column = round(c * 100).cast(LongType)
+
+  /** revenue term in 1e-4-dollar units: price_cents × (100 − disc_pts).
+    * Divide the long SUM by 1e4 (as double) for dollars. */
+  def revC(price: Column, discount: Column): Column =
+    cents(price) * (lit(100L) - cents(discount))
+
+  /** 2-dp money column -> exact decimal. Prefer [[cents]] for sums on
+    * hot paths; DECIMAL remains for squared terms and anywhere cents
+    * headroom is a real risk (e.g. feat_zscore's Σx²). */
   def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
 
   /** small 2-dp rate -> exact decimal. */

@@ -92,14 +92,14 @@ object CoreQueries {
     li.join(ord.join(cust, col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(dbl(sum(dec2(col("l_extendedprice")) * oneMinus(col("l_discount")))).as("revenue"))
+      .agg((sum(revC(col("l_extendedprice"), col("l_discount"))).cast("double") / 10000).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
 
   val q3TopKSql: String =
     """SELECT l_orderkey, o_orderdate,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      | CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)/10000 AS revenue
       |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
       |WHERE c_mktsegment = 'BUILDING'
       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -128,13 +128,13 @@ object CoreQueries {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(dbl(sum(dec2(col("l_extendedprice")) * oneMinus(col("l_discount")))).as("revenue"))
+      .agg((sum(revC(col("l_extendedprice"), col("l_discount"))).cast("double") / 10000).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
   val q5RegionRevenueSql: String =
     """SELECT n_name,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      | CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)/10000 AS revenue
       |FROM customer, orders, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
       |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
@@ -151,13 +151,13 @@ object CoreQueries {
               col("l_shipdate") < ts("1997-01-01 00:00:00") &&
               col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
               col("l_quantity") < 24)
-      .agg(dbl(sum(dec2(col("l_extendedprice")) * pct2(col("l_discount")))).as("revenue"),
+      .agg((sum(cents(col("l_extendedprice")) * cents(col("l_discount"))).cast("double") / 10000).as("revenue"),
            count(lit(1)).as("n_items"))
   }
 
   val q6FilterAggSql: String =
     """SELECT
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      | CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)/10000 AS revenue,
       | COUNT(*) AS n_items
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -180,14 +180,14 @@ object CoreQueries {
       .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-      .agg(dbl(sum(dec2(col("l_extendedprice")) * oneMinus(col("l_discount")))).as("revenue"))
+      .agg((sum(revC(col("l_extendedprice"), col("l_discount"))).cast("double") / 10000).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
   }
 
   val q10ReturnsSql: String =
     """SELECT c_custkey, c_name, c_acctbal, n_name,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      | CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)/10000 AS revenue
       |FROM customer JOIN orders ON c_custkey = o_custkey
       | JOIN lineitem ON l_orderkey = o_orderkey
       | JOIN nation ON c_nationkey = n_nationkey
@@ -206,8 +206,8 @@ object CoreQueries {
       .groupBy(col("o_custkey").as("entity_id"))
       .agg(
         count(lit(1)).as("order_cnt"),
-        dbl(sum(dec2(col("o_totalprice")))).as("total_spend"),
-        (dbl(sum(dec2(col("o_totalprice")))) / count(lit(1))).as("avg_spend"),
+        (sum(cents(col("o_totalprice"))).cast("double") / 100).as("total_spend"),
+        (sum(cents(col("o_totalprice"))).cast("double") / 100 / count(lit(1))).as("avg_spend"),
         max(col("o_totalprice")).as("max_spend"),
         min(col("o_totalprice")).as("min_spend"),
         min(col("o_orderdate")).as("first_order"),
@@ -218,8 +218,8 @@ object CoreQueries {
   val featCustomerStatsSql: String =
     """SELECT o_custkey AS entity_id,
       | COUNT(*) AS order_cnt,
-      | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend,
-      | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)/COUNT(*) AS avg_spend,
+      | CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)/100 AS total_spend,
+      | CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)/100/COUNT(*) AS avg_spend,
       | MAX(o_totalprice) AS max_spend,
       | MIN(o_totalprice) AS min_spend,
       | MIN(o_orderdate) AS first_order,

@@ -17,21 +17,21 @@ object ExtendedQueries {
     val li = Tables.lineitem(spark, d)
       .select("l_partkey", "l_extendedprice", "l_discount")
     val part = Tables.part(spark, d).select("p_partkey", "p_type")
-    val rev = dec2(col("l_extendedprice")) * oneMinus(col("l_discount"))
+    val rev = revC(col("l_extendedprice"), col("l_discount"))
     // part grows with the dataset — no forced broadcast; stats decide
     li.join(part, col("l_partkey") === col("p_partkey"))
       .agg(
-        (lit(100.0) * dbl(sum(when(col("p_type") === "ECONOMY", rev).otherwise(lit(0).cast("decimal(4,2)")))) /
-          dbl(sum(rev))).as("promo_revenue_pct"),
+        (lit(100.0) * sum(when(col("p_type") === "ECONOMY", rev).otherwise(lit(0L))).cast("double") /
+          sum(rev).cast("double")).as("promo_revenue_pct"),
         count(lit(1)).as("n_items"))
   }
 
   val q14PromoSql: String =
     """SELECT
       | 100.0 * CAST(SUM(CASE WHEN p_type = 'ECONOMY'
-      |     THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
-      |     ELSE CAST(0 AS DECIMAL(4,2)) END) AS DOUBLE)
-      |   / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS promo_revenue_pct,
+      |     THEN CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))
+      |     ELSE 0 END) AS DOUBLE)
+      |   / CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) AS promo_revenue_pct,
       | COUNT(*) AS n_items
       |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
 
@@ -39,7 +39,7 @@ object ExtendedQueries {
   def q18LargeOrders(spark: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(spark, d).select("l_orderkey", "l_quantity")
     val big = li.groupBy(col("l_orderkey"))
-      .agg(dbl(sum(dec2(col("l_quantity")))).as("total_qty"))
+      .agg((sum(cents(col("l_quantity"))).cast("double") / 100).as("total_qty"))
       .filter(col("total_qty") > 150)
     val ord = Tables.orders(spark, d)
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
@@ -50,8 +50,9 @@ object ExtendedQueries {
 
   val q18LargeOrdersSql: String =
     """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, total_qty
-      |FROM (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
-      |      FROM lineitem GROUP BY l_orderkey HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 150)
+      |FROM (SELECT l_orderkey, CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)/100 AS total_qty
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)/100 > 150)
       | JOIN orders ON l_orderkey = o_orderkey
       |ORDER BY total_qty DESC, o_orderkey""".stripMargin
 
@@ -66,7 +67,7 @@ object ExtendedQueries {
     val sup = Tables.supplier(spark, d).select("s_suppkey", "s_name", "s_nationkey")
     val nat = Tables.nation(spark, d).select("n_nationkey", "n_name")
     val byS = li.groupBy(col("l_suppkey"))
-      .agg(dbl(sum(dec2(col("l_extendedprice")) * oneMinus(col("l_discount")))).as("revenue"))
+      .agg((sum(revC(col("l_extendedprice"), col("l_discount"))).cast("double") / 10000).as("revenue"))
     val joined = byS.join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name"), col("revenue"))
@@ -79,7 +80,7 @@ object ExtendedQueries {
   val supplierRankSql: String =
     """SELECT s_suppkey, s_name, n_name, revenue,
       |       dense_rank() OVER (ORDER BY revenue DESC, s_suppkey) AS rnk
-      |FROM (SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM (SELECT l_suppkey, CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)/10000 AS revenue
       |      FROM lineitem GROUP BY l_suppkey)
       | JOIN supplier ON l_suppkey = s_suppkey
       | JOIN nation ON s_nationkey = n_nationkey

@@ -16,14 +16,14 @@ object TemporalOps {
     Tables.orders(spark, d)
       .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
       .agg(count(lit(1)).as("n_orders"),
-        dbl(sum(dec2(col("o_totalprice")))).as("revenue"))
+        (sum(cents(col("o_totalprice"))).cast("double") / 100).as("revenue"))
       .orderBy(col("yr"), col("mo"))
   }
 
   val ordersByMonthSql: String =
     """SELECT EXTRACT(YEAR FROM o_orderdate) AS yr, EXTRACT(MONTH FROM o_orderdate) AS mo,
       | COUNT(*) AS n_orders,
-      | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      | CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)/100 AS revenue
       |FROM orders
       |GROUP BY 1, 2
       |ORDER BY yr, mo""".stripMargin
