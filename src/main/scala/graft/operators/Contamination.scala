@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   */
 object Contamination {
 
-  private def shingleHashes(df: DataFrame, idCol: String): DataFrame =
+  private[graft] def shingleHashes(df: DataFrame, idCol: String): DataFrame =
     df.select(col(idCol), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col(idCol), explode(array_distinct(expr(
