@@ -23,9 +23,11 @@ object CoreQueries {
     * The money columns are 2-dp doubles; summing them exactly used to go
     * through DECIMAL(12,2), whose per-row double→BigDecimal cast was 4-5×
     * the cost of the whole rest of the aggregate (measured at 50× stress:
-    * 35-40 s decimal vs 13 s cents). Cents-long arithmetic is equally
-    * exact — one FP round + integer multiplies per row, long sums — and
-    * both engines compute the identical IEEE double at the end.
+    * 35-40 s decimal vs ~4 s floor-cents — right at the unordered
+    * double-sums floor; see Exact.cents for why floor, not round).
+    * Cents-long arithmetic is equally exact — one FP floor + integer
+    * multiplies per row, long sums — and both engines compute the
+    * identical IEEE double at the end.
     *
     * Headroom: sum_charge accumulates price_cents×(100−d)×(100+t) ≈ 1e11
     * per row, so a long sum overflows past ~9e7 rows per group × 1e11 ≈
@@ -37,10 +39,10 @@ object CoreQueries {
     * store's native-DECIMAL parquet path avoids the cast entirely. */
   def q1Pricing(spark: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(spark, d)
-    val qtyC = round(col("l_quantity") * 100).cast("long")
-    val priceC = round(col("l_extendedprice") * 100).cast("long")
-    val discC = round(col("l_discount") * 100).cast("long")
-    val taxC = round(col("l_tax") * 100).cast("long")
+    val qtyC = cents(col("l_quantity"))
+    val priceC = cents(col("l_extendedprice"))
+    val discC = cents(col("l_discount"))
+    val taxC = cents(col("l_tax"))
     li.filter(col("l_shipdate") <= ts("2000-09-02 00:00:00"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -67,10 +69,10 @@ object CoreQueries {
       | COUNT(*) AS count_order
       |FROM (
       |  SELECT l_returnflag, l_linestatus,
-      |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
-      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
-      |    CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
-      |    CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+      |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+      |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_c,
+      |    CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax_c
       |  FROM lineitem
       |  WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00')
       |GROUP BY l_returnflag, l_linestatus
@@ -99,7 +101,7 @@ object CoreQueries {
 
   val q3TopKSql: String =
     """SELECT l_orderkey, o_orderdate,
-      | CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)/10000 AS revenue
+      | CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE)/10000 AS revenue
       |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
       |WHERE c_mktsegment = 'BUILDING'
       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -134,7 +136,7 @@ object CoreQueries {
 
   val q5RegionRevenueSql: String =
     """SELECT n_name,
-      | CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)/10000 AS revenue
+      | CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE)/10000 AS revenue
       |FROM customer, orders, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
       |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
@@ -157,7 +159,7 @@ object CoreQueries {
 
   val q6FilterAggSql: String =
     """SELECT
-      | CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)/10000 AS revenue,
+      | CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE)/10000 AS revenue,
       | COUNT(*) AS n_items
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -187,7 +189,7 @@ object CoreQueries {
 
   val q10ReturnsSql: String =
     """SELECT c_custkey, c_name, c_acctbal, n_name,
-      | CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)/10000 AS revenue
+      | CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE)/10000 AS revenue
       |FROM customer JOIN orders ON c_custkey = o_custkey
       | JOIN lineitem ON l_orderkey = o_orderkey
       | JOIN nation ON c_nationkey = n_nationkey
@@ -218,8 +220,8 @@ object CoreQueries {
   val featCustomerStatsSql: String =
     """SELECT o_custkey AS entity_id,
       | COUNT(*) AS order_cnt,
-      | CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)/100 AS total_spend,
-      | CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)/100/COUNT(*) AS avg_spend,
+      | CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS total_spend,
+      | CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)/100/COUNT(*) AS avg_spend,
       | MAX(o_totalprice) AS max_spend,
       | MIN(o_totalprice) AS min_spend,
       | MIN(o_orderdate) AS first_order,

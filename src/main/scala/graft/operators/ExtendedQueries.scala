@@ -29,9 +29,9 @@ object ExtendedQueries {
   val q14PromoSql: String =
     """SELECT
       | 100.0 * CAST(SUM(CASE WHEN p_type = 'ECONOMY'
-      |     THEN CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))
+      |     THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
       |     ELSE 0 END) AS DOUBLE)
-      |   / CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) AS promo_revenue_pct,
+      |   / CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) AS promo_revenue_pct,
       | COUNT(*) AS n_items
       |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
 
@@ -50,9 +50,9 @@ object ExtendedQueries {
 
   val q18LargeOrdersSql: String =
     """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, total_qty
-      |FROM (SELECT l_orderkey, CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)/100 AS total_qty
+      |FROM (SELECT l_orderkey, CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS total_qty
       |      FROM lineitem GROUP BY l_orderkey
-      |      HAVING CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)/100 > 150)
+      |      HAVING CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE)/100 > 150)
       | JOIN orders ON l_orderkey = o_orderkey
       |ORDER BY total_qty DESC, o_orderkey""".stripMargin
 
@@ -80,7 +80,7 @@ object ExtendedQueries {
   val supplierRankSql: String =
     """SELECT s_suppkey, s_name, n_name, revenue,
       |       dense_rank() OVER (ORDER BY revenue DESC, s_suppkey) AS rnk
-      |FROM (SELECT l_suppkey, CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)/10000 AS revenue
+      |FROM (SELECT l_suppkey, CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE)/10000 AS revenue
       |      FROM lineitem GROUP BY l_suppkey)
       | JOIN supplier ON l_suppkey = s_suppkey
       | JOIN nation ON s_nationkey = n_nationkey

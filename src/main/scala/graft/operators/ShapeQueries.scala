@@ -83,9 +83,10 @@ object ShapeQueries {
     * l_quantity range bound (the disjuncts' common envelope) still
     * pushes to the lineitem scan. */
   def q19Disjunct(spark: SparkSession, d: String): DataFrame = {
-    val qtyC = round(col("l_quantity") * 100).cast("long")
-    val priceC = round(col("l_extendedprice") * 100).cast("long")
-    val discC = round(col("l_discount") * 100).cast("long")
+    import graft.functions.Exact.cents
+    val qtyC = cents(col("l_quantity"))
+    val priceC = cents(col("l_extendedprice"))
+    val discC = cents(col("l_discount"))
     val li = Tables.lineitem(spark, d)
       // common envelope of the three disjunct ranges -> scan-level prune
       .filter(col("l_quantity") >= 1 && col("l_quantity") <= 40)
@@ -103,8 +104,8 @@ object ShapeQueries {
 
   val q19DisjunctSql: String =
     """SELECT
-      | CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-      |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)/10000 AS revenue,
+      | CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+      |           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE)/10000 AS revenue,
       | COUNT(*) AS n_items
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE ((p_brand = 'Brand#13' AND l_quantity BETWEEN 1 AND 20)

@@ -23,7 +23,7 @@ object TemporalOps {
   val ordersByMonthSql: String =
     """SELECT EXTRACT(YEAR FROM o_orderdate) AS yr, EXTRACT(MONTH FROM o_orderdate) AS mo,
       | COUNT(*) AS n_orders,
-      | CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)/100 AS revenue
+      | CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS revenue
       |FROM orders
       |GROUP BY 1, 2
       |ORDER BY yr, mo""".stripMargin
