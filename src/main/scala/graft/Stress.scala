@@ -168,6 +168,19 @@ object Stress {
       IvfPq.ivfPqTopK(vecs, vecs.filter(col("vec_id") % 1000 === 0),
         "vec_id", k = 5)
     }
+    // the single-call curation pipeline (exact -> near-dup -> CC -> keepers)
+    time("dedup_pipeline") {
+      DedupPipeline.dedup(Tables.documents(spark, dir).select("doc_id", "text"),
+        threshold = 0.8, maxDf = 40)
+    }
+    // benchmark decontamination: bench side = every 50th doc
+    time("contamination") {
+      val docs = Tables.documents(spark, dir)
+      Contamination.contamination(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("bench_id"), col("text")))
+    }
     spark.stop()
   }
 }
