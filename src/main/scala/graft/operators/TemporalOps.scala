@@ -63,13 +63,79 @@ object TemporalOps {
       |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
       |ORDER BY a.doc_id""".stripMargin
 
+  /** A26: view→purchase conversion funnel — one combinable per-user
+    * aggregate (first view ts, last purchase ts as conditional MIN/MAX),
+    * one scalar rollup. No window, no self-join: the classic funnel
+    * reduces to two conditional extremes per user, which map-side
+    * combines at any scale. */
+  def eventFunnel(spark: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(spark, d)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        max(when(col("event_type") === "purchase", col("ts"))).as("last_purchase"))
+      .filter(col("first_view").isNotNull)
+    perUser.agg(
+      count(lit(1)).as("n_viewers"),
+      sum(when(col("last_purchase") > col("first_view"), 1L).otherwise(0L))
+        .as("n_converted"))
+      .select(col("n_viewers"), col("n_converted"),
+        (col("n_converted").cast("double") / col("n_viewers")).as("conv_rate"))
+  }
+
+  val eventFunnelSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+      |  FROM events GROUP BY user_id),
+      | f AS (
+      |  SELECT COUNT(*) AS n_viewers,
+      |    CAST(SUM(CASE WHEN last_purchase > first_view THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_converted
+      |  FROM u WHERE first_view IS NOT NULL)
+      |SELECT n_viewers, n_converted,
+      |  CAST(n_converted AS DOUBLE)/n_viewers AS conv_rate
+      |FROM f""".stripMargin
+
+  /** A27: next-day retention by activity day — distinct (user, day)
+    * pairs self-joined one day forward. The distinct is the only
+    * corpus-sized shuffle; the self-join is keyed on (user, day), never
+    * all-pairs, and days stay TIMESTAMP (date_trunc) for cross-engine
+    * dtype stability (feat_tumbling_1d convention). */
+  def userRetention1d(spark: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(spark, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val next = days.select(col("user_id"),
+      (col("day") - expr("INTERVAL 1 DAY")).as("day"))
+    days.join(next, Seq("user_id", "day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("retained"))
+      .orderBy(col("day"))
+  }
+
+  val userRetention1dSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      |  FROM events)
+      |SELECT a.day, COUNT(*) AS retained
+      |FROM days a JOIN days b
+      |  ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
+      |GROUP BY a.day
+      |ORDER BY a.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_by_month" -> ordersByMonth _,
     "feat_next_event" -> featNextEvent _,
-    "text_editdist_adjacent" -> textEditdistAdjacent _)
+    "text_editdist_adjacent" -> textEditdistAdjacent _,
+    "event_funnel" -> eventFunnel _,
+    "user_retention_1d" -> userRetention1d _)
 
   val oracles: Map[String, String] = Map(
     "orders_by_month" -> ordersByMonthSql,
     "feat_next_event" -> featNextEventSql,
-    "text_editdist_adjacent" -> textEditdistAdjacentSql)
+    "text_editdist_adjacent" -> textEditdistAdjacentSql,
+    "event_funnel" -> eventFunnelSql,
+    "user_retention_1d" -> userRetention1dSql)
 }

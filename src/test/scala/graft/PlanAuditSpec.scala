@@ -93,6 +93,67 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"part dim should broadcast:\n$p")
   }
 
+  test("q7 broadcasts both nation roles, never the facts") {
+    val p = plan("q7_volume")
+    assert(p.contains("BroadcastHashJoin"), p)
+    val broadcastSubtrees = p.split("BroadcastExchange").drop(1)
+    assert(!broadcastSubtrees.exists(_.split("\n").take(4).mkString.contains("lineitem")),
+      s"lineitem must not be broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q13 aggregates orders before the outer join (agg-then-join shape)") {
+    val p = plan("q13_distribution")
+    assert(p.contains("LeftOuter"), s"expected outer join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the per-custkey count must sit BELOW the outer join: the orders-side
+    // aggregate appears before (deeper than) the join operator in the tree
+    val joinIdx = p.indexOf("LeftOuter")
+    assert(p.indexOf("o_custkey", joinIdx) >= 0, s"orders agg not below the join:\n$p")
+  }
+
+  test("q15's scalar max joins broadcast, revenue compared as longs") {
+    val p = plan("q15_top_supplier")
+    assert(p.contains("BroadcastHashJoin"), s"max side should broadcast:\n$p")
+    assert(!p.toLowerCase.contains("decimal"), s"cents comparison must stay on longs:\n$p")
+  }
+
+  test("q17 broadcasts the filtered part keys; only the brand slice shuffles") {
+    val p = plan("q17_avg_qty")
+    assert(p.contains("BroadcastHashJoin"), s"part keys should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q22 plans the anti-join and a single 1-row scalar broadcast") {
+    val p = plan("q22_global_acct")
+    assert(p.contains("LeftAnti"), s"expected anti join:\n$p")
+    // the global-average scalar is the ONLY nested-loop join (1-row side)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"unexpected nested-loop joins ($bnlj):\n$p")
+  }
+
+  test("quality_gopher tokenizes once per document scan") {
+    val p = plan("quality_gopher")
+    val splits = "split\\(text".r.findAllIn(p).length
+    assert(splits <= 1, s"quality_gopher re-tokenizes ($splits split calls):\n$p")
+  }
+
+  test("text_ngram_topk takes top-k without a global sort of the gram counts") {
+    val p = plan("text_ngram_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k:\n$p")
+  }
+
+  test("event_funnel is two aggregates, no window and no join") {
+    val p = plan("event_funnel")
+    assert(!p.contains("Window"), s"funnel must not use a window:\n$p")
+    assert(!p.contains("Join"), s"funnel must not join:\n$p")
+  }
+
+  test("user_retention_1d self-join stays keyed (no cartesian)") {
+    val p = plan("user_retention_1d")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("rank queries contain no single-partition window exchange") {
     // a Window with empty partitionBy plans Exchange SinglePartition —
     // the whole input through one task; RankOps must keep these out
