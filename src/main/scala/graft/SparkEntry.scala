@@ -15,7 +15,8 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       ExtendedQueries.queries ++ TemporalOps.queries ++ CrossModal.queries ++
       PipelineOps.queries ++ DedupClusters.queries ++ Contamination.queries ++
-      ShapeQueries.queries ++ ShapeQueries2.queries ++ QualityOps.queries
+      ShapeQueries.queries ++ ShapeQueries2.queries ++ QualityOps.queries ++
+      CurationOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,5 +25,6 @@ object SparkEntry {
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
       ExtendedQueries.oracles ++ TemporalOps.oracles ++ CrossModal.oracles ++
       PipelineOps.oracles ++ DedupClusters.oracles ++ Contamination.oracles ++
-      ShapeQueries.oracles ++ ShapeQueries2.oracles ++ QualityOps.oracles
+      ShapeQueries.oracles ++ ShapeQueries2.oracles ++ QualityOps.oracles ++
+      CurationOps.oracles
 }

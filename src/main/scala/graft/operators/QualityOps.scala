@@ -23,9 +23,19 @@ object QualityOps {
     * flags and the composite `pass` are plain integer/double compares.
     * Thresholds are tuned to this synthetic corpus so each rule fails a
     * real slice (word count 10-99, mwl 3.7-5.3, ttr 0.28-1.0 here). */
-  def qualityGopher(spark: SparkSession, d: String): DataFrame = {
+  def qualityGopher(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
       .select(col("doc_id"), col("text"))
+      .transform(qualityFlags)
+      .orderBy(col("doc_id"))
+
+  /** The rule core, shared verbatim by the batch query above and the
+    * streaming gate (StreamingQualityGate): one expression tree, so
+    * batch/online parity is structural, not re-implemented. Row-local —
+    * no aggregation, no state — hence directly streamable. Input needs
+    * (doc_id, text). */
+  def qualityFlags(docs: DataFrame): DataFrame = {
+    docs
       .withColumn("toks", split(col("text"), " "))
       .select(
         col("doc_id"),
@@ -44,7 +54,6 @@ object QualityOps {
       .withColumn("flag_stop", col("stop_ratio") >= 0.01)
       .withColumn("pass",
         col("flag_words") && col("flag_mwl") && col("flag_ttr") && col("flag_stop"))
-      .orderBy(col("doc_id"))
   }
 
   val qualityGopherSql: String =
