@@ -181,6 +181,18 @@ object Stress {
         docs.filter(col("doc_id") % 50 === 0)
           .select(col("doc_id").as("bench_id"), col("text")))
     }
+    // round-3 additions — corpus-frequency curation (the tf join is the
+    // scale-sensitive piece: every token occurrence shuffles once on the
+    // token key, pre-reduced map-side) and the new B-shapes whose scalar
+    // predicates are exact integer inequalities
+    time("quality_gopher")(QualityOps.qualityGopher(spark, dir))
+    time("text_ngram_topk")(QualityOps.textNgramTopk(spark, dir))
+    time("text_zipf")(QualityOps.textZipf(spark, dir))
+    time("text_rare_ratio")(CurationOps.textRareRatio(spark, dir))
+    time("q7_volume")(ShapeQueries2.q7Volume(spark, dir))
+    time("q13_distribution")(ShapeQueries2.q13Distribution(spark, dir))
+    time("q17_avg_qty")(ShapeQueries2.q17AvgQty(spark, dir))
+    time("q22_global_acct")(ShapeQueries2.q22GlobalAcct(spark, dir))
     spark.stop()
   }
 }

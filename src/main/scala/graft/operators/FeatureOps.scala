@@ -234,6 +234,61 @@ object FeatureOps {
       |FROM s GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** A28: rolling 7-day window feature — a time-RANGE frame (not row
+    * count): every event sees the sum/count of its user's events in the
+    * trailing 7 days. Ordered on epoch micros so the frame bound is an
+    * exact integer interval in both engines (RANGE over timestamps
+    * directly would hit engine-specific interval semantics); peers with
+    * equal timestamps enter the frame together in both engines by RANGE
+    * definition. */
+  def featRolling7d(spark: SparkSession, d: String): DataFrame = {
+    val sevenDaysUs = 7L * 24 * 3600 * 1000000
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"))
+      .rangeBetween(-sevenDaysUs, Window.currentRow)
+    Tables.events(spark, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"),
+        dbl(sum(dec6(col("value"))).over(w)).as("roll_sum_7d"),
+        count(lit(1)).over(w).as("roll_cnt_7d"))
+      .orderBy(col("event_id"))
+  }
+
+  val featRolling7dSql: String =
+    """SELECT event_id, user_id,
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS roll_sum_7d,
+      | COUNT(*) OVER w AS roll_cnt_7d
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** A29: last-observation-carried-forward imputation — the standard
+    * gap-fill for sparse feature streams. `error` events carry no
+    * usable value (nullified), and each row takes the latest preceding
+    * non-null value in its user's timeline: `last(..., ignoreNulls)`
+    * over an unbounded-preceding rows frame ≡ DuckDB's
+    * `last_value(x IGNORE NULLS)`. Leading rows before any observation
+    * stay NULL in both engines. */
+  def featLocf(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, d)
+      .withColumn("v", when(col("event_type") =!= "error", col("value")))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        last(col("v"), ignoreNulls = true).over(w).as("value_filled"))
+      .orderBy(col("event_id"))
+  }
+
+  val featLocfSql: String =
+    """SELECT event_id, user_id, event_type,
+      | last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+      |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   /** A12: tumbling daily aggregates per event type. */
   def featTumbling1d(spark: SparkSession, d: String): DataFrame = {
     Tables.events(spark, d)
@@ -259,7 +314,9 @@ object FeatureOps {
     "feat_zscore" -> featZscore _,
     "feat_rolling_agg" -> featRollingAgg _,
     "feat_sessionize" -> featSessionize _,
-    "feat_tumbling_1d" -> featTumbling1d _)
+    "feat_tumbling_1d" -> featTumbling1d _,
+    "feat_rolling_7d" -> featRolling7d _,
+    "feat_locf" -> featLocf _)
 
   val oracles: Map[String, String] = Map(
     "feat_event_counts" -> featEventCountsSql,
@@ -270,5 +327,7 @@ object FeatureOps {
     "feat_zscore" -> featZscoreSql,
     "feat_rolling_agg" -> featRollingAggSql,
     "feat_sessionize" -> featSessionizeSql,
-    "feat_tumbling_1d" -> featTumbling1dSql)
+    "feat_tumbling_1d" -> featTumbling1dSql,
+    "feat_rolling_7d" -> featRolling7dSql,
+    "feat_locf" -> featLocfSql)
 }

@@ -203,17 +203,44 @@ object ShapeQueries2 {
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin
 
+  /** B21: CUBE aggregation with grouping_id — all four grouping
+    * combinations of (event_type, year) in ONE pass: Spark expands the
+    * cube before the aggregate, so partial aggregation still combines
+    * map-side per grouping set (never four scans). `grouping_id()`
+    * disambiguates a real NULL dim from a rolled-up one; value sums ride
+    * the dec6 exact path (feat_tumbling_1d convention). */
+  def eventsCube(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.Exact.{dbl, dec6}
+    Tables.events(spark, d)
+      .withColumn("yr", year(col("ts")).cast("long"))
+      .cube(col("event_type"), col("yr"))
+      .agg(count(lit(1)).as("n"),
+        dbl(sum(dec6(col("value")))).as("total"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("event_type"), col("yr"))
+  }
+
+  val eventsCubeSql: String =
+    """SELECT event_type, CAST(year(ts) AS BIGINT) AS yr, COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+      | CAST(GROUPING(event_type) * 2 + GROUPING(year(ts)) AS BIGINT) AS gid
+      |FROM events
+      |GROUP BY CUBE (event_type, year(ts))
+      |ORDER BY gid, event_type NULLS FIRST, yr NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q7_volume" -> q7Volume _,
     "q13_distribution" -> q13Distribution _,
     "q15_top_supplier" -> q15TopSupplier _,
     "q17_avg_qty" -> q17AvgQty _,
-    "q22_global_acct" -> q22GlobalAcct _)
+    "q22_global_acct" -> q22GlobalAcct _,
+    "events_cube" -> eventsCube _)
 
   val oracles: Map[String, String] = Map(
     "q7_volume" -> q7VolumeSql,
     "q13_distribution" -> q13DistributionSql,
     "q15_top_supplier" -> q15TopSupplierSql,
     "q17_avg_qty" -> q17AvgQtySql,
-    "q22_global_acct" -> q22GlobalAcctSql)
+    "q22_global_acct" -> q22GlobalAcctSql,
+    "events_cube" -> eventsCubeSql)
 }
