@@ -228,13 +228,52 @@ object ShapeQueries2 {
       |GROUP BY CUBE (event_type, year(ts))
       |ORDER BY gid, event_type NULLS FIRST, yr NULLS FIRST""".stripMargin
 
+  /** B22: INTERSECT set semantics — users who both clicked and
+    * purchased. Spark plans intersect as aggregate + left-semi join
+    * (distinct set semantics in both engines); never a pairwise op. */
+  def usersIntersect(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    ev.filter(col("event_type") === "click").select(col("user_id"))
+      .intersect(ev.filter(col("event_type") === "purchase").select(col("user_id")))
+      .orderBy(col("user_id"))
+  }
+
+  val usersIntersectSql: String =
+    """SELECT user_id FROM events WHERE event_type = 'click'
+      |INTERSECT
+      |SELECT user_id FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id""".stripMargin
+
+  /** B23: ordered string aggregation — the distinct sources per language
+    * as one sorted comma-joined string. `collect_set` is unordered by
+    * contract, so determinism comes from `array_sort` BEFORE the join —
+    * mirroring DuckDB's `string_agg(DISTINCT ... ORDER BY ...)`. */
+  def langSourceAgg(spark: SparkSession, d: String): DataFrame = {
+    Tables.documents(spark, d)
+      .groupBy(col("lang"))
+      .agg(
+        concat_ws(",", array_sort(collect_set(col("source")))).as("sources"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+  }
+
+  val langSourceAggSql: String =
+    """SELECT lang,
+      | string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+      | CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q7_volume" -> q7Volume _,
     "q13_distribution" -> q13Distribution _,
     "q15_top_supplier" -> q15TopSupplier _,
     "q17_avg_qty" -> q17AvgQty _,
     "q22_global_acct" -> q22GlobalAcct _,
-    "events_cube" -> eventsCube _)
+    "events_cube" -> eventsCube _,
+    "users_intersect" -> usersIntersect _,
+    "lang_source_agg" -> langSourceAgg _)
 
   val oracles: Map[String, String] = Map(
     "q7_volume" -> q7VolumeSql,
@@ -242,5 +281,7 @@ object ShapeQueries2 {
     "q15_top_supplier" -> q15TopSupplierSql,
     "q17_avg_qty" -> q17AvgQtySql,
     "q22_global_acct" -> q22GlobalAcctSql,
-    "events_cube" -> eventsCubeSql)
+    "events_cube" -> eventsCubeSql,
+    "users_intersect" -> usersIntersectSql,
+    "lang_source_agg" -> langSourceAggSql)
 }
