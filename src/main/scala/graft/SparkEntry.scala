@@ -16,7 +16,7 @@ object SparkEntry {
       ExtendedQueries.queries ++ TemporalOps.queries ++ CrossModal.queries ++
       PipelineOps.queries ++ DedupClusters.queries ++ Contamination.queries ++
       ShapeQueries.queries ++ ShapeQueries2.queries ++ QualityOps.queries ++
-      CurationOps.queries
+      CurationOps.queries ++ IntervalJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +26,5 @@ object SparkEntry {
       ExtendedQueries.oracles ++ TemporalOps.oracles ++ CrossModal.oracles ++
       PipelineOps.oracles ++ DedupClusters.oracles ++ Contamination.oracles ++
       ShapeQueries.oracles ++ ShapeQueries2.oracles ++ QualityOps.oracles ++
-      CurationOps.oracles
+      CurationOps.oracles ++ IntervalJoin.oracles
 }

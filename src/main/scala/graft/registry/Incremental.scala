@@ -1,0 +1,156 @@
+package graft.registry
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+
+/** G14: high-water-mark incremental materialization.
+  *
+  * The reference recomputes a feature version by re-reading the whole raw
+  * table on every POST /features/{name}/compute (reference main.py:195 ->
+  * compute.py:24). At 100 TB a full-history rescan per refresh is the
+  * single biggest cost in the store, and the fix is the standard
+  * warehouse pattern this object implements:
+  *
+  *   - the snapshot holds MERGEABLE per-(entity, day) partials (counts
+  *     and integer-cent sums — never averages), parquet-partitioned by
+  *     day;
+  *   - a refresh scans only events with `ts` past the stored watermark
+  *     (at scale: partition pruning on a date-partitioned log makes this
+  *     a metadata operation, not a filter over 100 TB);
+  *   - the delta is combined with the snapshot FOR THE TOUCHED DAYS ONLY
+  *     and written back via dynamic partition overwrite — untouched day
+  *     partitions are neither read nor rewritten;
+  *   - the watermark advances via the same atomic temp+rename protocol
+  *     as the FeatureStore `_versions` manifest.
+  *
+  * Finalization (rates, averages) happens at read time from the partials,
+  * so refreshes stay associative: N incremental refreshes over any split
+  * of the log produce byte-identical snapshots to one full compute
+  * (IncrementalSpec proves this on a 3-way split).
+  *
+  * Caveat (inherent to high-water-mark designs): an event arriving LATER
+  * than a higher-ts event that already advanced the watermark is skipped.
+  * Use the event-time-watermarked streaming path (StreamingMaterializer)
+  * when the log is not ingestion-ordered.
+  */
+object Incremental {
+  import graft.functions.Exact
+
+  /** Day-grain mergeable partials for an events chunk. */
+  private def partials(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("ts"), col("value"), col("event_type"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(Exact.cents(col("value"))).as("value_cents"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        max(unix_micros(col("ts"))).as("max_ts_us"))
+
+  private def combine(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("user_id"), col("day"))
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        sum(col("value_cents")).as("value_cents"),
+        sum(col("n_purchases")).as("n_purchases"),
+        max(col("max_ts_us")).as("max_ts_us"))
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def watermarkPath(snapshotPath: String) =
+    new Path(s"$snapshotPath/_watermark")
+
+  /** Stored high-water mark (epoch micros); Long.MinValue when absent. */
+  def watermark(spark: SparkSession, snapshotPath: String): Long = {
+    val p = watermarkPath(snapshotPath)
+    val f = fs(spark, snapshotPath)
+    if (!f.exists(p)) Long.MinValue
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeWatermark(spark: SparkSession, snapshotPath: String,
+                             wm: Long): Unit = {
+    val f = fs(spark, snapshotPath)
+    val tmp = new Path(s"$snapshotPath/_watermark.tmp")
+    val out = f.create(tmp, true)
+    try out.write(wm.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    f.delete(watermarkPath(snapshotPath), false)
+    if (!f.rename(tmp, watermarkPath(snapshotPath)))
+      throw new IllegalStateException(s"watermark rename lost at $snapshotPath")
+  }
+
+  private def snapshotExists(spark: SparkSession, snapshotPath: String): Boolean =
+    fs(spark, snapshotPath).exists(new Path(s"$snapshotPath/_SUCCESS")) ||
+      fs(spark, snapshotPath).globStatus(new Path(s"$snapshotPath/day=*")) != null &&
+        fs(spark, snapshotPath).globStatus(new Path(s"$snapshotPath/day=*")).nonEmpty
+
+  /** Incorporate all events newer than the watermark into the snapshot.
+    * Returns the number of day partitions touched (0 = no new data). */
+  def refresh(spark: SparkSession, events: DataFrame,
+              snapshotPath: String): Int = {
+    val wm = watermark(spark, snapshotPath)
+    val fresh = events.filter(unix_micros(col("ts")) > wm)
+    val delta = partials(fresh)
+      .localCheckpoint(true) // sever lineage: merge must not rescan the log
+    if (delta.isEmpty) return 0
+
+    val touchedDays = delta.select("day").distinct()
+      .collect().map(_.getString(0)).sorted // bounded: days, not rows
+    val merged =
+      if (!snapshotExists(spark, snapshotPath)) delta
+      else {
+        // Read back ONLY the touched day partitions (partition pruning on
+        // the snapshot's day= layout) and combine with the delta.
+        val existing = spark.read.parquet(snapshotPath)
+          .filter(col("day").isin(touchedDays: _*))
+          .select(delta.columns.map(col): _*)
+        // Eagerly materialize: the overwrite below targets the very path
+        // this plan reads, which Spark (rightly) refuses on a live plan.
+        combine(existing, delta).localCheckpoint(true)
+      }
+    // Dynamic partition overwrite: only day= dirs present in `merged` are
+    // replaced; all other partitions stay untouched on disk.
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy("day").parquet(snapshotPath)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+
+    val newWm = delta.agg(max(col("max_ts_us"))).head().getLong(0)
+    writeWatermark(spark, snapshotPath, math.max(wm, newWm))
+    touchedDays.length
+  }
+
+  /** Current snapshot, finalized: exact-cents sums surfaced as dollars,
+    * purchase rate derived from the partials. */
+  def read(spark: SparkSession, snapshotPath: String): DataFrame =
+    spark.read.parquet(snapshotPath)
+      .select(col("user_id"), col("day"), col("n_events"),
+        (col("value_cents").cast("double") / 100.0).as("value_sum"),
+        col("n_purchases"),
+        (col("n_purchases").cast("double") / col("n_events"))
+          .as("purchase_rate"))
+
+  /** One-shot full compute of the same result, for parity testing. */
+  def full(spark: SparkSession, events: DataFrame,
+           snapshotPath: String): Unit = {
+    val f = fs(spark, snapshotPath)
+    f.delete(new Path(snapshotPath), true)
+    refresh(spark, events, snapshotPath): Unit
+  }
+}

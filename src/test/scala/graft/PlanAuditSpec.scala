@@ -154,6 +154,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("attrib_views_7d plans a keyed equi-join, never a per-user nested loop") {
+    // the bucket-by-window-length rewrite exists so the range predicate
+    // rides an equi-join on (user_id, week_bucket) as a residual filter
+    val p = plan("attrib_views_7d")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join degenerated to a nested loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"expected a hash/merge equi-join:\n$p")
+  }
+
   test("rank queries contain no single-partition window exchange") {
     // a Window with empty partitionBy plans Exchange SinglePartition —
     // the whole input through one task; RankOps must keep these out

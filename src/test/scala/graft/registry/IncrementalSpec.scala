@@ -1,0 +1,69 @@
+package graft.registry
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class IncrementalSpec extends SparkSpec {
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-incr").toString
+
+  private def sortedRows(path: String): Seq[String] =
+    Incremental.read(spark, path)
+      .orderBy("user_id", "day")
+      .collect().map(_.toString).toSeq
+
+  test("three incremental refreshes == one full compute, byte-identical") {
+    val events = Tables.events(spark, sf)
+    // Split the log into thirds by time — each refresh sees strictly
+    // newer data, like an ingestion-ordered log.
+    val bounds = events
+      .agg(expr("percentile(unix_micros(ts), array(0.33, 0.66))")).head()
+      .getSeq[Double](0)
+    val (t1, t2) = (bounds(0).toLong, bounds(1).toLong)
+
+    val incrPath = tmpDir()
+    Seq(
+      events.filter(unix_micros(col("ts")) <= t1),
+      events.filter(unix_micros(col("ts")) > t1 && unix_micros(col("ts")) <= t2),
+      events.filter(unix_micros(col("ts")) > t2)
+    ).foreach { chunk => Incremental.refresh(spark, chunk, incrPath) }
+
+    val fullPath = tmpDir()
+    Incremental.full(spark, events, fullPath)
+
+    val inc = sortedRows(incrPath)
+    val ful = sortedRows(fullPath)
+    assert(inc.nonEmpty)
+    assert(inc == ful)
+    assert(Incremental.watermark(spark, incrPath) ==
+      Incremental.watermark(spark, fullPath))
+  }
+
+  test("refresh with no new data is a no-op") {
+    val events = Tables.events(spark, sf)
+    val p = tmpDir()
+    assert(Incremental.refresh(spark, events, p) > 0)
+    val before = sortedRows(p)
+    assert(Incremental.refresh(spark, events, p) == 0) // all below watermark
+    assert(sortedRows(p) == before)
+  }
+
+  test("untouched day partitions are not rewritten") {
+    val events = Tables.events(spark, sf)
+    val p = tmpDir()
+    // Load everything except the max day, then refresh with just that day.
+    val maxDay = events.agg(max(date_format(col("ts"), "yyyy-MM-dd"))).head().getString(0)
+    Incremental.refresh(spark,
+      events.filter(date_format(col("ts"), "yyyy-MM-dd") < maxDay), p)
+
+    val someOldDay = new java.io.File(p).listFiles()
+      .filter(f => f.getName.startsWith("day=") && !f.getName.endsWith(maxDay))
+      .minBy(_.getName)
+    val filesBefore = someOldDay.listFiles().map(_.getName).sorted.toSeq
+
+    val touched = Incremental.refresh(spark,
+      events.filter(date_format(col("ts"), "yyyy-MM-dd") === maxDay), p)
+    assert(touched >= 1)
+    assert(someOldDay.listFiles().map(_.getName).sorted.toSeq == filesBefore)
+  }
+}
