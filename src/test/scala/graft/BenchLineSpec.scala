@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the driver-tail-window fit of Bench's JSON line (the driver
+  * keeps only the last 2000 chars of stdout; round 3's full-precision
+  * 67-query line overflowed it and the round's bench numbers were
+  * lost). Uses worst-case value widths so a green spec means the real
+  * line always fits regardless of measured times. */
+class BenchLineSpec extends AnyFunSuite {
+  private val names = SparkEntry.queries.keys.toSeq
+  // worst plausible per-query time: four integer digits (sub-3h run)
+  private val worst = names.map(_ -> 9999.994).toMap
+  private val sf = "/root/testdata/sf0.1"
+
+  test("2-decimal line fits the tail window for the current query set") {
+    val line = Bench.jsonLine(names, worst, sf, dp = 2, maxLen = Int.MaxValue)
+    assert(line.length <= Bench.MaxLineLen,
+      s"line is ${line.length} chars; shorten new query names or accept 1-dp degradation")
+  }
+
+  test("degradation keeps the emitted line within budget and parseable-shaped") {
+    val line = Bench.jsonLine(names, worst, sf, dp = 2)
+    assert(line.length <= Bench.MaxLineLen)
+    assert(line.startsWith("""{"metric":"total","value":"""))
+    assert(line.endsWith(s""","sf":"$sf"}"""))
+    // every query key present unless the totals-only fallback fired
+    assert(names.forall(n => line.contains("\"" + n + "\":")))
+  }
+
+  test("oracle coverage: every query has an oracle or a documented rows-only waiver") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracle without query: ${o.diff(q)}")
+    assert(q.diff(o).isEmpty, s"queries missing oracle SQL: ${q.diff(o)}")
+  }
+}
