@@ -40,8 +40,10 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
     candidates.find(_.length <= maxLen).getOrElse {
-      // last resort: totals only — still a valid, parseable record
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":{},"sf":"$sfDir"}"""
+      // last resort: totals only — still a valid, parseable record, with
+      // an explicit marker so "no per-query data" is distinguishable from
+      // "zero queries ran" (BENCH_FULL keeps the detail for humans)
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":{},"queries_dropped":${names.size},"sf":"$sfDir"}"""
     }
   }
 

@@ -15,8 +15,16 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       ExtendedQueries.queries ++ TemporalOps.queries ++ CrossModal.queries ++
       PipelineOps.queries ++ DedupClusters.queries ++ Contamination.queries ++
-      ShapeQueries.queries ++ ShapeQueries2.queries ++ QualityOps.queries ++
-      CurationOps.queries ++ IntervalJoin.queries
+      ShapeQueries.queries ++ ShapeQueries2.queries ++ ShapeQueries3.queries ++
+      QualityOps.queries ++ CurationOps.queries ++ IntervalJoin.queries
+
+  /** Queries deliberately WITHOUT an oracle entry — the driver records
+    * its weaker rows-only check for these. Membership requires a
+    * documented reason at the operator: currently only the approximate
+    * sketches, whose merge order is engine-internal and therefore not
+    * cross-engine reproducible (the exact forms stay oracle-gated).
+    * BenchLineSpec asserts queries ∖ oracleSql == this set exactly. */
+  val rowsOnlyQueries: Set[String] = Set("agg_percentiles_approx")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,6 +33,6 @@ object SparkEntry {
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
       ExtendedQueries.oracles ++ TemporalOps.oracles ++ CrossModal.oracles ++
       PipelineOps.oracles ++ DedupClusters.oracles ++ Contamination.oracles ++
-      ShapeQueries.oracles ++ ShapeQueries2.oracles ++ QualityOps.oracles ++
-      CurationOps.oracles ++ IntervalJoin.oracles
+      ShapeQueries.oracles ++ ShapeQueries2.oracles ++ ShapeQueries3.oracles ++
+      QualityOps.oracles ++ CurationOps.oracles ++ IntervalJoin.oracles
 }

@@ -150,6 +150,31 @@ object ExtendedQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** B25: the scale-safe percentile path. B11's `percentile_disc` buffers
+    * every group's values in the aggregation buffer — with ~5 event types
+    * each buffer holds ~a fifth of the fact table, an executor OOM at
+    * 100×, not a slowdown. `approx_percentile` keeps a bounded
+    * Greenwald-Khanna sketch per group (O(1/accuracy · log n) entries)
+    * with guaranteed rank error ≤ n/accuracy = n/10⁴;
+    * `approx_count_distinct` likewise replaces the exact distinct's
+    * per-group expand with O(1) HLL registers. ApproxPercentileSpec
+    * measures the actual rank error vs the exact form on the real events
+    * table. No SQL oracle: sketch merge order is engine-internal, so this
+    * rides the driver's rows-only check (SparkEntry.rowsOnlyQueries);
+    * B11 stays as the hash-exact oracle form at small SF. */
+  def aggPercentilesApprox(spark: SparkSession, d: String): DataFrame = {
+    Tables.events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("pcts"),
+        approx_count_distinct(col("user_id")).as("n_users_approx"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"),
+        col("pcts")(0).as("p50"), col("pcts")(1).as("p90"), col("pcts")(2).as("p99"),
+        col("n_users_approx"), col("n"))
+      .orderBy(col("event_type"))
+  }
+
   /** B12: anti-join — customers with no order above 300k (left_anti keeps
     * the build side small: the filtered orders projection). */
   def custNoBigOrder(spark: SparkSession, d: String): DataFrame = {
@@ -173,6 +198,7 @@ object ExtendedQueries {
     "feat_json_extract" -> featJsonExtract _,
     "docs_rollup" -> docsRollup _,
     "agg_percentiles" -> aggPercentiles _,
+    "agg_percentiles_approx" -> aggPercentilesApprox _,
     "cust_no_big_order" -> custNoBigOrder _)
 
   val oracles: Map[String, String] = Map(

@@ -32,6 +32,12 @@ class BenchLineSpec extends AnyFunSuite {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle without query: ${o.diff(q)}")
-    assert(q.diff(o).isEmpty, s"queries missing oracle SQL: ${q.diff(o)}")
+    // the waiver set is exact in BOTH directions: an undocumented gap
+    // fails, and a stale waiver (query gained an oracle or was removed)
+    // also fails rather than silently over-waiving
+    assert(q.diff(o) == SparkEntry.rowsOnlyQueries,
+      s"oracle gaps ${q.diff(o)} != documented rows-only waivers ${SparkEntry.rowsOnlyQueries}")
+    assert(SparkEntry.rowsOnlyQueries.intersect(o).isEmpty,
+      s"waived queries that DO have oracles: ${SparkEntry.rowsOnlyQueries.intersect(o)}")
   }
 }

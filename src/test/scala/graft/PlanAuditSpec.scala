@@ -164,6 +164,27 @@ class PlanAuditSpec extends SparkSpec {
       || p.contains("BroadcastHashJoin"), s"expected a hash/merge equi-join:\n$p")
   }
 
+  test("q21 plans keyed semi/anti correlations, never a nested loop over lineitem") {
+    // at test SF the lineitem self-correlation legs fit a broadcast, so
+    // size-based broadcast is disabled to audit the at-scale shape: both
+    // correlations must stay KEYED (shuffle) joins on l_orderkey with the
+    // suppkey/shipdate comparisons as in-group residuals. The supplier
+    // broadcast() HINT must survive the disabled threshold.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val p = plan("q21_wait_sole")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"self-correlation degenerated to a nested loop:\n$p")
+      assert(p.contains("LeftSemi"), s"expected semi join for EXISTS:\n$p")
+      assert(p.contains("LeftAnti"), s"expected anti join for NOT EXISTS:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"correlations must shuffle on l_orderkey at scale:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"supplier hint should broadcast:\n$p")
+    } finally spark.conf.set(key, old)
+  }
+
   test("rank queries contain no single-partition window exchange") {
     // a Window with empty partitionBy plans Exchange SinglePartition —
     // the whole input through one task; RankOps must keep these out
