@@ -12,11 +12,14 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL: [[ImageDecoder]] decodes PNG/JPEG/GIF/BMP
   * pixels with the JDK's javax.imageio (no native dependencies) and
   * pools actual channel/quadrant statistics — spec-verified against
-  * known images. AUDIO/VIDEO decode remains stubbed ([[FakeAudioDecoder]]
-  * / [[FakeVideoDecoder]]: the JDK ships no audio/video codecs), with
-  * the real bounded-batch plumbing around both paths spec-tested.
-  * [[FakeDecoder]] is kept for the deterministic text-payload pipeline
-  * tests ("image/fake" media_type).
+  * known images. AUDIO decode is REAL: [[AudioDecoder]] decodes WAV/
+  * AIFF/AU PCM frames with javax.sound.sampled (sample rate, channels,
+  * duration, RMS/peak/ZCR/clipping) — spec-verified bit-exact against
+  * generated waveforms. VIDEO decode remains stubbed
+  * ([[FakeVideoDecoder]]: the JDK ships no video codec), with the real
+  * bounded-batch plumbing spec-tested around it. [[FakeDecoder]] is
+  * kept for the deterministic text-payload pipeline tests
+  * ("image/fake" media_type).
   */
 object MultimodalPipeline {
 
@@ -168,18 +171,90 @@ object MultimodalPipeline {
     StructField("duration_ms", IntegerType, nullable = false),
     StructField("feature", ArrayType(FloatType), nullable = false)))
 
-  /** STUB audio probe — deterministic on payload bytes, same shape a real
-    * header-parse + resample + pooled-MFCC pipeline would return. */
-  object FakeAudioDecoder {
-    private val rates = Array(8000, 16000, 22050, 44100)
-    def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
-      val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
-      def u16(i: Int): Int = ((md(i) & 0xff) << 8) | (md(i + 1) & 0xff)
-      val rate = rates(u16(0) % rates.length)
-      val channels = u16(2) % 2 + 1
-      val durationMs = u16(4) % 60000 + 100
-      val feat = (0 until 8).map(i => (md(i * 2 + 1) & 0xff) / 255.0f).toArray
-      (rate, channels, durationMs, feat)
+  /** REAL audio decode via javax.sound.sampled — JDK-only (WAV/AIFF/AU
+    * containers; PCM 8/16/24-bit, μ-law, a-law encodings), no native
+    * dependencies. The container header gives sample rate and channel
+    * count; frames are then normalized to signed 16-bit PCM at the
+    * native rate (AudioSystem's built-in converters) and streamed ONCE
+    * in fixed 8 KiB chunks — never the whole clip in memory — pooling:
+    *
+    *   f0/f1 RMS of channel 0/1   f2/f3 peak |sample| of channel 0/1
+    *   f4 mean over all channels (DC offset)
+    *   f5 zero-crossing rate of channel 0 (sign flips / (frames-1))
+    *   f6 clipped-sample fraction (|s| = full scale, any channel)
+    *   f7 bias lane (1.0)
+    *
+    * Samples normalize by 1/32768, so half-scale (16384) stats are exact
+    * binary fractions — spec-asserted bit-exact on generated WAV/AIFF.
+    * Mono duplicates its stats into the ch-1 lanes; >2 channels pool the
+    * extras into lane 1. Returns None for payloads AudioSystem rejects
+    * (MP3/Vorbis have no JDK codec — the video stub's honest boundary). */
+  object AudioDecoder {
+    def decode(payload: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+      import javax.sound.sampled._
+      val raw =
+        try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+        catch {
+          case _: UnsupportedAudioFileException => return None
+          case _: java.io.IOException => return None
+        }
+      try {
+        val f = raw.getFormat
+        val ch = f.getChannels
+        val rate = math.round(f.getSampleRate)
+        if (ch <= 0 || rate <= 0) return None
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          f.getSampleRate, 16, ch, 2 * ch, f.getSampleRate, false)
+        val pcm = AudioSystem.getAudioInputStream(target, raw)
+        val sumSq = new Array[Double](2)
+        val peak = new Array[Double](2)
+        var sum = 0.0
+        var clipped = 0L
+        var crossings = 0L
+        var prevSign = 0
+        var frames = 0L
+        val buf = new Array[Byte](8192 - 8192 % (2 * ch))
+        var read = pcm.read(buf)
+        while (read > 0) {
+          var i = 0
+          while (i + 2 * ch <= read) {
+            var c = 0
+            while (c < ch) {
+              val s = ((buf(i + 2 * c) & 0xff) | (buf(i + 2 * c + 1) << 8)).toShort
+              val v = s / 32768.0
+              val lane = math.min(c, 1)
+              sumSq(lane) += v * v
+              if (math.abs(v) > peak(lane)) peak(lane) = math.abs(v)
+              sum += v
+              if (s == Short.MaxValue || s == Short.MinValue) clipped += 1
+              if (c == 0) {
+                val sign = java.lang.Integer.signum(s)
+                if (sign != 0 && prevSign != 0 && sign != prevSign) crossings += 1
+                if (sign != 0) prevSign = sign
+              }
+              c += 1
+            }
+            frames += 1
+            i += 2 * ch
+          }
+          read = pcm.read(buf)
+        }
+        if (frames == 0) return Some((rate, ch, 0, Array.fill(7)(0.0f) :+ 1.0f))
+        val n0 = frames.toDouble
+        val n1 = frames.toDouble * math.max(ch - 1, if (ch == 1) 1 else 0)
+        val durationMs = math.round(frames * 1000.0 / rate).toInt
+        val rms0 = math.sqrt(sumSq(0) / n0)
+        val (rms1, peak1) =
+          if (ch == 1) (rms0, peak(0)) else (math.sqrt(sumSq(1) / n1), peak(1))
+        val feat = Array(
+          rms0.toFloat, rms1.toFloat, peak(0).toFloat, peak1.toFloat,
+          (sum / (frames * ch)).toFloat,
+          (if (frames > 1) crossings.toDouble / (frames - 1) else 0.0).toFloat,
+          (clipped.toDouble / (frames * ch)).toFloat,
+          1.0f)
+        Some((rate, ch, durationMs, feat))
+      } catch { case _: Exception => None }
+      finally raw.close()
     }
   }
 
@@ -232,14 +307,19 @@ object MultimodalPipeline {
       }(enc)
   }
 
-  /** Audio metadata/feature extraction with bounded batches. */
+  /** Audio metadata/feature extraction with bounded batches — REAL
+    * decode ([[AudioDecoder]]). Payloads the JDK cannot parse surface
+    * as sample_rate/n_channels/duration_ms = 0 with a zero feature —
+    * callers filter on `sample_rate > 0` instead of losing the row
+    * (the image-path convention: corrupt-input rates stay visible). */
   def decodeAudio(media: DataFrame, maxRows: Int = 64,
       maxBytes: Long = 8L << 20): DataFrame =
     decodeBatched(media, audioSchema, maxRows, maxBytes) { batch =>
-      // a real impl would make ONE library call for the whole batch
       batch.map { case (id, payload) =>
-        val (rate, ch, ms, feat) = FakeAudioDecoder.decode(payload)
-        Row(id, payload.length, rate, ch, ms, feat)
+        AudioDecoder.decode(payload) match {
+          case Some((rate, ch, ms, feat)) => Row(id, payload.length, rate, ch, ms, feat)
+          case None => Row(id, payload.length, 0, 0, 0, Array.fill(8)(0.0f))
+        }
       }
     }
 

@@ -93,11 +93,12 @@ class MultimodalSpec extends SparkSpec {
 
   test("audio and video metadata extraction: typed schemas, deterministic") {
     val media = MultimodalPipeline.asMediaTable(Tables.documents(spark, sf))
+    // text payloads are not audio: the real decoder keeps every row and
+    // flags it (sample_rate = 0) — corrupt-input rates stay measurable
     val audio = MultimodalPipeline.decodeAudio(media).cache()
     assert(audio.schema === MultimodalPipeline.audioSchema)
     assert(audio.count() === media.count())
-    assert(audio.filter(!col("sample_rate").isin(8000, 16000, 22050, 44100)).count() === 0)
-    assert(audio.filter(col("n_channels") < 1 || col("n_channels") > 2).count() === 0)
+    assert(audio.filter(col("sample_rate") =!= 0 || col("n_channels") =!= 0).count() === 0)
     assert(audio.filter(size(col("feature")) =!= 8).count() === 0)
     assert(audio.except(MultimodalPipeline.decodeAudio(media)).count() === 0)
 
@@ -108,6 +109,68 @@ class MultimodalSpec extends SparkSpec {
     // duration consistent with frames/fps (integer truncation tolerance)
     assert(video.filter(
       abs(col("duration_ms") - col("n_frames") * 1000 / col("fps")) > 1).count() === 0)
+  }
+
+  test("real audio decode: WAV/AIFF PCM frames, RMS/peak/ZCR/clipping, duration") {
+    import javax.sound.sampled._
+    // synthesize a container: 16-bit PCM samples -> WAV (little-endian)
+    // or AIFF (big-endian) bytes via the same JDK writer users would hit
+    def audioBytes(rate: Float, channels: Int, samples: Array[Short],
+        fileType: AudioFileFormat.Type, bigEndian: Boolean): Array[Byte] = {
+      val fmt = new AudioFormat(rate, 16, channels, true, bigEndian)
+      val bytes = new Array[Byte](samples.length * 2)
+      for (i <- samples.indices) {
+        val (hi, lo) = ((samples(i) >> 8).toByte, samples(i).toByte)
+        if (bigEndian) { bytes(2 * i) = hi; bytes(2 * i + 1) = lo }
+        else { bytes(2 * i) = lo; bytes(2 * i + 1) = hi }
+      }
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(bytes),
+        fmt, samples.length / channels)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, fileType, out)
+      out.toByteArray
+    }
+    // mono half-scale square wave, 1 s at 8 kHz: every stat is an exact
+    // binary fraction (16384/32768 = 0.5), so equality is exact
+    val square = Array.tabulate(8000)(i => if (i % 2 == 0) 16384 else -16384).map(_.toShort)
+    // stereo, 100 ms at 44.1 kHz: left silent, right pinned at full scale
+    val stereo = Array.tabulate(8820)(i => if (i % 2 == 0) 0 else 32767).map(_.toShort)
+    val rows = Seq(
+      (1L, audioBytes(8000f, 1, square, AudioFileFormat.Type.WAVE, bigEndian = false), "audio/wav"),
+      (2L, audioBytes(44100f, 2, stereo, AudioFileFormat.Type.WAVE, bigEndian = false), "audio/wav"),
+      (3L, audioBytes(8000f, 1, square, AudioFileFormat.Type.AIFF, bigEndian = true), "audio/aiff"),
+      (4L, "not audio".getBytes("UTF-8"), "audio/wav"))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3))),
+      MultimodalPipeline.mediaSchema)
+    val decoded = MultimodalPipeline.decodeAudio(media)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    for (id <- Seq(1L, 3L)) { // WAV and AIFF carry the same frames
+      val r = decoded(id)
+      assert(r.getInt(2) === 8000 && r.getInt(3) === 1, s"rate/channels of $id")
+      assert(r.getInt(4) === 1000, s"duration of $id")
+      val f = r.getSeq[Float](5)
+      assert(f(0) === 0.5f && f(1) === 0.5f, s"RMS of half-scale square: ${f(0)}")
+      assert(f(2) === 0.5f && f(3) === 0.5f, s"peak: ${f(2)}")
+      assert(f(4) === 0.0f, s"DC offset of a symmetric square: ${f(4)}")
+      assert(f(5) === 1.0f, s"ZCR of an every-sample flip: ${f(5)}")
+      assert(f(6) === 0.0f, s"no clipping at half scale: ${f(6)}")
+    }
+    val s = decoded(2L)
+    assert(s.getInt(2) === 44100 && s.getInt(3) === 2)
+    assert(s.getInt(4) === 100, "4410 frames at 44.1 kHz")
+    val fs = s.getSeq[Float](5)
+    assert(fs(0) === 0.0f && fs(2) === 0.0f, "silent left channel")
+    assert(math.abs(fs(1) - 32767f / 32768f) < 1e-6 &&
+      math.abs(fs(3) - 32767f / 32768f) < 1e-6, "full-scale right channel")
+    assert(math.abs(fs(4) - 32767.0 / 65536) < 1e-6, "mean over both channels")
+    assert(fs(5) === 0.0f, "ZCR over the silent channel")
+    assert(fs(6) === 0.5f, "right channel fully clipped, left clean")
+    // undecodable payload kept + flagged, not dropped
+    val bad = decoded(4L)
+    assert(bad.getInt(2) === 0 && bad.getInt(3) === 0 && bad.getInt(4) === 0)
   }
 
   test("batched extraction bounds batch rows AND payload bytes per batch") {
