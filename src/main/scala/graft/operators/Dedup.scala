@@ -150,8 +150,9 @@ object Dedup {
 
   /** C5: embedding-cosine near-dup pairs. Dot/norm via left-fold in array
     * order (deterministic, bit-identical to DuckDB's list_reduce). At
-    * scale candidates come from LSH buckets (see Similarity.simLshAnn);
-    * the small-SF oracle keys the join on the id inequality only. */
+    * scale candidates come from LSH buckets — `Similarity.lshNearDupPairs`
+    * is the production form (equality-tested against this oracle); the
+    * small-SF oracle keys the join on the id inequality only. */
   def dedupEmbedCos(spark: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(spark, d)
       .select(col("vec_id"), col("embedding"),

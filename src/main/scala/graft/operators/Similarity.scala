@@ -94,6 +94,43 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** The 100 TB path for C5 (threshold-PAIR embedding near-dup, the
+    * production counterpart of the quarantined all-pairs oracle form):
+    * multi-table random-hyperplane LSH candidates + exact cosine verify.
+    *
+    * A pair is a candidate iff it shares at least one (table, bucket)
+    * cell from [[AnnSearch.sketchCells]] — a plain equi-join on the cell
+    * key, never an all-pairs product; hot cells split under AQE. Exact
+    * cosine then verifies ONLY the candidates, so false positives are
+    * impossible; the sketch controls recall alone. A hyperplane agrees
+    * with a pair at angle θ with P = 1 − θ/π, so recall at threshold t is
+    * 1 − (1 − p^planes)^tables with p = 1 − arccos(t)/π — the defaults
+    * (24 tables × 4 planes) give ≥ 0.99 at t = 0.45 and higher above it;
+    * raise `planesPerTable` (finer buckets) as the corpus grows and add
+    * tables to hold recall. Embeddings never ride the candidate shuffle:
+    * cells carry (id, table_idx, bucket) only, and the float arrays
+    * re-attach by keyed join after the candidate dedup.
+    *
+    * Run it over exact-dedup representatives (DedupPipeline's convention)
+    * so identical-vector families don't inflate bucket fan-out. */
+  def lshNearDupPairs(vecs: DataFrame, id: String, dims: Int, threshold: Double,
+      tables: Int = 24, planesPerTable: Int = 4): DataFrame = {
+    val cells = AnnSearch.sketchCells(vecs, id, dims, tables, planesPerTable)
+    val a = cells.select(col(id).as("id_a"), col("table_idx"), col("bucket"))
+    val b = cells.select(col(id).as("id_b"), col("table_idx"), col("bucket"))
+    val candIds = a.join(b, Seq("table_idx", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val e = vecs.select(col(id), col("embedding"),
+      VecDot.vecNorm(col("embedding")).as("nrm"))
+    candIds
+      .join(e.select(col(id).as("id_a"), col("embedding").as("ea"), col("nrm").as("na")), Seq("id_a"))
+      .join(e.select(col(id).as("id_b"), col("embedding").as("eb"), col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("cos", VecDot.cosine(col("ea"), col("na"), col("eb"), col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_exact" -> simTopkExact _,
     "sim_lsh_sketch" -> simLshSketch _)
