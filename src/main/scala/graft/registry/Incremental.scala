@@ -80,8 +80,10 @@ object Incremental {
     }
   }
 
-  private def writeWatermark(spark: SparkSession, snapshotPath: String,
-                             wm: Long): Unit = {
+  /** Advance the stored high-water mark (atomic temp+rename; shared by
+    * the dedup incremental path, which watermarks on doc id). */
+  def writeWatermark(spark: SparkSession, snapshotPath: String,
+                     wm: Long): Unit = {
     val f = fs(spark, snapshotPath)
     val tmp = new Path(s"$snapshotPath/_watermark.tmp")
     val out = f.create(tmp, true)

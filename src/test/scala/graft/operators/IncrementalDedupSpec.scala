@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** G17: incremental dedup refreshes must be indistinguishable from a
+  * one-shot recompute — the same contract IncrementalSpec proves for
+  * feature materialization, here for the cluster state. */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("three incremental refreshes equal the one-shot pipeline on the real corpus") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val state = java.nio.file.Files.createTempDirectory("graft-incdedup").toString
+    val n1 = IncrementalDedup.refresh(spark, docs.filter(col("doc_id") < 200),
+      state, threshold = 0.5)
+    val n2 = IncrementalDedup.refresh(spark, docs.filter(col("doc_id") < 350),
+      state, threshold = 0.5)
+    val n3 = IncrementalDedup.refresh(spark, docs, state, threshold = 0.5)
+    assert(n1 === 200 && n2 === 150 && n3 === 150,
+      "each refresh must process exactly the docs past the watermark")
+    val inc = IncrementalDedup.assignments(spark, state)
+    val full = DedupPipeline.dedup(docs, threshold = 0.5)
+    assert(inc.except(full).count() === 0 && full.except(inc).count() === 0,
+      "incremental cluster state diverged from the one-shot recompute")
+    // nothing new -> no-op, state untouched
+    assert(IncrementalDedup.refresh(spark, docs, state, threshold = 0.5) === 0L)
+  }
+
+  test("a new doc bridges two existing clusters; all members relabel") {
+    val state = java.nio.file.Files.createTempDirectory("graft-incbridge").toString
+    val a = "a b c d e"
+    val b = "p q r s t"
+    val batch1 = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    // J(bridge, a) = J(bridge, b) = 3/8 — above 0.35, so the bridge doc
+    // near-dups with BOTH prior clusters and must merge them
+    val batch2 = Seq((3L, s"$a $b"), (4L, b)).toDF("doc_id", "text")
+
+    assert(IncrementalDedup.refresh(spark, batch1, state, threshold = 0.35) === 2L)
+    val before = IncrementalDedup.assignments(spark, state)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before === Map(1L -> 1L, 2L -> 2L), "disjoint clusters before the bridge")
+
+    assert(IncrementalDedup.refresh(spark, batch2, state, threshold = 0.35) === 2L)
+    val after = IncrementalDedup.assignments(spark, state).cache()
+    val byDoc = after.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // doc 3 bridges clusters {1} and {2}: everyone relabels to min id 1 —
+    // including doc 4, an exact copy of PRIOR doc 2, which must inherit
+    // 2's post-merge label, not its stale one
+    (1L to 4L).foreach(i => assert(byDoc(i)._1 === 1L, s"doc $i: ${byDoc(i)}"))
+    assert(after.filter(col("keep")).select("doc_id").as[Long].collect().toSeq === Seq(1L))
+    // parity with the one-shot over the concatenated corpus
+    val full = DedupPipeline.dedup(batch1.unionByName(batch2), threshold = 0.35)
+    assert(after.except(full).count() === 0 && full.except(after).count() === 0)
+  }
+}
