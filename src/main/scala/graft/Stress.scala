@@ -220,7 +220,11 @@ object Stress {
       val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       hfs.delete(p, true)
       val docs = Tables.documents(spark, dir).select("doc_id", "text")
-      val cut = (mult / 2) * 10000000L
+      // median of the actual id range, so the first batch is non-empty
+      // even at mult=1 (the old (mult/2)*shift was 0 there, making the
+      // first refresh a no-op and the timing comparison meaningless)
+      val idRange = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val cut = idRange.getLong(0) / 2 + idRange.getLong(1) / 2
       val t0 = System.nanoTime()
       IncrementalDedup.refresh(spark, docs.filter(col("doc_id") < cut),
         state, threshold = 0.8, maxDf = 40)

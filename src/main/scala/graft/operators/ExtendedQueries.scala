@@ -143,7 +143,10 @@ object ExtendedQueries {
       .toDF("event_type", "p50", "p90", "p99")
     ev.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
-      .join(broadcast(pctDf), Seq("event_type"))
+      // left join: a group whose values are all NULL has no percentile
+      // entry but must still appear (with NULL p50/p90/p99), matching
+      // the built-in percentile_disc and the unchanged DuckDB oracle
+      .join(broadcast(pctDf), Seq("event_type"), "left")
       .select(col("event_type"), col("p50"), col("p90"), col("p99"),
         col("n_users"), col("n"))
       .orderBy(col("event_type"))

@@ -19,17 +19,24 @@ import org.apache.spark.sql.types._
   *
   *   - `hashes/batch=*`  (_h, rep): exact-text-hash → representative id.
   *     New batches land in their own `batch=` directory keyed by the
-  *     watermark they extend, so a refresh that crashed before advancing
-  *     the watermark simply overwrites its own directory on retry —
-  *     idempotent without an ACID table format (Delta/Iceberg are
-  *     environment-blocked; this is the same adjudicated substitute as
-  *     the FeatureStore manifest).
+  *     watermark they extend. A batch directory is COMMITTED only once
+  *     the watermark has advanced past its tag; readers filter to
+  *     committed batches, so a refresh that crashed after writing its
+  *     directory but before advancing the watermark leaves state the
+  *     retry cannot see — the retry re-derives the batch from scratch
+  *     and overwrites the orphan directory. Idempotent without an ACID
+  *     table format (Delta/Iceberg are environment-blocked; this is the
+  *     same adjudicated substitute as the FeatureStore manifest).
   *   - `shingles/batch=*` (doc_id, shingle): the near-dup blocking index
   *     of prior REPRESENTATIVES only (exact-dup members never shingle).
-  *   - `assign` (doc_id, cluster_id): every doc's cluster label — tiny
-  *     relative to the corpus (two longs/doc); rewritten per refresh
-  *     because a new doc can BRIDGE two existing clusters and relabel
-  *     all their members.
+  *   - `assign/batch=*` (doc_id, cluster_id): every doc's cluster label —
+  *     tiny relative to the corpus (two longs/doc); a FULL SNAPSHOT per
+  *     refresh (not a delta) because a new doc can BRIDGE two existing
+  *     clusters and relabel all their members. Readers take the LATEST
+  *     committed snapshot, so the non-atomicity of a parquet overwrite
+  *     never corrupts prior state: a torn snapshot is by definition
+  *     uncommitted and invisible. Superseded snapshots are pruned
+  *     best-effort after each commit.
   *
   * A refresh processes docs with id > watermark (the G14 caveat applies:
   * ids must be ingestion-monotonic — a late row under an already-passed
@@ -69,12 +76,51 @@ object IncrementalDedup {
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def readOrEmpty(spark: SparkSession, path: String,
-      schema: StructType): DataFrame =
-    if (fs(spark, path).exists(new Path(path)))
-      spark.read.parquet(path).select(schema.fieldNames.map(col).toSeq: _*)
-    else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  private def tagOf(wm: Long): String =
+    if (wm == Long.MinValue) "init" else wm.toString
+
+  private def tagValue(t: String): Long =
+    if (t == "init") Long.MinValue else t.toLong
+
+  /** (tag value, path) of every batch directory under `dir` whose tag is
+    * strictly below the current watermark — i.e. whose writing refresh
+    * went on to advance the watermark past it. The at-most-one
+    * uncommitted directory (tag == current watermark) is excluded, which
+    * is the crash-retry guarantee: a retry sees exactly the state the
+    * failed attempt saw. */
+  private def committedBatches(spark: SparkSession, dir: String,
+      wm: Long): Seq[(Long, String)] = {
+    val p = new Path(dir)
+    val hfs = fs(spark, dir)
+    if (!hfs.exists(p)) Seq.empty
+    else hfs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(s => (tagValue(s.getPath.getName.stripPrefix("batch=")),
+        s.getPath.toString))
+      .filter(_._1 < wm)
+  }
+
+  private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  /** Union of all committed batch directories (hashes/shingles deltas). */
+  private def readCommitted(spark: SparkSession, dir: String,
+      schema: StructType, wm: Long): DataFrame = {
+    val dirs = committedBatches(spark, dir, wm).map(_._2)
+    if (dirs.isEmpty) emptyDf(spark, schema)
+    else spark.read.parquet(dirs: _*)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Latest committed assign snapshot (full-corpus labels). */
+  private def readAssign(spark: SparkSession, statePath: String,
+      wm: Long): DataFrame =
+    committedBatches(spark, s"$statePath/assign", wm)
+      .sortBy(_._1).lastOption match {
+      case Some((_, dir)) => spark.read.parquet(dir)
+        .select(assignSchema.fieldNames.map(col).toSeq: _*)
+      case None => emptyDf(spark, assignSchema)
+    }
 
   private def shingle(docs: DataFrame, id: String, text: String): DataFrame =
     docs
@@ -86,7 +132,7 @@ object IncrementalDedup {
   /** Current labels: (doc_id, cluster_id, keep) for every doc ever
     * refreshed — the same contract as [[DedupPipeline.dedup]]. */
   def assignments(spark: SparkSession, statePath: String): DataFrame =
-    readOrEmpty(spark, s"$statePath/assign", assignSchema)
+    readAssign(spark, statePath, Incremental.watermark(spark, statePath))
       .withColumn("keep", col("doc_id") === col("cluster_id"))
 
   /** Incorporate all docs with id above the watermark. Returns the
@@ -101,9 +147,9 @@ object IncrementalDedup {
     val nFresh = hashedNew.count()
     if (nFresh == 0) return 0L
 
-    val oldHashes = readOrEmpty(spark, s"$statePath/hashes", hashesSchema)
-    val oldShingles = readOrEmpty(spark, s"$statePath/shingles", shinglesSchema)
-    val oldAssign = readOrEmpty(spark, s"$statePath/assign", assignSchema)
+    val oldHashes = readCommitted(spark, s"$statePath/hashes", hashesSchema, wm)
+    val oldShingles = readCommitted(spark, s"$statePath/shingles", shinglesSchema, wm)
+    val oldAssign = readAssign(spark, statePath, wm)
 
     // 1. exact dedup: against prior corpus, then within the batch
     val knownRep = hashedNew.join(oldHashes, Seq("_h"))
@@ -166,17 +212,25 @@ object IncrementalDedup {
       .unionByName(assignKnown)
       .localCheckpoint(true) // materialize before overwriting its own source
 
-    // writes: batch dirs are keyed by the watermark they extend, so a
-    // retry of a failed refresh overwrites its own output (idempotent);
-    // the watermark advances LAST, committing the batch
-    val tag = if (wm == Long.MinValue) "init" else wm.toString
+    // writes: all three outputs are keyed by the watermark they extend,
+    // so a retry of a failed refresh overwrites its own output and
+    // readers (filtered to committed tags) never see a torn batch; the
+    // watermark advances LAST, committing all three at once
+    val tag = tagOf(wm)
     newHashRep.select("_h", "rep").write.mode("overwrite")
       .parquet(s"$statePath/hashes/batch=$tag")
     newShingled.write.mode("overwrite")
       .parquet(s"$statePath/shingles/batch=$tag")
-    assign.write.mode("overwrite").parquet(s"$statePath/assign")
+    assign.write.mode("overwrite").parquet(s"$statePath/assign/batch=$tag")
     val newWm = hashedNew.agg(max(col("doc_id"))).head().getLong(0)
     Incremental.writeWatermark(spark, statePath, math.max(wm, newWm))
+    // prune superseded assign snapshots (best-effort: a failure here
+    // costs disk, never correctness — readers take the latest committed)
+    val hfs = fs(spark, statePath)
+    committedBatches(spark, s"$statePath/assign", wm)
+      .foreach { case (_, dir) =>
+        try hfs.delete(new Path(dir), true) catch { case _: Exception => () }
+      }
     nFresh
   }
 }

@@ -41,33 +41,50 @@ object PercentileOps {
 
   /** Exact percentile_disc values for every (group, p). NULL values are
     * ignored, matching the built-in; groups with no non-null values are
-    * absent from the result. */
+    * absent from the result. NaN sorts LAST (largest), as in Spark's
+    * ordering: a rank that lands past the non-NaN values returns NaN.
+    * The band arithmetic itself only ever sees non-NaN values — NaN
+    * fails every range comparison, so letting it into `base` would
+    * strand it outside all bands and desync the counts. */
   def percentileDisc(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double], bands: Int = 1024, directCap: Long = 16384,
       maxIter: Int = 8): Map[(String, Double), Double] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val base = df.filter(col(valueCol).isNotNull)
+    val valued = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol).cast("string").as("_g"),
         col(valueCol).cast("double").as("_v"))
+    val base = valued.filter(!isnan(col("_v")))
 
     final case class State(sid: Int, group: String, p: Double,
       var lo: Double, var hi: Double, var k: Long, var cnt: Long)
 
-    val stats = base.groupBy(col("_g"))
-      .agg(count(lit(1)).as("n"), min(col("_v")).as("mn"), max(col("_v")).as("mx"))
+    // n counts NaN (it participates in the rank denominator, sorted
+    // last); mn/mx/nn cover the non-NaN values the band passes scan
+    val stats = valued.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"),
+        count(when(!isnan(col("_v")), lit(1))).as("nn"),
+        min(when(!isnan(col("_v")), col("_v"))).as("mn"),
+        max(when(!isnan(col("_v")), col("_v"))).as("mx"))
       .collect()
     var sid = -1
+    val resolved = scala.collection.mutable.Map.empty[(String, Double), Double]
     val states = (for (r <- stats; p <- ps) yield {
       val n = r.getLong(1)
+      val nn = r.getLong(2)
       // smallest k with k/n >= p, in the same double math as cume_dist
       var k = math.max(1L, math.min(n, math.ceil(p * n).toLong))
       while (k > 1 && (k - 1).toDouble / n >= p) k -= 1
       while (k.toDouble / n < p && k < n) k += 1
-      sid += 1
-      State(sid, r.getString(0), p, r.getDouble(2), r.getDouble(3), k, n)
-    }).toBuffer
-    val resolved = scala.collection.mutable.Map.empty[(String, Double), Double]
+      if (k > nn) {
+        // rank falls in the NaN tail
+        resolved((r.getString(0), p)) = Double.NaN
+        None
+      } else {
+        sid += 1
+        Some(State(sid, r.getString(0), p, r.getDouble(3), r.getDouble(4), k, nn))
+      }
+    }).flatten.toBuffer
     def resolve(s: State, v: Double): Unit = {
       resolved((s.group, s.p)) = v
       states -= s

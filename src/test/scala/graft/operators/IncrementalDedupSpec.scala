@@ -27,6 +27,43 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(IncrementalDedup.refresh(spark, docs, state, threshold = 0.5) === 0L)
   }
 
+  test("crash-retry is idempotent: a half-committed batch is invisible") {
+    import java.nio.file.{Files, Path}
+    def copyTree(from: Path, to: Path): Unit = {
+      Files.walk(from).forEach { p =>
+        val dst = to.resolve(from.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(dst)
+        else Files.copy(p, dst)
+      }
+    }
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val state = Files.createTempDirectory("graft-inccrash")
+    IncrementalDedup.refresh(spark, docs.filter(col("doc_id") < 200),
+      state.toString, threshold = 0.5)
+    val wmBefore = graft.registry.Incremental.watermark(spark, state.toString)
+    // build the half-committed state faithfully: run the second refresh
+    // in a CLONE, then copy only its new batch dirs back — the on-disk
+    // picture of a crash after all three batch dirs were written but
+    // before the watermark commit (so the clone's prune never ran here)
+    val clone = Files.createTempDirectory("graft-inccrash-clone")
+    copyTree(state, clone)
+    IncrementalDedup.refresh(spark, docs, clone.toString, threshold = 0.5)
+    for (sub <- Seq("hashes", "shingles", "assign"))
+      copyTree(clone.resolve(s"$sub/batch=$wmBefore"),
+        state.resolve(s"$sub/batch=$wmBefore"))
+    // a reader between crash and retry sees exactly the pre-crash state
+    val atCrash = IncrementalDedup.assignments(spark, state.toString)
+    assert(atCrash.count() === 200, "uncommitted assign snapshot leaked to a reader")
+    // the retry must re-derive the batch from scratch, not treat the
+    // orphan dirs as prior state (which silently dropped new-rep docs)
+    val n = IncrementalDedup.refresh(spark, docs, state.toString, threshold = 0.5)
+    assert(n === docs.filter(col("doc_id") >= 200).count())
+    val inc = IncrementalDedup.assignments(spark, state.toString)
+    val full = DedupPipeline.dedup(docs, threshold = 0.5)
+    assert(inc.except(full).count() === 0 && full.except(inc).count() === 0,
+      "retry after simulated crash diverged from the one-shot recompute")
+  }
+
   test("a new doc bridges two existing clusters; all members relabel") {
     val state = java.nio.file.Files.createTempDirectory("graft-incbridge").toString
     val a = "a b c d e"

@@ -60,6 +60,23 @@ class PercentileOpsSpec extends SparkSpec {
     assert(got(("same", 0.99)) === 3.5)
   }
 
+  test("NaN sorts last, like the built-in's ordering") {
+    val df = Seq(
+      ("mixed", 1.0), ("mixed", 2.0), ("mixed", Double.NaN), ("mixed", Double.NaN),
+      ("allnan", Double.NaN), ("allnan", Double.NaN),
+      ("clean", 1.0), ("clean", 2.0), ("clean", 3.0))
+      .toDF("g", "v")
+    val got = PercentileOps.percentileDisc(df, "g", "v", ps)
+    val exp = builtin(df, "g", "v")
+    // Scala's boxed == keeps NaN != NaN, so compare via Double.compare
+    assert(got.keySet === exp.keySet)
+    got.foreach { case (k, v) =>
+      assert(java.lang.Double.compare(v, exp(k)) === 0, s"$k: $v vs ${exp(k)}") }
+    // mixed: n=4 incl two NaN; p50 -> k=2 lands on 2.0, p90/p99 -> the NaN tail
+    assert(got(("mixed", 0.5)) === 2.0)
+    assert(got(("mixed", 0.9)).isNaN && got(("allnan", 0.5)).isNaN)
+  }
+
   test("null values are ignored, like the built-in") {
     val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)), ("a", Some(2.0)))
       .toDF("g", "v")
