@@ -224,15 +224,20 @@ object Stress {
       // even at mult=1 (the old (mult/2)*shift was 0 there, making the
       // first refresh a no-op and the timing comparison meaningless)
       val idRange = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
-      val cut = idRange.getLong(0) / 2 + idRange.getLong(1) / 2
-      val t0 = System.nanoTime()
-      IncrementalDedup.refresh(spark, docs.filter(col("doc_id") < cut),
-        state, threshold = 0.8, maxDf = 40)
-      val t1 = System.nanoTime()
-      IncrementalDedup.refresh(spark, docs, state, threshold = 0.8, maxDf = 40)
-      val t2 = System.nanoTime()
-      println(f"STRESS incdedup_first_half          ${(t1 - t0) / 1e9}%8.2f s")
-      println(f"STRESS incdedup_second_half         ${(t2 - t1) / 1e9}%8.2f s")
+      // min/max aggregates return NULL on an empty table — guard, don't NPE
+      if (idRange.isNullAt(0)) {
+        println("STRESS incdedup skipped: documents table is empty")
+      } else {
+        val cut = idRange.getLong(0) / 2 + idRange.getLong(1) / 2
+        val t0 = System.nanoTime()
+        IncrementalDedup.refresh(spark, docs.filter(col("doc_id") < cut),
+          state, threshold = 0.8, maxDf = 40)
+        val t1 = System.nanoTime()
+        IncrementalDedup.refresh(spark, docs, state, threshold = 0.8, maxDf = 40)
+        val t2 = System.nanoTime()
+        println(f"STRESS incdedup_first_half          ${(t1 - t0) / 1e9}%8.2f s")
+        println(f"STRESS incdedup_second_half         ${(t2 - t1) / 1e9}%8.2f s")
+      }
     }
     spark.stop()
   }

@@ -79,8 +79,10 @@ object IncrementalDedup {
   private def tagOf(wm: Long): String =
     if (wm == Long.MinValue) "init" else wm.toString
 
-  private def tagValue(t: String): Long =
-    if (t == "init") Long.MinValue else t.toLong
+  /** None for a directory whose `batch=` tag is neither `init` nor a
+    * long — a stray/foreign dir must be skipped, not crash every read. */
+  private def tagValue(t: String): Option[Long] =
+    if (t == "init") Some(Long.MinValue) else scala.util.Try(t.toLong).toOption
 
   /** (tag value, path) of every batch directory under `dir` whose tag is
     * strictly below the current watermark — i.e. whose writing refresh
@@ -95,8 +97,8 @@ object IncrementalDedup {
     if (!hfs.exists(p)) Seq.empty
     else hfs.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .map(s => (tagValue(s.getPath.getName.stripPrefix("batch=")),
-        s.getPath.toString))
+      .flatMap(s => tagValue(s.getPath.getName.stripPrefix("batch="))
+        .map(v => (v, s.getPath.toString)))
       .filter(_._1 < wm)
   }
 

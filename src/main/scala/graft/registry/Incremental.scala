@@ -1,6 +1,6 @@
 package graft.registry
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -81,7 +81,14 @@ object Incremental {
   }
 
   /** Advance the stored high-water mark (atomic temp+rename; shared by
-    * the dedup incremental path, which watermarks on doc id). */
+    * the dedup incremental path, which watermarks on doc id).
+    *
+    * The swap is a single rename-with-overwrite (FileContext): the old
+    * delete-then-rename left a window where a crash erased the watermark
+    * entirely — every committed batch then read as uncommitted, a retry
+    * reprocessed the whole corpus into `batch=init`, and readers saw
+    * duplicate state. With OVERWRITE semantics the file atomically holds
+    * either the old or the new value, never neither. */
   def writeWatermark(spark: SparkSession, snapshotPath: String,
                      wm: Long): Unit = {
     val f = fs(spark, snapshotPath)
@@ -89,9 +96,10 @@ object Incremental {
     val out = f.create(tmp, true)
     try out.write(wm.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    f.delete(watermarkPath(snapshotPath), false)
-    if (!f.rename(tmp, watermarkPath(snapshotPath)))
-      throw new IllegalStateException(s"watermark rename lost at $snapshotPath")
+    val fc = FileContext.getFileContext(f.getUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(fc.makeQualified(tmp),
+      fc.makeQualified(watermarkPath(snapshotPath)), Options.Rename.OVERWRITE)
   }
 
   private def snapshotExists(spark: SparkSession, snapshotPath: String): Boolean =

@@ -64,6 +64,20 @@ class IncrementalDedupSpec extends SparkSpec {
       "retry after simulated crash diverged from the one-shot recompute")
   }
 
+  test("stray non-numeric batch directories are skipped, not a crash") {
+    val state = java.nio.file.Files.createTempDirectory("graft-incstray").toString
+    val docs = Seq((1L, "a b c d e"), (2L, "p q r s t")).toDF("doc_id", "text")
+    assert(IncrementalDedup.refresh(spark, docs, state, threshold = 0.35) === 2L)
+    // a foreign/stray directory under a state subdir (e.g. a manual
+    // backup) must be ignored by committedBatches, not NumberFormatException
+    for (sub <- Seq("hashes", "shingles", "assign"))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(state, sub, "batch=backup"))
+    val assign = IncrementalDedup.assignments(spark, state)
+    assert(assign.count() === 2L)
+    assert(IncrementalDedup.refresh(spark, docs, state, threshold = 0.35) === 0L)
+  }
+
   test("a new doc bridges two existing clusters; all members relabel") {
     val state = java.nio.file.Files.createTempDirectory("graft-incbridge").toString
     val a = "a b c d e"

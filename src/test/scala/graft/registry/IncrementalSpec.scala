@@ -48,6 +48,18 @@ class IncrementalSpec extends SparkSpec {
     assert(sortedRows(p) == before)
   }
 
+  test("watermark swap is a single overwrite rename: the file always holds a value") {
+    val p = tmpDir()
+    Incremental.writeWatermark(spark, p, 7L)
+    assert(Incremental.watermark(spark, p) == 7L)
+    // advancing over an EXISTING watermark must go through the
+    // rename-with-OVERWRITE path (no delete window) and land the new value
+    Incremental.writeWatermark(spark, p, 42L)
+    assert(Incremental.watermark(spark, p) == 42L)
+    // no tmp residue: the swap consumed the temp file
+    assert(!new java.io.File(s"$p/_watermark.tmp").exists())
+  }
+
   test("untouched day partitions are not rewritten") {
     val events = Tables.events(spark, sf)
     val p = tmpDir()
