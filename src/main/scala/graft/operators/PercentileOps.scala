@@ -48,7 +48,7 @@ object PercentileOps {
     * strand it outside all bands and desync the counts. */
   def percentileDisc(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double], bands: Int = 1024, directCap: Long = 16384,
-      maxIter: Int = 8): Map[(String, Double), Double] = {
+      maxIter: Int = 8, maxGroups: Int = 4096): Map[(String, Double), Double] = {
     val spark = df.sparkSession
     import spark.implicits._
     val valued = df.filter(col(valueCol).isNotNull)
@@ -60,13 +60,23 @@ object PercentileOps {
       var lo: Double, var hi: Double, var k: Long, var cnt: Long)
 
     // n counts NaN (it participates in the rank denominator, sorted
-    // last); mn/mx/nn cover the non-NaN values the band passes scan
+    // last); mn/mx/nn cover the non-NaN values the band passes scan.
+    // Driver state is one row per group (and later groups × ps × bands
+    // counts per pass) — that is the operator's contract, so the group
+    // cardinality is CAPPED: the limit(maxGroups + 1) bounds what this
+    // collect can ever pull even when the cap is violated, and the
+    // require turns a silent driver OOM into a named error.
     val stats = valued.groupBy(col("_g"))
       .agg(count(lit(1)).as("n"),
         count(when(!isnan(col("_v")), lit(1))).as("nn"),
         min(when(!isnan(col("_v")), col("_v"))).as("mn"),
         max(when(!isnan(col("_v")), col("_v"))).as("mx"))
+      .limit(maxGroups + 1)
       .collect()
+    require(stats.length <= maxGroups,
+      s"percentileDisc: more than maxGroups=$maxGroups distinct values in " +
+        s"'$groupCol' — per-group driver state would be unbounded; use the " +
+        "approx sketch path or raise maxGroups deliberately")
     var sid = -1
     val resolved = scala.collection.mutable.Map.empty[(String, Double), Double]
     val states = (for (r <- stats; p <- ps) yield {
@@ -95,6 +105,15 @@ object PercentileOps {
     while (states.nonEmpty) {
       val (direct, banded) = states.toArray.partition(s =>
         s.cnt <= directCap || iter >= maxIter)
+      // the maxIter escape hatch must not silently collect an unbounded
+      // residual: a state that exhausted its passes while still above
+      // directCap (a pathologically band-resistant distribution) fails
+      // loudly instead of pulling its range to the driver
+      for (s <- direct if s.cnt > directCap)
+        throw new IllegalStateException(
+          s"percentileDisc: group '${s.group}' p=${s.p} did not converge " +
+            s"below directCap=$directCap within maxIter=$maxIter band passes " +
+            s"(residual ${s.cnt} rows) — raise bands/maxIter or directCap")
       // the union of the active ranges as a LITERAL envelope: per-state
       // bounds live in the broadcast spec join (columns can't push), but
       // this literal conjunct reaches the parquet scan's row-group stats

@@ -77,6 +77,30 @@ class PercentileOpsSpec extends SparkSpec {
     assert(got(("mixed", 0.9)).isNaN && got(("allnan", 0.5)).isNaN)
   }
 
+  test("group cardinality past maxGroups fails loudly, bounded collect") {
+    // one group per row: pointing the operator at a high-cardinality
+    // group column must be a named error, not a silent driver OOM
+    val df = (1 to 50).map(i => (s"g$i", i.toDouble)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      PercentileOps.percentileDisc(df, "g", "v", Seq(0.5), maxGroups = 10)
+    }
+    assert(e.getMessage.contains("maxGroups"))
+    // at exactly the cap it still resolves
+    val ok = PercentileOps.percentileDisc(df, "g", "v", Seq(0.5), maxGroups = 50)
+    assert(ok.size === 50)
+  }
+
+  test("maxIter exhaustion above directCap fails loudly instead of collecting") {
+    // maxIter=0 forces every state straight to the terminal path; with
+    // directCap=1 and 100 distinct values the residual exceeds the cap
+    val df = (1 to 100).map(i => ("a", i.toDouble)).toDF("g", "v")
+    val e = intercept[IllegalStateException] {
+      PercentileOps.percentileDisc(df, "g", "v", Seq(0.5),
+        directCap = 1, maxIter = 0)
+    }
+    assert(e.getMessage.contains("directCap"))
+  }
+
   test("null values are ignored, like the built-in") {
     val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)), ("a", Some(2.0)))
       .toDF("g", "v")
