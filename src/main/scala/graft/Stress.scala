@@ -168,6 +168,23 @@ object Stress {
       IvfPq.ivfPqTopK(vecs, vecs.filter(col("vec_id") % 1000 === 0),
         "vec_id", k = 5)
     }
+    // the serving lifecycle: pay training + encoding ONCE (build), then
+    // query the stored artifacts — the per-query cost is what a serving
+    // user amortizes; compare ivf_index_topk against ivfpq_topk above
+    // (which re-trains and re-encodes inside the call)
+    locally {
+      val vecs = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      val ipath = s"$dir/ivf-index"
+      val t0 = System.nanoTime()
+      IvfIndex.build(vecs, "vec_id", ipath)
+      val t1 = System.nanoTime()
+      val idx = IvfIndex.load(spark, ipath)
+      idx.topK(vecs.filter(col("vec_id") % 1000 === 0), "vec_id", k = 5)
+        .write.format("noop").mode("overwrite").save()
+      val t2 = System.nanoTime()
+      println(f"STRESS ivf_index_build              ${(t1 - t0) / 1e9}%8.2f s")
+      println(f"STRESS ivf_index_topk               ${(t2 - t1) / 1e9}%8.2f s")
+    }
     // the single-call curation pipeline (exact -> near-dup -> CC -> keepers)
     time("dedup_pipeline") {
       DedupPipeline.dedup(Tables.documents(spark, dir).select("doc_id", "text"),

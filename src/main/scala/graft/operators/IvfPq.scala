@@ -81,58 +81,56 @@ object IvfPq {
     }
   }
 
-  /** Approximate top-k neighbors via PQ-coded inverted lists.
-    * nlist = 0 → auto (≈√corpus). Same probe structure as
-    * [[IvfSearch.ivfTopK]] (salted equi-join, broadcast centroids);
-    * the difference is what the lists hold (codes, not vectors) and a
-    * two-stage ranking: ADC shortlist of k·rerankFactor, then exact
-    * cosine on the shortlist only. */
-  def ivfPqTopK(vecs: DataFrame, queries: DataFrame, id: String, k: Int,
-      nlist: Int = 0, nprobe: Int = 4, m: Int = 16, ksub: Int = 64,
-      rerankFactor: Int = 8, seed: Long = 42L,
-      maxTrainRows: Long = 50000L, saltFactor: Int = 4): DataFrame = {
-    val spark = vecs.sparkSession
+  /** (list_id, centroid float[], cnorm2) probe frame from a fitted
+    * coarse quantizer — float centroids for the codegen'd dot, the
+    * double-precision |c|² alongside (the two must travel together:
+    * recomputing cnorm2 from the floats would shift probe ranking). */
+  private[operators] def centroidsFrame(model: org.apache.spark.ml.clustering.KMeansModel,
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
-    val n = vecs.count()
-    val nl = if (nlist > 0) nlist else IvfSearch.defaultNlist(n)
-    val model = IvfSearch.trainModel(vecs, n, nl, seed, maxTrainRows)
-    val centroidsDf = model.clusterCenters.zipWithIndex.toSeq
+    model.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) =>
         (i, c.toArray.map(_.toFloat), c.toArray.map(x => x * x).sum) }
       .toDF("list_id", "centroid", "cnorm2")
+  }
 
-    // PQ training sample — capped at ~100 points per sub-centroid (the
-    // standard PQ training budget): sub-quantizer centroids are dsub-dim,
-    // they converge with orders of magnitude fewer samples than the
-    // coarse quantizer, and Lloyd's cost is linear in the sample
+  /** PQ training sample — capped at ~100 points per sub-centroid (the
+    * standard PQ training budget): sub-quantizer centroids are dsub-dim,
+    * they converge with orders of magnitude fewer samples than the
+    * coarse quantizer, and Lloyd's cost is linear in the sample. */
+  private[operators] def pqSample(vecs: DataFrame, n: Long, ksub: Int,
+      maxTrainRows: Long, seed: Long): Array[Array[Float]] = {
     val pqTrainRows = math.min(maxTrainRows, 100L * ksub)
-    val sample = (if (n > pqTrainRows)
+    (if (n > pqTrainRows)
         vecs.sample(withReplacement = false, pqTrainRows.toDouble / n, seed)
       else vecs)
       .select(col("embedding")).limit(pqTrainRows.toInt)
       .collect().map(_.getSeq[Float](0).toArray)
-    val dim = sample.head.length
-    require(dim % m == 0, s"embedding dim $dim must be divisible by m=$m")
-    val dsub = dim / m
-    val cbLit: Column = lit(trainCodebooks(sample, m, ksub, dsub, seed))
+  }
 
-    // index: coarse assignment (broadcast model, zero shuffle) + m-byte
-    // codes — the only per-vector payload the probe join carries
-    val corpus = model.transform(
+  /** Coded corpus: coarse assignment (broadcast model, zero shuffle) +
+    * m-byte codes — the only per-vector payload the probe join carries. */
+  private[operators] def codedCorpus(vecs: DataFrame, id: String,
+      model: org.apache.spark.ml.clustering.KMeansModel, cbLit: Column,
+      m: Int, ksub: Int, saltFactor: Int): DataFrame =
+    model.transform(
         vecs.withColumn("features", array_to_vector(col("embedding"))))
       .select(col(id).as("neighbor_id"),
         col("prediction").as("list_id"),
         PqFunctions.pqEncode(col("embedding"), cbLit, m, ksub).as("codes"),
         pmod(xxhash64(col(id)), lit(saltFactor)).cast("int").as("_salt"))
 
-    // probes: nprobe nearest lists per query + the per-query ADC table.
-    // The query embedding is NOT carried here — only the table — and the
-    // shortlist shuffle below carries just (query_id, neighbor_id,
-    // approx): the wide payloads (tab ≈ m·ksub floats, eq) must never
-    // ride a per-candidate shuffle
+  /** Probe side: nprobe nearest lists per query + the per-query ADC
+    * table. The query embedding is NOT carried — only the table — and
+    * the shortlist shuffle carries just (query_id, neighbor_id, approx):
+    * the wide payloads (tab ≈ m·ksub floats, eq) must never ride a
+    * per-candidate shuffle. */
+  private[operators] def probeSide(queries: DataFrame, id: String,
+      centroidsDf: DataFrame, cbLit: Column, m: Int, ksub: Int,
+      nprobe: Int, saltFactor: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cscore").desc, col("list_id"))
-    val probes = queries
+    queries
       .select(col(id).as("query_id"), col("embedding").as("eq"))
       .crossJoin(broadcast(centroidsDf))
       .withColumn("cscore",
@@ -143,7 +141,16 @@ object IvfPq {
         PqFunctions.pqTab(col("eq"), cbLit, m, ksub).as("tab"),
         col("list_id"),
         explode(sequence(lit(0), lit(saltFactor - 1))).as("_salt"))
+  }
 
+  /** Two-stage ranking over prepared frames: ADC shortlist of
+    * k·rerankFactor, then exact cosine re-rank on the shortlist only —
+    * embeddings re-attached by keyed equi-joins (no broadcast hint: the
+    * query set grows with the workload, stats/AQE pick the strategy).
+    * Shared verbatim by the transient [[ivfPqTopK]] and the persisted
+    * [[IvfIndex]], so the two paths cannot diverge. */
+  private[operators] def pqRank(probes: DataFrame, corpus: DataFrame,
+      emb: DataFrame, qemb: DataFrame, k: Int, rerankFactor: Int): DataFrame = {
     // stage 1: ADC shortlist — m table lookups per candidate; tab is
     // projected away in the same stage, so the window shuffle moves
     // ~24 B/candidate
@@ -157,11 +164,6 @@ object IvfPq {
       .filter(col("arnk") <= k * rerankFactor)
       .select("query_id", "neighbor_id")
 
-    // stage 2: exact cosine re-rank on the shortlist only — embeddings
-    // re-attached by keyed equi-joins (no broadcast hint: the query set
-    // grows with the workload, stats/AQE pick the strategy)
-    val emb = vecs.select(col(id).as("neighbor_id"), col("embedding").as("ec"))
-    val qemb = queries.select(col(id).as("query_id"), col("embedding").as("eq"))
     val wk = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     shortlist.join(emb, Seq("neighbor_id"))
@@ -171,5 +173,39 @@ object IvfPq {
       .withColumn("rank", row_number().over(wk))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Approximate top-k neighbors via PQ-coded inverted lists.
+    * nlist = 0 → auto (≈√corpus). Same probe structure as
+    * [[IvfSearch.ivfTopK]] (salted equi-join, broadcast centroids);
+    * the difference is what the lists hold (codes, not vectors) and a
+    * two-stage ranking: ADC shortlist of k·rerankFactor, then exact
+    * cosine on the shortlist only.
+    *
+    * This transient form retrains and re-encodes on every call — right
+    * for one-shot analytics, wrong for serving. A serving user builds
+    * the same artifacts ONCE with [[IvfIndex.build]] and amortizes them
+    * across query batches ([[IvfIndex.load]]): IvfIndexSpec proves the
+    * two return identical results at equal seed/params. */
+  def ivfPqTopK(vecs: DataFrame, queries: DataFrame, id: String, k: Int,
+      nlist: Int = 0, nprobe: Int = 4, m: Int = 16, ksub: Int = 64,
+      rerankFactor: Int = 8, seed: Long = 42L,
+      maxTrainRows: Long = 50000L, saltFactor: Int = 4): DataFrame = {
+    val spark = vecs.sparkSession
+    val n = vecs.count()
+    val nl = if (nlist > 0) nlist else IvfSearch.defaultNlist(n)
+    val model = IvfSearch.trainModel(vecs, n, nl, seed, maxTrainRows)
+    val centroidsDf = centroidsFrame(model, spark)
+
+    val sample = pqSample(vecs, n, ksub, maxTrainRows, seed)
+    val dim = sample.head.length
+    require(dim % m == 0, s"embedding dim $dim must be divisible by m=$m")
+    val cbLit: Column = lit(trainCodebooks(sample, m, ksub, dim / m, seed))
+
+    val corpus = codedCorpus(vecs, id, model, cbLit, m, ksub, saltFactor)
+    val probes = probeSide(queries, id, centroidsDf, cbLit, m, ksub, nprobe, saltFactor)
+    val emb = vecs.select(col(id).as("neighbor_id"), col("embedding").as("ec"))
+    val qemb = queries.select(col(id).as("query_id"), col("embedding").as("eq"))
+    pqRank(probes, corpus, emb, qemb, k, rerankFactor)
   }
 }

@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The persisted index must be indistinguishable from the transient
+  * path at query time — build once, query forever, same answers. */
+class IvfIndexSpec extends SparkSpec {
+
+  private def tmpPath(): String =
+    java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+
+  private def sameResult(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Unit = {
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0,
+      "persisted and transient results diverged")
+    assert(a.count() === b.count())
+  }
+
+  test("load(path).topK equals ivfPqTopK at equal seed/params, from a fresh session") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").cache()
+    val queries = vecs.filter(col("vec_id") % 10 === 0)
+    val transient = IvfPq.ivfPqTopK(vecs, queries, "vec_id", k = 5,
+      nlist = 8, nprobe = 4).cache()
+    assert(transient.count() > 0)
+
+    val path = tmpPath()
+    IvfIndex.build(vecs, "vec_id", path, nlist = 8)
+
+    // query from a FRESH session: nothing driver-resident from the
+    // build (model, codebook, sample) survives — everything must come
+    // off the stored artifacts (the G6 restart discipline)
+    val s2 = spark.newSession()
+    val idx = IvfIndex.load(s2, path)
+    val q2 = Tables.embeddings(s2, sf).select("vec_id", "embedding")
+      .filter(col("vec_id") % 10 === 0)
+    val persisted = idx.topK(q2, "vec_id", k = 5, nprobe = 4).cache()
+    sameResult(persisted, transient)
+  }
+
+  test("the codes scan reads only probed list partitions") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val path = tmpPath()
+    IvfIndex.build(vecs, "vec_id", path, nlist = 8)
+    val idx = IvfIndex.load(spark, path)
+    val one = vecs.filter(col("vec_id") === 0)
+    val res = idx.topK(one, "vec_id", k = 3, nprobe = 2)
+    res.collect()
+    val p = res.queryExecution.executedPlan.toString
+    // the isin over the partition column must surface as a partition
+    // filter on the codes scan — nprobe of nlist partitions read, the
+    // rest pruned at planning time
+    assert(p.contains("PartitionFilters:") && p.contains("list_id"),
+      s"no partition pruning on the codes scan:\n$p")
+  }
+
+  test("add appends a committed batch; queries then match a full transient rebuild") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").cache()
+    val cut = 400L
+    val oldVecs = vecs.filter(col("vec_id") < cut)
+    val newVecs = vecs.filter(col("vec_id") >= cut)
+    assert(newVecs.count() > 0, "test needs a non-empty delta")
+    val queries = vecs.filter(col("vec_id") % 10 === 0)
+
+    val path = tmpPath()
+    IvfIndex.build(oldVecs, "vec_id", path, nlist = 8)
+    val idx = IvfIndex.load(spark, path)
+    assert(idx.add(newVecs, "vec_id") === newVecs.count())
+    assert(idx.batches === Seq(0, 1))
+    val a = idx.topK(queries, "vec_id", k = 5, nprobe = 4).cache()
+
+    // the reference: the same artifacts composed transiently — centroids
+    // and codebooks trained on oldVecs (what build saw), inverted lists
+    // holding the FULL corpus (what build+add hold). ivfPqTopK can't
+    // express that split (it trains on what it indexes), but the shared
+    // plan pieces can; this also pins add's SQL coarse assignment to the
+    // trainer's own (model.transform) on real data.
+    val n = oldVecs.count()
+    val model = IvfSearch.trainModel(oldVecs, n, nlist = 8, seed = 42L,
+      maxTrainRows = 50000L)
+    val sample = IvfPq.pqSample(oldVecs, n, ksub = 64,
+      maxTrainRows = 50000L, seed = 42L)
+    val cbLit = lit(IvfPq.trainCodebooks(sample, 16, 64,
+      sample.head.length / 16, seed = 42L))
+    val b = IvfPq.pqRank(
+      IvfPq.probeSide(queries, "vec_id", IvfPq.centroidsFrame(model, spark),
+        cbLit, 16, 64, nprobe = 4, saltFactor = 4),
+      IvfPq.codedCorpus(vecs, "vec_id", model, cbLit, 16, 64, saltFactor = 4),
+      vecs.select(col("vec_id").as("neighbor_id"), col("embedding").as("ec")),
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("eq")),
+      k = 5, rerankFactor = 8)
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    // and the added vectors are actually reachable: a query vector from
+    // the delta must find neighbors, and appear as one
+    assert(a.filter(col("query_id") >= cut).count() > 0)
+    assert(a.filter(col("neighbor_id") >= cut).count() > 0)
+  }
+
+  test("a crashed add (no meta swap) is invisible; retry lands it once") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").cache()
+    val cut = 400L
+    val path = tmpPath()
+    IvfIndex.build(vecs.filter(col("vec_id") < cut), "vec_id", path, nlist = 8)
+
+    // simulate the crash: write the batch dirs exactly as add would,
+    // but never swap _meta
+    val idx0 = IvfIndex.load(spark, path)
+    idx0.add(vecs.filter(col("vec_id") >= cut), "vec_id")
+    val metaFile = java.nio.file.Paths.get(path, "_meta")
+    val committed = new String(java.nio.file.Files.readAllBytes(metaFile), "UTF-8")
+    java.nio.file.Files.write(metaFile,
+      committed.replace("batches=0,1", "batches=0").getBytes("UTF-8"))
+    // the raw rewrite bypassed Hadoop's checksummed local FS — drop the
+    // stale sidecar so the read path doesn't flag OUR edit as corruption
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, "._meta.crc"))
+
+    val idx = IvfIndex.load(spark, path)
+    assert(idx.batches === Seq(0), "uncommitted batch leaked into meta")
+    val before = idx.topK(vecs.filter(col("vec_id") % 10 === 0), "vec_id", k = 5)
+    assert(before.filter(col("neighbor_id") >= cut).count() === 0,
+      "orphan batch visible to a reader")
+    // retry: overwrites the orphan dirs under the same tag, commits once
+    assert(idx.add(vecs.filter(col("vec_id") >= cut), "vec_id") > 0)
+    assert(idx.batches === Seq(0, 1))
+    val after = idx.topK(vecs.filter(col("vec_id") % 10 === 0), "vec_id", k = 5)
+    assert(after.filter(col("neighbor_id") >= cut).count() > 0)
+  }
+
+  test("load on a missing or uncommitted path fails with a named error") {
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.load(spark, tmpPath())
+    }
+    assert(e.getMessage.contains("_meta"))
+  }
+}
