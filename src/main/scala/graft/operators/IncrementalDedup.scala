@@ -9,10 +9,23 @@ import org.apache.spark.sql.types._
 /** Incremental corpus deduplication — [[DedupPipeline]] extended with the
   * high-water-mark pattern of [[graft.registry.Incremental]] (G14), so a
   * daily crawl drop dedups against the EXISTING cluster state instead of
-  * recomputing the corpus. At 100 TB the difference is a refresh that
-  * scans only the new documents plus the stored (id, shingle) index of
-  * prior representatives, versus re-shingling and re-pairing everything
-  * ever ingested.
+  * recomputing the corpus. Refresh cost tracks the DELTA, not the corpus:
+  *
+  *   - per-shingle document frequency is maintained ADDITIVELY — each
+  *     batch appends its own (shingle, cnt) partials to
+  *     `dfcounts/batch=*`, and a refresh aggregates committed counts for
+  *     the batch's shingles only (a semi-join-restricted sum), never
+  *     re-aggregating the full (doc, shingle) index;
+  *   - cluster labels are written as per-batch DELTAS (new docs + docs
+  *     whose label changed), compacted into a full snapshot every
+  *     `compactEvery` refreshes — the corpus-wide label table is
+  *     rewritten once per compaction cycle, not once per batch.
+  *
+  * What still scans (read-only, never shuffled whole): the stored
+  * shingle index — old docs sharing a rare shingle with the batch can
+  * only be found by joining against it — and the label state (latest
+  * snapshot + deltas since). Both are pruned scans feeding keyed joins
+  * whose shuffled side is batch-sized.
   *
   * Durable state under `statePath` (all parquet + the atomic `_watermark`
   * protocol shared with Incremental):
@@ -29,14 +42,24 @@ import org.apache.spark.sql.types._
   *     same adjudicated substitute as the FeatureStore manifest).
   *   - `shingles/batch=*` (doc_id, shingle): the near-dup blocking index
   *     of prior REPRESENTATIVES only (exact-dup members never shingle).
-  *   - `assign/batch=*` (doc_id, cluster_id): every doc's cluster label —
-  *     tiny relative to the corpus (two longs/doc); a FULL SNAPSHOT per
-  *     refresh (not a delta) because a new doc can BRIDGE two existing
-  *     clusters and relabel all their members. Readers take the LATEST
-  *     committed snapshot, so the non-atomicity of a parquet overwrite
-  *     never corrupts prior state: a torn snapshot is by definition
-  *     uncommitted and invisible. Superseded snapshots are pruned
-  *     best-effort after each commit.
+  *   - `dfcounts/batch=*` (shingle, cnt): per-batch shingle document
+  *     frequencies — the additive state that replaces re-counting the
+  *     shingle index each refresh.
+  *   - `assign/batch=*` (doc_id, cluster_id): per-batch label DELTAS.
+  *   - `assignsnap/batch=*` (doc_id, cluster_id): full label snapshots —
+  *     written by the first refresh and then whenever `compactEvery`
+  *     deltas have accumulated since the last snapshot. Readers take the
+  *     latest committed snapshot plus the committed deltas past it,
+  *     latest tag per doc winning. A new doc can BRIDGE two existing
+  *     clusters and relabel all their members — that relabel rides the
+  *     delta as changed-doc rows, propagated by a keyed join on
+  *     `cluster_id`, not by walking the old graph.
+  *
+  * Pruning keeps the LATEST TWO snapshot generations (the current one
+  * and its predecessor with the deltas between them); a DataFrame
+  * returned by [[assignments]] stays readable across one subsequent
+  * compaction, but materialize it if it must outlive more refreshes
+  * than that.
   *
   * A refresh processes docs with id > watermark (the G14 caveat applies:
   * ids must be ingestion-monotonic — a late row under an already-passed
@@ -47,15 +70,14 @@ import org.apache.spark.sql.types._
   *   2. shingle NEW representatives only; candidate pairs = df-capped
   *      shingle blocking of new-rep shingles against the UNION index, so
   *      every candidate touches ≥ 1 new doc — old-old pairs were found by
-  *      earlier refreshes and never re-verify;
+  *      earlier refreshes and never re-verify. The df cap uses the
+  *      committed additive counts + this batch's own;
   *   3. exact Jaccard verification ([[MinHashLsh.verifiedPairs]]) over
   *      the union index, candidates only;
   *   4. connected components over the DELTA graph: the new pairs plus one
   *      (rep → its current cluster label) edge per involved old rep.
   *      Labels are cluster-minimum ids and new ids exceed all old ids, so
-  *      the delta CC's min label equals the full recompute's — merges of
-  *      existing clusters propagate to ALL their members through a keyed
-  *      relabel join on `cluster_id`, not by walking the old graph.
+  *      the delta CC's min label equals the full recompute's.
   *
   * IncrementalDedupSpec proves refresh-by-parts ≡ [[DedupPipeline.dedup]]
   * over the whole corpus on the real documents table. Parity is exact
@@ -70,6 +92,8 @@ object IncrementalDedup {
     StructField("_h", StringType), StructField("rep", LongType)))
   private val shinglesSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("shingle", StringType)))
+  private val dfcountsSchema = StructType(Seq(
+    StructField("shingle", StringType), StructField("cnt", LongType)))
   private val assignSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("cluster_id", LongType)))
 
@@ -105,7 +129,8 @@ object IncrementalDedup {
   private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
-  /** Union of all committed batch directories (hashes/shingles deltas). */
+  /** Union of all committed batch directories (hashes/shingles/dfcounts
+    * deltas). */
   private def readCommitted(spark: SparkSession, dir: String,
       schema: StructType, wm: Long): DataFrame = {
     val dirs = committedBatches(spark, dir, wm).map(_._2)
@@ -114,15 +139,40 @@ object IncrementalDedup {
       .select(schema.fieldNames.map(col).toSeq: _*)
   }
 
-  /** Latest committed assign snapshot (full-corpus labels). */
+  /** (doc_id, cluster_id, _tag) union of the latest committed snapshot
+    * and the committed deltas past it — the raw label history a
+    * latest-wins reduction turns into current labels. None when no
+    * label state exists yet. */
+  private def assignParts(spark: SparkSession, statePath: String,
+      wm: Long): Option[DataFrame] = {
+    val snaps = committedBatches(spark, s"$statePath/assignsnap", wm).sortBy(_._1)
+    val deltas = committedBatches(spark, s"$statePath/assign", wm)
+      .filter(d => snaps.lastOption.forall(s => d._1 > s._1))
+    val parts = (snaps.lastOption.toSeq ++ deltas).map { case (t, dir) =>
+      spark.read.parquet(dir)
+        .select(col("doc_id"), col("cluster_id"), lit(t).as("_tag")) }
+    parts.reduceOption(_ unionByName _)
+  }
+
+  /** Latest tag per doc wins. Restrict `parts` BEFORE calling where a
+    * bounded key set is known — by doc_id always safely; by cluster_id
+    * safely for CURRENT labels only (clusters never split and labels
+    * only decrease, so a doc's non-latest rows carry defunct labels
+    * that can never equal a current one — filtering by current labels
+    * keeps exactly latest rows). */
+  private def latestWins(parts: DataFrame): DataFrame =
+    parts
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("_tag"), col("cluster_id"))).as("_s"))
+      .select(col("doc_id"), col("_s.cluster_id").as("cluster_id"))
+
+  /** Current full labels: latest committed snapshot + committed deltas
+    * past it, latest tag per doc winning. */
   private def readAssign(spark: SparkSession, statePath: String,
       wm: Long): DataFrame =
-    committedBatches(spark, s"$statePath/assign", wm)
-      .sortBy(_._1).lastOption match {
-      case Some((_, dir)) => spark.read.parquet(dir)
-        .select(assignSchema.fieldNames.map(col).toSeq: _*)
-      case None => emptyDf(spark, assignSchema)
-    }
+    assignParts(spark, statePath, wm)
+      .map(latestWins)
+      .getOrElse(emptyDf(spark, assignSchema))
 
   private def shingle(docs: DataFrame, id: String, text: String): DataFrame =
     docs
@@ -141,7 +191,8 @@ object IncrementalDedup {
     * number of new documents processed (0 = nothing new). */
   def refresh(spark: SparkSession, docs: DataFrame, statePath: String,
       idCol: String = "doc_id", textCol: String = "text",
-      threshold: Double = 0.8, maxDf: Int = 1000): Long = {
+      threshold: Double = 0.8, maxDf: Int = 1000,
+      compactEvery: Int = 8): Long = {
     val wm = Incremental.watermark(spark, statePath)
     val fresh = docs.filter(col(idCol) > wm)
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
@@ -151,7 +202,16 @@ object IncrementalDedup {
 
     val oldHashes = readCommitted(spark, s"$statePath/hashes", hashesSchema, wm)
     val oldShingles = readCommitted(spark, s"$statePath/shingles", shinglesSchema, wm)
-    val oldAssign = readAssign(spark, statePath, wm)
+    // the label HISTORY stays lazy — every per-refresh consumer below
+    // key-restricts it before the latest-wins reduction, so the full
+    // state is never shuffled except at compaction
+    val labelParts = assignParts(spark, statePath, wm)
+    def labelsFor(keys: DataFrame, keyCol: String): DataFrame =
+      labelParts match {
+        case None => emptyDf(spark, assignSchema)
+        case Some(p) =>
+          latestWins(p.join(keys.select(col(keyCol)), Seq(keyCol), "left_semi"))
+      }
 
     // 1. exact dedup: against prior corpus, then within the batch
     val knownRep = hashedNew.join(oldHashes, Seq("_h"))
@@ -162,15 +222,24 @@ object IncrementalDedup {
     val mappedNew = unknown.join(newHashRep, Seq("_h"))
       .select(col("doc_id"), col("text"), col("rep"))
 
-    // 2. candidate pairs touching >= 1 new representative
+    // 2. candidate pairs touching >= 1 new representative. Only shingles
+    // PRESENT IN THIS BATCH can block such a pair, so df is resolved for
+    // exactly those: committed additive counts (semi-join-restricted to
+    // the batch's shingles) plus the batch's own counts — never a
+    // re-aggregation of the full (doc, shingle) index.
     val newShingled = shingle(
       mappedNew.filter(col("doc_id") === col("rep")), "doc_id", "text")
       .localCheckpoint(true)
-    val unionShingled = oldShingles.unionByName(newShingled).localCheckpoint(true)
-    val rare = unionShingled.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
+    val newCounts = newShingled.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("cnt")).localCheckpoint(true)
+    val oldCounts = readCommitted(spark, s"$statePath/dfcounts", dfcountsSchema, wm)
+    val rare = oldCounts
+      .join(newCounts.select("shingle"), Seq("shingle"), "left_semi")
+      .unionByName(newCounts)
+      .groupBy(col("shingle")).agg(sum(col("cnt")).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
       .select("shingle")
+    val unionShingled = oldShingles.unionByName(newShingled)
     val blockedNew = newShingled.join(rare, Seq("shingle"), "left_semi")
     val blockedAll = unionShingled.join(rare, Seq("shingle"), "left_semi")
     val candidates = blockedNew.select(col("doc_id").as("id_x"), col("shingle"))
@@ -187,15 +256,21 @@ object IncrementalDedup {
     // 4. delta-graph components: new pairs + (old rep -> current label)
     val involved = pairs.select(col("id_a").as("doc_id"))
       .union(pairs.select(col("id_b").as("doc_id"))).distinct()
-    val oldRepEdges = involved.join(oldAssign, Seq("doc_id"))
+    val oldRepEdges = labelsFor(involved, "doc_id")
       .select(col("doc_id").as("id_a"), col("cluster_id").as("id_b"))
     val comps = DedupClusters.connectedComponents(
       pairs.unionByName(oldRepEdges), "id_a", "id_b").localCheckpoint(true)
+    val compOf = comps.select(col("id").as("cluster_id"), col("comp"))
 
-    // relabel existing members through their cluster id (bridging merges)
-    val assignOld = oldAssign
-      .join(comps.select(col("id").as("cluster_id"), col("comp")), Seq("cluster_id"), "left")
-      .select(col("doc_id"), coalesce(col("comp"), col("cluster_id")).as("cluster_id"))
+    // old docs whose label actually changed (bridging merges) — the
+    // delta rows that propagate a merge to all prior members. The
+    // cluster_id restriction is against CURRENT labels (compOf keys),
+    // which latestWins' invariant makes exact; only members of merged
+    // clusters are ever shuffled, not the corpus
+    val assignChanged = labelsFor(compOf, "cluster_id")
+      .join(compOf, Seq("cluster_id"))
+      .filter(col("comp") =!= col("cluster_id"))
+      .select(col("doc_id"), col("comp").as("cluster_id"))
     // new representatives: component label, or themselves if unpaired
     val assignNewReps = mappedNew.filter(col("doc_id") === col("rep"))
       .join(comps, col("doc_id") === col("id"), "left")
@@ -207,32 +282,61 @@ object IncrementalDedup {
       .select(col("doc_id"), col("cluster_id"))
     // exact dups of PRIOR docs inherit the (possibly relabeled) old rep
     val assignKnown = knownRep
-      .join(assignOld.select(col("doc_id").as("rep"), col("cluster_id")), Seq("rep"))
+      .join(labelsFor(knownRep.select(col("rep").as("doc_id")), "doc_id")
+          .join(compOf, Seq("cluster_id"), "left")
+          .select(col("doc_id").as("rep"),
+            coalesce(col("comp"), col("cluster_id")).as("cluster_id")),
+        Seq("rep"))
       .select(col("doc_id"), col("cluster_id"))
+    val assignNew = assignNewReps.unionByName(assignNewDups).unionByName(assignKnown)
 
-    val assign = assignOld.unionByName(assignNewReps).unionByName(assignNewDups)
-      .unionByName(assignKnown)
-      .localCheckpoint(true) // materialize before overwriting its own source
+    // compaction cadence: first refresh snapshots (it IS the full state);
+    // after that, snapshot once compactEvery deltas have accumulated
+    val snapsBefore = committedBatches(spark, s"$statePath/assignsnap", wm).sortBy(_._1)
+    val deltasSinceSnap = committedBatches(spark, s"$statePath/assign", wm)
+      .count(d => snapsBefore.lastOption.forall(d._1 > _._1))
+    val doSnapshot = snapsBefore.isEmpty || deltasSinceSnap + 1 >= compactEvery
 
-    // writes: all three outputs are keyed by the watermark they extend,
-    // so a retry of a failed refresh overwrites its own output and
-    // readers (filtered to committed tags) never see a torn batch; the
-    // watermark advances LAST, committing all three at once
+    // writes: all outputs are keyed by the watermark they extend, so a
+    // retry of a failed refresh overwrites its own output and readers
+    // (filtered to committed tags) never see a torn batch; the watermark
+    // advances LAST, committing everything at once
     val tag = tagOf(wm)
     newHashRep.select("_h", "rep").write.mode("overwrite")
       .parquet(s"$statePath/hashes/batch=$tag")
     newShingled.write.mode("overwrite")
       .parquet(s"$statePath/shingles/batch=$tag")
-    assign.write.mode("overwrite").parquet(s"$statePath/assign/batch=$tag")
+    newCounts.select("shingle", "cnt").write.mode("overwrite")
+      .parquet(s"$statePath/dfcounts/batch=$tag")
+    if (doSnapshot) {
+      // the one corpus-sized label pass, amortized over compactEvery
+      // refreshes: full latest-wins + this batch's merges and additions
+      val oldCurFull = labelParts.map(p => latestWins(p)
+          .join(compOf, Seq("cluster_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("comp"), col("cluster_id")).as("cluster_id")))
+        .getOrElse(emptyDf(spark, assignSchema))
+      oldCurFull.unionByName(assignNew).write.mode("overwrite")
+        .parquet(s"$statePath/assignsnap/batch=$tag")
+    } else
+      assignChanged.unionByName(assignNew).write.mode("overwrite")
+        .parquet(s"$statePath/assign/batch=$tag")
     val newWm = hashedNew.agg(max(col("doc_id"))).head().getLong(0)
     Incremental.writeWatermark(spark, statePath, math.max(wm, newWm))
-    // prune superseded assign snapshots (best-effort: a failure here
-    // costs disk, never correctness — readers take the latest committed)
+
+    // prune superseded label state (best-effort: a failure here costs
+    // disk, never correctness). Keep the latest TWO snapshots and every
+    // delta past the older retained one, so a lazy assignments() frame
+    // from the previous generation stays readable across one compaction.
     val hfs = fs(spark, statePath)
-    committedBatches(spark, s"$statePath/assign", wm)
-      .foreach { case (_, dir) =>
-        try hfs.delete(new Path(dir), true) catch { case _: Exception => () }
-      }
+    def drop(dir: String): Unit =
+      try hfs.delete(new Path(dir), true) catch { case _: Exception => () }
+    val wmNow = math.max(wm, newWm)
+    val snapsNow = committedBatches(spark, s"$statePath/assignsnap", wmNow).sortBy(_._1)
+    if (snapsNow.size > 2) snapsNow.dropRight(2).foreach(s => drop(s._2))
+    for (keepFloor <- snapsNow.takeRight(2).headOption.map(_._1))
+      committedBatches(spark, s"$statePath/assign", wmNow)
+        .filter(_._1 <= keepFloor).foreach(d => drop(d._2))
     nFresh
   }
 }

@@ -64,6 +64,45 @@ class IncrementalDedupSpec extends SparkSpec {
       "retry after simulated crash diverged from the one-shot recompute")
   }
 
+  test("delta assigns + compaction: parity across snapshot boundaries, old state pruned") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val state = java.nio.file.Files.createTempDirectory("graft-inccompact").toString
+    // compactEvery=2: refreshes alternate snapshot/delta — parity must
+    // hold no matter where the snapshot boundaries fall
+    for (cut <- Seq(100L, 200L, 300L, 400L, Long.MaxValue))
+      IncrementalDedup.refresh(spark, docs.filter(col("doc_id") < cut),
+        state, threshold = 0.5, compactEvery = 2)
+    val inc = IncrementalDedup.assignments(spark, state)
+    val full = DedupPipeline.dedup(docs, threshold = 0.5)
+    assert(inc.except(full).count() === 0 && full.except(inc).count() === 0,
+      "delta/compaction label state diverged from the one-shot recompute")
+
+    def batchDirs(sub: String): Seq[String] = {
+      val d = new java.io.File(s"$state/$sub")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().filter(_.getName.startsWith("batch=")).map(_.getName).toSeq
+    }
+    // snapshots were written and pruned to the latest two generations
+    assert(batchDirs("assignsnap").size === 2, batchDirs("assignsnap").toString)
+    // additive df state exists for every refresh (append-only)
+    assert(batchDirs("dfcounts").size === 5, batchDirs("dfcounts").toString)
+    // deltas at or before the retained-previous snapshot are gone
+    assert(batchDirs("assign").size < 3, batchDirs("assign").toString)
+  }
+
+  test("a lazy assignments() frame stays readable across one compaction") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val state = java.nio.file.Files.createTempDirectory("graft-inclazy").toString
+    IncrementalDedup.refresh(spark, docs.filter(col("doc_id") < 200),
+      state, threshold = 0.5, compactEvery = 1)
+    val lazyFrame = IncrementalDedup.assignments(spark, state)
+    // a compaction lands and prunes — but the previous generation is
+    // retained, so the un-materialized frame must still be actionable
+    IncrementalDedup.refresh(spark, docs.filter(col("doc_id") < 350),
+      state, threshold = 0.5, compactEvery = 1)
+    assert(lazyFrame.count() === 200)
+  }
+
   test("stray non-numeric batch directories are skipped, not a crash") {
     val state = java.nio.file.Files.createTempDirectory("graft-incstray").toString
     val docs = Seq((1L, "a b c d e"), (2L, "p q r s t")).toDF("doc_id", "text")
