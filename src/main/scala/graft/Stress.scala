@@ -229,6 +229,34 @@ object Stress {
         .select("vec_id", "embedding")
       Similarity.lshNearDupPairs(reps, "vec_id", dims = 64, threshold = 0.45)
     }
+    // incremental embedding near-dup: same first/second split as the
+    // text path below — the second refresh sketches only its delta
+    // against the stored cells
+    locally {
+      val state = s"$dir/incembed-state"
+      val p = new org.apache.hadoop.fs.Path(state)
+      val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      hfs.delete(p, true)
+      val e = Tables.embeddings(spark, dir)
+      val reps = e.groupBy(xxhash64(col("embedding")).as("h"))
+        .agg(min(col("vec_id")).as("vec_id"))
+        .join(e, Seq("vec_id"))
+        .select("vec_id", "embedding")
+      val idRange = reps.agg(min(col("vec_id")), max(col("vec_id"))).head()
+      if (idRange.isNullAt(0)) {
+        println("STRESS incembed skipped: embeddings table is empty")
+      } else {
+        val cut = idRange.getLong(0) / 2 + idRange.getLong(1) / 2
+        val t0 = System.nanoTime()
+        IncrementalEmbedDedup.refresh(spark, reps.filter(col("vec_id") < cut),
+          state, threshold = 0.45)
+        val t1 = System.nanoTime()
+        IncrementalEmbedDedup.refresh(spark, reps, state, threshold = 0.45)
+        val t2 = System.nanoTime()
+        println(f"STRESS incembed_first_half          ${(t1 - t0) / 1e9}%8.2f s")
+        println(f"STRESS incembed_second_half         ${(t2 - t1) / 1e9}%8.2f s")
+      }
+    }
     // incremental dedup: first refresh pays for its batch; the second
     // must pay only for its delta against the stored index
     locally {

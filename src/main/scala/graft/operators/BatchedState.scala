@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** The committed-batch-directory protocol shared by the incremental
+  * operators ([[IncrementalDedup]], [[IncrementalEmbedDedup]]): state
+  * accumulates as `dir/batch=<tag>` parquet directories, each tagged by
+  * the watermark its writing refresh EXTENDED, and a batch is committed
+  * only once the shared `_watermark` file (graft.registry.Incremental)
+  * has advanced past its tag. A refresh that crashes after writing its
+  * directory but before the watermark swap leaves state no reader or
+  * retry can see; the retry re-derives the batch and overwrites the
+  * orphan. Idempotent without an ACID table format (Delta/Iceberg are
+  * environment-blocked; this is the same adjudicated substitute as the
+  * FeatureStore manifest). */
+private[graft] object BatchedState {
+
+  def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def tagOf(wm: Long): String =
+    if (wm == Long.MinValue) "init" else wm.toString
+
+  /** None for a directory whose `batch=` tag is neither `init` nor a
+    * long — a stray/foreign dir must be skipped, not crash every read. */
+  def tagValue(t: String): Option[Long] =
+    if (t == "init") Some(Long.MinValue) else scala.util.Try(t.toLong).toOption
+
+  /** (tag value, path) of every batch directory under `dir` whose tag is
+    * strictly below the current watermark — i.e. whose writing refresh
+    * went on to advance the watermark past it. The at-most-one
+    * uncommitted directory (tag == current watermark) is excluded, which
+    * is the crash-retry guarantee: a retry sees exactly the state the
+    * failed attempt saw. */
+  def committedBatches(spark: SparkSession, dir: String,
+      wm: Long): Seq[(Long, String)] = {
+    val p = new Path(dir)
+    val hfs = fs(spark, dir)
+    if (!hfs.exists(p)) Seq.empty
+    else hfs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .flatMap(s => tagValue(s.getPath.getName.stripPrefix("batch="))
+        .map(v => (v, s.getPath.toString)))
+      .filter(_._1 < wm)
+  }
+
+  def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  /** Union of all committed batch directories under `dir`. */
+  def readCommitted(spark: SparkSession, dir: String, schema: StructType,
+      wm: Long): DataFrame = {
+    val dirs = committedBatches(spark, dir, wm).map(_._2)
+    if (dirs.isEmpty) emptyDf(spark, schema)
+    else spark.read.parquet(dirs: _*)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+  }
+}

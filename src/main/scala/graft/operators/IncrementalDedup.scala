@@ -97,47 +97,16 @@ object IncrementalDedup {
   private val assignSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("cluster_id", LongType)))
 
-  private def fs(spark: SparkSession, p: String) =
-    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def tagOf(wm: Long): String =
-    if (wm == Long.MinValue) "init" else wm.toString
-
-  /** None for a directory whose `batch=` tag is neither `init` nor a
-    * long — a stray/foreign dir must be skipped, not crash every read. */
-  private def tagValue(t: String): Option[Long] =
-    if (t == "init") Some(Long.MinValue) else scala.util.Try(t.toLong).toOption
-
-  /** (tag value, path) of every batch directory under `dir` whose tag is
-    * strictly below the current watermark — i.e. whose writing refresh
-    * went on to advance the watermark past it. The at-most-one
-    * uncommitted directory (tag == current watermark) is excluded, which
-    * is the crash-retry guarantee: a retry sees exactly the state the
-    * failed attempt saw. */
+  private def fs(spark: SparkSession, p: String) = BatchedState.fs(spark, p)
+  private def tagOf(wm: Long): String = BatchedState.tagOf(wm)
   private def committedBatches(spark: SparkSession, dir: String,
-      wm: Long): Seq[(Long, String)] = {
-    val p = new Path(dir)
-    val hfs = fs(spark, dir)
-    if (!hfs.exists(p)) Seq.empty
-    else hfs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .flatMap(s => tagValue(s.getPath.getName.stripPrefix("batch="))
-        .map(v => (v, s.getPath.toString)))
-      .filter(_._1 < wm)
-  }
-
+      wm: Long): Seq[(Long, String)] =
+    BatchedState.committedBatches(spark, dir, wm)
   private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-
-  /** Union of all committed batch directories (hashes/shingles/dfcounts
-    * deltas). */
+    BatchedState.emptyDf(spark, schema)
   private def readCommitted(spark: SparkSession, dir: String,
-      schema: StructType, wm: Long): DataFrame = {
-    val dirs = committedBatches(spark, dir, wm).map(_._2)
-    if (dirs.isEmpty) emptyDf(spark, schema)
-    else spark.read.parquet(dirs: _*)
-      .select(schema.fieldNames.map(col).toSeq: _*)
-  }
+      schema: StructType, wm: Long): DataFrame =
+    BatchedState.readCommitted(spark, dir, schema, wm)
 
   /** (doc_id, cluster_id, _tag) union of the latest committed snapshot
     * and the committed deltas past it — the raw label history a

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The embedding twin of IncrementalDedupSpec: split refreshes must be
+  * indistinguishable from the one-shot lshNearDupPairs. */
+class IncrementalEmbedDedupSpec extends SparkSpec {
+
+  private def tmpState(): String =
+    java.nio.file.Files.createTempDirectory("graft-incembed").toString
+
+  test("three incremental refreshes equal one-shot lshNearDupPairs on the real embeddings") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").cache()
+    val state = tmpState()
+    val n1 = IncrementalEmbedDedup.refresh(spark,
+      vecs.filter(col("vec_id") < 150), state, threshold = 0.3)
+    val n2 = IncrementalEmbedDedup.refresh(spark,
+      vecs.filter(col("vec_id") < 350), state, threshold = 0.3)
+    val n3 = IncrementalEmbedDedup.refresh(spark, vecs, state, threshold = 0.3)
+    assert(n1 === 150 && n2 === 200 && n3 === 150,
+      "each refresh must process exactly the vectors past the watermark")
+
+    val inc = IncrementalEmbedDedup.pairs(spark, state)
+    val full = Similarity.lshNearDupPairs(vecs, "vec_id", dims = 64, threshold = 0.3)
+    assert(full.count() > 0, "test needs a non-empty pair set to be meaningful")
+    assert(inc.except(full).count() === 0 && full.except(inc).count() === 0,
+      "split-refresh pair set diverged from the one-shot operator")
+    // no duplicate discovery: an old-old pair must never re-verify
+    assert(inc.groupBy("id_a", "id_b").count()
+      .filter(col("count") > 1).count() === 0)
+    // nothing new -> no-op
+    assert(IncrementalEmbedDedup.refresh(spark, vecs, state, threshold = 0.3) === 0L)
+  }
+
+  test("a crashed refresh (no watermark swap) is invisible; retry lands it once") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").cache()
+    val state = tmpState()
+    IncrementalEmbedDedup.refresh(spark,
+      vecs.filter(col("vec_id") < 250), state, threshold = 0.3)
+    val before = IncrementalEmbedDedup.pairs(spark, state).count()
+
+    // simulate: second refresh writes its batch dirs but dies before the
+    // watermark swap — run it fully in a clone, copy only the batch dirs
+    import java.nio.file.{Files, Path, Paths}
+    def copyTree(from: Path, to: Path): Unit =
+      Files.walk(from).forEach { p =>
+        val dst = to.resolve(from.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(dst)
+        else Files.copy(p, dst)
+      }
+    val clone = Files.createTempDirectory("graft-incembed-clone")
+    copyTree(Paths.get(state), clone)
+    IncrementalEmbedDedup.refresh(spark, vecs, clone.toString, threshold = 0.3)
+    val wmBefore = graft.registry.Incremental.watermark(spark, state)
+    for (sub <- Seq("cells", "pairs"))
+      copyTree(clone.resolve(s"$sub/batch=$wmBefore"),
+        Paths.get(state, sub, s"batch=$wmBefore"))
+
+    // a reader between crash and retry sees exactly the pre-crash state
+    assert(IncrementalEmbedDedup.pairs(spark, state).count() === before,
+      "uncommitted pair batch leaked to a reader")
+    // retry re-derives the batch; final state matches the one-shot
+    assert(IncrementalEmbedDedup.refresh(spark, vecs, state, threshold = 0.3) ===
+      vecs.filter(col("vec_id") >= 250).count())
+    val inc = IncrementalEmbedDedup.pairs(spark, state)
+    val full = Similarity.lshNearDupPairs(vecs, "vec_id", dims = 64, threshold = 0.3)
+    assert(inc.except(full).count() === 0 && full.except(inc).count() === 0,
+      "retry after simulated crash diverged from the one-shot operator")
+  }
+}
