@@ -44,7 +44,10 @@ import org.apache.spark.sql.types._
   *     of prior REPRESENTATIVES only (exact-dup members never shingle).
   *   - `dfcounts/batch=*` (shingle, cnt): per-batch shingle document
   *     frequencies — the additive state that replaces re-counting the
-  *     shingle index each refresh.
+  *     shingle index each refresh. Compacted on the same cadence as the
+  *     labels: `dfcountsnap/batch=*` holds the summed totals, so the
+  *     every-refresh df resolution reads one snapshot + at most
+  *     `compactEvery` delta dirs, not every batch ever written.
   *   - `assign/batch=*` (doc_id, cluster_id): per-batch label DELTAS.
   *   - `assignsnap/batch=*` (doc_id, cluster_id): full label snapshots —
   *     written by the first refresh and then whenever `compactEvery`
@@ -143,6 +146,20 @@ object IncrementalDedup {
       .map(latestWins)
       .getOrElse(emptyDf(spark, assignSchema))
 
+  /** Committed per-shingle df partials: the latest committed count
+    * snapshot + the delta batches past it (rows still need summing per
+    * shingle — they are partials either way). */
+  private def readDfCounts(spark: SparkSession, statePath: String,
+      wm: Long): DataFrame = {
+    val snaps = committedBatches(spark, s"$statePath/dfcountsnap", wm).sortBy(_._1)
+    val deltas = committedBatches(spark, s"$statePath/dfcounts", wm)
+      .filter(d => snaps.lastOption.forall(s => d._1 > s._1))
+    val dirs = snaps.lastOption.toSeq.map(_._2) ++ deltas.map(_._2)
+    if (dirs.isEmpty) emptyDf(spark, dfcountsSchema)
+    else spark.read.parquet(dirs: _*)
+      .select(dfcountsSchema.fieldNames.map(col).toSeq: _*)
+  }
+
   private def shingle(docs: DataFrame, id: String, text: String): DataFrame =
     docs
       .select(col(id).as("doc_id"), split(col(text), " ").as("toks"))
@@ -201,7 +218,7 @@ object IncrementalDedup {
       .localCheckpoint(true)
     val newCounts = newShingled.groupBy(col("shingle"))
       .agg(count(lit(1)).as("cnt")).localCheckpoint(true)
-    val oldCounts = readCommitted(spark, s"$statePath/dfcounts", dfcountsSchema, wm)
+    val oldCounts = readDfCounts(spark, statePath, wm)
     val rare = oldCounts
       .join(newCounts.select("shingle"), Seq("shingle"), "left_semi")
       .unionByName(newCounts)
@@ -275,8 +292,15 @@ object IncrementalDedup {
       .parquet(s"$statePath/hashes/batch=$tag")
     newShingled.write.mode("overwrite")
       .parquet(s"$statePath/shingles/batch=$tag")
-    newCounts.select("shingle", "cnt").write.mode("overwrite")
-      .parquet(s"$statePath/dfcounts/batch=$tag")
+    if (doSnapshot)
+      // fold every committed partial + this batch into one summed
+      // snapshot — the df resolution's read fan-in stays bounded
+      oldCounts.unionByName(newCounts)
+        .groupBy(col("shingle")).agg(sum(col("cnt")).as("cnt"))
+        .write.mode("overwrite").parquet(s"$statePath/dfcountsnap/batch=$tag")
+    else
+      newCounts.select("shingle", "cnt").write.mode("overwrite")
+        .parquet(s"$statePath/dfcounts/batch=$tag")
     if (doSnapshot) {
       // the one corpus-sized label pass, amortized over compactEvery
       // refreshes: full latest-wins + this batch's merges and additions
@@ -301,11 +325,14 @@ object IncrementalDedup {
     def drop(dir: String): Unit =
       try hfs.delete(new Path(dir), true) catch { case _: Exception => () }
     val wmNow = math.max(wm, newWm)
-    val snapsNow = committedBatches(spark, s"$statePath/assignsnap", wmNow).sortBy(_._1)
-    if (snapsNow.size > 2) snapsNow.dropRight(2).foreach(s => drop(s._2))
-    for (keepFloor <- snapsNow.takeRight(2).headOption.map(_._1))
-      committedBatches(spark, s"$statePath/assign", wmNow)
-        .filter(_._1 <= keepFloor).foreach(d => drop(d._2))
+    for ((snapDir, deltaDir) <- Seq(("assignsnap", "assign"),
+        ("dfcountsnap", "dfcounts"))) {
+      val snapsNow = committedBatches(spark, s"$statePath/$snapDir", wmNow).sortBy(_._1)
+      if (snapsNow.size > 2) snapsNow.dropRight(2).foreach(s => drop(s._2))
+      for (keepFloor <- snapsNow.takeRight(2).headOption.map(_._1))
+        committedBatches(spark, s"$statePath/$deltaDir", wmNow)
+          .filter(_._1 <= keepFloor).foreach(d => drop(d._2))
+    }
     nFresh
   }
 }

@@ -84,10 +84,36 @@ class IncrementalDedupSpec extends SparkSpec {
     }
     // snapshots were written and pruned to the latest two generations
     assert(batchDirs("assignsnap").size === 2, batchDirs("assignsnap").toString)
-    // additive df state exists for every refresh (append-only)
-    assert(batchDirs("dfcounts").size === 5, batchDirs("dfcounts").toString)
+    // df state compacts on the same cadence: two retained count
+    // snapshots, and only the post-snapshot delta dirs survive
+    assert(batchDirs("dfcountsnap").size === 2, batchDirs("dfcountsnap").toString)
+    assert(batchDirs("dfcounts").size === 1, batchDirs("dfcounts").toString)
     // deltas at or before the retained-previous snapshot are gone
     assert(batchDirs("assign").size < 3, batchDirs("assign").toString)
+  }
+
+  test("non-compaction refreshes write delta-sized label batches, not corpus-sized") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val state = java.nio.file.Files.createTempDirectory("graft-incdelta").toString
+    // compactEvery high enough that refreshes 2..3 write deltas
+    IncrementalDedup.refresh(spark, docs.filter(col("doc_id") < 200),
+      state, threshold = 0.5, compactEvery = 100)
+    IncrementalDedup.refresh(spark, docs.filter(col("doc_id") < 350),
+      state, threshold = 0.5, compactEvery = 100)
+    IncrementalDedup.refresh(spark, docs, state, threshold = 0.5, compactEvery = 100)
+    val corpus = docs.count()
+    for (d <- new java.io.File(s"$state/assign").listFiles()
+        if d.getName.startsWith("batch=")) {
+      val rows = spark.read.parquet(d.toString).count()
+      // each delta holds its 150 new docs + relabeled old docs — it must
+      // never approach the 500-doc corpus the old full-snapshot wrote
+      assert(rows < corpus / 2,
+        s"${d.getName} wrote $rows rows — corpus-sized, not delta-sized")
+    }
+    // and the reconstructed state still matches the one-shot
+    val inc = IncrementalDedup.assignments(spark, state)
+    val full = DedupPipeline.dedup(docs, threshold = 0.5)
+    assert(inc.except(full).count() === 0 && full.except(inc).count() === 0)
   }
 
   test("a lazy assignments() frame stays readable across one compaction") {
