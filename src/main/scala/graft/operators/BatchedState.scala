@@ -58,4 +58,38 @@ private[graft] object BatchedState {
     else spark.read.parquet(dirs: _*)
       .select(schema.fieldNames.map(col).toSeq: _*)
   }
+
+  /** Compacted read for state kept as `snapDir/batch=*` (full rewrites
+    * at compaction) + `deltaDir/batch=*` (per-refresh deltas): latest
+    * committed snapshot + the deltas past it. Both directories are
+    * passed EXPLICITLY — the reader and the writer must name the same
+    * paths, and deriving one from the other by concatenation is how a
+    * silent split-brain happens. */
+  def readSnapshotted(spark: SparkSession, snapDir: String, deltaDir: String,
+      schema: StructType, wm: Long): DataFrame = {
+    val snaps = committedBatches(spark, snapDir, wm).sortBy(_._1)
+    val deltas = committedBatches(spark, deltaDir, wm)
+      .filter(d => snaps.lastOption.forall(s => d._1 > s._1))
+    val dirs = snaps.lastOption.toSeq.map(_._2) ++ deltas.map(_._2)
+    if (dirs.isEmpty) emptyDf(spark, schema)
+    else spark.read.parquet(dirs: _*)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Prune for the snapshot+delta layout: keep the latest two committed
+    * snapshots and every delta past the older retained one (lazy reader
+    * frames from the previous generation stay readable across one
+    * compaction). Best-effort — a failed delete costs disk, never
+    * correctness. */
+  def pruneSnapshotted(spark: SparkSession, snapDir: String, deltaDir: String,
+      wm: Long): Unit = {
+    val hfs = fs(spark, snapDir)
+    def drop(dir: String): Unit =
+      try hfs.delete(new Path(dir), true) catch { case _: Exception => () }
+    val snaps = committedBatches(spark, snapDir, wm).sortBy(_._1)
+    if (snaps.size > 2) snaps.dropRight(2).foreach(s => drop(s._2))
+    for (keepFloor <- snaps.takeRight(2).headOption.map(_._1))
+      committedBatches(spark, deltaDir, wm)
+        .filter(_._1 <= keepFloor).foreach(d => drop(d._2))
+  }
 }

@@ -150,15 +150,9 @@ object IncrementalDedup {
     * snapshot + the delta batches past it (rows still need summing per
     * shingle — they are partials either way). */
   private def readDfCounts(spark: SparkSession, statePath: String,
-      wm: Long): DataFrame = {
-    val snaps = committedBatches(spark, s"$statePath/dfcountsnap", wm).sortBy(_._1)
-    val deltas = committedBatches(spark, s"$statePath/dfcounts", wm)
-      .filter(d => snaps.lastOption.forall(s => d._1 > s._1))
-    val dirs = snaps.lastOption.toSeq.map(_._2) ++ deltas.map(_._2)
-    if (dirs.isEmpty) emptyDf(spark, dfcountsSchema)
-    else spark.read.parquet(dirs: _*)
-      .select(dfcountsSchema.fieldNames.map(col).toSeq: _*)
-  }
+      wm: Long): DataFrame =
+    BatchedState.readSnapshotted(spark, s"$statePath/dfcountsnap",
+      s"$statePath/dfcounts", dfcountsSchema, wm)
 
   private def shingle(docs: DataFrame, id: String, text: String): DataFrame =
     docs
@@ -317,22 +311,14 @@ object IncrementalDedup {
     val newWm = hashedNew.agg(max(col("doc_id"))).head().getLong(0)
     Incremental.writeWatermark(spark, statePath, math.max(wm, newWm))
 
-    // prune superseded label state (best-effort: a failure here costs
-    // disk, never correctness). Keep the latest TWO snapshots and every
-    // delta past the older retained one, so a lazy assignments() frame
-    // from the previous generation stays readable across one compaction.
-    val hfs = fs(spark, statePath)
-    def drop(dir: String): Unit =
-      try hfs.delete(new Path(dir), true) catch { case _: Exception => () }
+    // prune superseded label + count state (best-effort; keeps the
+    // latest TWO snapshot generations, so a lazy assignments() frame
+    // from the previous generation stays readable across one compaction)
     val wmNow = math.max(wm, newWm)
-    for ((snapDir, deltaDir) <- Seq(("assignsnap", "assign"),
-        ("dfcountsnap", "dfcounts"))) {
-      val snapsNow = committedBatches(spark, s"$statePath/$snapDir", wmNow).sortBy(_._1)
-      if (snapsNow.size > 2) snapsNow.dropRight(2).foreach(s => drop(s._2))
-      for (keepFloor <- snapsNow.takeRight(2).headOption.map(_._1))
-        committedBatches(spark, s"$statePath/$deltaDir", wmNow)
-          .filter(_._1 <= keepFloor).foreach(d => drop(d._2))
-    }
+    BatchedState.pruneSnapshotted(spark, s"$statePath/assignsnap",
+      s"$statePath/assign", wmNow)
+    BatchedState.pruneSnapshotted(spark, s"$statePath/dfcountsnap",
+      s"$statePath/dfcounts", wmNow)
     nFresh
   }
 }

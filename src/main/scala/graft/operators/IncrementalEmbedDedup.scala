@@ -19,7 +19,11 @@ import org.apache.spark.sql.types._
   *   - `cells/batch=*` (vec_id, table_idx, bucket): the multi-table
   *     hyperplane-LSH cells of every vector ever refreshed — ids and
   *     bucket keys only, a few bytes per cell; embeddings are NEVER
-  *     stored here and never ride the candidate shuffle.
+  *     stored here and never ride the candidate shuffle. The cell index
+  *     is joined EVERY refresh, so it compacts every `compactEvery`
+  *     refreshes into `cellsnap/batch=*` (a plain union — cell rows are
+  *     immutable), bounding read fan-in to one snapshot + at most
+  *     compactEvery delta dirs.
   *   - `pairs/batch=*` (id_a, id_b, cos): the verified near-dup pairs
   *     each refresh discovered. Append-only; [[pairs]] unions the
   *     committed batches.
@@ -60,7 +64,8 @@ object IncrementalEmbedDedup {
     * of new vectors processed (0 = nothing new). */
   def refresh(spark: SparkSession, vecs: DataFrame, statePath: String,
       idCol: String = "vec_id", dims: Int = 64, threshold: Double = 0.45,
-      tables: Int = 24, planesPerTable: Int = 4): Long = {
+      tables: Int = 24, planesPerTable: Int = 4,
+      compactEvery: Int = 8): Long = {
     val wm = Incremental.watermark(spark, statePath)
     val fresh = vecs.filter(col(idCol) > wm)
       .select(col(idCol).as("vec_id"), col("embedding"))
@@ -69,8 +74,8 @@ object IncrementalEmbedDedup {
 
     val newCells = AnnSearch.sketchCells(fresh, "vec_id", dims, tables, planesPerTable)
       .localCheckpoint(true)
-    val oldCells = BatchedState.readCommitted(
-      spark, s"$statePath/cells", cellsSchema, wm)
+    val oldCells = BatchedState.readSnapshotted(spark, s"$statePath/cellsnap",
+      s"$statePath/cells", cellsSchema, wm)
 
     // candidates = new cells against the UNION cell index: a plain
     // equi-join on the (table, bucket) cell key, hot cells split under
@@ -97,12 +102,26 @@ object IncrementalEmbedDedup {
       .select("id_a", "id_b", "cos")
       .localCheckpoint(true) // materialize before the state writes below
 
-    // batch-keyed writes + watermark-last commit (BatchedState protocol)
+    // batch-keyed writes + watermark-last commit (BatchedState protocol);
+    // first refresh snapshots (it IS the full index), then every
+    // compactEvery deltas fold into a fresh snapshot
+    val snapsBefore = BatchedState.committedBatches(
+      spark, s"$statePath/cellsnap", wm)
+    val deltasSinceSnap = BatchedState.committedBatches(
+        spark, s"$statePath/cells", wm)
+      .count(d => snapsBefore.sortBy(_._1).lastOption.forall(s => d._1 > s._1))
+    val doSnapshot = snapsBefore.isEmpty || deltasSinceSnap + 1 >= compactEvery
     val tag = BatchedState.tagOf(wm)
-    newCells.write.mode("overwrite").parquet(s"$statePath/cells/batch=$tag")
+    if (doSnapshot)
+      oldCells.unionByName(newCells).write.mode("overwrite")
+        .parquet(s"$statePath/cellsnap/batch=$tag")
+    else
+      newCells.write.mode("overwrite").parquet(s"$statePath/cells/batch=$tag")
     verified.write.mode("overwrite").parquet(s"$statePath/pairs/batch=$tag")
     val newWm = fresh.agg(max(col("vec_id"))).head().getLong(0)
     Incremental.writeWatermark(spark, statePath, math.max(wm, newWm))
+    BatchedState.pruneSnapshotted(spark, s"$statePath/cellsnap",
+      s"$statePath/cells", math.max(wm, newWm))
     nFresh
   }
 }

@@ -33,6 +33,27 @@ class IncrementalEmbedDedupSpec extends SparkSpec {
     assert(IncrementalEmbedDedup.refresh(spark, vecs, state, threshold = 0.3) === 0L)
   }
 
+  test("cells compaction: parity across snapshot boundaries, old batches pruned") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").cache()
+    val state = tmpState()
+    // compactEvery=2: refreshes alternate snapshot/delta cell writes —
+    // the candidate index must be identical either way
+    for (cut <- Seq(100L, 200L, 300L, 400L, Long.MaxValue))
+      IncrementalEmbedDedup.refresh(spark, vecs.filter(col("vec_id") < cut),
+        state, threshold = 0.3, compactEvery = 2)
+    val inc = IncrementalEmbedDedup.pairs(spark, state)
+    val full = Similarity.lshNearDupPairs(vecs, "vec_id", dims = 64, threshold = 0.3)
+    assert(inc.except(full).count() === 0 && full.except(inc).count() === 0,
+      "compacted cell index diverged from the one-shot operator")
+    def batchDirs(sub: String): Seq[String] = {
+      val d = new java.io.File(s"$state/$sub")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().filter(_.getName.startsWith("batch=")).map(_.getName).toSeq
+    }
+    assert(batchDirs("cellsnap").size === 2, batchDirs("cellsnap").toString)
+    assert(batchDirs("cells").size === 1, batchDirs("cells").toString)
+  }
+
   test("a crashed refresh (no watermark swap) is invisible; retry lands it once") {
     val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").cache()
     val state = tmpState()
