@@ -16,7 +16,8 @@ object SparkEntry {
       ExtendedQueries.queries ++ TemporalOps.queries ++ CrossModal.queries ++
       PipelineOps.queries ++ DedupClusters.queries ++ Contamination.queries ++
       ShapeQueries.queries ++ ShapeQueries2.queries ++ ShapeQueries3.queries ++
-      QualityOps.queries ++ CurationOps.queries ++ IntervalJoin.queries
+      QualityOps.queries ++ CurationOps.queries ++ IntervalJoin.queries ++
+      ChunkOps.queries
 
   /** Queries deliberately WITHOUT an oracle entry — the driver records
     * its weaker rows-only check for these. Membership requires a
@@ -34,5 +35,6 @@ object SparkEntry {
       ExtendedQueries.oracles ++ TemporalOps.oracles ++ CrossModal.oracles ++
       PipelineOps.oracles ++ DedupClusters.oracles ++ Contamination.oracles ++
       ShapeQueries.oracles ++ ShapeQueries2.oracles ++ ShapeQueries3.oracles ++
-      QualityOps.oracles ++ CurationOps.oracles ++ IntervalJoin.oracles
+      QualityOps.oracles ++ CurationOps.oracles ++ IntervalJoin.oracles ++
+      ChunkOps.oracles
 }

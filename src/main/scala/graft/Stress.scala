@@ -257,6 +257,13 @@ object Stress {
         println(f"STRESS incembed_second_half         ${(t2 - t1) / 1e9}%8.2f s")
       }
     }
+    // round-7 training-set assembly ops: chunking is a narrow explode
+    // (must scale with corpus size, no shuffle), shard packing rides the
+    // distributed prefix sum, centroids partial-aggregate the dim-fanout
+    time("text_chunk")(ChunkOps.textChunk(spark, dir))
+    time("shard_pack")(ChunkOps.shardPack(spark, dir))
+    time("emb_centroid")(ChunkOps.embCentroid(spark, dir))
+
     // incremental dedup: first refresh pays for its batch; the second
     // must pay only for its delta against the stored index
     locally {

@@ -67,6 +67,34 @@ object RankOps {
     else ranked.unionByName(df.filter(v.isNull).withColumn(outCol, lit(0.0)))
   }
 
+  /** Append `outCol` = EXCLUSIVE prefix sum of `valueCol` (must be a
+    * non-null integral column) over a global sort by `sortCols` —
+    * i.e. for each row, the sum of `valueCol` over all strictly
+    * preceding rows. Same two-phase shape as [[twoPhaseRowNumber]]:
+    * range-repartition on the sort key, window-sum WITHIN each
+    * partition, then offset by the preceding partitions' totals (a
+    * driver-collected P-sized list, broadcast back). Bit-identical to
+    * `sum(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+    * PRECEDING)` without the single-partition global window. */
+  def exclusivePrefixSum(df: DataFrame, valueCol: String, outCol: String,
+      numPartitions: Int, sortCols: Column*): DataFrame = {
+    val ranged = df.repartitionByRange(numPartitions, sortCols: _*)
+      .withColumn("_ppid", spark_partition_id())
+      .localCheckpoint(true)
+    val totals = ranged.groupBy(col("_ppid"))
+      .agg(sum(col(valueCol)).as("_pt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _).dropRight(1)).toSeq
+    val offsetsDf = df.sparkSession.createDataFrame(offsets).toDF("_ppid", "_poff")
+    val wInPart = Window.partitionBy(col("_ppid")).orderBy(sortCols: _*)
+    ranged
+      .join(broadcast(offsetsDf), Seq("_ppid"))
+      .withColumn(outCol,
+        col("_poff") + sum(col(valueCol)).over(wInPart) - col(valueCol))
+      .drop("_ppid", "_poff")
+  }
+
   /** Append `outCol` = row_number over a global sort by `sortCols`,
     * without a global single-partition sort: range-repartition, number
     * within partitions, add per-partition offsets. The input is

@@ -13,10 +13,18 @@ class BenchLineSpec extends AnyFunSuite {
   private val worst = names.map(_ -> 9999.994).toMap
   private val sf = "/root/testdata/sf0.1"
 
-  test("2-decimal line fits the tail window for the current query set") {
-    val line = Bench.jsonLine(names, worst, sf, dp = 2, maxLen = Int.MaxValue)
-    assert(line.length <= Bench.MaxLineLen,
-      s"line is ${line.length} chars; shorten new query names or accept 1-dp degradation")
+  test("per-query detail survives the tail window for the current query set") {
+    // worst case (9999.99 s/query, a sub-3h run) must fit by 0 dp at the
+    // latest — the totals-only fallback dropping per-query data is never
+    // acceptable; and at realistic widths (< 1000 s/query) full 2-dp
+    // precision must fit, so the line only degrades on pathological runs
+    val zeroDp = Bench.jsonLine(names, worst, sf, dp = 0, maxLen = Int.MaxValue)
+    assert(zeroDp.length <= Bench.MaxLineLen,
+      s"0-dp worst-case line is ${zeroDp.length} chars; shorten new query names")
+    val realistic = names.map(_ -> 999.994).toMap
+    val twoDp = Bench.jsonLine(names, realistic, sf, dp = 2, maxLen = Int.MaxValue)
+    assert(twoDp.length <= Bench.MaxLineLen,
+      s"realistic 2-dp line is ${twoDp.length} chars; shorten new query names")
   }
 
   test("degradation keeps the emitted line within budget and parseable-shaped") {

@@ -193,4 +193,34 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("Exchange SinglePartition"), s"$q has a global window:\n$p")
     }
   }
+
+  test("text_chunk is a narrow plan: no hash shuffle, no join, no window") {
+    // tokenize → explode an index sequence → slice: per-row fan-out only.
+    // The sole exchange allowed is the presentation sort's range partition.
+    val p = plan("text_chunk")
+    assert(p.contains("Generate explode"), s"chunk fan-out must be an explode:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"chunking must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"), s"chunking needs no join/window:\n$p")
+  }
+
+  test("shard_pack's prefix sum stays partitioned (no single-partition window)") {
+    // the cumulative token count is RankOps.exclusivePrefixSum — range
+    // repartition + per-partition windows + broadcast offsets; the
+    // global-window form it replaces would plan Exchange SinglePartition
+    val p = plan("shard_pack")
+    assert(!p.contains("Exchange SinglePartition"), s"shard_pack has a global window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"partition offsets must broadcast:\n$p")
+  }
+
+  test("emb_centroid partial-aggregates below the label/pos shuffle") {
+    // posexplode fans the corpus out dim× — the per-(label,pos) sum must
+    // combine map-side so the shuffle carries (labels × dims) rows/task,
+    // not the exploded corpus
+    val p = plan("emb_centroid")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    val partialIdx = p.lastIndexOf("HashAggregate")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"no partial aggregate below the shuffle:\n$p")
+    assert(!p.contains("Window"), p)
+  }
 }
