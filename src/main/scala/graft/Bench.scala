@@ -23,8 +23,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bench {
   /** Max JSON line length: 2000-char driver tail minus sbt's trailing
-    * "[success] Total time: ..." line (~90 chars) minus slack. */
-  val MaxLineLen = 1850
+    * "[success] Total time: ... completed <date>" epilogue (~75 chars
+    * incl. newlines) minus slack. 1910 keeps ≥ 90 chars of epilogue
+    * headroom — raised from 1850 when the 73-query set pushed the
+    * realistic 2-dp line to 1861 (degrading every query to 1 dp over
+    * 11 missing chars is the worse trade; BenchLineSpec repro's the
+    * arithmetic). */
+  val MaxLineLen = 1910
 
   private def fmt(v: Double, dp: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))

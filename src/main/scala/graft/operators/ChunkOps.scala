@@ -42,29 +42,35 @@ object ChunkOps {
     * by both E16 and E17 (and the DuckDB oracles verbatim). */
   private def toks = filter(split(col("text"), "\\s+"), t => t =!= lit(""))
 
-  /** E16: context-window chunking. Each document with n > 0 tokens
-    * yields ceil(max(n - W, 0) / S) + 1 chunks; chunk i covers tokens
-    * [i*S + 1, min(i*S + W, n)] (1-based), so consecutive chunks
-    * overlap by W - S tokens and every token is covered. Narrow plan:
-    * tokenize once, explode a per-row index sequence, slice — no
-    * shuffle anywhere above the final presentation sort. */
-  def textChunk(spark: SparkSession, d: String): DataFrame = {
-    Tables.documents(spark, d)
+  /** The chunking plan shared by [[textChunk]] and
+    * [[TrainingExport.writeShards]]: (doc_id, chunk_idx, n_chunk_tokens,
+    * chunk_text) per window. Narrow — tokenize once, explode a per-row
+    * index sequence, slice; no shuffle at any scale. */
+  private[operators] def chunkPlan(docs: DataFrame, w: Int, s: Int): DataFrame =
+    docs
       .select(col("doc_id"), toks.as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .filter(col("n_tokens") > 0)
       .withColumn("n_chunks",
-        expr(s"1L + (greatest(n_tokens - $Window, 0L) + ${Stride - 1}) div $Stride"))
+        expr(s"1L + (greatest(n_tokens - $w, 0L) + ${s - 1}) div $s"))
       .select(col("doc_id"), col("toks"), col("n_tokens"),
         explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
       .select(col("doc_id"), col("chunk_idx"),
-        least(lit(Window.toLong), col("n_tokens") - col("chunk_idx") * Stride)
+        least(lit(w.toLong), col("n_tokens") - col("chunk_idx") * s)
           .as("n_chunk_tokens"),
-        md5(array_join(
-          slice(col("toks"), (col("chunk_idx") * Stride + 1).cast("int"), lit(Window)),
-          " ")).as("chunk_hash"))
+        array_join(
+          slice(col("toks"), (col("chunk_idx") * s + 1).cast("int"), lit(w)),
+          " ").as("chunk_text"))
+
+  /** E16: context-window chunking. Each document with n > 0 tokens
+    * yields ceil(max(n - W, 0) / S) + 1 chunks; chunk i covers tokens
+    * [i*S + 1, min(i*S + W, n)] (1-based), so consecutive chunks
+    * overlap by W - S tokens and every token is covered. */
+  def textChunk(spark: SparkSession, d: String): DataFrame =
+    chunkPlan(Tables.documents(spark, d), Window, Stride)
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+        md5(col("chunk_text")).as("chunk_hash"))
       .orderBy(col("doc_id"), col("chunk_idx"))
-  }
 
   val textChunkSql: String =
     s"""WITH t AS (

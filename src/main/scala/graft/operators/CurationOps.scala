@@ -103,13 +103,51 @@ object CurationOps {
       |GROUP BY label
       |ORDER BY label""".stripMargin
 
+  /** E18: mixture (domain-reweighting) sampling — each SOURCE gets its
+    * own deterministic keep rate from a declared mixture table (here
+    * 100% / 50% / 25% / 12.5% by source index mod 4 — the shape of a
+    * "downweight web crawl, keep curated sources" recipe). The keep
+    * decision is the E9/E15 md5-bucket convention on doc_id, so the
+    * sampled set is reproducible across runs, engines and layouts, and
+    * the per-source rates compose with E15's length weighting. Per-row
+    * projection + one combinable aggregate: zero pre-shuffle work. */
+  def sampleMixture(spark: SparkSession, d: String): DataFrame = {
+    val srcIdx = substring(col("source"), 4, 10).cast("int") % 4
+    val rate = when(srcIdx === 0, 1000L).when(srcIdx === 1, 500L)
+      .when(srcIdx === 2, 250L).otherwise(125L)
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000
+    Tables.documents(spark, d)
+      .withColumn("keep", u < rate)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        coalesce(sum(when(col("keep"), col("n_chars"))), lit(0L)).as("chars_kept"))
+      .orderBy(col("source"))
+  }
+
+  val sampleMixtureSql: String =
+    """SELECT source, COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(COALESCE(SUM(CASE WHEN keep THEN n_chars END), 0) AS BIGINT) AS chars_kept
+      |FROM (
+      |  SELECT source, n_chars,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000
+      |      < CASE CAST(substr(source, 4) AS INT) % 4
+      |          WHEN 0 THEN 1000 WHEN 1 THEN 500 WHEN 2 THEN 250 ELSE 125 END AS keep
+      |  FROM documents)
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_rare_ratio" -> textRareRatio _,
     "sample_weighted" -> sampleWeighted _,
+    "sample_mixture" -> sampleMixture _,
     "emb_norm_stats" -> embNormStats _)
 
   val oracles: Map[String, String] = Map(
     "text_rare_ratio" -> textRareRatioSql,
     "sample_weighted" -> sampleWeightedSql,
+    "sample_mixture" -> sampleMixtureSql,
     "emb_norm_stats" -> embNormStatsSql)
 }

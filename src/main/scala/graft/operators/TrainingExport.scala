@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The training-corpus SINK (SURVEY §2 G19): chunk documents into
+  * window/stride token slices (ChunkOps.chunkPlan — narrow, no shuffle),
+  * pack the chunks into ~budget-token shards in stable (doc_id,
+  * chunk_idx) order via the distributed prefix sum, and materialize one
+  * parquet file per shard. This is what a trainer consumes: shard files
+  * of near-equal token counts whose contents are reproducible from the
+  * corpus alone (no RNG, no partition-layout dependence).
+  *
+  * Scale shape: chunking is per-row fan-out; packing shuffles only
+  * (doc_id, chunk_idx, n_chunk_tokens) prefix-sum traffic plus one
+  * repartition of the chunk text by shard — every stage keyed, nothing
+  * single-partition, no driver state beyond the P-sized offset list.
+  * One file per shard holds because `partitionBy("shard_id")` splits a
+  * hash-partitioned task's rows by shard: a shard's rows live in
+  * exactly one task.
+  */
+object TrainingExport {
+
+  /** Chunk + pack + write `docs` (doc_id, text) as parquet shards under
+    * `path/shard_id=N/`. A shard may overrun `budget` by at most one
+    * chunk (< `window` tokens — the contiguous-fill contract). Returns
+    * the per-shard summary READ BACK from the written artifact, so a
+    * green result certifies the files, not the plan. */
+  def writeShards(docs: DataFrame, path: String, window: Int = 512,
+      stride: Int = 384, budget: Long = 1L << 20,
+      numPartitions: Int = 32): DataFrame = {
+    require(stride > 0 && stride <= window, s"stride $stride vs window $window")
+    require(budget >= window, s"budget $budget below one chunk of $window")
+    val chunks = ChunkOps.chunkPlan(docs, window, stride)
+    val packed = RankOps.exclusivePrefixSum(chunks, "n_chunk_tokens", "_cum",
+        numPartitions, col("doc_id"), col("chunk_idx"))
+      .withColumn("shard_id", expr(s"_cum div $budget"))
+      .drop("_cum")
+    packed
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("doc_id"), col("chunk_idx"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(path)
+    docs.sparkSession.read.parquet(path)
+      .groupBy(col("shard_id").cast("long").as("shard_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_chunk_tokens")).as("n_tokens"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** TrainingExport writes the artifact a trainer reads — so every check
+  * here runs against the parquet on disk, not the plan: content parity
+  * with the chunking plan, the budget-overrun bound, shard contiguity
+  * in corpus order, and the one-file-per-shard layout contract. */
+class TrainingExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = java.nio.file.Files
+    .createTempDirectory("graft-export").toString + "/shards"
+  private val (w, s, budget) = (32, 24, 400L)
+
+  private lazy val summary = TrainingExport.writeShards(
+    Tables.documents(spark, sf).select("doc_id", "text"),
+    dir, window = w, stride = s, budget = budget, numPartitions = 4)
+
+  test("written shards hold exactly the chunking plan's content") {
+    summary.collect() // force the write
+    val expected = ChunkOps.chunkPlan(
+        Tables.documents(spark, sf).select("doc_id", "text"), w, s)
+      .select("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val got = spark.read.parquet(dir)
+      .select("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got === expected)
+  }
+
+  test("every shard is within budget + one chunk, and ids are contiguous") {
+    val shards = summary.as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(shards.nonEmpty)
+    assert(shards.map(_._1).toSeq === shards.indices.map(_.toLong))
+    // contiguous fill: a shard stops growing only once the NEXT chunk
+    // would start past the budget boundary, so tokens < budget + window
+    shards.foreach { case (id, _, tok) =>
+      assert(tok < budget + w, s"shard $id holds $tok tokens")
+    }
+    // and all but the last shard reached the boundary
+    shards.dropRight(1).foreach { case (id, _, tok) =>
+      assert(tok >= budget - w, s"shard $id underfilled at $tok tokens")
+    }
+  }
+
+  test("shards partition the corpus in (doc_id, chunk_idx) order") {
+    val byShard = spark.read.parquet(dir)
+      .select(col("shard_id").cast("long"), col("doc_id"), col("chunk_idx"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (id, rows) => (id, rows.map(r => (r._2, r._3)).sorted) }
+    byShard.sliding(2).foreach {
+      case Seq((_, a), (_, b)) =>
+        assert(Ordering[(Long, Long)].lt(a.last, b.head),
+          "shard contents must not interleave in corpus order")
+      case _ =>
+    }
+  }
+
+  test("one parquet file per shard") {
+    summary.collect()
+    val root = new java.io.File(dir)
+    val shardDirs = root.listFiles().filter(_.getName.startsWith("shard_id="))
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"${d.getName} has ${files.length} files")
+    }
+  }
+}
