@@ -32,6 +32,9 @@ object TrainingExport {
     require(stride > 0 && stride <= window, s"stride $stride vs window $window")
     require(budget >= window, s"budget $budget below one chunk of $window")
     val chunks = ChunkOps.chunkPlan(docs, window, stride)
+    // an all-empty corpus writes no partition files and the read-back
+    // would die on schema inference — fail with the real reason instead
+    require(!chunks.isEmpty, "no non-empty documents to export")
     val packed = RankOps.exclusivePrefixSum(chunks, "n_chunk_tokens", "_cum",
         numPartitions, col("doc_id"), col("chunk_idx"))
       .withColumn("shard_id", expr(s"_cum div $budget"))

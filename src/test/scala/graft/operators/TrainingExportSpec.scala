@@ -59,6 +59,15 @@ class TrainingExportSpec extends SparkSpec {
     }
   }
 
+  test("an empty corpus fails loudly, not at read-back schema inference") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TrainingExport.writeShards(empty, dir + "-empty", window = w, stride = s,
+        budget = budget, numPartitions = 2)
+    }
+    assert(e.getMessage.contains("no non-empty documents"))
+  }
+
   test("one parquet file per shard") {
     summary.collect()
     val root = new java.io.File(dir)
