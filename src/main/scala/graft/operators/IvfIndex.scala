@@ -44,18 +44,31 @@ import java.nio.charset.StandardCharsets
   *     a query planning nprobe lists reads only those partitions
   *     (PartitionFilters on the parquet scan, spec-audited), i.e.
   *     ~nprobe/nlist of the index instead of all of it.
-  *   - `vectors/batch=N/` (neighbor_id, ec float[]): raw embeddings for
-  *     the exact re-rank — touched ONLY through the keyed shortlist
-  *     join (k·rerankFactor rows per query), never scanned whole. This
-  *     doubles index storage vs codes alone; it is what buys exact
-  *     cosine ordering on the final k without keeping the source corpus
-  *     around.
+  *   - `vectors/batch=N/list_id=L/` (neighbor_id, ec float[]): raw
+  *     embeddings for the exact re-rank, partitioned by the SAME coarse
+  *     assignment as the codes. Every shortlist id comes out of a probed
+  *     list's codes, so its vector lives in a probed list's partition
+  *     here too — the re-rank scan prunes to ~nprobe/nlist of the raw
+  *     store exactly like the codes scan (both PartitionFilters are
+  *     spec-audited), instead of reading the corpus-sized store whole
+  *     per query batch. This doubles index storage vs codes alone; it
+  *     is what buys exact cosine ordering on the final k without
+  *     keeping the source corpus around.
   *   - `_meta` (k=v lines): params + the list of COMMITTED batch ids.
   *     Readers union exactly the committed batches, so a half-written
   *     `add` is invisible until its meta swap lands.
+  *   - `_lock_add` (transient): the writer lock — [[IvfIndex.add]] and
+  *     [[IvfIndex.compact]] create it atomically with overwrite=false
+  *     (the FeatureStore per-version lock convention), so two concurrent
+  *     writers cannot both read the same `batches` list and silently
+  *     drop one another's meta swap. The loser fails loudly before
+  *     writing anything; a hard-crashed writer leaves a stale lock an
+  *     operator removes — fail-safe, never lost data.
   *
   * [[build]] deletes and replaces the whole tree (a rebuild, not a
-  * merge); use [[IvfIndex.add]] to extend an existing index in place.
+  * merge); use [[IvfIndex.add]] to extend an existing index in place and
+  * [[IvfIndex.compact]] to fold accumulated add batches back into one
+  * generation (read fan-in is batches × probed lists until then).
   */
 object IvfIndex {
 
@@ -71,7 +84,7 @@ object IvfIndex {
     val f = fs(spark, path)
     val tmp = new Path(s"$path/_meta.tmp")
     val body =
-      s"""version=1
+      s"""version=2
          |dims=${meta.dims}
          |m=${meta.m}
          |ksub=${meta.ksub}
@@ -98,6 +111,11 @@ object IvfIndex {
         .filter(_.contains("=")).map { l =>
           val Array(k, v) = l.split("=", 2); (k, v) }.toMap
       finally in.close()
+    // v1 wrote the raw-vector store un-partitioned; a v2 reader pruning
+    // it by list_id would fail confusingly mid-query — fail loudly here
+    require(kv.getOrElse("version", "?") == "2",
+      s"IvfIndex at $path is layout version ${kv.getOrElse("version", "?")}, " +
+        "this reader needs version 2 (list_id-partitioned vectors) — rebuild")
     Meta(kv("dims").toInt, kv("m").toInt, kv("ksub").toInt,
       kv("nlist").toInt, kv("saltFactor").toInt, kv("seed").toLong,
       kv("batches").split(",").filter(_.nonEmpty).map(_.toInt).toSeq)
@@ -107,8 +125,9 @@ object IvfIndex {
     * any index already there), commit via `_meta`. Training is bounded
     * exactly like the transient path: coarse k-means and PQ Lloyd's run
     * on ≤ maxTrainRows samples regardless of corpus size, and encoding
-    * is a broadcast-model/literal-codebook projection — one corpus scan,
-    * zero shuffles except the partitioned write. */
+    * is a broadcast-model/literal-codebook projection — two narrow
+    * corpus scans (codes write, vectors write), zero shuffles except
+    * the partitioned writes. */
   def build(vecs: DataFrame, id: String, path: String, nlist: Int = 0,
       m: Int = 16, ksub: Int = 64, seed: Long = 42L,
       maxTrainRows: Long = 50000L, saltFactor: Int = 4): Unit = {
@@ -130,8 +149,17 @@ object IvfIndex {
       .write.parquet(s"$path/codebook")
     IvfPq.codedCorpus(vecs, id, model, cbLit, m, ksub, saltFactor)
       .write.partitionBy("list_id").parquet(s"$path/codes/batch=0")
-    vecs.select(col(id).as("neighbor_id"), col("embedding").as("ec"))
-      .write.parquet(s"$path/vectors/batch=0")
+    // raw vectors under the SAME coarse assignment as the codes (the
+    // same broadcast model.transform — deterministic, so a shortlist id
+    // from a probed list's codes always has its vector in that list's
+    // partition here): one more narrow corpus scan, and the re-rank
+    // read prunes forever after
+    model.transform(
+        vecs.withColumn("features", org.apache.spark.ml.functions
+          .array_to_vector(col("embedding"))))
+      .select(col(id).as("neighbor_id"), col("prediction").as("list_id"),
+        col("embedding").as("ec"))
+      .write.partitionBy("list_id").parquet(s"$path/vectors/batch=0")
     writeMeta(spark, path, Meta(dim, m, ksub, nl, saltFactor, seed, Seq(0)))
   }
 
@@ -174,14 +202,18 @@ final class IvfIndex private[operators] (spark: SparkSession, path: String,
   private def vectors: DataFrame =
     spark.read.option("basePath", s"$path/vectors")
       .parquet(meta.batches.map(b => s"$path/vectors/batch=$b"): _*)
-      .select("neighbor_id", "ec")
+      .select(col("neighbor_id"), col("list_id").cast("int").as("list_id"),
+        col("ec"))
 
   /** Approximate top-k neighbors — the same two-stage plan as
     * [[IvfPq.ivfPqTopK]] (it IS the same code, [[IvfPq.pqRank]]), but
-    * over the stored artifacts: no training, no corpus encode, and the
-    * codes scan reads ONLY the probed list partitions. The probed list
-    * set is collected to the driver to drive partition pruning — bounded
-    * by nlist (≤ 4096 ints), the same class of driver metadata as
+    * over the stored artifacts: no training, no corpus encode, and BOTH
+    * store scans read ONLY the probed list partitions — codes for the
+    * ADC shortlist, raw vectors for the exact re-rank (a shortlist id's
+    * vector is always in a probed list partition because codes and
+    * vectors share one coarse assignment). The probed list set is
+    * collected to the driver to drive partition pruning — bounded by
+    * nlist (≤ 4096 ints), the same class of driver metadata as
     * Incremental's touched-days list. */
   def topK(queries: DataFrame, id: String, k: Int, nprobe: Int = 4,
       rerankFactor: Int = 8): DataFrame = {
@@ -192,41 +224,122 @@ final class IvfIndex private[operators] (spark: SparkSession, path: String,
     val probed = probes.select("list_id").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     val corpus = codes.filter(col("list_id").isin(probed: _*))
+    val emb = vectors.filter(col("list_id").isin(probed: _*))
+      .select("neighbor_id", "ec")
     val qemb = queries.select(col(id).as("query_id"), col("embedding").as("eq"))
-    IvfPq.pqRank(probes, corpus, vectors, qemb, k, rerankFactor)
+    IvfPq.pqRank(probes, corpus, emb, qemb, k, rerankFactor)
+  }
+
+  // ---- writer lock (the FeatureStore per-version convention,
+  // FeatureStore.scala tryAcquireVersionLock): atomic create with
+  // overwrite=false — on the local scheme Hadoop's create(false) is
+  // check-then-create, so NIO's atomic CREATE_NEW is used there; on
+  // HDFS/object stores the Hadoop call itself is atomic
+  private def addLockPath = new Path(s"$path/_lock_add")
+
+  private def acquireWriterLock(): Unit = {
+    val lock = addLockPath
+    val hfs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val won =
+      if ("file" == lock.toUri.getScheme || hfs.getScheme == "file") {
+        try { java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(lock.toUri.getPath)); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        try { hfs.create(lock, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      }
+    if (!won) throw new IllegalStateException(
+      s"concurrent IvfIndex writer holds $lock — retry after it commits " +
+        "(or remove the stale lock a hard-crashed writer left)")
+  }
+
+  private def releaseWriterLock(): Unit = {
+    val lock = addLockPath
+    lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(lock, false)
   }
 
   /** Append new vectors as one committed batch: coarse-assign to the
     * EXISTING centroids (argmax 2v·c − |c|², the probe metric; ties to
     * the lowest list_id — the trainer's own double-precision assignment
     * can differ only on exact ties), encode with the existing codebooks,
-    * write `codes/batch=N` + `vectors/batch=N`, then commit both by
-    * swapping `_meta`. No retrain, no touch of prior batches — O(delta).
-    * A crashed add leaves orphan dirs the retry overwrites (same tag).
-    * Returns the number of vectors appended. */
+    * write `codes/batch=N` + `vectors/batch=N` (both partitioned by the
+    * one shared assignment), then commit both by swapping `_meta`. No
+    * retrain, no touch of prior batches — O(delta). The whole
+    * read-modify-write runs under the writer lock, with `batches`
+    * re-read AFTER acquiring it: two concurrent adds can no longer pick
+    * the same batch id and silently drop one another's meta swap — the
+    * loser fails loudly having written nothing. A crashed add leaves
+    * orphan dirs the retry overwrites (same tag). Returns the number of
+    * vectors appended. */
   def add(newVecs: DataFrame, id: String): Long = {
     val nNew = newVecs.count()
     if (nNew == 0) return 0L
-    val b = meta.batches.max + 1
-    val w = Window.partitionBy(col("neighbor_id"))
-      .orderBy(col("cscore").desc, col("list_id"))
-    val assigned = newVecs
-      .select(col(id).as("neighbor_id"), col("embedding"))
-      .crossJoin(broadcast(centroidsDf))
-      .withColumn("cscore",
-        lit(2.0) * VecDot.vecDot(col("embedding"), col("centroid")) - col("cnorm2"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-    assigned.select(col("neighbor_id"), col("list_id"),
-        PqFunctions.pqEncode(col("embedding"), cbLit, meta.m, meta.ksub).as("codes"),
-        pmod(xxhash64(col("neighbor_id")), lit(meta.saltFactor)).cast("int").as("_salt"))
-      .write.mode("overwrite").partitionBy("list_id")
-      .parquet(s"$path/codes/batch=$b")
-    newVecs.select(col(id).as("neighbor_id"), col("embedding").as("ec"))
-      .write.mode("overwrite").parquet(s"$path/vectors/batch=$b")
-    val next = meta.copy(batches = meta.batches :+ b)
-    IvfIndex.writeMeta(spark, path, next)
-    meta = next
-    nNew
+    acquireWriterLock()
+    try {
+      // latest committed state, not this handle's snapshot: another add
+      // may have landed since load — the lock makes this read current
+      meta = IvfIndex.readMeta(spark, path)
+      val b = meta.batches.max + 1
+      val w = Window.partitionBy(col("neighbor_id"))
+        .orderBy(col("cscore").desc, col("list_id"))
+      // one assignment, materialized once (delta-sized), feeding BOTH
+      // writes — codes and vectors must agree on list_id for the
+      // re-rank's partition pruning to stay lossless
+      val assigned = newVecs
+        .select(col(id).as("neighbor_id"), col("embedding"))
+        .crossJoin(broadcast(centroidsDf))
+        .withColumn("cscore",
+          lit(2.0) * VecDot.vecDot(col("embedding"), col("centroid")) - col("cnorm2"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("neighbor_id"), col("list_id"), col("embedding"))
+        .localCheckpoint(true)
+      assigned.select(col("neighbor_id"), col("list_id"),
+          PqFunctions.pqEncode(col("embedding"), cbLit, meta.m, meta.ksub).as("codes"),
+          pmod(xxhash64(col("neighbor_id")), lit(meta.saltFactor)).cast("int").as("_salt"))
+        .write.mode("overwrite").partitionBy("list_id")
+        .parquet(s"$path/codes/batch=$b")
+      assigned.select(col("neighbor_id"), col("list_id"),
+          col("embedding").as("ec"))
+        .write.mode("overwrite").partitionBy("list_id")
+        .parquet(s"$path/vectors/batch=$b")
+      val next = meta.copy(batches = meta.batches :+ b)
+      IvfIndex.writeMeta(spark, path, next)
+      meta = next
+      nNew
+    } finally releaseWriterLock()
+  }
+
+  /** Fold every committed batch into ONE new generation — the
+    * BatchedState compaction idea applied to the index: without it,
+    * each `add` grows the read fan-in (batches × probed-list dirs under
+    * both stores) forever. Reads all committed codes/vectors, rewrites
+    * them as `batch=max+1`, swaps `_meta` to that single batch, then
+    * best-effort deletes the replaced dirs (a failed delete costs disk,
+    * never correctness — readers follow `_meta`, not the directory
+    * listing). Runs under the writer lock; handles loaded before a
+    * compact see their old batch list and must re-[[IvfIndex.load]]
+    * (same replace semantics as [[IvfIndex$.build]]). Returns the
+    * number of batches folded (0 = already compact, a no-op). */
+  def compact(): Int = {
+    acquireWriterLock()
+    try {
+      meta = IvfIndex.readMeta(spark, path)
+      if (meta.batches.size <= 1) return 0
+      val old = meta.batches
+      val g = old.max + 1
+      codes.write.partitionBy("list_id").parquet(s"$path/codes/batch=$g")
+      vectors.write.partitionBy("list_id").parquet(s"$path/vectors/batch=$g")
+      val next = meta.copy(batches = Seq(g))
+      IvfIndex.writeMeta(spark, path, next)
+      meta = next
+      val hfs = addLockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      for (b <- old; store <- Seq("codes", "vectors"))
+        try hfs.delete(new Path(s"$path/$store/batch=$b"), true)
+        catch { case _: Exception => () }
+      old.size
+    } finally releaseWriterLock()
   }
 }

@@ -38,7 +38,7 @@ class IvfIndexSpec extends SparkSpec {
     sameResult(persisted, transient)
   }
 
-  test("the codes scan reads only probed list partitions") {
+  test("BOTH store scans (codes AND raw vectors) read only probed list partitions") {
     val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
     val path = tmpPath()
     IvfIndex.build(vecs, "vec_id", path, nlist = 8)
@@ -46,12 +46,21 @@ class IvfIndexSpec extends SparkSpec {
     val one = vecs.filter(col("vec_id") === 0)
     val res = idx.topK(one, "vec_id", k = 3, nprobe = 2)
     res.collect()
-    val p = res.queryExecution.executedPlan.toString
+    val lines = res.queryExecution.executedPlan.toString.split('\n')
     // the isin over the partition column must surface as a partition
-    // filter on the codes scan — nprobe of nlist partitions read, the
-    // rest pruned at planning time
-    assert(p.contains("PartitionFilters:") && p.contains("list_id"),
-      s"no partition pruning on the codes scan:\n$p")
+    // filter on EACH store scan — nprobe of nlist partitions read, the
+    // rest pruned at planning time. The codes scan always pruned; the
+    // raw-vector scan is the one that used to read the store whole
+    // (the last corpus-sized read in the serving path).
+    for (store <- Seq("/codes/", "/vectors/")) {
+      val scans = lines.filter(l => l.contains("FileScan") && l.contains(store))
+      assert(scans.nonEmpty, s"no FileScan over $store in plan:\n${lines.mkString("\n")}")
+      scans.foreach { l =>
+        val pf = l.indexOf("PartitionFilters:")
+        assert(pf >= 0 && l.substring(pf).takeWhile(_ != ']').contains("list_id"),
+          s"scan over $store not pruned by list_id:\n$l")
+      }
+    }
   }
 
   test("add appends a committed batch; queries then match a full transient rebuild") {
@@ -131,5 +140,97 @@ class IvfIndexSpec extends SparkSpec {
       IvfIndex.load(spark, tmpPath())
     }
     assert(e.getMessage.contains("_meta"))
+  }
+
+  test("a held writer lock makes add fail loudly and write nothing") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").cache()
+    val cut = 400L
+    val path = tmpPath()
+    IvfIndex.build(vecs.filter(col("vec_id") < cut), "vec_id", path, nlist = 8)
+    val idx = IvfIndex.load(spark, path)
+    // an in-flight writer holds the lock (what the loser of a race sees)
+    val lock = java.nio.file.Paths.get(path, "_lock_add")
+    java.nio.file.Files.createFile(lock)
+    val e = intercept[IllegalStateException] {
+      idx.add(vecs.filter(col("vec_id") >= cut), "vec_id")
+    }
+    assert(e.getMessage.contains("_lock_add"))
+    assert(idx.batches === Seq(0), "failed add must not commit")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "codes", "batch=1")),
+      "failed add must not write batch dirs")
+    // the in-flight writer finishes (lock released) -> retry succeeds
+    java.nio.file.Files.delete(lock)
+    assert(idx.add(vecs.filter(col("vec_id") >= cut), "vec_id") > 0)
+    assert(idx.batches === Seq(0, 1))
+  }
+
+  test("two concurrent adds: no silent drop — every committed add's vectors are visible") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").cache()
+    val path = tmpPath()
+    IvfIndex.build(vecs.filter(col("vec_id") < 300), "vec_id", path, nlist = 8)
+    val d1 = vecs.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    val d2 = vecs.filter(col("vec_id") >= 400 && col("vec_id") < 500)
+    // two independent handles (separate in-memory meta, same path) racing
+    // — the pre-lock bug: both read batches=[0], both write batch=1, the
+    // last meta swap silently drops the other's vectors
+    val (h1, h2) = (IvfIndex.load(spark, path), IvfIndex.load(spark, path))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val results = Await.result(Future.sequence(Seq(
+      Future(scala.util.Try(h1.add(d1, "vec_id"))),
+      Future(scala.util.Try(h2.add(d2, "vec_id"))))), 300.seconds)
+    // two legal outcomes: the adds overlap and the loser fails loudly,
+    // or they happen not to overlap and both commit in sequence. What
+    // must NEVER happen is the third, pre-lock outcome: both "succeed"
+    // and one batch silently vanishes — caught below by batches-vs-wins.
+    val losers = results.filter(_.isFailure)
+    losers.foreach(l => assert(
+      l.failed.get.isInstanceOf[IllegalStateException], s"unexpected: $l"))
+    val wins = results.count(_.isSuccess)
+    assert(wins >= 1, s"at least one add must win: $results")
+    val idx = IvfIndex.load(spark, path)
+    assert(idx.batches.size === 1 + wins,
+      "committed batches must equal successful adds — no silent drop")
+    // every successful add's vectors are reachable as neighbors
+    val q = vecs.filter(col("vec_id") % 10 === 0)
+    val res = idx.topK(q, "vec_id", k = 5, nprobe = 8).cache()
+    if (results(0).isSuccess)
+      assert(res.filter(col("neighbor_id").between(300, 399)).count() > 0)
+    if (results(1).isSuccess)
+      assert(res.filter(col("neighbor_id").between(400, 499)).count() > 0)
+  }
+
+  test("compact folds batches into one generation: same answers, pruned orphans, adds continue") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").cache()
+    val path = tmpPath()
+    IvfIndex.build(vecs.filter(col("vec_id") < 250), "vec_id", path, nlist = 8)
+    val idx = IvfIndex.load(spark, path)
+    idx.add(vecs.filter(col("vec_id") >= 250 && col("vec_id") < 350), "vec_id")
+    idx.add(vecs.filter(col("vec_id") >= 350 && col("vec_id") < 450), "vec_id")
+    assert(idx.batches === Seq(0, 1, 2))
+    val q = vecs.filter(col("vec_id") % 10 === 0)
+    val before = idx.topK(q, "vec_id", k = 5, nprobe = 4).cache()
+    before.count()
+
+    assert(idx.compact() === 3)
+    assert(idx.batches === Seq(3))
+    val after = idx.topK(q, "vec_id", k = 5, nprobe = 4).cache()
+    sameResult(after, before)
+    // replaced generations are pruned from BOTH stores
+    for (store <- Seq("codes", "vectors"); b <- Seq(0, 1, 2))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, store, s"batch=$b")),
+        s"$store/batch=$b survived compaction")
+    // compact is a committed generation like any other: a fresh load
+    // sees it, an idempotent re-compact is a no-op, and adds continue
+    assert(IvfIndex.load(spark, path).batches === Seq(3))
+    assert(idx.compact() === 0)
+    assert(idx.add(vecs.filter(col("vec_id") >= 450 && col("vec_id") < 500),
+      "vec_id") > 0)
+    assert(idx.batches === Seq(3, 4))
+    val withAdd = idx.topK(q, "vec_id", k = 5, nprobe = 8)
+    assert(withAdd.filter(col("neighbor_id").between(450, 499)).count() > 0)
   }
 }
