@@ -103,22 +103,46 @@ object CurationOps {
       |GROUP BY label
       |ORDER BY label""".stripMargin
 
-  /** E18: mixture (domain-reweighting) sampling — each SOURCE gets its
-    * own deterministic keep rate from a declared mixture table (here
-    * 100% / 50% / 25% / 12.5% by source index mod 4 — the shape of a
-    * "downweight web crawl, keep curated sources" recipe). The keep
-    * decision is the E9/E15 md5-bucket convention on doc_id, so the
-    * sampled set is reproducible across runs, engines and layouts, and
-    * the per-source rates compose with E15's length weighting. Per-row
-    * projection + one combinable aggregate: zero pre-shuffle work. */
-  def sampleMixture(spark: SparkSession, d: String): DataFrame = {
-    val srcIdx = substring(col("source"), 4, 10).cast("int") % 4
-    val rate = when(srcIdx === 0, 1000L).when(srcIdx === 1, 500L)
-      .when(srcIdx === 2, 250L).otherwise(125L)
-    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+  /** Domain-reweighting sampling with the mixture DECLARED AS DATA —
+    * `mixture` is a (source, keep_per_mille) frame, broadcast onto the
+    * corpus, and each document keeps deterministically at its source's
+    * rate via the E9/E15 md5-bucket convention on `idCol` (reproducible
+    * across runs, engines and cluster layouts; composes with E15's
+    * length weighting). Sources absent from the mixture keep at
+    * `defaultPerMille` — default 0, i.e. an undeclared source
+    * contributes nothing, the fail-closed choice for a curation recipe
+    * (the alternative, silently keeping everything unlisted, is how an
+    * unfiltered crawl sneaks into a training set). Returns `docs` plus
+    * a `keep` boolean; filter or aggregate downstream. Scale shape: the
+    * mixture is domains, not documents — KBs — so this is a broadcast
+    * join plus a per-row projection, zero shuffles. */
+  def mixtureSample(docs: DataFrame, mixture: DataFrame,
+      idCol: String = "doc_id", defaultPerMille: Long = 0L): DataFrame = {
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("long") % 1000
-    Tables.documents(spark, d)
-      .withColumn("keep", u < rate)
+    docs.join(broadcast(mixture.select(col("source"),
+        col("keep_per_mille").cast("long").as("keep_per_mille"))),
+      Seq("source"), "left")
+      .withColumn("keep", u < coalesce(col("keep_per_mille"), lit(defaultPerMille)))
+      .drop("keep_per_mille")
+  }
+
+  /** E18: the gated mixture-sampling query — feeds [[mixtureSample]] a
+    * recipe table carrying 100% / 50% / 25% / 12.5% by source index
+    * mod 4 (the shape of a "downweight web crawl, keep curated sources"
+    * recipe; unparseable names fall in the 12.5% band, matching the
+    * recipe this query has always declared). The recipe is derived data
+    * here, but the operator takes it as a frame — any (source, rate)
+    * table drops in, with no assumption about source-name shape
+    * (CurationOpsSpec pins that on a non-`srcN` schema). */
+  def sampleMixture(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val srcIdx = substring(col("source"), 4, 10).cast("int") % 4
+    val recipe = docs.select(col("source")).distinct()
+      .withColumn("keep_per_mille",
+        when(srcIdx === 0, 1000L).when(srcIdx === 1, 500L)
+          .when(srcIdx === 2, 250L).otherwise(125L))
+    mixtureSample(docs, recipe)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_total"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
