@@ -263,6 +263,19 @@ object Stress {
     time("text_chunk")(ChunkOps.textChunk(spark, dir))
     time("shard_pack")(ChunkOps.shardPack(spark, dir))
     time("emb_centroid")(ChunkOps.embCentroid(spark, dir))
+    // the sink itself: chunk -> pack -> WRITE one parquet file per shard
+    // (grouped dirs) and read the summary back off disk — measures write
+    // throughput, where shard_pack above measures only the plan
+    locally {
+      val out = s"$dir/training-shards"
+      val t0 = System.nanoTime()
+      val summary = TrainingExport.writeShards(
+        Tables.documents(spark, dir).select("doc_id", "text"), out)
+      val agg = summary.agg(count(lit(1)), sum(col("n_tokens"))).head()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"STRESS training_export              $dt%8.2f s   " +
+        s"shards=${agg.getLong(0)} tokens=${agg.getLong(1)}")
+    }
 
     // incremental dedup: first refresh pays for its batch; the second
     // must pay only for its delta against the stored index

@@ -15,22 +15,33 @@ import org.apache.spark.sql.functions._
   * (doc_id, chunk_idx, n_chunk_tokens) prefix-sum traffic plus one
   * repartition of the chunk text by shard — every stage keyed, nothing
   * single-partition, no driver state beyond the P-sized offset list.
-  * One file per shard holds because `partitionBy("shard_id")` splits a
+  * One file per shard holds because the partitioned write splits a
   * hash-partitioned task's rows by shard: a shard's rows live in
   * exactly one task.
+  *
+  * Directory layout: `shard_group=G/shard_id=N/` with G = N div
+  * `groupSize`. The grouping level exists purely for the filesystem: a
+  * 100 T-token corpus at a 1 M-token budget is ~10⁸ shards, and 10⁸
+  * sibling directories is a listing/metastore killer on any store —
+  * grouped, the top level holds shards/groupSize entries and each group
+  * a bounded groupSize, so no single listing ever exceeds
+  * max(groupSize, shards/groupSize). A trainer still addresses one
+  * shard by path, and shard_id remains globally contiguous.
   */
 object TrainingExport {
 
   /** Chunk + pack + write `docs` (doc_id, text) as parquet shards under
-    * `path/shard_id=N/`. A shard may overrun `budget` by at most one
-    * chunk (< `window` tokens — the contiguous-fill contract). Returns
-    * the per-shard summary READ BACK from the written artifact, so a
-    * green result certifies the files, not the plan. */
+    * `path/shard_group=G/shard_id=N/`. A shard may overrun `budget` by
+    * at most one chunk (< `window` tokens — the contiguous-fill
+    * contract). Returns the per-shard summary READ BACK from the
+    * written artifact, so a green result certifies the files, not the
+    * plan. */
   def writeShards(docs: DataFrame, path: String, window: Int = 512,
       stride: Int = 384, budget: Long = 1L << 20,
-      numPartitions: Int = 32): DataFrame = {
+      numPartitions: Int = 32, groupSize: Int = 1024): DataFrame = {
     require(stride > 0 && stride <= window, s"stride $stride vs window $window")
     require(budget >= window, s"budget $budget below one chunk of $window")
+    require(groupSize > 0, s"groupSize $groupSize must be positive")
     val chunks = ChunkOps.chunkPlan(docs, window, stride)
     // an all-empty corpus writes no partition files and the read-back
     // would die on schema inference — fail with the real reason instead
@@ -40,9 +51,11 @@ object TrainingExport {
       .withColumn("shard_id", expr(s"_cum div $budget"))
       .drop("_cum")
     packed
+      .withColumn("shard_group", expr(s"shard_id div $groupSize"))
       .repartition(col("shard_id"))
       .sortWithinPartitions(col("shard_id"), col("doc_id"), col("chunk_idx"))
-      .write.mode("overwrite").partitionBy("shard_id").parquet(path)
+      .write.mode("overwrite").partitionBy("shard_group", "shard_id")
+      .parquet(path)
     docs.sparkSession.read.parquet(path)
       .groupBy(col("shard_id").cast("long").as("shard_id"))
       .agg(count(lit(1)).as("n_chunks"), sum(col("n_chunk_tokens")).as("n_tokens"))

@@ -14,9 +14,13 @@ class TrainingExportSpec extends SparkSpec {
     .createTempDirectory("graft-export").toString + "/shards"
   private val (w, s, budget) = (32, 24, 400L)
 
+  // groupSize small enough that this corpus spans several groups, so
+  // the grouped layout is actually exercised, not vacuously one dir
+  private val groupSize = 8
   private lazy val summary = TrainingExport.writeShards(
     Tables.documents(spark, sf).select("doc_id", "text"),
-    dir, window = w, stride = s, budget = budget, numPartitions = 4)
+    dir, window = w, stride = s, budget = budget, numPartitions = 4,
+    groupSize = groupSize)
 
   test("written shards hold exactly the chunking plan's content") {
     summary.collect() // force the write
@@ -68,11 +72,25 @@ class TrainingExportSpec extends SparkSpec {
     assert(e.getMessage.contains("no non-empty documents"))
   }
 
-  test("one parquet file per shard") {
-    summary.collect()
+  test("grouped layout: shard dirs nest under shard_group = shard_id div groupSize, one parquet file each") {
+    val nShards = summary.count()
     val root = new java.io.File(dir)
-    val shardDirs = root.listFiles().filter(_.getName.startsWith("shard_id="))
-    assert(shardDirs.nonEmpty)
+    val groupDirs = root.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard_group="))
+    // the top-level listing is groups, not shards — the thing that keeps
+    // a 10^8-shard corpus from becoming 10^8 sibling directories
+    assert(groupDirs.length.toLong === (nShards - 1) / groupSize + 1)
+    assert(nShards > groupSize, "corpus too small to exercise grouping")
+    val shardDirs = groupDirs.flatMap { g =>
+      val gid = g.getName.stripPrefix("shard_group=").toLong
+      g.listFiles().filter(_.getName.startsWith("shard_id=")).map { d =>
+        val sid = d.getName.stripPrefix("shard_id=").toLong
+        assert(sid / groupSize === gid,
+          s"shard $sid filed under wrong group ${g.getName}")
+        d
+      }
+    }
+    assert(shardDirs.length.toLong === nShards)
     shardDirs.foreach { d =>
       val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
       assert(files.length === 1, s"${d.getName} has ${files.length} files")
