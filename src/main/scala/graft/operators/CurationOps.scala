@@ -163,15 +163,142 @@ object CurationOps {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Turn target mixture WEIGHTS into feasible keep rates — the planning
+    * half of [[mixtureSample]]. Given per-source availability (`stats`:
+    * source, n_tokens) and target proportions (`weights`: source,
+    * weight — any positive scale, normalized internally), produce the
+    * (source, keep_per_mille) table whose expected sample hits
+    * `targetTokens` split by weight. Downsampling only (a rate caps at
+    * 1000): when a source is too small for its share, it contributes
+    * everything it has and the unmet remainder redistributes over the
+    * uncapped sources in weight proportion — classic water-filling,
+    * iterated until no new source caps (≤ |sources| rounds). Sources
+    * with no declared weight get NO row — feeding the plan to
+    * [[mixtureSample]] then drops them by its fail-closed default.
+    *
+    * Driver-bounded by construction: the plan is per-DOMAIN, not
+    * per-document — `maxSources` (default 100k) guards the collect the
+    * same way PercentileOps caps group state, failing loudly rather
+    * than ever pulling an unbounded set. Rates are floored to per-mille
+    * granularity, so the planned total undershoots by < |sources|/1000
+    * of a token-per-mille unit, never overshoots. */
+  def planMixture(stats: DataFrame, weights: DataFrame, targetTokens: Long,
+      maxSources: Int = 100000): DataFrame = {
+    require(targetTokens > 0, s"targetTokens $targetTokens must be positive")
+    val spark = stats.sparkSession
+    import spark.implicits._
+    val n = weights.count()
+    require(n <= maxSources,
+      s"$n mixture sources exceed maxSources=$maxSources — a mixture is " +
+        "domains, not documents; raise the cap only if that is really true")
+    val rows = weights.select(col("source"), col("weight").cast("double"))
+      .join(stats.select(col("source"), col("n_tokens").cast("long")),
+        Seq("source"), "left")
+      .na.fill(0L, Seq("n_tokens"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    require(rows.forall(_._2 >= 0), "negative mixture weights")
+
+    // water-filling: capped sources give all they have; survivors split
+    // the remainder by weight. Each round caps >= 1 source or stops.
+    var remaining = targetTokens.toDouble
+    var active = rows.filter(r => r._2 > 0 && r._3 > 0).toSeq
+    val capped = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var done = false
+    while (!done && active.nonEmpty && remaining > 0) {
+      val wSum = active.map(_._2).sum
+      val over = active.filter { case (_, w, avail) =>
+        remaining * w / wSum >= avail }
+      if (over.isEmpty) done = true
+      else {
+        capped ++= over.map { case (s, _, avail) => (s, 1000L) }
+        remaining -= over.map(_._3.toDouble).sum
+        active = active.filterNot(r => over.exists(_._1 == r._1))
+      }
+    }
+    val planned = capped.toSeq ++ {
+      val wSum = active.map(_._2).sum
+      active.map { case (s, w, avail) =>
+        val rate = if (remaining <= 0 || wSum <= 0) 0L
+          else math.min(1000L, (1000.0 * remaining * w / wSum / avail).toLong)
+        (s, rate)
+      }
+    }
+    planned.toDF("source", "keep_per_mille")
+  }
+
+  /** Fixed-SIZE deterministic sample: exactly min(k, |group|) documents
+    * per group, chosen by md5 priority on the id — the "give me 10k
+    * docs per domain for eval" op, where [[mixtureSample]] is rate-based
+    * and so yields a size only in expectation. The priority is the same
+    * portable hash convention as E9/E15/E18, so the selected set is
+    * stable across runs, engines and layouts, and GROWS STABLY: adding
+    * documents to a group only swaps members whose priority beats an
+    * incumbent's. Scale shape: one window partitioned by the group key
+    * (domains — many, bounded fan-in per group since only rank ≤ k
+    * survives); no global sort, no single partition anywhere. */
+  def sampleFixedK(docs: DataFrame, k: Int, idCol: String = "doc_id",
+      groupCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** E19: the gated fixed-k query — 3 docs per source by hash priority. */
+  def sampleFixedKQuery(spark: SparkSession, d: String): DataFrame =
+    sampleFixedK(Tables.documents(spark, d), k = 3)
+      .select(col("source"), col("doc_id"), col("rnk").cast("long").as("rnk"))
+      .orderBy(col("source"), col("rnk"))
+
+  val sampleFixedKSql: String =
+    """SELECT source, doc_id, rnk FROM (
+      |  SELECT source, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      |  FROM documents)
+      |WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin
+
+  /** E20: per-source vocabulary statistics — token occurrences, distinct
+    * vocabulary, type-token ratio. The classic corpus-composition
+    * diagnostic (a source whose TTR collapses is boilerplate; one whose
+    * vocabulary explodes is noise/junk). Exact counts: the distinct is
+    * a keyed (source, token) pre-aggregation, so hot tokens collapse
+    * map-side before the shuffle and the second stage counts vocabulary
+    * rows — the same two-level shape as lang_source_agg. At 100 TB the
+    * exact distinct is the vocabulary (Zipf-small); if even that is too
+    * hot, SketchOps' HLL path is the documented approximate twin. */
+  def vocabStats(spark: SparkSession, d: String): DataFrame = {
+    Tables.documents(spark, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_toks"),
+        count_distinct(col("tok")).as("n_vocab"))
+      .select(col("source"), col("n_toks"), col("n_vocab"),
+        (col("n_vocab").cast("double") / col("n_toks")).as("ttr"))
+      .orderBy(col("source"))
+  }
+
+  val vocabStatsSql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_toks,
+      |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_vocab,
+      |  CAST(COUNT(DISTINCT tok) AS DOUBLE)/COUNT(*) AS ttr
+      |FROM toks GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_rare_ratio" -> textRareRatio _,
     "sample_weighted" -> sampleWeighted _,
     "sample_mixture" -> sampleMixture _,
+    "sample_fixed_k" -> sampleFixedKQuery _,
+    "vocab_stats" -> vocabStats _,
     "emb_norm_stats" -> embNormStats _)
 
   val oracles: Map[String, String] = Map(
     "text_rare_ratio" -> textRareRatioSql,
     "sample_weighted" -> sampleWeightedSql,
     "sample_mixture" -> sampleMixtureSql,
+    "sample_fixed_k" -> sampleFixedKSql,
+    "vocab_stats" -> vocabStatsSql,
     "emb_norm_stats" -> embNormStatsSql)
 }

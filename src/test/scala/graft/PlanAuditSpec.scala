@@ -212,6 +212,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"partition offsets must broadcast:\n$p")
   }
 
+  test("sample_fixed_k's window stays keyed by source (no single-partition exchange)") {
+    // the per-group top-k must shuffle by the group key only — a global
+    // priority sort would single-partition the corpus
+    val p = plan("sample_fixed_k")
+    assert(p.contains("Window"), s"fixed-k sample should plan a keyed window:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"global window in fixed-k:\n$p")
+  }
+
+  test("vocab_stats pre-aggregates (source, token) below the shuffle, no window/join") {
+    // the distinct-vocabulary count must collapse repeated tokens
+    // map-side: the shuffle carries vocabulary rows, not the exploded
+    // token stream
+    val p = plan("vocab_stats")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    val partialIdx = p.lastIndexOf("HashAggregate")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"no partial aggregate below the vocab shuffle:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("emb_centroid partial-aggregates below the label/pos shuffle") {
     // posexplode fans the corpus out dim× — the per-(label,pos) sum must
     // combine map-side so the shuffle carries (labels × dims) rows/task,

@@ -61,4 +61,83 @@ class CurationOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"mixtureSample must not shuffle the corpus:\n$plan")
   }
+
+  test("sampleFixedK: exactly min(k, group size) per group, layout-invariant members") {
+    val k = 7
+    val sample = CurationOps.sampleFixedK(docs, k)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    // 100 docs per source, k = 7 -> exactly 7 each
+    assert(sample.groupBy(_._1).view.mapValues(_.size).toMap ===
+      Map("wikipedia" -> k, "common-crawl" -> k, "books" -> k, "unlisted" -> k))
+    // a group smaller than k yields the whole group
+    val tiny = docs.filter(col("doc_id") < 8)
+    assert(CurationOps.sampleFixedK(tiny, k).count() === tiny.count())
+    // the selected set is a function of the DATA, not the layout
+    val relaid = CurationOps.sampleFixedK(docs.repartition(7), k)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    assert(relaid === sample)
+  }
+
+  test("planMixture: uncapped rates split the target by weight exactly") {
+    val stats = Seq(("a", 100000L), ("b", 100000L), ("c", 200000L))
+      .toDF("source", "n_tokens")
+    val weights = Seq(("a", 0.5), ("b", 0.3), ("c", 0.2)).toDF("source", "weight")
+    val plan = CurationOps.planMixture(stats, weights, targetTokens = 100000L)
+      .as[(String, Long)].collect().toMap
+    assert(plan === Map("a" -> 500L, "b" -> 300L, "c" -> 100L))
+  }
+
+  test("planMixture water-fills: a too-small source caps at 1000 and its share redistributes") {
+    val stats = Seq(("a", 10000L), ("b", 100000L), ("c", 200000L))
+      .toDF("source", "n_tokens")
+    val weights = Seq(("a", 0.5), ("b", 0.3), ("c", 0.2)).toDF("source", "weight")
+    val plan = CurationOps.planMixture(stats, weights, targetTokens = 100000L)
+      .as[(String, Long)].collect().toMap
+    // a gives all 10k; the unmet 40k redistributes 3:2 over b and c
+    assert(plan("a") === 1000L)
+    assert(plan("b") === 540L) // (30k + 24k) / 100k
+    assert(plan("c") === 180L) // (20k + 16k) / 200k
+    // planned expected tokens re-sum to the target
+    val expected = Map("a" -> 10000L, "b" -> 100000L, "c" -> 200000L)
+      .map { case (s, avail) => avail * plan(s) / 1000 }.sum
+    assert(expected === 100000L)
+  }
+
+  test("planMixture on an infeasible target keeps everything; unweighted sources get no row") {
+    val stats = Seq(("a", 1000L), ("b", 2000L), ("zz", 99999L))
+      .toDF("source", "n_tokens")
+    val weights = Seq(("a", 1.0), ("b", 1.0)).toDF("source", "weight")
+    val plan = CurationOps.planMixture(stats, weights, targetTokens = 100000L)
+      .as[(String, Long)].collect().toMap
+    assert(plan === Map("a" -> 1000L, "b" -> 1000L)) // no zz row: fail-closed downstream
+  }
+
+  test("planMixture composes with mixtureSample: realized kept counts track the plan") {
+    // docs: 100 per source, ~101 tokens each (n_chars stands in for tokens)
+    val stats = docs.groupBy("source").agg(count(lit(1)).multiply(100).as("n_tokens"))
+    val weights = Seq(("wikipedia", 0.6), ("books", 0.4)).toDF("source", "weight")
+    val plan = CurationOps.planMixture(stats, weights, targetTokens = 5000L)
+    val kept = CurationOps.mixtureSample(docs, plan)
+      .filter(col("keep")).groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    // rates are 300 and 200 per mille over 100 docs each; the md5 bucket
+    // draw is deterministic, so these are fixed counts — near expectation
+    val rates = plan.as[(String, Long)].collect().toMap
+    assert(rates === Map("wikipedia" -> 300L, "books" -> 200L))
+    assert(kept.keySet === Set("wikipedia", "books")) // others fail closed
+    assert((kept("wikipedia") - 30L).abs <= 10, s"got $kept")
+    assert((kept("books") - 20L).abs <= 10, s"got $kept")
+  }
+
+  test("sampleFixedK grows stably: new docs only swap in by beating an incumbent") {
+    val k = 5
+    val old = docs.filter(col("doc_id") < 200)
+    val oldSample = CurationOps.sampleFixedK(old, k)
+      .select("doc_id").as[Long].collect().toSet
+    val unionSample = CurationOps.sampleFixedK(docs, k)
+      .select("doc_id").as[Long].collect().toSet
+    // survivors from the old corpus were already in the old sample —
+    // growth never promotes a previously-rejected old document
+    assert(unionSample.filter(_ < 200).subsetOf(oldSample))
+  }
 }
