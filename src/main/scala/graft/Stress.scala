@@ -251,7 +251,10 @@ object Stress {
         IncrementalEmbedDedup.refresh(spark, reps.filter(col("vec_id") < cut),
           state, threshold = 0.45)
         val t1 = System.nanoTime()
-        IncrementalEmbedDedup.refresh(spark, reps, state, threshold = 0.45)
+        // the second refresh sees ONLY its delta — old embeddings come
+        // from the state's own vector store (self-contained, r8)
+        IncrementalEmbedDedup.refresh(spark,
+          reps.filter(col("vec_id") >= cut), state, threshold = 0.45)
         val t2 = System.nanoTime()
         println(f"STRESS incembed_first_half          ${(t1 - t0) / 1e9}%8.2f s")
         println(f"STRESS incembed_second_half         ${(t2 - t1) / 1e9}%8.2f s")

@@ -27,22 +27,36 @@ import org.apache.spark.sql.types._
   *   - `pairs/batch=*` (id_a, id_b, cos): the verified near-dup pairs
   *     each refresh discovered. Append-only; [[pairs]] unions the
   *     committed batches.
+  *   - `vectors/batch=*` + `vecsnap/batch=*` (vec_id, embedding,
+  *     partitioned by `id_bucket` = vec_id div bucketWidth): the raw
+  *     embeddings of every vector ever refreshed, written delta-sized
+  *     per refresh and folded on the same snapshot cadence as the
+  *     cells. This is what makes the state SELF-CONTAINED (r8): the
+  *     exact-cosine verify re-attaches OLD embeddings from here, so a
+  *     refresh needs only the DELTA frame — the caller no longer
+  *     re-scans the full corpus per refresh to hand the operator
+  *     embeddings it already stored. The attach read prunes to the
+  *     id_buckets the candidate set actually touches (delta-driven
+  *     partition pruning — candidates all touch ≥ 1 new vector, so the
+  *     touched-bucket list is candidate-bounded driver metadata, capped
+  *     by maxAttachBuckets with a read-everything fallback).
   *
   * A refresh processes vectors with id > watermark (ingestion-monotonic
   * ids, the G14 caveat): new cells equi-join against committed ∪ new
   * cells, so every candidate pair touches ≥ 1 new vector — old-old
   * pairs were found by earlier refreshes and never re-verify. Exact
-  * cosine verification (embeddings re-attached by keyed joins from the
-  * caller's corpus frame, shortlist-sized) keeps false positives
-  * impossible, exactly as in the one-shot operator; the sketch controls
-  * recall alone, and the hyperplanes are seeded constants, so split
-  * refreshes see the SAME buckets the one-shot sees.
-  * IncrementalEmbedDedupSpec proves the union of split-refresh pairs ≡
-  * one-shot [[Similarity.lshNearDupPairs]] on the real embeddings.
+  * cosine verification (new-side embeddings from the delta in hand,
+  * old-side from the pruned vector store, both keyed shortlist joins)
+  * keeps false positives impossible, exactly as in the one-shot
+  * operator; the sketch controls recall alone, and the hyperplanes are
+  * seeded constants, so split refreshes see the SAME buckets the
+  * one-shot sees. IncrementalEmbedDedupSpec proves the union of
+  * split-refresh pairs ≡ one-shot [[Similarity.lshNearDupPairs]] on the
+  * real embeddings — including refreshes fed ONLY their delta.
   *
   * Run it over exact-dedup representatives (the [[DedupPipeline]]
-  * convention) with the same (dims, threshold, tables, planesPerTable)
-  * every refresh.
+  * convention) with the same (dims, threshold, tables, planesPerTable,
+  * bucketWidth) every refresh.
   */
 object IncrementalEmbedDedup {
 
@@ -53,19 +67,53 @@ object IncrementalEmbedDedup {
     StructField("id_a", LongType), StructField("id_b", LongType),
     StructField("cos", DoubleType)))
 
+  /** Committed raw-vector store: latest snapshot + deltas past it, each
+    * batch dir read from its own root so the `id_bucket` partition
+    * column resolves per directory. Returns (vec_id, embedding,
+    * id_bucket) — filter on id_bucket BEFORE using it and the parquet
+    * scans prune to the touched partitions (spec-audited). */
+  private[operators] def storedVectors(spark: SparkSession,
+      statePath: String): DataFrame = {
+    val wm = Incremental.watermark(spark, statePath)
+    val snaps = BatchedState.committedBatches(
+      spark, s"$statePath/vecsnap", wm).sortBy(_._1)
+    val deltas = BatchedState.committedBatches(
+        spark, s"$statePath/vectors", wm)
+      .filter(d => snaps.lastOption.forall(s => d._1 > s._1))
+    val dirs = snaps.lastOption.toSeq.map(_._2) ++ deltas.map(_._2)
+    // pre-r8 state stored no vectors: the old-side attach would come up
+    // empty and silently drop every new-old pair — fail with the reason
+    require(dirs.nonEmpty || wm == Long.MinValue,
+      s"state at $statePath predates the self-contained vector store " +
+        "(committed watermark but no vectors/ batches) — rebuild the state")
+    val frames = dirs.map(d => spark.read.parquet(d)
+      .select(col("vec_id"), col("embedding"),
+        col("id_bucket").cast("long").as("id_bucket")))
+    frames.reduceOption(_.unionByName(_))
+      .getOrElse(BatchedState.emptyDf(spark, vecSchema))
+  }
+
+  private val vecSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("id_bucket", LongType)))
+
   /** All near-dup pairs found so far (union of committed refreshes). */
   def pairs(spark: SparkSession, statePath: String): DataFrame =
     BatchedState.readCommitted(spark, s"$statePath/pairs", pairsSchema,
       Incremental.watermark(spark, statePath))
 
-  /** Incorporate all vectors with id above the watermark. `vecs` is the
-    * full corpus frame (old + new) — old rows are touched only through
-    * keyed joins on candidate ids, never re-sketched. Returns the number
-    * of new vectors processed (0 = nothing new). */
+  /** Incorporate all vectors with id above the watermark. `vecs` may be
+    * the full corpus frame OR just the delta — rows at or below the
+    * watermark are ignored either way, and OLD embeddings come from the
+    * state's own vector store, never from `vecs` (r8: the caller no
+    * longer re-scans its corpus per refresh). Returns the number of new
+    * vectors processed (0 = nothing new). */
   def refresh(spark: SparkSession, vecs: DataFrame, statePath: String,
       idCol: String = "vec_id", dims: Int = 64, threshold: Double = 0.45,
       tables: Int = 24, planesPerTable: Int = 4,
-      compactEvery: Int = 8): Long = {
+      compactEvery: Int = 8, bucketWidth: Long = 1L << 20,
+      maxAttachBuckets: Int = 65536): Long = {
     val wm = Incremental.watermark(spark, statePath)
     val fresh = vecs.filter(col(idCol) > wm)
       .select(col(idCol).as("vec_id"), col("embedding"))
@@ -79,7 +127,9 @@ object IncrementalEmbedDedup {
 
     // candidates = new cells against the UNION cell index: a plain
     // equi-join on the (table, bucket) cell key, hot cells split under
-    // AQE; every pair touches >= 1 new vector by construction
+    // AQE; every pair touches >= 1 new vector by construction.
+    // Materialized once: consumed by the touched-bucket collect AND the
+    // verify joins below.
     val a = newCells.select(col("vec_id").as("id_x"), col("table_idx"), col("bucket"))
     val b = oldCells.unionByName(newCells)
       .select(col("vec_id").as("id_y"), col("table_idx"), col("bucket"))
@@ -88,10 +138,29 @@ object IncrementalEmbedDedup {
       .select(least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"))
       .distinct()
+      .localCheckpoint(true)
 
-    // exact cosine verify, candidates only — identical to the one-shot
-    val e = vecs.select(col(idCol).as("vid"), col("embedding"),
-      VecDot.vecNorm(col("embedding")).as("nrm"))
+    // old-side attach, pruned: the candidate ids are delta-bounded, so
+    // the id_buckets they touch are driver metadata (distinct-collected,
+    // same class as IvfIndex's probed lists); past maxAttachBuckets fall
+    // back to the unpruned store read — a cost fallback, never a
+    // correctness one
+    val touched = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("vid"))
+      .select(expr(s"vid div $bucketWidth").as("b")).distinct()
+      .limit(maxAttachBuckets + 1).collect().map(_.getLong(0))
+    val stored = storedVectors(spark, statePath)
+    val storedPruned =
+      if (touched.length > maxAttachBuckets) stored
+      else stored.filter(col("id_bucket").isin(touched.toSeq: _*))
+
+    // exact cosine verify, candidates only — identical to the one-shot;
+    // new-side embeddings are the delta in hand, old-side the pruned
+    // store (every cell-index id is in the store by the write order
+    // below, so no candidate can lose its embedding)
+    val e = fresh.select(col("vec_id").as("vid"), col("embedding"))
+      .unionByName(storedPruned.select(col("vec_id").as("vid"), col("embedding")))
+      .withColumn("nrm", VecDot.vecNorm(col("embedding")))
     val verified = candidates
       .join(e.select(col("vid").as("id_a"), col("embedding").as("ea"),
         col("nrm").as("na")), Seq("id_a"))
@@ -104,7 +173,8 @@ object IncrementalEmbedDedup {
 
     // batch-keyed writes + watermark-last commit (BatchedState protocol);
     // first refresh snapshots (it IS the full index), then every
-    // compactEvery deltas fold into a fresh snapshot
+    // compactEvery deltas fold into a fresh snapshot. Cells and vectors
+    // share one cadence — one state story, not two.
     val snapsBefore = BatchedState.committedBatches(
       spark, s"$statePath/cellsnap", wm)
     val deltasSinceSnap = BatchedState.committedBatches(
@@ -112,16 +182,25 @@ object IncrementalEmbedDedup {
       .count(d => snapsBefore.sortBy(_._1).lastOption.forall(s => d._1 > s._1))
     val doSnapshot = snapsBefore.isEmpty || deltasSinceSnap + 1 >= compactEvery
     val tag = BatchedState.tagOf(wm)
-    if (doSnapshot)
+    val freshVec = fresh
+      .withColumn("id_bucket", expr(s"vec_id div $bucketWidth"))
+    if (doSnapshot) {
       oldCells.unionByName(newCells).write.mode("overwrite")
         .parquet(s"$statePath/cellsnap/batch=$tag")
-    else
+      stored.unionByName(freshVec).write.mode("overwrite")
+        .partitionBy("id_bucket").parquet(s"$statePath/vecsnap/batch=$tag")
+    } else {
       newCells.write.mode("overwrite").parquet(s"$statePath/cells/batch=$tag")
+      freshVec.write.mode("overwrite")
+        .partitionBy("id_bucket").parquet(s"$statePath/vectors/batch=$tag")
+    }
     verified.write.mode("overwrite").parquet(s"$statePath/pairs/batch=$tag")
     val newWm = fresh.agg(max(col("vec_id"))).head().getLong(0)
     Incremental.writeWatermark(spark, statePath, math.max(wm, newWm))
     BatchedState.pruneSnapshotted(spark, s"$statePath/cellsnap",
       s"$statePath/cells", math.max(wm, newWm))
+    BatchedState.pruneSnapshotted(spark, s"$statePath/vecsnap",
+      s"$statePath/vectors", math.max(wm, newWm))
     nFresh
   }
 }

@@ -52,6 +52,65 @@ class IncrementalEmbedDedupSpec extends SparkSpec {
     }
     assert(batchDirs("cellsnap").size === 2, batchDirs("cellsnap").toString)
     assert(batchDirs("cells").size === 1, batchDirs("cells").toString)
+    // the raw-vector store rides the SAME snapshot cadence and retention
+    assert(batchDirs("vecsnap").size === 2, batchDirs("vecsnap").toString)
+    assert(batchDirs("vectors").size === 1, batchDirs("vectors").toString)
+  }
+
+  test("refreshes fed ONLY their delta equal the one-shot (self-contained state)") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").cache()
+    val state = tmpState()
+    IncrementalEmbedDedup.refresh(spark,
+      vecs.filter(col("vec_id") < 150), state, threshold = 0.3)
+    // old embeddings must come from the state's own vector store: these
+    // two refreshes never see a pre-watermark row
+    IncrementalEmbedDedup.refresh(spark,
+      vecs.filter(col("vec_id") >= 150 && col("vec_id") < 350), state,
+      threshold = 0.3)
+    IncrementalEmbedDedup.refresh(spark,
+      vecs.filter(col("vec_id") >= 350), state, threshold = 0.3)
+    val inc = IncrementalEmbedDedup.pairs(spark, state)
+    val full = Similarity.lshNearDupPairs(vecs, "vec_id", dims = 64, threshold = 0.3)
+    assert(full.count() > 0)
+    assert(inc.except(full).count() === 0 && full.except(inc).count() === 0,
+      "delta-only refreshes diverged from the one-shot operator")
+  }
+
+  test("the stored vector store prunes by id_bucket (the old-side attach read shape)") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").cache()
+    val state = tmpState()
+    // bucketWidth 64 -> the 500-vector corpus spans ~8 partitions
+    IncrementalEmbedDedup.refresh(spark, vecs.filter(col("vec_id") < 250),
+      state, threshold = 0.3, bucketWidth = 64)
+    IncrementalEmbedDedup.refresh(spark, vecs, state,
+      threshold = 0.3, bucketWidth = 64)
+    val stored = IncrementalEmbedDedup.storedVectors(spark, state)
+    assert(stored.count() === 500)
+    val pruned = stored.filter(col("id_bucket").isin(0L, 3L))
+    pruned.collect()
+    val lines = pruned.queryExecution.executedPlan.toString.split('\n')
+    val scans = lines.filter(_.contains("FileScan"))
+    assert(scans.nonEmpty)
+    scans.foreach { l =>
+      val pf = l.indexOf("PartitionFilters:")
+      assert(pf >= 0 && l.substring(pf).takeWhile(_ != ']').contains("id_bucket"),
+        s"vector-store scan not pruned by id_bucket:\n$l")
+    }
+  }
+
+  test("pre-r8 state without a vector store fails loudly, not with silently dropped pairs") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").cache()
+    val state = tmpState()
+    IncrementalEmbedDedup.refresh(spark,
+      vecs.filter(col("vec_id") < 250), state, threshold = 0.3)
+    // simulate a state written before the vector store existed
+    import scala.reflect.io.Directory
+    for (sub <- Seq("vectors", "vecsnap"))
+      new Directory(new java.io.File(s"$state/$sub")).deleteRecursively()
+    val e = intercept[IllegalArgumentException] {
+      IncrementalEmbedDedup.refresh(spark, vecs, state, threshold = 0.3)
+    }
+    assert(e.getMessage.contains("vector store"))
   }
 
   test("a crashed refresh (no watermark swap) is invisible; retry lands it once") {
