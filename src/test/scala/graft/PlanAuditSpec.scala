@@ -218,6 +218,12 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("sample_fixed_k")
     assert(p.contains("Window"), s"fixed-k sample should plan a keyed window:\n$p")
     assert(!p.contains("Exchange SinglePartition"), s"global window in fixed-k:\n$p")
+    // and rnk <= k must push down as WindowGroupLimit: each task keeps
+    // only k rows per group BEFORE the group shuffle/sort, so one giant
+    // domain costs k rows per map task, not a corpus/2-row sort — the
+    // skew mitigation that makes the keyed window safe at 100 TB
+    assert(p.contains("WindowGroupLimit"),
+      s"rnk<=k did not push down as WindowGroupLimit:\n$p")
   }
 
   test("vocab_stats pre-aggregates (source, token) below the shuffle, no window/join") {
