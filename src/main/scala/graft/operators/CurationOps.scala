@@ -212,7 +212,8 @@ object CurationOps {
       else {
         capped ++= over.map { case (s, _, avail) => (s, 1000L) }
         remaining -= over.map(_._3.toDouble).sum
-        active = active.filterNot(r => over.exists(_._1 == r._1))
+        val overSet = over.map(_._1).toSet
+        active = active.filterNot(r => overSet.contains(r._1))
       }
     }
     val planned = capped.toSeq ++ {
