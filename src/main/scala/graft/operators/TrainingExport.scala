@@ -60,4 +60,29 @@ object TrainingExport {
       .groupBy(col("shard_id").cast("long").as("shard_id"))
       .agg(count(lit(1)).as("n_chunks"), sum(col("n_chunk_tokens")).as("n_tokens"))
   }
+
+  /** The trainer-side read: shards `[fromShard, untilShard)` of a
+    * [[writeShards]] artifact, one partition per shard, rows inside each
+    * partition in (doc_id, chunk_idx) training order. `groupSize` must
+    * match the write. Both partition levels prune — the shard_group
+    * range cuts the top-level directories, the shard_id range the leaf
+    * dirs — so fetching a 100-shard slice of a 10⁸-shard corpus reads
+    * ~100 files (TrainingExportSpec audits the PartitionFilters). An
+    * epoch worker maps over partitions; each sees exactly one shard,
+    * in order. */
+  def readShards(spark: org.apache.spark.sql.SparkSession, path: String,
+      fromShard: Long, untilShard: Long,
+      groupSize: Int = 1024): DataFrame = {
+    require(fromShard >= 0 && untilShard > fromShard,
+      s"bad shard range [$fromShard, $untilShard)")
+    require(groupSize > 0, s"groupSize $groupSize must be positive")
+    spark.read.parquet(path)
+      .filter(col("shard_group").between(
+          fromShard / groupSize, (untilShard - 1) / groupSize) &&
+        col("shard_id") >= fromShard && col("shard_id") < untilShard)
+      .select(col("shard_id").cast("long").as("shard_id"), col("doc_id"),
+        col("chunk_idx"), col("n_chunk_tokens"), col("chunk_text"))
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("doc_id"), col("chunk_idx"))
+  }
 }

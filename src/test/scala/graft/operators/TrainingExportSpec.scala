@@ -72,6 +72,39 @@ class TrainingExportSpec extends SparkSpec {
     assert(e.getMessage.contains("no non-empty documents"))
   }
 
+  test("readShards returns exactly the requested range, in training order, with both partition levels pruned") {
+    val nShards = summary.count()
+    assert(nShards > 10, "corpus too small for a meaningful range read")
+    val got = TrainingExport.readShards(spark, dir, 2L, 7L, groupSize = groupSize)
+    got.cache()
+    // exactly shards [2, 7), content identical to a full-scan filter
+    val expected = spark.read.parquet(dir)
+      .filter(col("shard_id") >= 2 && col("shard_id") < 7)
+      .select(col("doc_id"), col("chunk_idx")).as[(Long, Long)].collect().toSet
+    assert(got.select("shard_id").distinct().as[Long].collect().sorted
+      === Array(2L, 3L, 4L, 5L, 6L))
+    assert(got.select("doc_id", "chunk_idx").as[(Long, Long)].collect().toSet
+      === expected)
+    // training order: within every partition, rows ascend by
+    // (shard_id, doc_id, chunk_idx) — what an epoch worker consumes
+    import org.apache.spark.sql.Row
+    got.select("shard_id", "doc_id", "chunk_idx").foreachPartition {
+      (it: Iterator[Row]) =>
+        val rows = it.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        require(rows == rows.sorted, s"partition out of training order: $rows")
+    }
+    // both partition levels must surface as partition filters on the scan
+    val p = got.queryExecution.executedPlan.toString
+    val scan = p.split('\n').filter(_.contains("FileScan"))
+    assert(scan.nonEmpty)
+    scan.foreach { l =>
+      val pf = l.indexOf("PartitionFilters:")
+      val filters = if (pf >= 0) l.substring(pf).takeWhile(_ != ']') else ""
+      assert(filters.contains("shard_group") && filters.contains("shard_id"),
+        s"range read not pruned on both levels:\n$l")
+    }
+  }
+
   test("grouped layout: shard dirs nest under shard_group = shard_id div groupSize, one parquet file each") {
     val nShards = summary.count()
     val root = new java.io.File(dir)
