@@ -73,7 +73,8 @@ import java.nio.charset.StandardCharsets
 object IvfIndex {
 
   private[operators] final case class Meta(dims: Int, m: Int, ksub: Int,
-      nlist: Int, saltFactor: Int, seed: Long, batches: Seq[Int])
+      nlist: Int, saltFactor: Int, seed: Long, batches: Seq[Int],
+      prevBatches: Seq[Int] = Seq.empty)
 
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -92,6 +93,7 @@ object IvfIndex {
          |saltFactor=${meta.saltFactor}
          |seed=${meta.seed}
          |batches=${meta.batches.mkString(",")}
+         |prev=${meta.prevBatches.mkString(",")}
          |""".stripMargin
     val out = f.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8))
@@ -118,7 +120,8 @@ object IvfIndex {
         "this reader needs version 2 (list_id-partitioned vectors) — rebuild")
     Meta(kv("dims").toInt, kv("m").toInt, kv("ksub").toInt,
       kv("nlist").toInt, kv("saltFactor").toInt, kv("seed").toLong,
-      kv("batches").split(",").filter(_.nonEmpty).map(_.toInt).toSeq)
+      kv("batches").split(",").filter(_.nonEmpty).map(_.toInt).toSeq,
+      kv.getOrElse("prev", "").split(",").filter(_.nonEmpty).map(_.toInt).toSeq)
   }
 
   /** Train + encode ONCE, write all artifacts under `path` (replacing
@@ -316,27 +319,30 @@ final class IvfIndex private[operators] (spark: SparkSession, path: String,
     * BatchedState compaction idea applied to the index: without it,
     * each `add` grows the read fan-in (batches × probed-list dirs under
     * both stores) forever. Reads all committed codes/vectors, rewrites
-    * them as `batch=max+1`, swaps `_meta` to that single batch, then
-    * best-effort deletes the replaced dirs (a failed delete costs disk,
-    * never correctness — readers follow `_meta`, not the directory
-    * listing). Runs under the writer lock; handles loaded before a
-    * compact see their old batch list and must re-[[IvfIndex.load]]
-    * (same replace semantics as [[IvfIndex$.build]]). Returns the
-    * number of batches folded (0 = already compact, a no-op). */
+    * them as `batch=max+1`, swaps `_meta` to that single batch, and
+    * prunes with the BatchedState keep-two-generations retention: the
+    * just-replaced batches are RECORDED (`prev=` in `_meta`) and
+    * survive until the NEXT compaction deletes them, so lazy frames
+    * from handles loaded before this compact keep reading across one
+    * compaction (the G17 lazy-frame contract); deletes are best-effort
+    * — a failed delete costs disk, never correctness, readers follow
+    * `_meta`, not the directory listing. Runs under the writer lock.
+    * Returns the number of batches folded (0 = already compact). */
   def compact(): Int = {
     acquireWriterLock()
     try {
       meta = IvfIndex.readMeta(spark, path)
       if (meta.batches.size <= 1) return 0
       val old = meta.batches
+      val purge = meta.prevBatches
       val g = old.max + 1
       codes.write.partitionBy("list_id").parquet(s"$path/codes/batch=$g")
       vectors.write.partitionBy("list_id").parquet(s"$path/vectors/batch=$g")
-      val next = meta.copy(batches = Seq(g))
+      val next = meta.copy(batches = Seq(g), prevBatches = old)
       IvfIndex.writeMeta(spark, path, next)
       meta = next
       val hfs = addLockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      for (b <- old; store <- Seq("codes", "vectors"))
+      for (b <- purge; store <- Seq("codes", "vectors"))
         try hfs.delete(new Path(s"$path/$store/batch=$b"), true)
         catch { case _: Exception => () }
       old.size

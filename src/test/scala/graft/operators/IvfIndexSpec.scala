@@ -214,15 +214,21 @@ class IvfIndexSpec extends SparkSpec {
     val before = idx.topK(q, "vec_id", k = 5, nprobe = 4).cache()
     before.count()
 
+    // a LAZY frame built against the pre-compact batch list — must stay
+    // readable across exactly one compaction (the G17 retention contract)
+    val lazyPreCompact = idx.topK(q, "vec_id", k = 5, nprobe = 4)
+
     assert(idx.compact() === 3)
     assert(idx.batches === Seq(3))
     val after = idx.topK(q, "vec_id", k = 5, nprobe = 4).cache()
     sameResult(after, before)
-    // replaced generations are pruned from BOTH stores
+    // keep-two-generations: the just-replaced dirs survive this compact
+    // (lazy readers from the prior generation), and the lazy frame works
     for (store <- Seq("codes", "vectors"); b <- Seq(0, 1, 2))
-      assert(!java.nio.file.Files.exists(
+      assert(java.nio.file.Files.exists(
         java.nio.file.Paths.get(path, store, s"batch=$b")),
-        s"$store/batch=$b survived compaction")
+        s"$store/batch=$b purged one generation early")
+    sameResult(lazyPreCompact.cache(), before)
     // compact is a committed generation like any other: a fresh load
     // sees it, an idempotent re-compact is a no-op, and adds continue
     assert(IvfIndex.load(spark, path).batches === Seq(3))
@@ -232,5 +238,22 @@ class IvfIndexSpec extends SparkSpec {
     assert(idx.batches === Seq(3, 4))
     val withAdd = idx.topK(q, "vec_id", k = 5, nprobe = 8)
     assert(withAdd.filter(col("neighbor_id").between(450, 499)).count() > 0)
+
+    // the NEXT compaction purges the generation before last from BOTH
+    // stores and retains the one it just replaced
+    assert(idx.compact() === 2)
+    assert(idx.batches === Seq(5))
+    for (store <- Seq("codes", "vectors")) {
+      for (b <- Seq(0, 1, 2))
+        assert(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(path, store, s"batch=$b")),
+          s"$store/batch=$b survived two compactions")
+      for (b <- Seq(3, 4))
+        assert(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(path, store, s"batch=$b")),
+          s"$store/batch=$b purged one generation early")
+    }
+    val finalRes = idx.topK(q, "vec_id", k = 5, nprobe = 8)
+    assert(finalRes.filter(col("neighbor_id").between(450, 499)).count() > 0)
   }
 }
