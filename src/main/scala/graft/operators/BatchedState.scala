@@ -50,6 +50,46 @@ private[graft] object BatchedState {
   def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
+  /** Atomic create-new writer lock — THE multi-writer convention of this
+    * repo, shared by the FeatureStore per-version lock, [[IvfIndex]]'s
+    * add/compact lock, and the incremental refreshes ([[IncrementalDedup]],
+    * [[IncrementalEmbedDedup]]): an empty marker file created with
+    * overwrite=false, so exactly one concurrent writer can create it and
+    * the loser fails cleanly BEFORE writing any data. On the local scheme
+    * Hadoop's create(overwrite=false) is check-then-create, so NIO's
+    * atomic CREATE_NEW is used there. Mutual exclusion is guaranteed only
+    * on filesystems with an atomic exclusive create (local via NIO,
+    * HDFS); on S3A and most object stores create(path, overwrite=false)
+    * is itself check-then-write (existence visible only at close), so
+    * two racing writers can both "win" — there, serialize writers with an
+    * external coordinator (scheduler, queue, or conditional-put lock)
+    * instead of relying on this marker. A hard-crashed writer leaves a
+    * stale lock an operator removes — fail-safe, never lost data. */
+  def tryAcquireLock(spark: SparkSession, lock: Path): Boolean = {
+    val hfs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if ("file" == lock.toUri.getScheme || hfs.getScheme == "file") {
+      val p = java.nio.file.Paths.get(lock.toUri.getPath)
+      try {
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.createFile(p); true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try { hfs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
+  }
+
+  /** [[tryAcquireLock]] that fails loudly naming the holder semantics:
+    * the loser of a writer race stops here having written nothing. */
+  def acquireLock(spark: SparkSession, lock: Path, what: String): Unit =
+    if (!tryAcquireLock(spark, lock)) throw new IllegalStateException(
+      s"concurrent $what writer holds $lock — retry after it commits " +
+        "(or remove the stale lock a hard-crashed writer left)")
+
+  def releaseLock(spark: SparkSession, lock: Path): Unit =
+    lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(lock, false)
+
   /** Union of all committed batch directories under `dir`. */
   def readCommitted(spark: SparkSession, dir: String, schema: StructType,
       wm: Long): DataFrame = {

@@ -168,11 +168,33 @@ object IncrementalDedup {
       .withColumn("keep", col("doc_id") === col("cluster_id"))
 
   /** Incorporate all docs with id above the watermark. Returns the
-    * number of new documents processed (0 = nothing new). */
+    * number of new documents processed (0 = nothing new).
+    *
+    * Writers SERIALIZE on the shared atomic create-new lock
+    * ([[BatchedState.acquireLock]], `_lock_refresh`): the batch tag is
+    * derived from the watermark, so two concurrent refreshes of one
+    * state dir would read the same watermark, write the SAME `batch=`
+    * dirs with overwrite, and the second would silently replace the
+    * first's delta before the watermark commit — the loser now fails
+    * loudly having written nothing instead. The watermark is read AFTER
+    * acquiring the lock, so a retry behind a winner sees the advanced
+    * mark and processes only what remains. Crash-RETRY idempotence is
+    * separate (and kept): a crashed holder leaves a stale lock an
+    * operator removes, then the retry overwrites the orphan batch. */
   def refresh(spark: SparkSession, docs: DataFrame, statePath: String,
       idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.8, maxDf: Int = 1000,
       compactEvery: Int = 8): Long = {
+    BatchedState.acquireLock(spark, new Path(s"$statePath/_lock_refresh"),
+      "IncrementalDedup refresh")
+    try refreshLocked(spark, docs, statePath, idCol, textCol, threshold,
+      maxDf, compactEvery)
+    finally BatchedState.releaseLock(spark, new Path(s"$statePath/_lock_refresh"))
+  }
+
+  private def refreshLocked(spark: SparkSession, docs: DataFrame,
+      statePath: String, idCol: String, textCol: String, threshold: Double,
+      maxDf: Int, compactEvery: Int): Long = {
     val wm = Incremental.watermark(spark, statePath)
     val fresh = docs.filter(col(idCol) > wm)
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))

@@ -108,12 +108,31 @@ object IncrementalEmbedDedup {
     * watermark are ignored either way, and OLD embeddings come from the
     * state's own vector store, never from `vecs` (r8: the caller no
     * longer re-scans its corpus per refresh). Returns the number of new
-    * vectors processed (0 = nothing new). */
+    * vectors processed (0 = nothing new).
+    *
+    * Writers SERIALIZE on the shared atomic create-new lock
+    * ([[BatchedState.acquireLock]], `_lock_refresh`), exactly like
+    * [[IncrementalDedup.refresh]]: the batch tag is watermark-derived,
+    * so unserialized concurrent refreshes would overwrite one another's
+    * `batch=` dirs and silently drop a delta — the loser now fails
+    * loudly having written nothing, and the watermark is read under the
+    * lock so a retry behind a winner processes only what remains. */
   def refresh(spark: SparkSession, vecs: DataFrame, statePath: String,
       idCol: String = "vec_id", dims: Int = 64, threshold: Double = 0.45,
       tables: Int = 24, planesPerTable: Int = 4,
       compactEvery: Int = 8, bucketWidth: Long = 1L << 20,
       maxAttachBuckets: Int = 65536): Long = {
+    val lock = new org.apache.hadoop.fs.Path(s"$statePath/_lock_refresh")
+    BatchedState.acquireLock(spark, lock, "IncrementalEmbedDedup refresh")
+    try refreshLocked(spark, vecs, statePath, idCol, dims, threshold,
+      tables, planesPerTable, compactEvery, bucketWidth, maxAttachBuckets)
+    finally BatchedState.releaseLock(spark, lock)
+  }
+
+  private def refreshLocked(spark: SparkSession, vecs: DataFrame,
+      statePath: String, idCol: String, dims: Int, threshold: Double,
+      tables: Int, planesPerTable: Int, compactEvery: Int,
+      bucketWidth: Long, maxAttachBuckets: Int): Long = {
     val wm = Incremental.watermark(spark, statePath)
     val fresh = vecs.filter(col(idCol) > wm)
       .select(col(idCol).as("vec_id"), col("embedding"))

@@ -233,35 +233,17 @@ final class IvfIndex private[operators] (spark: SparkSession, path: String,
     IvfPq.pqRank(probes, corpus, emb, qemb, k, rerankFactor)
   }
 
-  // ---- writer lock (the FeatureStore per-version convention,
-  // FeatureStore.scala tryAcquireVersionLock): atomic create with
-  // overwrite=false — on the local scheme Hadoop's create(false) is
-  // check-then-create, so NIO's atomic CREATE_NEW is used there; on
-  // HDFS/object stores the Hadoop call itself is atomic
+  // ---- writer lock: the shared atomic create-new convention
+  // (BatchedState.acquireLock — one implementation for the FeatureStore
+  // per-version lock, this index, and the incremental refreshes; see
+  // there for the filesystems it is and is not atomic on)
   private def addLockPath = new Path(s"$path/_lock_add")
 
-  private def acquireWriterLock(): Unit = {
-    val lock = addLockPath
-    val hfs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val won =
-      if ("file" == lock.toUri.getScheme || hfs.getScheme == "file") {
-        try { java.nio.file.Files.createFile(
-          java.nio.file.Paths.get(lock.toUri.getPath)); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else {
-        try { hfs.create(lock, false).close(); true }
-        catch { case _: java.io.IOException => false }
-      }
-    if (!won) throw new IllegalStateException(
-      s"concurrent IvfIndex writer holds $lock — retry after it commits " +
-        "(or remove the stale lock a hard-crashed writer left)")
-  }
+  private def acquireWriterLock(): Unit =
+    BatchedState.acquireLock(spark, addLockPath, "IvfIndex")
 
-  private def releaseWriterLock(): Unit = {
-    val lock = addLockPath
-    lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(lock, false)
-  }
+  private def releaseWriterLock(): Unit =
+    BatchedState.releaseLock(spark, addLockPath)
 
   /** Append new vectors as one committed batch: coarse-assign to the
     * EXISTING centroids (argmax 2v·c − |c|², the probe metric; ties to
@@ -322,8 +304,11 @@ final class IvfIndex private[operators] (spark: SparkSession, path: String,
     * them as `batch=max+1`, swaps `_meta` to that single batch, and
     * prunes with the BatchedState keep-two-generations retention: the
     * just-replaced batches are RECORDED (`prev=` in `_meta`) and
-    * survive until the NEXT compaction deletes them, so lazy frames
-    * from handles loaded before this compact keep reading across one
+    * survive until the NEXT `compact()` call deletes them — including a
+    * call that finds the index already compact, which purges the
+    * recorded generation and returns 0 rather than holding a full index
+    * copy on disk until another add happens — so lazy frames from
+    * handles loaded before this compact keep reading across one
     * compaction (the G17 lazy-frame contract); deletes are best-effort
     * — a failed delete costs disk, never correctness, readers follow
     * `_meta`, not the directory listing. Runs under the writer lock.
@@ -332,20 +317,45 @@ final class IvfIndex private[operators] (spark: SparkSession, path: String,
     acquireWriterLock()
     try {
       meta = IvfIndex.readMeta(spark, path)
-      if (meta.batches.size <= 1) return 0
+      if (meta.batches.size <= 1) {
+        // already compact — but a generation recorded by the LAST real
+        // compaction has had its one-compaction lazy-reader grace, so
+        // purge it here rather than holding a full index copy on disk
+        // until another add+compact cycle happens to come along
+        if (meta.prevBatches.nonEmpty) {
+          val stale = meta.prevBatches
+          val next = meta.copy(prevBatches = Seq.empty)
+          IvfIndex.writeMeta(spark, path, next)
+          meta = next
+          purgeBatches(stale)
+        }
+        return 0
+      }
       val old = meta.batches
       val purge = meta.prevBatches
       val g = old.max + 1
-      codes.write.partitionBy("list_id").parquet(s"$path/codes/batch=$g")
-      vectors.write.partitionBy("list_id").parquet(s"$path/vectors/batch=$g")
+      // overwrite, like add: a compact that crashed after writing
+      // batch=g but before the meta swap recomputes the SAME g from the
+      // unchanged meta on retry — the retry must replace the orphan, not
+      // die on path-already-exists
+      codes.write.mode("overwrite").partitionBy("list_id")
+        .parquet(s"$path/codes/batch=$g")
+      vectors.write.mode("overwrite").partitionBy("list_id")
+        .parquet(s"$path/vectors/batch=$g")
       val next = meta.copy(batches = Seq(g), prevBatches = old)
       IvfIndex.writeMeta(spark, path, next)
       meta = next
-      val hfs = addLockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      for (b <- purge; store <- Seq("codes", "vectors"))
-        try hfs.delete(new Path(s"$path/$store/batch=$b"), true)
-        catch { case _: Exception => () }
+      purgeBatches(purge)
       old.size
     } finally releaseWriterLock()
+  }
+
+  /** Best-effort delete of batch dirs under both stores — a failed
+    * delete costs disk, never correctness (readers follow `_meta`). */
+  private def purgeBatches(bs: Seq[Int]): Unit = {
+    val hfs = addLockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (b <- bs; store <- Seq("codes", "vectors"))
+      try hfs.delete(new Path(s"$path/$store/batch=$b"), true)
+      catch { case _: Exception => () }
   }
 }

@@ -400,34 +400,23 @@ final class FeatureStore(spark: SparkSession, storePath: String,
 
   private def manifestDir = new Path(s"$storePath/_versions")
 
-  /** Per-(feature, version) write lock: an empty marker file created
-    * atomically with overwrite=false — exactly one concurrent
-    * `computeVersion` can create it, the loser fails cleanly before
-    * writing any data (detect-and-fail, the minimum a multi-writer store
-    * needs; a transactional table format would arbitrate instead).
-    * Feature/version are identifier-validated, so the name is path-safe.
-    * Empty files are invisible to the JSON manifest replay. On the local
-    * scheme Hadoop's create(overwrite=false) is check-then-create, so we
-    * use NIO's atomic CREATE_NEW there; on HDFS/object stores the Hadoop
-    * call itself is atomic. A crash between lock and manifest append
-    * leaves an orphan lock that blocks that version tag until an operator
-    * removes it (or the version is purged) — fail-safe, never lost data. */
+  /** Per-(feature, version) write lock — the shared atomic create-new
+    * convention ([[graft.operators.BatchedState.tryAcquireLock]]; see
+    * there for which filesystems it is atomic on): exactly one
+    * concurrent `computeVersion` can create the marker, the loser fails
+    * cleanly before writing any data (detect-and-fail, the minimum a
+    * multi-writer store needs; a transactional table format would
+    * arbitrate instead). Feature/version are identifier-validated, so
+    * the name is path-safe. Empty files are invisible to the JSON
+    * manifest replay. A crash between lock and manifest append leaves an
+    * orphan lock that blocks that version tag until an operator removes
+    * it (or the version is purged) — fail-safe, never lost data. */
   private def versionLockPath(feature: String, version: String): Path =
     new Path(manifestDir, s"lock_${feature}__$version")
 
-  private def tryAcquireVersionLock(feature: String, version: String): Boolean = {
-    val lock = versionLockPath(feature, version)
-    val hfs = manifestDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!hfs.exists(manifestDir)) hfs.mkdirs(manifestDir)
-    if ("file" == lock.toUri.getScheme || hfs.getScheme == "file") {
-      try { java.nio.file.Files.createFile(
-        java.nio.file.Paths.get(lock.toUri.getPath)); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    } else {
-      try { hfs.create(lock, false).close(); true }
-      catch { case _: java.io.IOException => false }
-    }
-  }
+  private def tryAcquireVersionLock(feature: String, version: String): Boolean =
+    graft.operators.BatchedState.tryAcquireLock(
+      spark, versionLockPath(feature, version))
 
   private def jsonEscape(s: String): String = s.flatMap {
     case '"'  => "\\\""

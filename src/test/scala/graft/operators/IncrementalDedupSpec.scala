@@ -143,6 +143,65 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(IncrementalDedup.refresh(spark, docs, state, threshold = 0.35) === 0L)
   }
 
+  test("a held refresh lock makes refresh fail loudly and write nothing") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val state = java.nio.file.Files.createTempDirectory("graft-inclock").toString
+    IncrementalDedup.refresh(spark, docs.filter(col("doc_id") < 200),
+      state, threshold = 0.5)
+    val wmBefore = graft.registry.Incremental.watermark(spark, state)
+    val batchesBefore = new java.io.File(s"$state/hashes").listFiles().length
+    // an in-flight refresher holds the lock (what the loser of a race sees)
+    val lock = java.nio.file.Paths.get(state, "_lock_refresh")
+    java.nio.file.Files.createFile(lock)
+    val e = intercept[IllegalStateException] {
+      IncrementalDedup.refresh(spark, docs, state, threshold = 0.5)
+    }
+    assert(e.getMessage.contains("_lock_refresh"))
+    assert(graft.registry.Incremental.watermark(spark, state) === wmBefore,
+      "failed refresh must not advance the watermark")
+    assert(new java.io.File(s"$state/hashes").listFiles().length === batchesBefore,
+      "failed refresh must not write batch dirs")
+    // the in-flight refresher finishes (lock released) -> retry succeeds
+    java.nio.file.Files.delete(lock)
+    assert(IncrementalDedup.refresh(spark, docs, state, threshold = 0.5) === 300L)
+    val inc = IncrementalDedup.assignments(spark, state)
+    val full = DedupPipeline.dedup(docs, threshold = 0.5)
+    assert(inc.except(full).count() === 0 && full.except(inc).count() === 0)
+  }
+
+  test("two concurrent refreshes: exactly one processes the delta — no silent drop") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val state = java.nio.file.Files.createTempDirectory("graft-incrace").toString
+    IncrementalDedup.refresh(spark, docs.filter(col("doc_id") < 200),
+      state, threshold = 0.5)
+    // two refreshes race on one state dir. The pre-lock bug: both read
+    // the same watermark, both write the SAME batch=<wm> dirs, the
+    // second overwrite silently replaces the first's delta. Legal
+    // outcomes per attempt now: it wins and processes the delta; it
+    // arrives after the winner committed and sees nothing new (0); or it
+    // overlaps the winner and fails loudly on the lock.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val results = Await.result(Future.sequence(Seq(
+      Future(scala.util.Try(
+        IncrementalDedup.refresh(spark, docs, state, threshold = 0.5))),
+      Future(scala.util.Try(
+        IncrementalDedup.refresh(spark, docs, state, threshold = 0.5))))),
+      300.seconds)
+    results.filter(_.isFailure).foreach { l =>
+      assert(l.failed.get.isInstanceOf[IllegalStateException], s"unexpected: $l")
+      assert(l.failed.get.getMessage.contains("_lock_refresh"))
+    }
+    assert(results.count { r => r.isSuccess && r.get > 0 } === 1,
+      s"exactly one attempt must process the delta: $results")
+    // and the surviving state equals a clean sequential run's
+    val inc = IncrementalDedup.assignments(spark, state)
+    val full = DedupPipeline.dedup(docs, threshold = 0.5)
+    assert(inc.except(full).count() === 0 && full.except(inc).count() === 0,
+      "state after the race diverged from the one-shot recompute")
+  }
+
   test("a new doc bridges two existing clusters; all members relabel") {
     val state = java.nio.file.Files.createTempDirectory("graft-incbridge").toString
     val a = "a b c d e"

@@ -33,6 +33,55 @@ class IncrementalEmbedDedupSpec extends SparkSpec {
     assert(IncrementalEmbedDedup.refresh(spark, vecs, state, threshold = 0.3) === 0L)
   }
 
+  test("two concurrent refreshes: exactly one processes the delta — no silent drop") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").cache()
+    val state = tmpState()
+    IncrementalEmbedDedup.refresh(spark,
+      vecs.filter(col("vec_id") < 300), state, threshold = 0.3)
+    // the same race class IncrementalDedupSpec pins: unserialized, both
+    // writers share the watermark-derived batch tag and the second
+    // overwrite silently drops the first's delta. With the lock, per
+    // attempt: win and process, arrive late and see 0 new, or overlap
+    // and fail loudly having written nothing.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val results = Await.result(Future.sequence(Seq(
+      Future(scala.util.Try(
+        IncrementalEmbedDedup.refresh(spark, vecs, state, threshold = 0.3))),
+      Future(scala.util.Try(
+        IncrementalEmbedDedup.refresh(spark, vecs, state, threshold = 0.3))))),
+      300.seconds)
+    results.filter(_.isFailure).foreach { l =>
+      assert(l.failed.get.isInstanceOf[IllegalStateException], s"unexpected: $l")
+      assert(l.failed.get.getMessage.contains("_lock_refresh"))
+    }
+    assert(results.count { r => r.isSuccess && r.get > 0 } === 1,
+      s"exactly one attempt must process the delta: $results")
+    val inc = IncrementalEmbedDedup.pairs(spark, state)
+    val full = Similarity.lshNearDupPairs(vecs, "vec_id", dims = 64, threshold = 0.3)
+    assert(inc.except(full).count() === 0 && full.except(inc).count() === 0,
+      "pair state after the race diverged from the one-shot operator")
+  }
+
+  test("a held refresh lock makes refresh fail loudly and write nothing") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val state = tmpState()
+    IncrementalEmbedDedup.refresh(spark,
+      vecs.filter(col("vec_id") < 300), state, threshold = 0.3)
+    val wmBefore = graft.registry.Incremental.watermark(spark, state)
+    val lock = java.nio.file.Paths.get(state, "_lock_refresh")
+    java.nio.file.Files.createFile(lock)
+    val e = intercept[IllegalStateException] {
+      IncrementalEmbedDedup.refresh(spark, vecs, state, threshold = 0.3)
+    }
+    assert(e.getMessage.contains("_lock_refresh"))
+    assert(graft.registry.Incremental.watermark(spark, state) === wmBefore,
+      "failed refresh must not advance the watermark")
+    java.nio.file.Files.delete(lock)
+    assert(IncrementalEmbedDedup.refresh(spark, vecs, state, threshold = 0.3) > 0)
+  }
+
   test("cells compaction: parity across snapshot boundaries, old batches pruned") {
     val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").cache()
     val state = tmpState()

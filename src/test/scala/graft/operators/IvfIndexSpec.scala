@@ -202,6 +202,52 @@ class IvfIndexSpec extends SparkSpec {
       assert(res.filter(col("neighbor_id").between(400, 499)).count() > 0)
   }
 
+  test("a crashed compact retries over its orphan dirs; an already-compact call purges the recorded generation") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").cache()
+    val path = tmpPath()
+    IvfIndex.build(vecs.filter(col("vec_id") < 250), "vec_id", path, nlist = 8)
+    val idx = IvfIndex.load(spark, path)
+    idx.add(vecs.filter(col("vec_id") >= 250 && col("vec_id") < 400), "vec_id")
+    val q = vecs.filter(col("vec_id") % 10 === 0)
+    val before = idx.topK(q, "vec_id", k = 5, nprobe = 4).cache()
+    before.count()
+
+    // simulate a compact that crashed after writing its batch=2 output
+    // but before the _meta swap: orphan dirs exist under the SAME
+    // generation id the retry recomputes from the unchanged meta — the
+    // retry must overwrite them, not die on path-already-exists
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit =
+      java.nio.file.Files.walk(from).forEach { p =>
+        val dst = to.resolve(from.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(p, dst)
+      }
+    for (store <- Seq("codes", "vectors"))
+      copyTree(java.nio.file.Paths.get(path, store, "batch=0"),
+        java.nio.file.Paths.get(path, store, "batch=2"))
+    assert(idx.compact() === 2, "retry over orphan compact dirs must succeed")
+    assert(idx.batches === Seq(2))
+    sameResult(idx.topK(q, "vec_id", k = 5, nprobe = 4).cache(), before)
+
+    // already-compact: the generation the last compaction recorded has
+    // had its one-compaction lazy-reader grace — purge it now instead of
+    // retaining a full index copy until another add+compact cycle
+    for (store <- Seq("codes", "vectors"); b <- Seq(0, 1))
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, store, s"batch=$b")),
+        s"$store/batch=$b must survive until the next compact call")
+    assert(idx.compact() === 0)
+    for (store <- Seq("codes", "vectors"); b <- Seq(0, 1))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, store, s"batch=$b")),
+        s"$store/batch=$b must be purged by the already-compact call")
+    // the purge is committed: a fresh load agrees and queries still work
+    val idx2 = IvfIndex.load(spark, path)
+    assert(idx2.compact() === 0)
+    sameResult(idx2.topK(q, "vec_id", k = 5, nprobe = 4).cache(), before)
+  }
+
   test("compact folds batches into one generation: same answers, pruned orphans, adds continue") {
     val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").cache()
     val path = tmpPath()
