@@ -112,20 +112,58 @@ object CurationOps {
     * `defaultPerMille` — default 0, i.e. an undeclared source
     * contributes nothing, the fail-closed choice for a curation recipe
     * (the alternative, silently keeping everything unlisted, is how an
-    * unfiltered crawl sneaks into a training set). Returns `docs` plus
-    * a `keep` boolean; filter or aggregate downstream. Scale shape: the
-    * mixture is domains, not documents — KBs — so this is a broadcast
-    * join plus a per-row projection, zero shuffles. */
+    * unfiltered crawl sneaks into a training set).
+    *
+    * Rates ABOVE 1000 oversample (r9): real LLM mixtures repeat small
+    * curated sources for several epochs against one pass of crawl, so
+    * a rate of 2500‰ means floor(2500/1000) = 2 deterministic copies of
+    * every document plus a 500‰ md5-bucket extra. This function stays a
+    * per-row projection: it returns `docs` plus `n_copies` (how many
+    * times the document appears in the sample) and `keep` =
+    * n_copies > 0 (for rates ≤ 1000 exactly the old boolean contract);
+    * [[mixtureRepeat]] materializes the copies as rows.
+    *
+    * The mixture must be UNIQUE on source — a recipe frame carrying two
+    * rows for one source would silently duplicate that source's every
+    * document through the join, so it fails loudly here instead (one
+    * aggregate over the domains-sized recipe, driver-bounded). Scale
+    * shape: the mixture is domains, not documents — KBs — so this is a
+    * broadcast join plus a per-row projection, zero corpus shuffles. */
   def mixtureSample(docs: DataFrame, mixture: DataFrame,
       idCol: String = "doc_id", defaultPerMille: Long = 0L): DataFrame = {
+    val m = mixture.select(col("source"),
+      col("keep_per_mille").cast("long").as("keep_per_mille"))
+    val dup = m.groupBy(col("source")).count().filter(col("count") > 1)
+      .select("source").take(5).map(_.getString(0))
+    require(dup.isEmpty,
+      s"mixture frame has duplicate rows for source(s) ${dup.mkString(", ")} " +
+        "— a recipe must be unique on source (each extra row would " +
+        "silently duplicate that source's documents)")
     val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("long") % 1000
-    docs.join(broadcast(mixture.select(col("source"),
-        col("keep_per_mille").cast("long").as("keep_per_mille"))),
-      Seq("source"), "left")
-      .withColumn("keep", u < coalesce(col("keep_per_mille"), lit(defaultPerMille)))
+    val rate = coalesce(col("keep_per_mille"), lit(defaultPerMille))
+    docs.join(broadcast(m), Seq("source"), "left")
+      .withColumn("n_copies",
+        floor(rate / 1000) + when(u < rate % 1000, 1L).otherwise(0L))
+      .withColumn("keep", col("n_copies") > 0)
       .drop("keep_per_mille")
   }
+
+  /** [[mixtureSample]] with the copies MATERIALIZED: one output row per
+    * (document, epoch), `epoch` in [0, n_copies). The explode is a
+    * stateless per-row fan-out — no shuffle, and it runs unchanged on a
+    * streaming frame exactly like mixtureSample (same stream-static
+    * broadcast-join shape). Epoch 0 is the base pass; a doc kept once
+    * appears as epoch 0 only, a 2500‰ source's doc as epochs 0,1 and —
+    * when its md5 bucket clears the 500‰ remainder — 2. Downstream
+    * shard packing sees each epoch as its own row, which is exactly
+    * what "repeat the curated corpus 2.5×" means operationally. */
+  def mixtureRepeat(docs: DataFrame, mixture: DataFrame,
+      idCol: String = "doc_id", defaultPerMille: Long = 0L): DataFrame =
+    mixtureSample(docs, mixture, idCol, defaultPerMille)
+      .filter(col("n_copies") > 0)
+      .withColumn("epoch", explode(expr("sequence(0, n_copies - 1)")))
+      .drop("n_copies", "keep")
 
   /** E18: the gated mixture-sampling query — feeds [[mixtureSample]] a
     * recipe table carrying 100% / 50% / 25% / 12.5% by source index
@@ -168,13 +206,19 @@ object CurationOps {
     * source, n_tokens) and target proportions (`weights`: source,
     * weight — any positive scale, normalized internally), produce the
     * (source, keep_per_mille) table whose expected sample hits
-    * `targetTokens` split by weight. Downsampling only (a rate caps at
-    * 1000): when a source is too small for its share, it contributes
-    * everything it has and the unmet remainder redistributes over the
-    * uncapped sources in weight proportion — classic water-filling,
-    * iterated until no new source caps (≤ |sources| rounds). Sources
-    * with no declared weight get NO row — feeding the plan to
-    * [[mixtureSample]] then drops them by its fail-closed default.
+    * `targetTokens` split by weight. By default downsampling only (a
+    * rate caps at 1000): when a source is too small for its share, it
+    * contributes everything it has and the unmet remainder
+    * redistributes over the uncapped sources in weight proportion —
+    * classic water-filling, iterated until no new source caps
+    * (≤ |sources| rounds). Opting in with `maxEpochs` > 1 lifts the cap
+    * to 1000·maxEpochs: a too-small curated source is then REPEATED up
+    * to maxEpochs passes before its unmet share redistributes — the
+    * standard "N epochs of curated text vs one pass of crawl" recipe —
+    * and [[mixtureSample]]/[[mixtureRepeat]] realize the rate as
+    * deterministic copies. Sources with no declared weight get NO row —
+    * feeding the plan to [[mixtureSample]] then drops them by its
+    * fail-closed default.
     *
     * Driver-bounded by construction: the plan is per-DOMAIN, not
     * per-document — `maxSources` (default 100k) guards the collect the
@@ -183,14 +227,18 @@ object CurationOps {
     * granularity, so the planned total undershoots by < |sources|/1000
     * of a token-per-mille unit, never overshoots. */
   def planMixture(stats: DataFrame, weights: DataFrame, targetTokens: Long,
-      maxSources: Int = 100000): DataFrame = {
+      maxSources: Int = 100000, maxEpochs: Int = 1): DataFrame = {
     require(targetTokens > 0, s"targetTokens $targetTokens must be positive")
+    require(maxEpochs >= 1, s"maxEpochs $maxEpochs must be >= 1")
     val spark = stats.sparkSession
     import spark.implicits._
     val n = weights.count()
     require(n <= maxSources,
       s"$n mixture sources exceed maxSources=$maxSources — a mixture is " +
         "domains, not documents; raise the cap only if that is really true")
+    require(weights.select("source").distinct().count() == n,
+      "duplicate source rows in mixture weights — a recipe must be " +
+        "unique on source")
     val rows = weights.select(col("source"), col("weight").cast("double"))
       .join(stats.select(col("source"), col("n_tokens").cast("long")),
         Seq("source"), "left")
@@ -198,8 +246,10 @@ object CurationOps {
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
     require(rows.forall(_._2 >= 0), "negative mixture weights")
 
-    // water-filling: capped sources give all they have; survivors split
-    // the remainder by weight. Each round caps >= 1 source or stops.
+    // water-filling: capped sources give all they have (times maxEpochs);
+    // survivors split the remainder by weight. Each round caps >= 1
+    // source or stops. rateCap per-mille == maxEpochs full passes.
+    val rateCap = 1000L * maxEpochs
     var remaining = targetTokens.toDouble
     var active = rows.filter(r => r._2 > 0 && r._3 > 0).toSeq
     val capped = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
@@ -207,11 +257,11 @@ object CurationOps {
     while (!done && active.nonEmpty && remaining > 0) {
       val wSum = active.map(_._2).sum
       val over = active.filter { case (_, w, avail) =>
-        remaining * w / wSum >= avail }
+        remaining * w / wSum >= avail.toDouble * maxEpochs }
       if (over.isEmpty) done = true
       else {
-        capped ++= over.map { case (s, _, avail) => (s, 1000L) }
-        remaining -= over.map(_._3.toDouble).sum
+        capped ++= over.map { case (s, _, avail) => (s, rateCap) }
+        remaining -= over.map(_._3.toDouble * maxEpochs).sum
         val overSet = over.map(_._1).toSet
         active = active.filterNot(r => overSet.contains(r._1))
       }
@@ -220,7 +270,7 @@ object CurationOps {
       val wSum = active.map(_._2).sum
       active.map { case (s, w, avail) =>
         val rate = if (remaining <= 0 || wSum <= 0) 0L
-          else math.min(1000L, (1000.0 * remaining * w / wSum / avail).toLong)
+          else math.min(rateCap, (1000.0 * remaining * w / wSum / avail).toLong)
         (s, rate)
       }
     }

@@ -62,6 +62,84 @@ class CurationOpsSpec extends SparkSpec {
       s"mixtureSample must not shuffle the corpus:\n$plan")
   }
 
+  test("rates above 1000 oversample: floor(rate/1000) copies plus the md5-bucket remainder") {
+    val over = Seq(("wikipedia", 2500L), ("common-crawl", 250L), ("books", 1000L))
+      .toDF("source", "keep_per_mille")
+    val got = CurationOps.mixtureSample(docs, over)
+      .select("doc_id", "source", "n_copies", "keep")
+      .as[(Long, String, Long, Boolean)].collect()
+    assert(got.length === 400)
+    got.foreach { case (id, src, nCopies, keep) =>
+      val rate = Map("wikipedia" -> 2500L, "common-crawl" -> 250L,
+        "books" -> 1000L).getOrElse(src, 0L)
+      val expected = rate / 1000 + (if (expectedKeep(id, rate % 1000)) 1L else 0L)
+      assert(nCopies === expected, s"doc $id from $src at rate $rate")
+      assert(keep === (expected > 0))
+    }
+    // every wikipedia doc appears at least twice; some clear the 500‰ extra
+    val wiki = got.filter(_._2 == "wikipedia").map(_._3)
+    assert(wiki.forall(_ >= 2) && wiki.exists(_ == 3L) && wiki.exists(_ == 2L))
+  }
+
+  test("mixtureRepeat materializes the copies as (doc, epoch) rows, shuffle-free") {
+    val over = Seq(("wikipedia", 2500L), ("books", 500L))
+      .toDF("source", "keep_per_mille")
+    val repeated = CurationOps.mixtureRepeat(docs, over)
+    // realized copy counts track the declared plan exactly
+    val byDoc = repeated.groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    val sample = CurationOps.mixtureSample(docs, over)
+      .filter(col("n_copies") > 0).select("doc_id", "n_copies")
+      .as[(Long, Long)].collect().toMap
+    assert(byDoc === sample, "realized copies diverged from n_copies")
+    // epochs are 0..n_copies-1 per doc
+    val epochs = repeated.groupBy("doc_id")
+      .agg(sort_array(collect_list("epoch")).as("es"), count(lit(1)).as("n"))
+      .as[(Long, Seq[Long], Long)].collect()
+    epochs.foreach { case (id, es, n) =>
+      assert(es === (0L until n), s"doc $id epochs $es") }
+    // the fan-out is a per-row projection: no corpus shuffle
+    val plan = repeated.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"mixtureRepeat must not shuffle the corpus:\n$plan")
+  }
+
+  test("a mixture with duplicate source rows fails loudly, not silently duplicating docs") {
+    val dup = Seq(("wikipedia", 1000L), ("wikipedia", 250L), ("books", 500L))
+      .toDF("source", "keep_per_mille")
+    val e = intercept[IllegalArgumentException] {
+      CurationOps.mixtureSample(docs, dup).count()
+    }
+    assert(e.getMessage.contains("wikipedia"))
+    val e2 = intercept[IllegalArgumentException] {
+      CurationOps.planMixture(
+        Seq(("a", 1000L)).toDF("source", "n_tokens"),
+        Seq(("a", 1.0), ("a", 2.0)).toDF("source", "weight"), 100L)
+    }
+    assert(e2.getMessage.contains("unique on source"))
+  }
+
+  test("planMixture maxEpochs: a too-small curated source repeats before redistributing") {
+    val stats = Seq(("a", 10000L), ("b", 100000L), ("c", 200000L))
+      .toDF("source", "n_tokens")
+    val weights = Seq(("a", 0.5), ("b", 0.3), ("c", 0.2)).toDF("source", "weight")
+    val plan = CurationOps.planMixture(stats, weights, targetTokens = 100000L,
+      maxEpochs = 3)
+    val rates = plan.as[(String, Long)].collect().toMap
+    // a's 50k share exceeds 3 passes of its 10k — capped at 3000‰; the
+    // unmet 20k redistributes 3:2 over b and c
+    assert(rates === Map("a" -> 3000L, "b" -> 420L, "c" -> 140L))
+    val expected = Map("a" -> 10000L, "b" -> 100000L, "c" -> 200000L)
+      .map { case (s, avail) => avail * rates(s) / 1000 }.sum
+    assert(expected === 100000L)
+    // and the plan feeds the sampler: an oversampled source realizes
+    // ~3 copies per doc end-to-end
+    val aDocs = Seq.tabulate(50)(i => (i.toLong, "a", 100L))
+      .toDF("doc_id", "source", "n_chars")
+    val realized = CurationOps.mixtureRepeat(aDocs, plan).count()
+    assert(realized === 150L, s"50 docs at 3000 per mille must emit 150 rows")
+  }
+
   test("sampleFixedK: exactly min(k, group size) per group, layout-invariant members") {
     val k = 7
     val sample = CurationOps.sampleFixedK(docs, k)

@@ -45,4 +45,37 @@ class StreamingMixtureGateSpec extends SparkSpec {
         s"unexpected state operator: ${q.lastProgress}")
     } finally q.stop()
   }
+
+  test("mixtureRepeat (oversampling explode) runs UNCHANGED on a stream, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq.tabulate(120) { i =>
+      (i.toLong, Seq("wiki", "crawl", "books")(i % 3))
+    }.toDF("doc_id", "source")
+    // wiki repeats 2.5 epochs — the explode fan-out must be just as
+    // stream-transparent as the keep projection
+    val mixture = Seq(("wiki", 2500L), ("crawl", 250L), ("books", 1000L))
+      .toDF("source", "keep_per_mille")
+    val batch = CurationOps.mixtureRepeat(docs, mixture)
+      .select("doc_id", "epoch").as[(Long, Long)].collect().sorted
+
+    val mem = MemoryStream[(Long, String)]
+    val q = CurationOps.mixtureRepeat(
+        mem.toDS().toDF("doc_id", "source"), mixture)
+      .select("doc_id", "epoch")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mixture_repeat_stream").start()
+    try {
+      mem.addData(docs.as[(Long, String)].collect().toSeq: _*)
+      q.processAllAvailable()
+      val online = spark.table("mixture_repeat_stream")
+        .as[(Long, Long)].collect().sorted
+      assert(online === batch,
+        "streaming (doc, epoch) rows diverged from the batch operator")
+      // oversampling actually happened: more rows than wiki docs
+      assert(online.count(_._2 >= 1) > 0 && online.exists(_._2 == 2L))
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"unexpected state operator: ${q.lastProgress}")
+    } finally q.stop()
+  }
 }
