@@ -172,6 +172,14 @@ object IvfIndex {
     new IvfIndex(spark, path, readMeta(spark, path))
 }
 
+/** Driver-bounded occupancy summary from [[IvfIndex!.stats]]: `perList`
+  * holds one entry per non-empty list (≤ nlist), `imbalance` is the max
+  * list size over the all-lists mean — the signal that frozen-centroid
+  * adds have drifted and a [[IvfIndex!.rebuild]] is due. */
+final case class IvfIndexStats(nlist: Int, batches: Int, total: Long,
+    nonEmptyLists: Int, maxList: Long, meanPerList: Double,
+    imbalance: Double, perList: Map[Int, Long])
+
 /** A loaded index handle — see [[IvfIndex$]] for the layout. */
 final class IvfIndex private[operators] (spark: SparkSession, path: String,
     private var meta: IvfIndex.Meta) {
@@ -295,6 +303,53 @@ final class IvfIndex private[operators] (spark: SparkSession, path: String,
       meta = next
       nNew
     } finally releaseWriterLock()
+  }
+
+  /** Per-list occupancy of the committed index — the recall-maintenance
+    * signal. `add` assigns to FROZEN centroids forever: a drifting
+    * embedding distribution crams new vectors into few lists, and at a
+    * fixed nprobe the probed fraction of the corpus shrinks where the
+    * data actually is — recall decays with no error anywhere. Watch
+    * `imbalance` (max list size over the all-lists mean; balanced ≈ a
+    * small constant, drifted → grows with every add) and [[rebuild]]
+    * when it drifts. Cost: one count over the codes store reading ONLY
+    * the list_id partition column — parquet answers it from footer row
+    * counts, no data pages — and the result is nlist longs of driver
+    * metadata, same class as the probed-list collect. */
+  def stats(): IvfIndexStats = {
+    val perList = codes.groupBy(col("list_id")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = perList.values.sum
+    val maxList = if (perList.isEmpty) 0L else perList.values.max
+    val mean = if (meta.nlist == 0) 0.0 else total.toDouble / meta.nlist
+    IvfIndexStats(meta.nlist, meta.batches.size, total, perList.size,
+      maxList, mean, if (mean == 0.0) 0.0 else maxList / mean, perList)
+  }
+
+  /** Retrain the WHOLE index — coarse centroids and PQ codebooks — from
+    * the index's own stored raw vectors, into `destPath`: the recovery
+    * move when [[stats]] shows drifted adds have unbalanced the frozen
+    * centroids. The index is self-contained (the `vectors/` store holds
+    * every committed embedding), so no caller corpus re-scan is needed;
+    * `nlist` may be re-chosen for the grown corpus (0 = re-derive from
+    * the current count, the [[build]] default). Serving switches by
+    * REPOINTING: `IvfIndex.load(destPath)` once this returns — a
+    * committed build is atomic behind its own `_meta`, and a path swap
+    * by directory rename is NOT atomic on object stores, so the caller
+    * repoints its handle/config instead (exactly the FeatureStore
+    * latest-active convention). The old path stays valid for in-flight
+    * readers until the operator retires it. Writes nothing under the
+    * live path and takes no lock — builds into `destPath` are isolated
+    * by construction. */
+  def rebuild(destPath: String, nlist: Int = 0,
+      maxTrainRows: Long = 50000L): Unit = {
+    require(destPath != path,
+      "rebuild into the live path would destroy the index under its " +
+        "readers — build to a new path and repoint")
+    IvfIndex.build(
+      vectors.select(col("neighbor_id"), col("ec").as("embedding")),
+      "neighbor_id", destPath, nlist, meta.m, meta.ksub, meta.seed,
+      maxTrainRows, meta.saltFactor)
   }
 
   /** Fold every committed batch into ONE new generation — the

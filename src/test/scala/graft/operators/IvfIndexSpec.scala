@@ -202,6 +202,108 @@ class IvfIndexSpec extends SparkSpec {
       assert(res.filter(col("neighbor_id").between(400, 499)).count() > 0)
   }
 
+  test("stats surfaces the imbalance a skewed add creates, from driver-bounded metadata") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").cache()
+    val path = tmpPath()
+    IvfIndex.build(vecs.filter(col("vec_id") < 400), "vec_id", path, nlist = 8)
+    val idx = IvfIndex.load(spark, path)
+    val before = idx.stats()
+    assert(before.total === 400 && before.nlist === 8)
+    assert(before.perList.values.sum === before.total)
+    assert(before.perList.size <= before.nlist)
+
+    // drift, deliberately extreme: 200 new vectors identical to one
+    // existing embedding — frozen-centroid assignment crams every one
+    // into a single list
+    val one = vecs.filter(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    val skew = (1000 until 1200).map(i => (i.toLong, one)).toDF("vec_id", "embedding")
+    idx.add(skew, "vec_id")
+    val after = idx.stats()
+    assert(after.total === 600 && after.batches === 2)
+    assert(after.perList.values.sum === 600)
+    assert(after.perList.exists { case (l, c) =>
+        c - before.perList.getOrElse(l, 0L) == 200L },
+      s"the skewed add must land whole in one list: before $before, after $after")
+    assert(after.imbalance > before.imbalance,
+      s"imbalance must expose the drift: before $before, after $after")
+  }
+
+  test("rebuild from the index's own vectors restores recall the drifted adds lost") {
+    import spark.implicits._
+    // four tight clusters on coordinate axes — the distribution the
+    // index is built (and its centroids frozen) on
+    val rnd = new scala.util.Random(7)
+    def around(center: Array[Float], n: Int, base: Long) =
+      (0 until n).map { i =>
+        (base + i, center.map(c => c + (rnd.nextDouble() * 0.4 - 0.2).toFloat))
+      }
+    def axis(d: Int) = Array.tabulate(16)(i => if (i == d) 10f else 0f)
+    val original = (0 until 4).flatMap(c => around(axis(c), 100, c * 100L))
+    // the drift: a new cluster midway BETWEEN two frozen centroids, so
+    // its members split across both lists on jitter sign — at nprobe=1
+    // a drifted query reaches only its own half
+    val mid = Array.tabulate(16)(i => if (i == 0 || i == 1) 5f else 0f)
+    val drifted = around(mid, 200, 1000L)
+    val all = (original ++ drifted).toDF("vec_id", "embedding").cache()
+
+    val path = tmpPath()
+    IvfIndex.build(original.toDF("vec_id", "embedding"), "vec_id", path,
+      nlist = 4, ksub = 16)
+    val idx = IvfIndex.load(spark, path)
+    idx.add(drifted.toDF("vec_id", "embedding"), "vec_id")
+
+    // ground truth: exact cosine top-10 per drifted query (self excluded,
+    // the operator's own contract), computed directly on the 600 vectors
+    val queries = drifted.take(20)
+    val k = 10
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val corpus = original ++ drifted
+    val exact: Map[Long, Set[Long]] = queries.map { case (qid, q) =>
+      qid -> corpus.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(q, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1).toSet
+    }.toMap
+    // rerankFactor large enough that the exact re-rank covers every
+    // probed candidate: the measured recall is then PURELY the coarse
+    // quantizer's — which lists exist and which are probed — the thing
+    // drift degrades and rebuild repairs (at the default factor the ADC
+    // shortlist would confound it: near-identical drifted vectors share
+    // one PQ code and tie-break by id)
+    def recallOf(idx2: IvfIndex): Double = {
+      val res = idx2.topK(queries.toDF("vec_id", "embedding"), "vec_id",
+          k = k, nprobe = 1, rerankFactor = 30)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      queries.map { case (qid, _) =>
+        (res.getOrElse(qid, Set.empty) & exact(qid)).size }.sum.toDouble /
+        (queries.length * k)
+    }
+
+    val recallBefore = recallOf(idx)
+    assert(recallBefore < 0.85,
+      f"drift must actually hurt recall for this spec to mean anything: $recallBefore%.2f")
+    assert(idx.stats().imbalance > 1.3, s"drift must show in stats: ${idx.stats()}")
+
+    // the maintenance move: retrain from the index's own stored vectors
+    // into a NEW path (nlist re-chosen for the grown corpus), repoint
+    val next = tmpPath()
+    idx.rebuild(next, nlist = 5)
+    val rebuilt = IvfIndex.load(spark, next)
+    val recallAfter = recallOf(rebuilt)
+    assert(recallAfter > recallBefore,
+      f"rebuild must restore recall: before $recallBefore%.2f after $recallAfter%.2f")
+    assert(recallAfter >= 0.95,
+      f"a centroid on the drifted cluster recovers the neighborhood: $recallAfter%.2f")
+    // guard rails: rebuilding into the live path is refused
+    val e = intercept[IllegalArgumentException] { idx.rebuild(path) }
+    assert(e.getMessage.contains("live path"))
+  }
+
   test("a crashed compact retries over its orphan dirs; an already-compact call purges the recorded generation") {
     val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").cache()
     val path = tmpPath()
