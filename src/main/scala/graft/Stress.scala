@@ -278,6 +278,23 @@ object Stress {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"STRESS training_export              $dt%8.2f s   " +
         s"shards=${agg.getLong(0)} tokens=${agg.getLong(1)}")
+
+      // the trainer-side read of that artifact: a bounded shard slice
+      // (an epoch worker's fetch). The point at scale is files-read —
+      // both partition levels prune, so a slice reads ~|slice| of the
+      // corpus's files, not a listing-then-filter of all of them
+      val nShards = agg.getLong(0)
+      val slice = math.min(4L, nShards) // a quarter-ish of 50x's ~13
+      val t1 = System.nanoTime()
+      val rd = TrainingExport.readShards(spark, out, 1L, 1L + slice)
+      rd.write.format("noop").mode("overwrite").save()
+      val dtr = (System.nanoTime() - t1) / 1e9
+      // files the PRUNED scan actually touches (untimed diagnostic):
+      // with one file per shard the two-level partition pruning must
+      // read |slice| files of the artifact's nShards total
+      val filesRead = rd.select(input_file_name()).distinct().count()
+      println(f"STRESS training_read                $dtr%8.2f s   " +
+        s"shards=$slice filesRead=$filesRead ofTotal=$nShards")
     }
 
     // incremental dedup: first refresh pays for its batch; the second

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Learned-tokenizer training: byte-pair-encoding merge rules from a
+  * corpus (the Sennrich et al. 2016 algorithm — "Neural Machine
+  * Translation of Rare Words with Subword Units", the tokenizer-training
+  * step every LLM data pipeline runs downstream of curation).
+  *
+  * The scale shape is the point. BPE training NEVER needs the corpus
+  * after one pass: it operates on WORD COUNTS (Zipf-small — the
+  * vocabulary), so the corpus is touched exactly once (a word-count
+  * aggregation, map-side combinable), and every merge round after that
+  * is vocabulary-sized work: one keyed aggregation over adjacent symbol
+  * pairs (weighted by word count), a driver-side argmax of ONE row, and
+  * a narrow per-word re-tokenization of the words containing the merged
+  * pair — the same keyed-job-per-round convergence shape as
+  * [[DedupClusters.connectedComponents]], with lineage truncated per
+  * round. Nothing is ever corpus-buffered and no state exceeds the
+  * vocabulary.
+  *
+  * Determinism: ties on pair count break by the pair's lexicographic
+  * (left, right) order, so the learned merge sequence is a pure function
+  * of the word counts — layout- and cluster-independent (spec'd against
+  * a single-node reference implementation and across repartitioning).
+  *
+  * Reference behavior (tokenize.py-free repo: this follows the published
+  * algorithm): within a word, each adjacent symbol position counts once
+  * (overlaps included — "aaa" contributes (a,a) twice at count 1), and a
+  * merge applies greedily left-to-right ("aaa" + merge (a,a) → [aa, a]).
+  * Words are whitespace tokens; no end-of-word marker is appended (a
+  * caller wanting one can suffix it in `textCol` first).
+  */
+object TokenizerTrain {
+
+  /** (word, cnt, syms) — the vocabulary-sized training state: distinct
+    * whitespace words with occurrence counts, split into single-char
+    * symbols. The ONLY corpus-sized computation in this object. */
+  def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("syms",
+        filter(split(col("word"), ""), x => x =!= ""))
+
+  /** One greedy left-to-right merge of adjacent (a, b) → a+b inside a
+    * symbol array: fold the array, merging when the accumulator's last
+    * element is `a` (not itself produced by this merge — the fold
+    * consumes `a` on merging, so overlaps resolve left-to-right exactly
+    * like the reference algorithm) and the next symbol is `b`. */
+  private def mergeExpr(syms: Column, a: String, b: String): Column =
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  // the size guard matters twice over: sequence(0, -1) on a one-symbol
+  // word would DESCEND, and ANSI mode makes an out-of-range getItem an
+  // error, not a null
+  private def hasPair(syms: Column, a: String, b: String): Column =
+    size(syms) >= 2 && exists(sequence(lit(0), size(syms) - 2),
+      i => syms.getItem(i) === lit(a) && syms.getItem(i + 1) === lit(b))
+
+  /** Learn `numMerges` BPE merge rules from `docs(textCol)`. Returns the
+    * merges IN ORDER. Stops early when no adjacent pair occurs at least
+    * `minCount` times (default 2 — merging a singleton pair buys
+    * nothing). */
+  def learnMerges(docs: DataFrame, numMerges: Int,
+      textCol: String = "text", minCount: Long = 2L): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges $numMerges must be >= 0")
+    var words = wordCounts(docs, textCol).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      // adjacent pairs of the CURRENT symbolization: one narrow fan-out
+      // (bounded by total symbols in the vocabulary) into one keyed sum
+      val best = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), col("syms"),
+          explode(sequence(lit(0), size(col("syms")) - 2)).as("i"))
+        .select(col("cnt"), col("syms").getItem(col("i")).as("a"),
+          col("syms").getItem(col("i") + 1).as("b"))
+        .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty || best.head.getLong(2) < minCount) done = true
+      else {
+        val (a, b) = (best.head.getString(0), best.head.getString(1))
+        merges += ((a, b))
+        // re-tokenize ONLY words containing the pair; the rest pass
+        // through untouched — no join, a per-row conditional projection
+        words = words
+          .withColumn("syms",
+            when(hasPair(col("syms"), a, b), mergeExpr(col("syms"), a, b))
+              .otherwise(col("syms")))
+          .localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Apply learned merges, in order, to a vocabulary: (word, syms) for
+    * every distinct word. Corpus tokenization is then a broadcast join
+    * of this Zipf-small table onto the corpus's exploded words — the
+    * vocabulary is the unit of work, never the corpus. */
+  def tokenizeWords(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text"): DataFrame =
+    merges.foldLeft(wordCounts(docs, textCol)) { case (w, (a, b)) =>
+      w.withColumn("syms",
+        when(hasPair(col("syms"), a, b), mergeExpr(col("syms"), a, b))
+          .otherwise(col("syms")))
+    }.select(col("word"), col("cnt"), col("syms").as("tokens"))
+}

@@ -62,19 +62,33 @@ object TrainingExport {
   }
 
   /** The trainer-side read: shards `[fromShard, untilShard)` of a
-    * [[writeShards]] artifact, one partition per shard, rows inside each
-    * partition in (doc_id, chunk_idx) training order. `groupSize` must
-    * match the write. Both partition levels prune — the shard_group
-    * range cuts the top-level directories, the shard_id range the leaf
-    * dirs — so fetching a 100-shard slice of a 10⁸-shard corpus reads
-    * ~100 files (TrainingExportSpec audits the PartitionFilters). An
-    * epoch worker maps over partitions; each sees exactly one shard,
-    * in order. */
+    * [[writeShards]] artifact, RANGE-partitioned by shard_id with one
+    * target partition per shard in the range, rows inside each
+    * partition in (shard_id, doc_id, chunk_idx) training order.
+    * `groupSize` must match the write. Both partition levels prune —
+    * the shard_group range cuts the top-level directories, the shard_id
+    * range the leaf dirs — so fetching a 100-shard slice of a 10⁸-shard
+    * corpus reads ~100 files (TrainingExportSpec audits the
+    * PartitionFilters).
+    *
+    * The partitioning contract, precisely: a shard NEVER splits across
+    * partitions, and each partition holds a CONTIGUOUS ascending run of
+    * whole shards, with partition order following shard order. With the
+    * partition count equal to the range size that is typically exactly
+    * one shard per partition — but range partitioning places boundaries
+    * by sampling, so a partition can hold several adjacent shards (and
+    * another end up empty); an epoch worker maps over partitions and
+    * must consume each as "one or more whole shards, in order", not
+    * assume a 1:1 shard↔partition bijection (this is what a
+    * hash-partitioned read could NOT promise: hashing interleaves
+    * non-adjacent shards into one partition). */
   def readShards(spark: org.apache.spark.sql.SparkSession, path: String,
       fromShard: Long, untilShard: Long,
       groupSize: Int = 1024): DataFrame = {
     require(fromShard >= 0 && untilShard > fromShard,
       s"bad shard range [$fromShard, $untilShard)")
+    require(untilShard - fromShard <= Int.MaxValue,
+      s"shard range [$fromShard, $untilShard) too wide for one read — slice it")
     require(groupSize > 0, s"groupSize $groupSize must be positive")
     spark.read.parquet(path)
       .filter(col("shard_group").between(
@@ -82,7 +96,7 @@ object TrainingExport {
         col("shard_id") >= fromShard && col("shard_id") < untilShard)
       .select(col("shard_id").cast("long").as("shard_id"), col("doc_id"),
         col("chunk_idx"), col("n_chunk_tokens"), col("chunk_text"))
-      .repartition(col("shard_id"))
+      .repartitionByRange((untilShard - fromShard).toInt, col("shard_id"))
       .sortWithinPartitions(col("shard_id"), col("doc_id"), col("chunk_idx"))
   }
 }

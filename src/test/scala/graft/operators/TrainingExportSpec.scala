@@ -105,6 +105,33 @@ class TrainingExportSpec extends SparkSpec {
     }
   }
 
+  test("readShards partitioning contract: whole shards, contiguous ascending runs per partition") {
+    val nShards = summary.count()
+    assert(nShards > 10)
+    val got = TrainingExport.readShards(spark, dir, 1L, 11L, groupSize = groupSize)
+    // per-partition shard runs, in partition order
+    val runs = got.select("shard_id").rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        Iterator((i, it.map(_.getLong(0)).toArray.distinct.sorted.toSeq))
+      }.collect().sortBy(_._1).map(_._2)
+    // a shard never splits across partitions
+    val all = runs.flatten.toSeq
+    assert(all.length === all.distinct.length,
+      s"a shard appeared in two partitions: ${runs.toSeq}")
+    assert(all.sorted === (1L to 10L), s"wrong shard set: ${runs.toSeq}")
+    // each non-empty partition holds a contiguous run, and the runs
+    // ascend in partition order (the range-partitioning contract an
+    // epoch worker consumes; hash partitioning interleaved shards here)
+    runs.filter(_.nonEmpty).foreach { r =>
+      assert(r === (r.head to r.last), s"non-contiguous run $r") }
+    val nonEmpty = runs.filter(_.nonEmpty).toSeq
+    nonEmpty.sliding(2).foreach {
+      case Seq(a, b) => assert(a.last < b.head,
+        s"partition runs out of shard order: ${runs.toSeq}")
+      case _ =>
+    }
+  }
+
   test("grouped layout: shard dirs nest under shard_group = shard_id div groupSize, one parquet file each") {
     val nShards = summary.count()
     val root = new java.io.File(dir)
