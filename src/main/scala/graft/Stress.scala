@@ -291,10 +291,24 @@ object Stress {
       val dtr = (System.nanoTime() - t1) / 1e9
       // files the PRUNED scan actually touches (untimed diagnostic):
       // with one file per shard the two-level partition pruning must
-      // read |slice| files of the artifact's nShards total
-      val filesRead = rd.select(input_file_name()).distinct().count()
+      // read |slice| files of the artifact's nShards total. Measured on
+      // the pre-repartition scan — input_file_name does not survive an
+      // exchange (it reads "" there, silently collapsing the distinct)
+      val filesRead = TrainingExport.shardScan(spark, out, 1L, 1L + slice, 1024)
+        .select(input_file_name()).distinct().count()
       println(f"STRESS training_read                $dtr%8.2f s   " +
         s"shards=$slice filesRead=$filesRead ofTotal=$nShards")
+    }
+
+    // BPE merge training: ONE corpus pass (the word count), then
+    // vocabulary-sized rounds — the round cost must not scale with the
+    // corpus, only with the vocabulary
+    locally {
+      val t0 = System.nanoTime()
+      val merges = TokenizerTrain.learnMerges(
+        Tables.documents(spark, dir).select("text"), numMerges = 8)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"STRESS tokenizer_train              $dt%8.2f s   merges=${merges.length}")
     }
 
     // incremental dedup: first refresh pays for its batch; the second

@@ -85,10 +85,23 @@ object TrainingExport {
   def readShards(spark: org.apache.spark.sql.SparkSession, path: String,
       fromShard: Long, untilShard: Long,
       groupSize: Int = 1024): DataFrame = {
-    require(fromShard >= 0 && untilShard > fromShard,
-      s"bad shard range [$fromShard, $untilShard)")
     require(untilShard - fromShard <= Int.MaxValue,
       s"shard range [$fromShard, $untilShard) too wide for one read — slice it")
+    shardScan(spark, path, fromShard, untilShard, groupSize)
+      .repartitionByRange((untilShard - fromShard).toInt, col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("doc_id"), col("chunk_idx"))
+  }
+
+  /** The pruned scan [[readShards]] builds on — shards [fromShard,
+    * untilShard) with both partition levels pushed to the parquet scan,
+    * BEFORE the trainer-order repartition. Diagnostics that inspect the
+    * files actually read (input_file_name survives only up to the first
+    * exchange) measure on this. */
+  private[graft] def shardScan(spark: org.apache.spark.sql.SparkSession,
+      path: String, fromShard: Long, untilShard: Long,
+      groupSize: Int): DataFrame = {
+    require(fromShard >= 0 && untilShard > fromShard,
+      s"bad shard range [$fromShard, $untilShard)")
     require(groupSize > 0, s"groupSize $groupSize must be positive")
     spark.read.parquet(path)
       .filter(col("shard_group").between(
@@ -96,7 +109,5 @@ object TrainingExport {
         col("shard_id") >= fromShard && col("shard_id") < untilShard)
       .select(col("shard_id").cast("long").as("shard_id"), col("doc_id"),
         col("chunk_idx"), col("n_chunk_tokens"), col("chunk_text"))
-      .repartitionByRange((untilShard - fromShard).toInt, col("shard_id"))
-      .sortWithinPartitions(col("shard_id"), col("doc_id"), col("chunk_idx"))
   }
 }

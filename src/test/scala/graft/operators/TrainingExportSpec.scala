@@ -93,6 +93,12 @@ class TrainingExportSpec extends SparkSpec {
         val rows = it.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
         require(rows == rows.sorted, s"partition out of training order: $rows")
     }
+    // the pruning is real, not just planned: the scan touches exactly
+    // one file per requested shard (measured pre-exchange, where
+    // input_file_name still carries the source file)
+    val files = TrainingExport.shardScan(spark, dir, 2L, 7L, groupSize)
+      .select(input_file_name()).distinct().count()
+    assert(files === 5L, s"range read touched $files files for 5 shards")
     // both partition levels must surface as partition filters on the scan
     val p = got.queryExecution.executedPlan.toString
     val scan = p.split('\n').filter(_.contains("FileScan"))
