@@ -157,7 +157,12 @@ object CurationOps {
     * appears as epoch 0 only, a 2500‰ source's doc as epochs 0,1 and —
     * when its md5 bucket clears the 500‰ remainder — 2. Downstream
     * shard packing sees each epoch as its own row, which is exactly
-    * what "repeat the curated corpus 2.5×" means operationally. */
+    * what "repeat the curated corpus 2.5×" means operationally. Copies
+    * SHARE the document id: a doc-keyed consumer (e.g.
+    * [[TrainingExport.writeShards]], which orders by (doc_id,
+    * chunk_idx)) must epoch-qualify the key first — `doc_id·N + epoch`
+    * for a recipe capped at N epochs (composition spec'd in
+    * TrainingExportSpec). */
   def mixtureRepeat(docs: DataFrame, mixture: DataFrame,
       idCol: String = "doc_id", defaultPerMille: Long = 0L): DataFrame =
     mixtureSample(docs, mixture, idCol, defaultPerMille)

@@ -115,4 +115,28 @@ object TokenizerTrain {
         when(hasPair(col("syms"), a, b), mergeExpr(col("syms"), a, b))
           .otherwise(col("syms")))
     }.select(col("word"), col("cnt"), col("syms").as("tokens"))
+
+  /** Corpus tokenization: every document as its flat BPE token stream
+    * (`idCol`, tokens array<string>, n_tokens). The merge application
+    * runs ONCE per distinct word ([[tokenizeWords]] — vocabulary-sized,
+    * numMerges conditional projections over the Zipf-small table), then
+    * broadcast-joins onto the corpus's position-exploded words and
+    * re-assembles per document. Scale shape: the only corpus-sized
+    * shuffle is the keyed re-assembly groupBy on `idCol` (unavoidable —
+    * the output is a per-document row); the join side is the broadcast
+    * vocabulary, and word order is restored from the exploded position,
+    * not from any layout assumption. */
+  def tokenizeCorpus(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val vocab = tokenizeWords(docs, merges, textCol)
+      .select(col("word"), col("tokens"))
+    docs
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(vocab), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(flatten(array_sort(collect_list(struct(col("pos"), col("tokens"))))
+        .getField("tokens")).as("tokens"))
+      .select(col(idCol), col("tokens"), size(col("tokens")).cast("long").as("n_tokens"))
+  }
 }

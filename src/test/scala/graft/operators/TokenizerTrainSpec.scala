@@ -73,6 +73,25 @@ class TokenizerTrainSpec extends SparkSpec {
     tok.foreach { case (w, ts) => assert(ts.mkString === w) }
   }
 
+  test("tokenizeCorpus emits each document's flat token stream in word order") {
+    val withId = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 150).select("doc_id", "text").cache()
+    val n = 12
+    val merges = TokenizerTrain.learnMerges(withId, n)
+    val (_, refSyms) = referenceBpe(refWc, n)
+    val got = TokenizerTrain.tokenizeCorpus(withId, merges)
+      .select("doc_id", "tokens", "n_tokens")
+      .as[(Long, Seq[String], Long)].collect().map(r => r._1 -> r).toMap
+    val texts = withId.as[(Long, String)].collect().toMap
+    assert(got.keySet === texts.keySet)
+    texts.foreach { case (id, text) =>
+      val expected = text.split(" ").filter(_.nonEmpty)
+        .flatMap(refSyms(_)).toSeq
+      assert(got(id)._2 === expected, s"doc $id token stream diverged")
+      assert(got(id)._3 === expected.length.toLong)
+    }
+  }
+
   test("the merge sequence is a pure function of the data, not the layout") {
     val a = TokenizerTrain.learnMerges(docs, 6)
     val b = TokenizerTrain.learnMerges(docs.repartition(7), 6)

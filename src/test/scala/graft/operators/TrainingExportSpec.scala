@@ -138,6 +138,32 @@ class TrainingExportSpec extends SparkSpec {
     }
   }
 
+  test("mixtureRepeat composes with writeShards: epochs occupy real shard space") {
+    // an all-sources 3000 per-mille recipe: every document exactly 3
+    // epochs, deterministically (remainder 0 — no md5 draw involved)
+    val base = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 80).select("doc_id", "source", "text").cache()
+    val recipe = base.select("source").distinct()
+      .withColumn("keep_per_mille", lit(3000L))
+    // copies share doc_id, so a doc-keyed consumer must epoch-qualify
+    // the id before packing — the documented composition contract
+    val repeated = CurationOps.mixtureRepeat(base, recipe)
+      .select((col("doc_id") * 3 + col("epoch")).as("doc_id"), col("text"))
+    val dirA = java.nio.file.Files.createTempDirectory("graft-mix-a").toString + "/s"
+    val dirB = java.nio.file.Files.createTempDirectory("graft-mix-b").toString + "/s"
+    val one = TrainingExport.writeShards(base.select("doc_id", "text"), dirA,
+      window = w, stride = s, budget = budget, numPartitions = 4,
+      groupSize = groupSize)
+    val three = TrainingExport.writeShards(repeated, dirB,
+      window = w, stride = s, budget = budget, numPartitions = 4,
+      groupSize = groupSize)
+    val t1 = one.agg(sum("n_tokens")).head().getLong(0)
+    val t3 = three.agg(sum("n_tokens")).head().getLong(0)
+    assert(t3 === 3 * t1,
+      s"3 epochs must export exactly 3x the tokens: $t1 vs $t3")
+    assert(three.count() >= one.count())
+  }
+
   test("grouped layout: shard dirs nest under shard_group = shard_id div groupSize, one parquet file each") {
     val nShards = summary.count()
     val root = new java.io.File(dir)
