@@ -309,6 +309,14 @@ object Stress {
         Tables.documents(spark, dir).select("text"), numMerges = 8)
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"STRESS tokenizer_train              $dt%8.2f s   merges=${merges.length}")
+      // the production engine split: same one corpus pass, rounds on the
+      // driver over the collected Zipf-small vocabulary — 8x the merges
+      // must not cost 8x the time (the corpus pass dominates)
+      val t1 = System.nanoTime()
+      val local = TokenizerTrain.learnMergesLocal(
+        Tables.documents(spark, dir).select("text"), numMerges = 64)
+      val dt1 = (System.nanoTime() - t1) / 1e9
+      println(f"STRESS tokenizer_train_local        $dt1%8.2f s   merges=${local.length}")
     }
 
     // incremental dedup: first refresh pays for its batch; the second

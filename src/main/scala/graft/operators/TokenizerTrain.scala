@@ -104,6 +104,97 @@ object TokenizerTrain {
     merges.toSeq
   }
 
+  /** [[learnMerges]] with the merge loop on the DRIVER — the right
+    * engine split for production merge counts. The corpus cost is
+    * identical (the ONE word-count pass); the difference is where the
+    * vocabulary-sized rounds run. A real tokenizer learns 30k–100k
+    * merges, and a Spark job per merge is 30k–100k scheduler
+    * round-trips over a table that is KBs–MBs after Zipf — so this
+    * variant collects the word counts once (driver-bounded: `maxVocab`
+    * guards the collect exactly like PercentileOps caps group state,
+    * failing loudly rather than pulling an unbounded set) and runs the
+    * rounds in memory with an indexed pair table (only words containing
+    * the merged pair are touched per round — the Sennrich reference
+    * structure). Bit-identical output to [[learnMerges]] by
+    * construction (same counts, same tie-break; spec'd equal on the
+    * real corpus). Use [[learnMerges]] only when the vocabulary
+    * genuinely exceeds driver memory. */
+  def learnMergesLocal(docs: DataFrame, numMerges: Int,
+      textCol: String = "text", minCount: Long = 2L,
+      maxVocab: Int = 10000000): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges $numMerges must be >= 0")
+    val rows = wordCounts(docs, textCol).select("word", "cnt")
+      .limit(maxVocab + 1).collect()
+    require(rows.length <= maxVocab,
+      s"vocabulary exceeds maxVocab=$maxVocab — raise the cap if the " +
+        "driver really has the memory, or use learnMerges (distributed rounds)")
+    val words: Array[Vector[String]] =
+      rows.map(_.getString(0).map(_.toString).toVector)
+    val cnts: Array[Long] = rows.map(_.getLong(1))
+
+    // pair -> total count and pair -> indices of words containing it;
+    // maintained incrementally, so each round touches only the words
+    // holding the merged pair
+    val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    val where = scala.collection.mutable.Map
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    def addWord(i: Int, sign: Long): Unit = {
+      val s = words(i)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val n = pc(p) + sign * cnts(i)
+        if (n == 0L) pc.remove(p) else pc(p) = n
+        if (sign > 0)
+          where.getOrElseUpdate(p,
+            scala.collection.mutable.Set.empty[Int]) += i
+        j += 1
+      }
+      if (sign < 0) {
+        // remove stale membership lazily: cheaper to re-add below than
+        // to diff pair sets per word
+        var k = 0
+        while (k < s.length - 1) {
+          where.get((s(k), s(k + 1))).foreach(_ -= i)
+          k += 1
+        }
+      }
+    }
+    words.indices.foreach(addWord(_, 1L))
+
+    def mergeGreedy(s: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges && pc.nonEmpty) {
+      // argmax with the SAME tie-break as the distributed round:
+      // count desc, then (left, right) lexicographic
+      val (best, n) = pc.min(Ordering.by[((String, String), Long),
+        (Long, String, String)] { case ((a, b), c) => (-c, a, b) })
+      if (n < minCount) done = true
+      else {
+        merges += best
+        val touched = where.getOrElse(best, Set.empty[Int]).toArray
+        touched.foreach { i =>
+          addWord(i, -1L)
+          words(i) = mergeGreedy(words(i), best._1, best._2)
+          addWord(i, 1L)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
   /** Apply learned merges, in order, to a vocabulary: (word, syms) for
     * every distinct word. Corpus tokenization is then a broadcast join
     * of this Zipf-small table onto the corpus's exploded words — the

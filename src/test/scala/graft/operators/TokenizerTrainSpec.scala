@@ -98,6 +98,26 @@ class TokenizerTrainSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("learnMergesLocal: driver-side rounds are bit-identical to the distributed rounds") {
+    val distributed = TokenizerTrain.learnMerges(docs, 12)
+    val local = TokenizerTrain.learnMergesLocal(docs, 12)
+    assert(local === distributed,
+      "the two engine splits must learn the same merge sequence")
+    // the driver collect is bounded: an over-cap vocabulary fails loudly
+    val e = intercept[IllegalArgumentException] {
+      TokenizerTrain.learnMergesLocal(docs, 2, maxVocab = 10)
+    }
+    assert(e.getMessage.contains("maxVocab"))
+    // degenerate corpora behave identically too
+    val aaa = Seq("aaa aaa aa").toDF("text")
+    assert(TokenizerTrain.learnMergesLocal(aaa, 1) ===
+      TokenizerTrain.learnMerges(aaa, 1))
+    val unique = Seq("ab cd").toDF("text")
+    assert(TokenizerTrain.learnMergesLocal(unique, 5) === Seq.empty)
+    assert(TokenizerTrain.learnMergesLocal(unique, 2, minCount = 1L) ===
+      Seq(("a", "b"), ("c", "d")))
+  }
+
   test("training stops when no pair reaches minCount; degenerate corpora are fine") {
     // all words are single symbols -> no adjacent pairs at all
     val singles = Seq("a b c", "d e").toDF("text")
