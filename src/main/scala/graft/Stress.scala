@@ -317,6 +317,18 @@ object Stress {
         Tables.documents(spark, dir).select("text"), numMerges = 64)
       val dt1 = (System.nanoTime() - t1) / 1e9
       println(f"STRESS tokenizer_train_local        $dt1%8.2f s   merges=${local.length}")
+      // the downstream tensors: frozen vocab -> id streams -> 2048-token
+      // packed sequences; the corpus-sized stages are one broadcast
+      // encode join + the prefix-sum pack (per-sequence state = seqLen)
+      val docsDf = Tables.documents(spark, dir).select("doc_id", "text")
+      val t2 = System.nanoTime()
+      val vocab = TokenEncode.buildVocab(docsDf, local)
+      val packed = TokenEncode.packSequences(
+        TokenEncode.encodeCorpus(docsDf, local, vocab), 2048,
+        numPartitions = 64)
+      packed.write.format("noop").mode("overwrite").save()
+      val dt2 = (System.nanoTime() - t2) / 1e9
+      println(f"STRESS token_encode_pack            $dt2%8.2f s   seqs=${packed.count()}")
     }
 
     // incremental dedup: first refresh pays for its batch; the second

@@ -198,13 +198,29 @@ object TokenizerTrain {
   /** Apply learned merges, in order, to a vocabulary: (word, syms) for
     * every distinct word. Corpus tokenization is then a broadcast join
     * of this Zipf-small table onto the corpus's exploded words — the
-    * vocabulary is the unit of work, never the corpus. */
+    * vocabulary is the unit of work, never the corpus.
+    *
+    * Plan-depth bound: the fold checkpoints the (vocabulary-sized)
+    * table every 8 merges. Each merge level's `syms` expression
+    * references the previous level's ~4 times, so an optimizer rule
+    * that substitutes through the projection chain — predicate
+    * pushdown pushing a condition on a syms-derived column, e.g. a
+    * downstream filter or join on an exploded token — builds a tree
+    * that grows ~4× PER LEVEL. At depth 10 that is a ~10⁶-node
+    * predicate and the optimizer spins for minutes (observed);
+    * bounded at 8, the worst substitution is ~4⁸ nodes. The
+    * checkpoint is the learnMerges per-round convention, amortized
+    * 8-fold, and keeps production merge counts plannable at all
+    * (a 30k-projection plan would overflow the analyzer long before
+    * pushdown mattered). */
   def tokenizeWords(docs: DataFrame, merges: Seq[(String, String)],
       textCol: String = "text"): DataFrame =
-    merges.foldLeft(wordCounts(docs, textCol)) { case (w, (a, b)) =>
-      w.withColumn("syms",
-        when(hasPair(col("syms"), a, b), mergeExpr(col("syms"), a, b))
-          .otherwise(col("syms")))
+    merges.zipWithIndex.foldLeft(wordCounts(docs, textCol)) {
+      case (w, ((a, b), i)) =>
+        val next = w.withColumn("syms",
+          when(hasPair(col("syms"), a, b), mergeExpr(col("syms"), a, b))
+            .otherwise(col("syms")))
+        if ((i + 1) % 8 == 0) next.localCheckpoint(true) else next
     }.select(col("word"), col("cnt"), col("syms").as("tokens"))
 
   /** Corpus tokenization: every document as its flat BPE token stream
