@@ -110,15 +110,23 @@ object TokenEncode {
     * vocabulary onto position-exploded words, re-assemble per document;
     * the only corpus-sized shuffle is the unavoidable per-document
     * groupBy. Documents with no words (empty/whitespace text) do not
-    * appear, exactly like tokenizeCorpus. */
+    * appear, exactly like tokenizeCorpus.
+    *
+    * `broadcastWords`: the TOKEN vocabulary is bounded by numMerges +
+    * alphabet (always broadcastable — its hint stays), but the WORD
+    * table grows with the corpus by Heaps' law and can exceed broadcast
+    * limits at 100 TB. `false` drops the forced hint on the word join
+    * and lets the size-based planner choose — broadcast while it fits,
+    * shuffle join keyed by word once it doesn't (one extra corpus
+    * shuffle, the honest price); results are bit-identical (spec'd). */
   def encodeCorpus(docs: DataFrame, merges: Seq[(String, String)],
       vocab: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      unkId: Long = 0L): DataFrame = {
+      unkId: Long = 0L, broadcastWords: Boolean = true): DataFrame = {
     val words = encodeWords(docs, merges, vocab, textCol, unkId)
     docs
       .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
       .filter(length(col("word")) > 0)
-      .join(broadcast(words), Seq("word"))
+      .join(if (broadcastWords) broadcast(words) else words, Seq("word"))
       .groupBy(col(idCol))
       .agg(flatten(array_sort(collect_list(struct(col("pos"), col("ids"))))
         .getField("ids")).as("ids"))
@@ -138,11 +146,31 @@ object TokenEncode {
     * Scale: one exclusive prefix sum (keyed, driver state = one long
     * per partition), a per-document explode of only the overlapped
     * sequences, one groupBy(seq_id) whose per-group state is seqLen
-    * ids. No single-partition stage (spec-audited). */
+    * ids. No single-partition stage (spec-audited).
+    *
+    * `idCol` MUST be unique: the prefix sum orders by it, and tied keys
+    * would receive overlapping offsets — overlapping, corrupt sequences,
+    * not merely a nondeterministic order. Duplicates are a realistic
+    * hazard (mixtureRepeat epochs share doc_id by design), so the
+    * default fail-closed probe (one keyed aggregation, ~the cost of the
+    * pack's own groupBy) rejects them loudly; a caller that guarantees
+    * uniqueness upstream opts out via `requireUniqueIds = false` —
+    * after mixtureRepeat, epoch-qualify first (`doc_id·N + epoch`, the
+    * E18 composition convention). */
   def packSequences(encoded: DataFrame, seqLen: Int, eodId: Long = 1L,
       idCol: String = "doc_id", numPartitions: Int = 32,
-      dropIncomplete: Boolean = false): DataFrame = {
+      dropIncomplete: Boolean = false,
+      requireUniqueIds: Boolean = true): DataFrame = {
     require(seqLen > 0, s"seqLen $seqLen must be positive")
+    if (requireUniqueIds) {
+      val dup = encoded.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > 1).select(col(idCol)).limit(3).collect()
+      require(dup.isEmpty,
+        s"duplicate $idCol values (e.g. ${dup.map(_.get(0)).mkString(", ")}) — " +
+          "tied prefix-sum keys would pack overlapping sequences; make the id " +
+          "unique (epoch-qualify mixtureRepeat output) or pass " +
+          "requireUniqueIds = false if uniqueness is guaranteed upstream")
+    }
     val withEod = encoded
       .select(col(idCol), concat(col("ids"), array(lit(eodId))).as("_ids"))
       .withColumn("_len", size(col("_ids")).cast("long"))

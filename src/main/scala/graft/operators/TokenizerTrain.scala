@@ -232,15 +232,23 @@ object TokenizerTrain {
     * shuffle is the keyed re-assembly groupBy on `idCol` (unavoidable —
     * the output is a per-document row); the join side is the broadcast
     * vocabulary, and word order is restored from the exploded position,
-    * not from any layout assumption. */
+    * not from any layout assumption.
+    *
+    * `broadcastWords`: the distinct-WORD table grows with the corpus by
+    * Heaps' law and can exceed broadcast limits at extreme scale —
+    * `false` drops the forced hint and lets the size-based planner
+    * choose (a shuffle join keyed by word once the table outgrows the
+    * threshold; one extra corpus shuffle), bit-identical results
+    * (spec'd). */
   def tokenizeCorpus(docs: DataFrame, merges: Seq[(String, String)],
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      broadcastWords: Boolean = true): DataFrame = {
     val vocab = tokenizeWords(docs, merges, textCol)
       .select(col("word"), col("tokens"))
     docs
       .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
       .filter(length(col("word")) > 0)
-      .join(broadcast(vocab), Seq("word"))
+      .join(if (broadcastWords) broadcast(vocab) else vocab, Seq("word"))
       .groupBy(col(idCol))
       .agg(flatten(array_sort(collect_list(struct(col("pos"), col("tokens"))))
         .getField("tokens")).as("tokens"))

@@ -134,6 +134,47 @@ class TokenEncodeSpec extends SparkSpec {
     assert(got(2)._2 === Seq(32L, 33L, 34L, 99L))
   }
 
+  test("packSequences rejects duplicate document ids by default") {
+    // mixtureRepeat epochs share doc_id — tied prefix-sum keys would
+    // pack OVERLAPPING sequences, so the operator must refuse loudly
+    val enc = Seq((1L, Seq(10L, 11L)), (1L, Seq(12L)), (2L, Seq(13L)))
+      .toDF("doc_id", "ids")
+    val e = intercept[IllegalArgumentException] {
+      TokenEncode.packSequences(enc, 4)
+    }
+    assert(e.getMessage.contains("duplicate"))
+    // unique ids pass the probe, and opting out skips it
+    val ok = Seq((1L, Seq(10L, 11L)), (2L, Seq(12L))).toDF("doc_id", "ids")
+    assert(TokenEncode.packSequences(ok, 4).count() === 2L)
+    assert(TokenEncode.packSequences(ok, 4, requireUniqueIds = false)
+      .count() === 2L)
+  }
+
+  test("the shuffle-join fallback for huge word tables is bit-identical") {
+    val bc = TokenEncode.encodeCorpus(docs, merges, vocab)
+      .as[(Long, Seq[Long], Long)].collect().sortBy(_._1)
+    val sj = TokenEncode.encodeCorpus(docs, merges, vocab,
+        broadcastWords = false)
+      .as[(Long, Seq[Long], Long)].collect().sortBy(_._1)
+    assert(sj.toSeq === bc.toSeq)
+    val tokBc = TokenizerTrain.tokenizeCorpus(docs, merges)
+      .as[(Long, Seq[String], Long)].collect().sortBy(_._1)
+    val tokSj = TokenizerTrain.tokenizeCorpus(docs, merges,
+        broadcastWords = false)
+      .as[(Long, Seq[String], Long)].collect().sortBy(_._1)
+    assert(tokSj.toSeq === tokBc.toSeq)
+    // and with the hint gone AND auto-broadcast off, the word join
+    // really does plan as a shuffle join (the 100 TB path)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val phys = TokenEncode.encodeCorpus(docs, merges, vocab,
+        broadcastWords = false).queryExecution.executedPlan.toString
+      assert(phys.contains("SortMergeJoin") || phys.contains("ShuffledHashJoin"),
+        s"word join did not fall back to a shuffle join:\n$phys")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("no single-partition stage in the encode or pack plans") {
     val enc = TokenEncode.encodeCorpus(docs, merges, vocab)
     val packed = TokenEncode.packSequences(enc, 64)
