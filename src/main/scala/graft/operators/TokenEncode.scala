@@ -58,11 +58,11 @@ object TokenEncode {
       numPartitions: Int = 32): DataFrame = {
     require(specials.distinct.length == specials.length,
       s"duplicate special tokens in $specials")
-    // vocabulary-sized; the eager checkpoint runs the one corpus pass
-    // exactly once (the collision probe and the rank phase would
-    // otherwise each re-run it) and cuts the merge-fold lineage so the
-    // probe's token filter cannot push into the nested projections
-    // (see the tokenizeWords plan-depth note)
+    // vocabulary-sized; the eager checkpoint runs the token
+    // aggregation exactly once (the collision probe and the rank phase
+    // would otherwise each re-run it) — and tokenizeWords itself
+    // terminally checkpoints, so the aggregation never plans against
+    // the merge fold (the tokenizeWords plan-depth note)
     val toks = TokenizerTrain.tokenizeWords(docs, merges, textCol)
       .select(explode(col("tokens")).as("token"), col("cnt"))
       .groupBy(col("token")).agg(sum(col("cnt")).as("cnt"))
@@ -93,10 +93,10 @@ object TokenEncode {
   def encodeWords(docs: DataFrame, merges: Seq[(String, String)],
       vocab: DataFrame, textCol: String = "text",
       unkId: Long = 0L): DataFrame =
-    // checkpoint before the vocab join: the join's null-filter on the
-    // exploded token would otherwise push into the merge fold (the
-    // tokenizeWords plan-depth note); the table is vocabulary-sized
-    TokenizerTrain.tokenizeWords(docs, merges, textCol).localCheckpoint(true)
+    // tokenizeWords terminally checkpoints, so the vocab join's
+    // null-filter on the exploded token meets a flat plan, never the
+    // merge fold (the tokenizeWords plan-depth note)
+    TokenizerTrain.tokenizeWords(docs, merges, textCol)
       .select(col("word"), posexplode(col("tokens")).as(Seq("pos", "token")))
       .join(broadcast(vocab.select(col("token"), col("id"))), Seq("token"), "left")
       .groupBy(col("word"))

@@ -201,18 +201,20 @@ object TokenizerTrain {
     * vocabulary is the unit of work, never the corpus.
     *
     * Plan-depth bound: the fold checkpoints the (vocabulary-sized)
-    * table every 8 merges. Each merge level's `syms` expression
-    * references the previous level's ~4 times, so an optimizer rule
-    * that substitutes through the projection chain — predicate
-    * pushdown pushing a condition on a syms-derived column, e.g. a
-    * downstream filter or join on an exploded token — builds a tree
-    * that grows ~4× PER LEVEL. At depth 10 that is a ~10⁶-node
-    * predicate and the optimizer spins for minutes (observed);
-    * bounded at 8, the worst substitution is ~4⁸ nodes. The
-    * checkpoint is the learnMerges per-round convention, amortized
-    * 8-fold, and keeps production merge counts plannable at all
-    * (a 30k-projection plan would overflow the analyzer long before
-    * pushdown mattered). */
+    * table every 8 merges AND after the final merge, so no caller ever
+    * sees a residual projection chain. Each merge level's `syms`
+    * expression references the previous level's ~6 times (size ×2 +
+    * getItem ×2 in hasPair, the fold input, the otherwise branch), so
+    * an optimizer rule that substitutes through the chain — collapse /
+    * pruning / pushdown feeding a downstream filter, join, or explode
+    * on a syms-derived column — builds a tree that grows ~6× PER
+    * LEVEL: at 6 residual levels that is a ~10⁵-copy tree, observed as
+    * a 187 MiB task binary, minutes of optimizer time, and a 600 s
+    * interpreted-eval task on a table that otherwise aggregates in
+    * milliseconds. The terminal checkpoint caps residual depth at ZERO
+    * for every downstream plan; the every-8 checkpoint bounds the
+    * fold's own intermediate depth (a 30k-projection plan would
+    * overflow the analyzer long before pushdown mattered). */
   def tokenizeWords(docs: DataFrame, merges: Seq[(String, String)],
       textCol: String = "text"): DataFrame =
     merges.zipWithIndex.foldLeft(wordCounts(docs, textCol)) {
@@ -220,7 +222,9 @@ object TokenizerTrain {
         val next = w.withColumn("syms",
           when(hasPair(col("syms"), a, b), mergeExpr(col("syms"), a, b))
             .otherwise(col("syms")))
-        if ((i + 1) % 8 == 0) next.localCheckpoint(true) else next
+        if ((i + 1) % 8 == 0 || (i + 1) == merges.length)
+          next.localCheckpoint(true)
+        else next
     }.select(col("word"), col("cnt"), col("syms").as("tokens"))
 
   /** Corpus tokenization: every document as its flat BPE token stream

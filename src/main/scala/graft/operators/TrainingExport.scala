@@ -99,6 +99,18 @@ object TrainingExport {
     * exchange) measure on this. */
   private[graft] def shardScan(spark: org.apache.spark.sql.SparkSession,
       path: String, fromShard: Long, untilShard: Long,
+      groupSize: Int): DataFrame =
+    prunedScan(spark, path, fromShard, untilShard, groupSize)
+      .select(col("shard_id").cast("long").as("shard_id"), col("doc_id"),
+        col("chunk_idx"), col("n_chunk_tokens"), col("chunk_text"))
+
+  /** The ONE definition of the two-level partition-pruned read: shards
+    * `[fromShard, untilShard)` with the shard_group range cutting the
+    * top-level directories and the shard_id range the leaves — shared
+    * by the chunk reader and the token-sequence reader so the pruning
+    * predicate cannot drift between them. */
+  private def prunedScan(spark: org.apache.spark.sql.SparkSession,
+      path: String, fromShard: Long, untilShard: Long,
       groupSize: Int): DataFrame = {
     require(fromShard >= 0 && untilShard > fromShard,
       s"bad shard range [$fromShard, $untilShard)")
@@ -107,7 +119,50 @@ object TrainingExport {
       .filter(col("shard_group").between(
           fromShard / groupSize, (untilShard - 1) / groupSize) &&
         col("shard_id") >= fromShard && col("shard_id") < untilShard)
-      .select(col("shard_id").cast("long").as("shard_id"), col("doc_id"),
-        col("chunk_idx"), col("n_chunk_tokens"), col("chunk_text"))
+  }
+
+  /** The token-sequence sink: write [[TokenEncode.packSequences]]
+    * output (seq_id, ids, n_tokens) as the same grouped
+    * `shard_group=G/shard_id=N/` parquet layout as [[writeShards]],
+    * `seqsPerShard` sequences per shard (shard_id = seq_id div
+    * seqsPerShard — contiguous, so a shard is a contiguous slice of
+    * the training stream). This is the artifact a trainer maps epochs
+    * over when the pipeline runs all the way to ids: fixed-length
+    * rows, shard files addressable by range, reproducible from
+    * (corpus, merges, vocab, seqLen) alone. Returns the per-shard
+    * summary read back from the written files, certifying the
+    * artifact like writeShards does. */
+  def writeTokenShards(packed: DataFrame, path: String,
+      seqsPerShard: Int = 1024, groupSize: Int = 1024): DataFrame = {
+    require(seqsPerShard > 0, s"seqsPerShard $seqsPerShard must be positive")
+    require(groupSize > 0, s"groupSize $groupSize must be positive")
+    require(!packed.isEmpty, "no sequences to export")
+    packed
+      .withColumn("shard_id", expr(s"seq_id div $seqsPerShard"))
+      .withColumn("shard_group", expr(s"shard_id div $groupSize"))
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("seq_id"))
+      .write.mode("overwrite").partitionBy("shard_group", "shard_id")
+      .parquet(path)
+    packed.sparkSession.read.parquet(path)
+      .groupBy(col("shard_id").cast("long").as("shard_id"))
+      .agg(count(lit(1)).as("n_seqs"), sum(col("n_tokens")).as("n_tokens"))
+  }
+
+  /** Trainer-side read of a [[writeTokenShards]] artifact: shards
+    * `[fromShard, untilShard)`, two-level-pruned exactly like
+    * [[readShards]] (same shared scan), range-partitioned with whole
+    * contiguous shards per partition, rows in (shard_id, seq_id)
+    * training order. */
+  def readTokenShards(spark: org.apache.spark.sql.SparkSession,
+      path: String, fromShard: Long, untilShard: Long,
+      groupSize: Int = 1024): DataFrame = {
+    require(untilShard - fromShard <= Int.MaxValue,
+      s"shard range [$fromShard, $untilShard) too wide for one read — slice it")
+    prunedScan(spark, path, fromShard, untilShard, groupSize)
+      .select(col("shard_id").cast("long").as("shard_id"), col("seq_id"),
+        col("ids"), col("n_tokens"))
+      .repartitionByRange((untilShard - fromShard).toInt, col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("seq_id"))
   }
 }

@@ -164,6 +164,58 @@ class TrainingExportSpec extends SparkSpec {
     assert(three.count() >= one.count())
   }
 
+  test("token shards: packSequences -> writeTokenShards -> readTokenShards is bit-exact and pruned") {
+    // the full text -> tensor-ready path on the real table: learn
+    // merges, freeze a vocab, encode, pack to 32-id rows, shard 4
+    // sequences per shard, then read a slice back as a trainer would
+    val docsDf = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 120).select("doc_id", "text").cache()
+    val merges = TokenizerTrain.learnMerges(docsDf, 6)
+    val vocab = TokenEncode.buildVocab(docsDf, merges)
+    val packed = TokenEncode.packSequences(
+      TokenEncode.encodeCorpus(docsDf, merges, vocab), 32).cache()
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-tokshard").toString + "/shards"
+    val summ = TrainingExport.writeTokenShards(packed, out,
+      seqsPerShard = 4, groupSize = groupSize).cache()
+    val nSeqs = packed.count()
+    assert(summ.count() === (nSeqs - 1) / 4 + 1)
+    assert(summ.agg(sum("n_seqs")).head().getLong(0) === nSeqs)
+    // the whole artifact, read back in training order, IS the packed
+    // stream: same sequences, same ids, nothing reordered or lost
+    val nShards = summ.count()
+    val back = TrainingExport.readTokenShards(spark, out, 0L, nShards,
+        groupSize = groupSize)
+      .select("seq_id", "ids").as[(Long, Seq[Long])].collect().sortBy(_._1)
+    val ref = packed.select("seq_id", "ids").as[(Long, Seq[Long])]
+      .collect().sortBy(_._1)
+    assert(back.toSeq === ref.toSeq)
+    // a slice reads only its shards' files, pruned at both levels
+    val slice = TrainingExport.readTokenShards(spark, out, 1L, 3L,
+      groupSize = groupSize)
+    assert(slice.select("shard_id").distinct().as[Long].collect().sorted
+      === Array(1L, 2L))
+    val p = slice.queryExecution.executedPlan.toString
+    val scan = p.split('\n').filter(_.contains("FileScan"))
+    assert(scan.nonEmpty)
+    scan.foreach { l =>
+      val pf = l.indexOf("PartitionFilters:")
+      val filters = if (pf >= 0) l.substring(pf).takeWhile(_ != ']') else ""
+      assert(filters.contains("shard_group") && filters.contains("shard_id"),
+        s"token-shard read not pruned on both levels:\n$l")
+    }
+    // shards are contiguous slices of the training stream: shard_id is
+    // seq_id div seqsPerShard on every written row
+    val bad = spark.read.parquet(out)
+      .filter(col("shard_id").cast("long") =!= expr("seq_id div 4")).count()
+    assert(bad === 0L)
+    // an empty pack fails loudly, matching writeShards
+    val e = intercept[IllegalArgumentException] {
+      TrainingExport.writeTokenShards(packed.filter(lit(false)), out + "-e")
+    }
+    assert(e.getMessage.contains("no sequences"))
+  }
+
   test("grouped layout: shard dirs nest under shard_group = shard_id div groupSize, one parquet file each") {
     val nShards = summary.count()
     val root = new java.io.File(dir)
