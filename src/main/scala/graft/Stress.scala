@@ -329,6 +329,34 @@ object Stress {
       packed.write.format("noop").mode("overwrite").save()
       val dt2 = (System.nanoTime() - t2) / 1e9
       println(f"STRESS token_encode_pack            $dt2%8.2f s   seqs=${packed.count()}")
+
+      // the tensor-side sink: the packed stream as grouped token shards
+      // plus the epoch worker's pruned range read — the same
+      // write-throughput / files-read story as training_export, on the
+      // ids artifact a trainer actually maps epochs over
+      val cached = packed.cache()
+      val out = s"$dir/token-shards"
+      val t3 = System.nanoTime()
+      val summ = TrainingExport.writeTokenShards(cached, out,
+        seqsPerShard = 1024)
+      val aggT = summ.agg(count(lit(1)), sum(col("n_tokens"))).head()
+      val dt3 = (System.nanoTime() - t3) / 1e9
+      println(f"STRESS token_shard_write            $dt3%8.2f s   " +
+        s"shards=${aggT.getLong(0)} tokens=${aggT.getLong(1)}")
+      val nTokSh = aggT.getLong(0)
+      val tokSlice = math.min(4L, nTokSh)
+      val t4 = System.nanoTime()
+      TrainingExport.readTokenShards(spark, out, 1L, 1L + tokSlice)
+        .write.format("noop").mode("overwrite").save()
+      val dt4 = (System.nanoTime() - t4) / 1e9
+      // files-read diagnostic on the shared pruned scan, pre-exchange
+      // (input_file_name reads "" past a shuffle)
+      val tokFiles = TrainingExport
+        .prunedScan(spark, out, 1L, 1L + tokSlice, 1024)
+        .select(input_file_name()).distinct().count()
+      println(f"STRESS token_shard_read             $dt4%8.2f s   " +
+        s"shards=$tokSlice filesRead=$tokFiles ofTotal=$nTokSh")
+      cached.unpersist()
     }
 
     // incremental dedup: first refresh pays for its batch; the second

@@ -199,6 +199,32 @@ object TokenEncode {
     if (dropIncomplete) seqs.filter(col("n_tokens") === seqLen) else seqs
   }
 
+  /** Tokenizer coverage of a corpus under a frozen vocabulary: ONE row
+    * (n_tokens, n_unk, oov_rate, distinct_oov_tokens) measuring how
+    * much of `docs` the vocab actually expresses — the held-out
+    * evaluation a pipeline runs BEFORE committing a learned tokenizer
+    * to a 100 TB encode (an unk-heavy vocab silently destroys training
+    * text; this is the gauge).
+    *
+    * Scale shape: the corpus is touched exactly once — the same
+    * map-side-combinable word count as training — and every unk
+    * decision happens per distinct (word, token) at the vocabulary
+    * level, weighted back by word count. Occurrence-exact without ever
+    * exploding the corpus's token stream. */
+  def coverageStats(docs: DataFrame, merges: Seq[(String, String)],
+      vocab: DataFrame, textCol: String = "text"): DataFrame =
+    TokenizerTrain.tokenizeWords(docs, merges, textCol)
+      .select(col("cnt"), explode(col("tokens")).as("token"))
+      .join(broadcast(vocab.select(col("token"), col("id"))), Seq("token"), "left")
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        coalesce(sum(when(col("id").isNull, col("cnt"))), lit(0L)).as("n_unk"),
+        count_distinct(when(col("id").isNull, col("token")))
+          .as("distinct_oov_tokens"))
+      .select(col("n_tokens"), col("n_unk"),
+        (col("n_unk").cast("double") / col("n_tokens")).as("oov_rate"),
+        col("distinct_oov_tokens"))
+
   /** Decode ids back to tokens through the vocabulary — the parity
     * check's inverse mapping, and the debugging tool a pipeline wants
     * anyway. Ids absent from `vocab` decode to null (the caller chose

@@ -109,7 +109,7 @@ object TrainingExport {
     * top-level directories and the shard_id range the leaves — shared
     * by the chunk reader and the token-sequence reader so the pruning
     * predicate cannot drift between them. */
-  private def prunedScan(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def prunedScan(spark: org.apache.spark.sql.SparkSession,
       path: String, fromShard: Long, untilShard: Long,
       groupSize: Int): DataFrame = {
     require(fromShard >= 0 && untilShard > fromShard,
@@ -163,6 +163,59 @@ object TrainingExport {
       .select(col("shard_id").cast("long").as("shard_id"), col("seq_id"),
         col("ids"), col("n_tokens"))
       .repartitionByRange((untilShard - fromShard).toInt, col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("seq_id"))
+  }
+
+  /** Per-epoch shard order: the permutation of shard ids [0, nShards)
+    * a trainer visits in epoch `epoch` — (position, shard_id), position
+    * dense from 0. Epoch-to-epoch shuffling is how pretraining avoids
+    * re-presenting the corpus in an identical order every pass, and the
+    * order must be DETERMINISTIC (resumable mid-epoch, identical on
+    * every worker that computes it) without ever materializing a 10⁸-
+    * element permutation on the driver: shards rank by
+    * xxhash64(seed, epoch, shard_id) — a distributed sort of the
+    * Zipf-free shard-id range, position assigned by the two-phase row
+    * number (no single-partition window), ties (hash collisions) broken
+    * by shard_id. Epoch 0 with the same seed reproduces the same order
+    * on any cluster/layout (spec'd); different epochs decorrelate. */
+  def epochSchedule(spark: org.apache.spark.sql.SparkSession,
+      nShards: Long, epoch: Long, seed: Long = 0L,
+      numPartitions: Int = 32): DataFrame = {
+    require(nShards > 0, s"nShards $nShards must be positive")
+    val ids = spark.range(nShards).select(col("id").as("shard_id"),
+      xxhash64(lit(seed), lit(epoch), col("id")).as("_h"))
+    RankOps.twoPhaseRowNumber(ids, "_pos", numPartitions,
+        col("_h"), col("shard_id"))
+      .select((col("_pos").cast("long") - 1L).as("position"), col("shard_id"))
+  }
+
+  /** One epoch worker's fetch of an ARBITRARY (scheduled, non-
+    * contiguous) shard set from a [[writeTokenShards]] artifact — the
+    * companion of [[epochSchedule]]: worker w of W takes the schedule's
+    * positions [w·n/W, (w+1)·n/W), collects that slice's shard ids
+    * (worker-slice-sized — bounded driver state, like the prefix-sum
+    * offsets), and fetches them here. Both partition levels still
+    * prune: the shard_group IN-set cuts top-level dirs, the shard_id
+    * IN-set the leaves — a scattered 100-shard fetch of a 10⁸-shard
+    * corpus still reads ~100 files (PartitionFilters spec-audited).
+    * Rows arrive grouped by shard in (shard_id, seq_id) order; the
+    * caller re-sequences shards into schedule order per its worker loop
+    * (a partition holds whole shards of its hash range). */
+  def readTokenShardsAt(spark: org.apache.spark.sql.SparkSession,
+      path: String, shardIds: Seq[Long],
+      groupSize: Int = 1024): DataFrame = {
+    require(shardIds.nonEmpty, "empty shard set — nothing to read")
+    require(shardIds.length <= 1000000,
+      s"${shardIds.length} shards in one fetch — slice the schedule " +
+        "into worker-sized reads")
+    val distinctIds = shardIds.distinct
+    val groups = distinctIds.map(_ / groupSize).distinct
+    spark.read.parquet(path)
+      .filter(col("shard_group").isin(groups: _*) &&
+        col("shard_id").isin(distinctIds: _*))
+      .select(col("shard_id").cast("long").as("shard_id"), col("seq_id"),
+        col("ids"), col("n_tokens"))
+      .repartition(math.max(1, distinctIds.length), col("shard_id"))
       .sortWithinPartitions(col("shard_id"), col("seq_id"))
   }
 }

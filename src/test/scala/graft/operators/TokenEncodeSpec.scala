@@ -86,6 +86,32 @@ class TokenEncodeSpec extends SparkSpec {
     }
   }
 
+  test("coverageStats: occurrence-exact OOV gauge, zero on the training corpus") {
+    // the corpus the vocab was learned on covers itself completely
+    val self = TokenEncode.coverageStats(docs, merges, vocab)
+      .as[(Long, Long, Double, Long)].head()
+    val totalTokens = TokenizerTrain.tokenizeCorpus(docs, merges)
+      .agg(sum("n_tokens")).as[Long].head()
+    assert(self === ((totalTokens, 0L, 0.0, 0L)))
+    // a corpus with unseen symbols: n_unk must equal the brute-force
+    // unk-id count of the actual encoding (specials keep id 0 off every
+    // real token, so counting unkId occurrences is exact), n_tokens the
+    // tokenized total, and the distinct count the unseen token set
+    val alien = Seq((1L, "zzz ßßß"), (2L, "ß zzz the")).toDF("doc_id", "text")
+    val got = TokenEncode.coverageStats(alien, merges, vocab)
+      .as[(Long, Long, Double, Long)].head()
+    val encUnks = TokenEncode.encodeCorpus(alien, merges, vocab, unkId = 0L)
+      .select(explode(col("ids")).as("id"))
+    val refTotal = encUnks.count()
+    val refUnk = encUnks.filter(col("id") === 0L).count()
+    assert(refUnk > 0L, "test corpus must actually contain unseen tokens")
+    val known = vocab.select("token").as[String].collect().toSet
+    val refDistinct = TokenizerTrain.tokenizeCorpus(alien, merges)
+      .select(explode(col("tokens")).as("t")).as[String].collect()
+      .filterNot(known).distinct.length.toLong
+    assert(got === ((refTotal, refUnk, refUnk.toDouble / refTotal, refDistinct)))
+  }
+
   test("packSequences equals the single-node concatenate-and-slice, any layout") {
     val enc = TokenEncode.encodeCorpus(docs, merges, vocab).cache()
     val seqLen = 64

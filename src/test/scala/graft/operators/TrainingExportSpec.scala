@@ -209,11 +209,60 @@ class TrainingExportSpec extends SparkSpec {
     val bad = spark.read.parquet(out)
       .filter(col("shard_id").cast("long") =!= expr("seq_id div 4")).count()
     assert(bad === 0L)
+    // an epoch worker's SCHEDULED (scattered, non-contiguous) fetch:
+    // exactly the asked-for shards, same rows as the contiguous read
+    // filtered to them, still pruned at both partition levels
+    val sched = TrainingExport.epochSchedule(spark, nShards, epoch = 1L)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(sched.map(_._1).toSeq === (0L until nShards).toSeq)
+    assert(sched.map(_._2).sorted.toSeq === (0L until nShards).toSeq)
+    val wanted = sched.take(2).map(_._2)
+    val scat = TrainingExport.readTokenShardsAt(spark, out, wanted.toSeq,
+      groupSize = groupSize)
+    assert(scat.select("shard_id").distinct().as[Long].collect().sorted
+      === wanted.sorted)
+    val scatScans = scat.queryExecution.executedPlan.toString
+      .split('\n').filter(_.contains("FileScan"))
+    assert(scatScans.nonEmpty)
+    scatScans.foreach { l =>
+      val pf = l.indexOf("PartitionFilters:")
+      val filters = if (pf >= 0) l.substring(pf).takeWhile(_ != ']') else ""
+      assert(filters.contains("shard_group") && filters.contains("shard_id"),
+        s"scattered token-shard read not pruned on both levels:\n$l")
+    }
+    val scatRows = scat.select("seq_id", "ids").as[(Long, Seq[Long])]
+      .collect().sortBy(_._1)
+    assert(scatRows.toSeq ===
+      ref.filter(r => wanted.contains(r._1 / 4)).sortBy(_._1).toSeq)
     // an empty pack fails loudly, matching writeShards
     val e = intercept[IllegalArgumentException] {
       TrainingExport.writeTokenShards(packed.filter(lit(false)), out + "-e")
     }
     assert(e.getMessage.contains("no sequences"))
+  }
+
+  test("epochSchedule: deterministic permutation per epoch, decorrelated across epochs and seeds") {
+    val n = 64L
+    val e3 = TrainingExport.epochSchedule(spark, n, 3L)
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    // layout-independent: a different partition count, same order
+    val e3b = TrainingExport.epochSchedule(spark, n, 3L, numPartitions = 7)
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    assert(e3.toSeq === e3b.toSeq)
+    assert(e3.sorted.toSeq === (0L until n).toSeq, "not a permutation")
+    val e4 = TrainingExport.epochSchedule(spark, n, 4L)
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    assert(e4.sorted.toSeq === (0L until n).toSeq, "not a permutation")
+    assert(e4.toSeq !== e3.toSeq, "epochs must decorrelate")
+    val seeded = TrainingExport.epochSchedule(spark, n, 3L, seed = 9L)
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    assert(seeded.toSeq !== e3.toSeq, "seeds must decorrelate")
+    intercept[IllegalArgumentException] {
+      TrainingExport.epochSchedule(spark, 0L, 0L)
+    }
+    intercept[IllegalArgumentException] {
+      TrainingExport.readTokenShardsAt(spark, "/nowhere", Seq.empty)
+    }
   }
 
   test("grouped layout: shard dirs nest under shard_group = shard_id div groupSize, one parquet file each") {
