@@ -209,6 +209,17 @@ class TrainingExportSpec extends SparkSpec {
     val bad = spark.read.parquet(out)
       .filter(col("shard_id").cast("long") =!= expr("seq_id div 4")).count()
     assert(bad === 0L)
+    // one parquet file per shard dir — the writeShards file contract
+    // holds for the token artifact too (hash repartition keeps a
+    // shard's rows in one task; partitionBy splits tasks by dir)
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard_group=")).flatMap(_.listFiles())
+      .filter(_.getName.startsWith("shard_id="))
+    assert(shardDirs.length.toLong === nShards)
+    shardDirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) === 1,
+        s"expected exactly one parquet file in $d")
+    }
     // an epoch worker's SCHEDULED (scattered, non-contiguous) fetch:
     // exactly the asked-for shards, same rows as the contiguous read
     // filtered to them, still pruned at both partition levels
