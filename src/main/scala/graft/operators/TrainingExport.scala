@@ -131,7 +131,14 @@ object TrainingExport {
     * rows, shard files addressable by range, reproducible from
     * (corpus, merges, vocab, seqLen) alone. Returns the per-shard
     * summary read back from the written files, certifying the
-    * artifact like writeShards does. */
+    * artifact like writeShards does.
+    *
+    * The empty-pack probe runs `packed`'s plan once before the write —
+    * deliberately: it is what makes an empty pack fail BEFORE
+    * mode-overwrite truncates an existing artifact at `path`. Cache or
+    * localCheckpoint a freshly-computed pack first (the 50× stress
+    * does), or the probe and the write execute the encode+pack pipeline
+    * twice. */
   def writeTokenShards(packed: DataFrame, path: String,
       seqsPerShard: Int = 1024, groupSize: Int = 1024): DataFrame = {
     require(seqsPerShard > 0, s"seqsPerShard $seqsPerShard must be positive")
