@@ -359,6 +359,25 @@ object Stress {
       cached.unpersist()
     }
 
+    // model-based quality filtering: train the n-gram LM once (one
+    // corpus pass into Zipf-bounded count tables), then score the WHOLE
+    // corpus through the shuffle-join path (the honest plan when the
+    // model outgrows broadcast) — the CCNet-shaped perplexity filter
+    locally {
+      val docsDf = Tables.documents(spark, dir).select("doc_id", "text")
+      val t0 = System.nanoTime()
+      val model = NgramLm.train(docsDf, order = 3, minCount = 2L)
+        .localCheckpoint(true)
+      val nGrams = model.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"STRESS ngram_lm_train               $dt%8.2f s   grams=$nGrams")
+      val t1 = System.nanoTime()
+      NgramLm.score(docsDf, model, broadcastModel = false)
+        .write.format("noop").mode("overwrite").save()
+      val dt1 = (System.nanoTime() - t1) / 1e9
+      println(f"STRESS ngram_lm_score               $dt1%8.2f s   docs=${docsDf.count()}")
+    }
+
     // incremental dedup: first refresh pays for its batch; the second
     // must pay only for its delta against the stored index
     locally {

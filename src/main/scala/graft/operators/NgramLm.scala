@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** N-gram language model + perplexity scoring — MODEL-based quality
+  * filtering, the tier above the rule-based gates (E3/E11): train a
+  * word n-gram LM on a trusted reference corpus, score candidate
+  * documents by per-token log-probability, and filter on perplexity.
+  * This is the published web-curation recipe (CCNet, Wenzek et al.
+  * 2020, uses exactly this shape with a KenLM model; the reference
+  * repo stops at serving precomputed features — main.py:37-340 — so
+  * like the tokenizer family this is engine-added). Smoothing is
+  * stupid backoff (Brants et al. 2007, "Large Language Models in
+  * Machine Translation"): S(w|ctx) = cnt(ctx·w)/cnt(ctx) when the
+  * n-gram was seen, else α·S(w|shorter ctx) — the deliberately
+  * unnormalized scheme that paper shows matches Kneser-Ney quality at
+  * web scale while needing ONLY count tables, i.e. exactly what a
+  * distributed groupBy produces.
+  *
+  * Scale shape:
+  *  - [[train]]: ONE heavy corpus pass — a single explode into
+  *    (order, gram) rows and one map-side-combinable keyed count,
+  *    orders 1..n together; every output table is vocabulary-shaped
+  *    (Zipf-bounded). The total-tokens metadata row costs one
+  *    additional NARROW scan (a sum of per-doc word counts — no
+  *    explode, no shuffle; deriving it from the unigram counts instead
+  *    would re-run the heavy pass twice inside the union plan).
+  *  - [[score]]: one join of the position-exploded candidate corpus
+  *    (fan-out ≤ order rows per token) against the model — broadcast
+  *    while the model fits, size-based planner once it doesn't
+  *    (`broadcastModel = false`, the encodeCorpus convention) — then
+  *    ONE per-document groupBy whose state is the doc's own (pos,
+  *    order) count map: bounded by document length × order, never the
+  *    corpus, never the model. The backoff chain is resolved inside a
+  *    per-row higher-order expression (no UDF): gram-present implies
+  *    context-present (every occurrence of a gram contains its
+  *    prefix, so cnt(ctx) ≥ cnt(gram) survives any minCount cut —
+  *    the within-model closure the chain relies on, spec-asserted).
+  *
+  * Determinism: counts are exact integers; the per-document sum folds
+  * positions in ascending order inside one `aggregate` expression, so
+  * a document's score is a pure function of (its text, the model) —
+  * layout-independent (spec'd against a single-node reference).
+  */
+object NgramLm {
+
+  /** Gram-part separator inside a flattened n-gram key. Words are
+    * whitespace tokens; a word containing U+0001 would alias a gram
+    * boundary — the same class of upstream-escaping assumption as the
+    * whitespace tokenization itself. */
+  val Sep = "\u0001"
+
+  private def wordsCol(textCol: String): Column =
+    filter(split(col(textCol), " "), w => length(w) > 0)
+
+  /** Train count tables for orders 1..`order` over whitespace words of
+    * `docs(textCol)`: (n, gram, cnt) with gram the Sep-joined word
+    * sequence, plus ONE metadata row (n=0, gram="", cnt=total tokens)
+    * — the denominator of the unigram backoff floor. `minCount` prunes
+    * rare grams to keep the model table small (closure note in the
+    * object doc: a pruned gram's extensions are always pruned too,
+    * because cnt is monotone non-increasing in gram length). */
+  def train(docs: DataFrame, order: Int = 3, textCol: String = "text",
+      minCount: Long = 1L): DataFrame = {
+    require(order >= 1 && order <= 8, s"order $order out of [1, 8]")
+    require(minCount >= 1, s"minCount $minCount must be >= 1")
+    val ws = docs.select(wordsCol(textCol).as("_ws"))
+      .filter(size(col("_ws")) > 0)
+    val grams = ws
+      .select(col("_ws"),
+        explode(sequence(lit(1), least(lit(order), size(col("_ws"))))).as("n"))
+      .select(col("n"), col("_ws"),
+        explode(sequence(col("n") - 1, size(col("_ws")) - 1)).as("p"))
+      .select(col("n").cast("int").as("n"),
+        concat_ws(Sep,
+          slice(col("_ws"), col("p") - col("n") + lit(2), col("n"))).as("gram"))
+    val counts = grams.groupBy(col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val total = ws.agg(coalesce(sum(size(col("_ws")).cast("long")), lit(0L)))
+      .head().getLong(0)
+    require(total > 0L, "no non-empty documents to train on")
+    counts.unionByName(
+      docs.sparkSession.createDataFrame(Seq((0, "", total)))
+        .toDF("n", "gram", "cnt"))
+  }
+
+  /** Score `docs` against a [[train]]ed model: (idCol, n_tokens,
+    * log_prob, avg_log_prob, ppl) — ppl = exp(−avg log S), the filter
+    * column (lower = more like the training corpus; CCNet keeps the
+    * low-perplexity head/middle). An unseen word backs off through
+    * every order to the floor α^(order−1)·1/(total+1), so scores are
+    * total and finite on ANY input. `idCol` must be unique (two docs
+    * sharing an id would merge their position maps and fail loudly in
+    * map_from_entries). Empty/whitespace docs do not appear, like
+    * encodeCorpus. */
+  def score(docs: DataFrame, model: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", alpha: Double = 0.4,
+      broadcastModel: Boolean = true): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha $alpha out of (0, 1]")
+    // driver-bounded model metadata: the order and the token total
+    val metaRow = model.agg(max(when(col("n") > 0, col("n"))).as("order"),
+      sum(when(col("n") === 0, col("cnt"))).as("total")).head()
+    require(!metaRow.isNullAt(0) && !metaRow.isNullAt(1),
+      "model frame lacks n>0 gram rows or the (n=0) total-tokens row — " +
+        "was it produced by NgramLm.train?")
+    val order = metaRow.getInt(0)
+    val total = metaRow.getLong(1)
+
+    val ws = docs.select(col(idCol), wordsCol(textCol).as("_ws"))
+      .filter(size(col("_ws")) > 0)
+    // (doc, p, k, gram) for every position p and order k ≤ min(order,
+    // p+1): the ≤ order× fan-out of the token stream the join runs on
+    val pk = ws
+      .select(col(idCol), size(col("_ws")).as("_len"), col("_ws"),
+        explode(sequence(lit(0), size(col("_ws")) - 1)).as("p"))
+      .select(col(idCol), col("_len"), col("_ws"), col("p"),
+        explode(sequence(lit(1), least(lit(order), col("p") + 1))).as("k"))
+      .select(col(idCol), col("_len"), col("p").cast("long").as("p"),
+        col("k").cast("int").as("k"),
+        concat_ws(Sep,
+          slice(col("_ws"), col("p") - col("k") + lit(2), col("k"))).as("gram"))
+    val m = model.filter(col("n") > 0)
+      .select(col("n").as("k"), col("gram"), col("cnt"))
+    val joined = pk.join(if (broadcastModel) broadcast(m) else m,
+      Seq("k", "gram"), "left")
+
+    // per-doc (pos, order) -> cnt map; key packed as p*(order+1)+k.
+    // collect_list drops the null entries (unmatched grams)
+    val packedKey = (col("p") * (order + 1) + col("k")).cast("long")
+    val perDoc = joined.groupBy(col(idCol))
+      .agg(max(col("_len")).cast("long").as("n_tokens"),
+        map_from_entries(collect_list(
+          when(col("cnt").isNotNull,
+            struct(packedKey.as("key"), col("cnt").as("value")))))
+          .as("_m"))
+
+    // the backoff chain, statically unrolled over k = order..1 (order
+    // is a driver constant): the first present (longest) gram wins at
+    // penalty α^(order−k); gram-present ⇒ context-present (closure)
+    val logAlpha = math.log(alpha)
+    def entry(mCol: Column, p: Column, k: Int): Column =
+      element_at(mCol, (p * (order + 1) + lit(k)).cast("long"))
+    def scoreAt(mCol: Column, p: Column): Column = {
+      val branches = (order to 1 by -1).map { k =>
+        val ctx = if (k > 1) log(entry(mCol, p - 1, k - 1).cast("double"))
+                  else lit(math.log(total.toDouble))
+        when(p + 1 >= k && entry(mCol, p, k).isNotNull,
+          lit((order - k) * logAlpha) +
+            log(entry(mCol, p, k).cast("double")) - ctx)
+      }
+      val floor = lit((order - 1) * logAlpha +
+        math.log(1.0 / (total.toDouble + 1.0)))
+      coalesce(branches :+ floor: _*)
+    }
+
+    perDoc
+      .withColumn("log_prob",
+        aggregate(transform(sequence(lit(0L), col("n_tokens") - 1L),
+            p => scoreAt(col("_m"), p)),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("avg_log_prob", col("log_prob") / col("n_tokens"))
+      .withColumn("ppl", exp(-col("avg_log_prob")))
+      .select(col(idCol), col("n_tokens"), col("log_prob"),
+        col("avg_log_prob"), col("ppl"))
+  }
+}

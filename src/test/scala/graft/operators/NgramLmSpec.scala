@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The n-gram LM must be an exact distributed re-expression of the
+  * published count-table + stupid-backoff recipe: counts match a
+  * single-node reference for every order, per-document scores match a
+  * single-node backoff walk, pruning never breaks the backoff chain,
+  * and the scoring is layout- and join-strategy-independent. The
+  * filter property itself is asserted where it is mathematically
+  * guaranteed: the backoff floor is the strict per-token minimum, so
+  * an all-out-of-vocabulary document must out-ppl every in-domain one.
+  */
+class NgramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = "\u0001"
+  private lazy val docs = Tables.documents(spark, sf)
+    .filter(col("doc_id") < 150).select("doc_id", "text").cache()
+
+  private def refWords(t: String): Vector[String] =
+    t.split(" ").filter(_.nonEmpty).toVector
+
+  test("train: counts match the single-node reference for every order, plus the total row") {
+    val order = 3
+    val model = NgramLm.train(docs, order).cache()
+    val texts = docs.select("text").as[String].collect()
+    val ref = scala.collection.mutable.Map.empty[(Int, String), Long]
+      .withDefaultValue(0L)
+    var total = 0L
+    texts.foreach { t =>
+      val w = refWords(t); total += w.length
+      for (n <- 1 to order; p <- (n - 1) until w.length)
+        ref((n, w.slice(p - n + 1, p + 1).mkString(S))) += 1L
+    }
+    val got = model.filter(col("n") > 0)
+      .select("n", "gram", "cnt").as[(Int, String, Long)].collect()
+    assert(got.length === ref.size)
+    got.foreach { case (n, g, c) => assert(ref((n, g)) === c, s"($n, $g)") }
+    assert(model.filter(col("n") === 0).select("cnt").as[Long].head() === total)
+  }
+
+  test("score: per-doc log-prob matches the single-node stupid-backoff walk; all-OOV junk out-ppls every in-domain doc") {
+    val order = 3; val alpha = 0.4
+    val model = NgramLm.train(docs, order).cache()
+    val mm = model.filter(col("n") > 0)
+      .select("n", "gram", "cnt").as[(Int, String, Long)].collect()
+      .map { case (n, g, c) => (n, g) -> c }.toMap
+    val total = model.filter(col("n") === 0).select("cnt").as[Long].head()
+    def refScore(w: Vector[String]): Double = {
+      var s = 0.0
+      for (p <- w.indices) {
+        var k = math.min(order, p + 1); var v = Double.NaN
+        while (v.isNaN && k >= 1) {
+          mm.get((k, w.slice(p - k + 1, p + 1).mkString(S))) match {
+            case Some(c) =>
+              val ctx = if (k > 1) mm((k - 1, w.slice(p - k + 1, p).mkString(S))).toDouble
+                        else total.toDouble
+              v = (order - k) * math.log(alpha) + math.log(c.toDouble) - math.log(ctx)
+            case None => k -= 1
+          }
+        }
+        if (v.isNaN)
+          v = (order - 1) * math.log(alpha) + math.log(1.0 / (total.toDouble + 1.0))
+        s += v
+      }
+      s
+    }
+    val got = NgramLm.score(docs, model, alpha = alpha)
+      .select("doc_id", "n_tokens", "log_prob", "ppl")
+      .as[(Long, Long, Double, Double)].collect()
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got.length === texts.count { case (_, t) => refWords(t).nonEmpty })
+    got.foreach { case (id, n, lp, ppl) =>
+      val w = refWords(texts(id))
+      assert(n === w.length.toLong, s"doc $id token count")
+      val rlp = refScore(w)
+      assert(math.abs(lp - rlp) <= 1e-9 * math.max(1.0, math.abs(rlp)),
+        s"doc $id: $lp vs reference $rlp")
+      assert(math.abs(ppl - math.exp(-lp / n)) <= 1e-9 * ppl, s"doc $id ppl")
+    }
+    // the floor is the strict per-token minimum (any matched unigram
+    // scores ln(c/total) > ln(1/(total+1))), so the all-OOV doc's ppl
+    // strictly dominates every in-domain doc's — the filter property
+    val junk = Seq((900001L, "zxqv wvut qqqz zxqv mmmw qqqz"))
+      .toDF("doc_id", "text")
+    val junkPpl = NgramLm.score(junk, model, alpha = alpha)
+      .select("ppl").as[Double].head()
+    assert(got.map(_._4).forall(_ < junkPpl),
+      s"junk ppl $junkPpl does not dominate in-domain")
+  }
+
+  test("minCount pruning keeps the model closed under prefixes and scores total") {
+    val model = NgramLm.train(docs, 3, minCount = 3L).cache()
+    // closure: every surviving n>1 gram's backoff context survives too
+    val kept = model.filter(col("n") > 0)
+      .select("n", "gram").as[(Int, String)].collect()
+    val set = kept.toSet
+    kept.filter(_._1 > 1).foreach { case (n, g) =>
+      val parts = g.split(S)
+      assert(set((n - 1, parts.dropRight(1).mkString(S))),
+        s"pruned context of surviving gram ($n, $g)")
+    }
+    val scored = NgramLm.score(docs, model)
+    assert(scored.filter(col("ppl").isNull || isnan(col("ppl")) ||
+      col("ppl") <= 0.0).count() === 0L)
+    assert(scored.count() > 0L)
+  }
+
+  test("score is layout-independent and identical under the shuffle-join fallback") {
+    val model = NgramLm.train(docs, 2)
+    val a = NgramLm.score(docs, model)
+      .select("doc_id", "log_prob").as[(Long, Double)].collect().sortBy(_._1)
+    val b = NgramLm.score(docs.repartition(7), model, broadcastModel = false)
+      .select("doc_id", "log_prob").as[(Long, Double)].collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("guards: order/alpha/minCount bounds, non-model frame, empty corpus") {
+    intercept[IllegalArgumentException] { NgramLm.train(docs, 0) }
+    intercept[IllegalArgumentException] { NgramLm.train(docs, 9) }
+    intercept[IllegalArgumentException] { NgramLm.train(docs, 3, minCount = 0L) }
+    intercept[IllegalArgumentException] {
+      NgramLm.train(docs.filter(lit(false)), 2)
+    }
+    val model = NgramLm.train(docs, 2)
+    intercept[IllegalArgumentException] {
+      NgramLm.score(docs, model, alpha = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      NgramLm.score(docs, model.filter(col("n") > 0)) // total row missing
+    }
+  }
+}
