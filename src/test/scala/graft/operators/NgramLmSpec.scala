@@ -117,6 +117,21 @@ class NgramLmSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("plan audit: train partial-aggregates below its one shuffle; score broadcasts the model and never single-partitions") {
+    val model = NgramLm.train(docs, 3)
+    val tp = model.queryExecution.executedPlan.toString
+    // the gram count must collapse repeats map-side: the shuffle
+    // carries vocabulary rows, not the order-exploded token stream
+    val ex = tp.indexOf("Exchange hashpartitioning")
+    val partial = tp.lastIndexOf("HashAggregate")
+    assert(ex >= 0 && partial > ex,
+      s"no partial aggregate below the gram-count shuffle:\n$tp")
+    assert(!tp.contains("Exchange SinglePartition"), tp)
+    val sp = NgramLm.score(docs, model).queryExecution.executedPlan.toString
+    assert(sp.contains("BroadcastHashJoin"), s"model join did not broadcast:\n$sp")
+    assert(!sp.contains("Exchange SinglePartition"), s"global stage in score:\n$sp")
+  }
+
   test("guards: order/alpha/minCount bounds, non-model frame, empty corpus") {
     intercept[IllegalArgumentException] { NgramLm.train(docs, 0) }
     intercept[IllegalArgumentException] { NgramLm.train(docs, 9) }
