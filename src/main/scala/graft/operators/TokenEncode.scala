@@ -217,12 +217,15 @@ object TokenEncode {
       .select(col("cnt"), explode(col("tokens")).as("token"))
       .join(broadcast(vocab.select(col("token"), col("id"))), Seq("token"), "left")
       .agg(
-        sum(col("cnt")).as("n_tokens"),
+        coalesce(sum(col("cnt")), lit(0L)).as("n_tokens"),
         coalesce(sum(when(col("id").isNull, col("cnt"))), lit(0L)).as("n_unk"),
         count_distinct(when(col("id").isNull, col("token")))
           .as("distinct_oov_tokens"))
+      // an all-empty corpus reports 0 tokens with a null (undefined)
+      // rate, not a null row
       .select(col("n_tokens"), col("n_unk"),
-        (col("n_unk").cast("double") / col("n_tokens")).as("oov_rate"),
+        when(col("n_tokens") > 0,
+          col("n_unk").cast("double") / col("n_tokens")).as("oov_rate"),
         col("distinct_oov_tokens"))
 
   /** Decode ids back to tokens through the vocabulary — the parity
