@@ -123,8 +123,14 @@ object NgramLm {
           slice(col("_ws"), col("p") - col("k") + lit(2), col("k"))).as("gram"))
     val m = model.filter(col("n") > 0)
       .select(col("n").as("k"), col("gram"), col("cnt"))
+    // unmatched k>1 rows carry nothing into the map — drop them before
+    // the per-doc shuffle (the k=1 rows, kept matched or not, preserve
+    // every document's presence and _len, so no doc can vanish); on an
+    // out-of-domain corpus this cuts the second shuffle from ~order×
+    // tokens to tokens + matches
     val joined = pk.join(if (broadcastModel) broadcast(m) else m,
-      Seq("k", "gram"), "left")
+        Seq("k", "gram"), "left")
+      .filter(col("cnt").isNotNull || col("k") === 1)
 
     // per-doc (pos, order) -> cnt map; key packed as p*(order+1)+k.
     // collect_list drops the null entries (unmatched grams)
