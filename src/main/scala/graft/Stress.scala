@@ -378,6 +378,20 @@ object Stress {
       println(f"STRESS ngram_lm_score               $dt1%8.2f s   docs=${docsDf.count()}")
     }
 
+    // cross-doc span duplication at 50x: the stress corpus IS ~50
+    // copies of each document, so essentially every span is flagged —
+    // the worst case for the flagged-window join and per-doc union fold
+    locally {
+      val docsDf = Tables.documents(spark, dir).select("doc_id", "text")
+      val t0 = System.nanoTime()
+      val s = SpanDup.spanDupStats(docsDf, window = 50)
+        .agg(count(lit(1)), sum(col("dup_windows")),
+          avg(col("dup_fraction"))).head()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"STRESS span_dup_stats               $dt%8.2f s   " +
+        f"docs=${s.getLong(0)} dupWindows=${s.getLong(1)} avgFrac=${s.getDouble(2)}%.3f")
+    }
+
     // incremental dedup: first refresh pays for its batch; the second
     // must pay only for its delta against the stored index
     locally {

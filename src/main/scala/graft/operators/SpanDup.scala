@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-document SPAN duplication — the signal behind exact substring
+  * deduplication (Lee et al. 2021, "Deduplicating Training Data Makes
+  * Language Models Better": web corpora carry verbatim multi-sentence
+  * spans repeated across otherwise-distinct pages; doc-level dedup
+  * (C1-C6) cannot see them). Every length-`window` word span is
+  * fingerprinted; a span whose fingerprint occurs ≥ `minDupCount`
+  * times corpus-wide (intra-doc repeats count — the reference
+  * formulation dedups within documents too) is DUPLICATED, and each
+  * document reports how much of it is covered by duplicated spans —
+  * the trim-or-drop signal a curation pipeline thresholds on.
+  *
+  * Scale shape: windows are a narrow ≤1-row-per-token fan-out (the
+  * text_chunk explode shape); the fingerprint count is ONE
+  * map-side-combinable keyed aggregation; flagged windows join back by
+  * fingerprint (duplicated fingerprints only — the join's build side
+  * shrinks to actual duplication, it is NOT corpus-sized on a clean
+  * corpus); coverage is a per-document interval-union fold over that
+  * doc's own flagged window starts — state bounded by the document's
+  * window count, never the corpus. No stage is single-partition
+  * (plan-audit spec).
+  *
+  * Fingerprints are xxhash64 of the Sep-joined span — the standard
+  * hashed approximation of the paper's suffix-array exactness: a
+  * collision (≈2⁻⁶⁴ per pair) can flag a non-duplicated span, never
+  * miss a duplicated one. Callers needing certainty verify flagged
+  * spans by string compare within fingerprint groups downstream.
+  */
+object SpanDup {
+
+  /** Per-document span-duplication coverage: (idCol, n_tokens,
+    * dup_windows, dup_covered_tokens, dup_fraction). Documents shorter
+    * than `window` words have no spans and report zero coverage;
+    * `dup_fraction` is duplicated-token coverage over n_tokens (0 for
+    * empty docs). */
+  def spanDupStats(docs: DataFrame, window: Int = 50,
+      minDupCount: Long = 2L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(window >= 1, s"window $window must be >= 1")
+    require(minDupCount >= 2, s"minDupCount $minDupCount must be >= 2 — " +
+      "1 would flag every span")
+    val ws = docs.select(col(idCol),
+      filter(split(col(textCol), " "), w => length(w) > 0).as("_ws"))
+    // (doc, p, fp): one row per span start — ≤ one per token
+    val spans = ws
+      .filter(size(col("_ws")) >= window)
+      .select(col(idCol),
+        explode(sequence(lit(0), size(col("_ws")) - window)).as("p"),
+        col("_ws"))
+      .select(col(idCol), col("p").cast("long").as("p"),
+        xxhash64(concat_ws(NgramLm.Sep,
+          slice(col("_ws"), col("p") + 1, lit(window)))).as("fp"))
+    // corpus-wide duplicated fingerprints: keyed count, map-combined;
+    // the surviving table is bounded by actual duplication
+    val dups = spans.groupBy(col("fp")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= minDupCount).select(col("fp"))
+    // per-doc interval union over the doc's own sorted flagged starts:
+    // each start covers [p, p+window); the fold's state is two numbers
+    val perDoc = spans.join(dups, Seq("fp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("dup_windows"),
+        array_sort(collect_list(col("p"))).as("_ps"))
+      .withColumn("dup_covered_tokens",
+        aggregate(col("_ps"),
+          struct(lit(0L).as("tot"), lit(0L).as("until")),
+          (acc, p) => struct(
+            (acc.getField("tot") +
+              greatest(lit(0L),
+                p + window - greatest(acc.getField("until"), p))).as("tot"),
+            greatest(acc.getField("until"), p + window).as("until")),
+          acc => acc.getField("tot")))
+      .select(col(idCol), col("dup_windows"), col("dup_covered_tokens"))
+    // every input document appears, zero-covered when clean/short
+    docs.select(col(idCol),
+        size(filter(split(col(textCol), " "), w => length(w) > 0))
+          .cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("dup_covered_tokens"), lit(0L)).as("dup_covered_tokens"),
+        when(col("n_tokens") > 0,
+          coalesce(col("dup_covered_tokens"), lit(0L)).cast("double") /
+            col("n_tokens")).otherwise(lit(0.0)).as("dup_fraction"))
+  }
+}
