@@ -94,7 +94,10 @@ object NgramLm {
     * total and finite on ANY input. `idCol` must be unique (two docs
     * sharing an id would merge their position maps and fail loudly in
     * map_from_entries). Empty/whitespace docs do not appear, like
-    * encodeCorpus. */
+    * encodeCorpus. Persist a freshly-[[train]]ed model before scoring
+    * (the 50× stress localCheckpoints it): the metadata probe and the
+    * join build side otherwise each re-run train's plan — the
+    * writeTokenShards cache note, same class. */
   def score(docs: DataFrame, model: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", alpha: Double = 0.4,
       broadcastModel: Boolean = true): DataFrame = {

@@ -29,6 +29,11 @@ import org.apache.spark.sql.functions._
   * collision (≈2⁻⁶⁴ per pair) can flag a non-duplicated span, never
   * miss a duplicated one. Callers needing certainty verify flagged
   * spans by string compare within fingerprint groups downstream.
+  * Fingerprinting is O(window) per position (each span joins into one
+  * codegen'd xxhash64 call); a Rabin-Karp rolling hash would be O(1)
+  * per position, at the price of a hand-rolled stateful expression and
+  * a non-avalanching, adversarially collidable fingerprint — the
+  * deliberate trade here is builtin-only compute, measured at §6.
   */
 object SpanDup {
 
