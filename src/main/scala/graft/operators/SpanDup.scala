@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Cross-document SPAN duplication — the signal behind exact substring
@@ -37,6 +37,25 @@ import org.apache.spark.sql.functions._
   */
 object SpanDup {
 
+  private def wordsOf(textCol: String): Column =
+    filter(split(col(textCol), " "), w => length(w) > 0)
+
+  /** THE span frame both operators build on — (idCol, p, fp), one row
+    * per span start — so the stats and the removal can never disagree
+    * about what a span is (the prunedScan convention). */
+  private def spanFrame(docs: DataFrame, window: Int, idCol: String,
+      textCol: String): DataFrame = {
+    require(window >= 1, s"window $window must be >= 1")
+    docs.select(col(idCol), wordsOf(textCol).as("_ws"))
+      .filter(size(col("_ws")) >= window)
+      .select(col(idCol),
+        explode(sequence(lit(0), size(col("_ws")) - window)).as("p"),
+        col("_ws"))
+      .select(col(idCol), col("p").cast("long").as("p"),
+        xxhash64(concat_ws(NgramLm.Sep,
+          slice(col("_ws"), col("p") + 1, lit(window)))).as("fp"))
+  }
+
   /** Per-document span-duplication coverage: (idCol, n_tokens,
     * dup_windows, dup_covered_tokens, dup_fraction). Documents shorter
     * than `window` words have no spans and report zero coverage;
@@ -45,20 +64,9 @@ object SpanDup {
   def spanDupStats(docs: DataFrame, window: Int = 50,
       minDupCount: Long = 2L, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    require(window >= 1, s"window $window must be >= 1")
     require(minDupCount >= 2, s"minDupCount $minDupCount must be >= 2 — " +
       "1 would flag every span")
-    val ws = docs.select(col(idCol),
-      filter(split(col(textCol), " "), w => length(w) > 0).as("_ws"))
-    // (doc, p, fp): one row per span start — ≤ one per token
-    val spans = ws
-      .filter(size(col("_ws")) >= window)
-      .select(col(idCol),
-        explode(sequence(lit(0), size(col("_ws")) - window)).as("p"),
-        col("_ws"))
-      .select(col(idCol), col("p").cast("long").as("p"),
-        xxhash64(concat_ws(NgramLm.Sep,
-          slice(col("_ws"), col("p") + 1, lit(window)))).as("fp"))
+    val spans = spanFrame(docs, window, idCol, textCol)
     // corpus-wide duplicated fingerprints: keyed count, map-combined;
     // the surviving table is bounded by actual duplication
     val dups = spans.groupBy(col("fp")).agg(count(lit(1)).as("_n"))
@@ -81,8 +89,7 @@ object SpanDup {
       .select(col(idCol), col("dup_windows"), col("dup_covered_tokens"))
     // every input document appears, zero-covered when clean/short
     docs.select(col(idCol),
-        size(filter(split(col(textCol), " "), w => length(w) > 0))
-          .cast("long").as("n_tokens"))
+        size(wordsOf(textCol)).cast("long").as("n_tokens"))
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
@@ -90,5 +97,88 @@ object SpanDup {
         when(col("n_tokens") > 0,
           coalesce(col("dup_covered_tokens"), lit(0L)).cast("double") /
             col("n_tokens")).otherwise(lit(0.0)).as("dup_fraction"))
+  }
+
+  /** Span REMOVAL — the paper's keep-first-occurrence excision: for
+    * each duplicated fingerprint the globally-first occurrence (min
+    * (doc, start) — deterministic, layout-independent) is the KEEPER;
+    * every other occurrence's [p, p+window) token range is excised and
+    * the document's text rebuilt from what remains. Returns every
+    * input document as (idCol, text, n_tokens, removed_tokens) — text
+    * unchanged and removed 0 for clean/short docs; n_tokens counts the
+    * REMAINING words. Mid-sentence cuts are inherent to the published
+    * approach (the dedup operates on token ranges, not sentences); a
+    * keeper's own span can still lose tokens to a DIFFERENT
+    * fingerprint's overlapping removal, exactly as with byte-range
+    * suffix-array dedup.
+    *
+    * Scale shape, beyond [[spanDupStats]]: the keeper argmin is the
+    * same keyed aggregation as the count (one pass produces both); the
+    * rebuild is two per-document folds — sorted removal starts →
+    * merged disjoint intervals, then intervals → the kept word slices
+    * (O(len + intervals), cursor state only) — all builtin
+    * higher-order expressions, state bounded by the document. */
+  def spanDedup(docs: DataFrame, window: Int = 50,
+      minDupCount: Long = 2L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minDupCount >= 2, s"minDupCount $minDupCount must be >= 2 — " +
+      "1 would excise every span")
+    val spans = spanFrame(docs, window, idCol, textCol)
+    // one keyed pass: occurrence count AND the keeper argmin per print
+    val keepers = spans
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("_n"),
+        min(struct(col(idCol).as("_kid"), col("p").as("_kp"))).as("_keep"))
+      .filter(col("_n") >= minDupCount)
+      .select(col("fp"), col("_keep"))
+    val removeStarts = spans.join(keepers, Seq("fp"))
+      .filter(!(col(idCol) === col("_keep").getField("_kid") &&
+        col("p") === col("_keep").getField("_kp")))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(col("p"))).as("_starts"))
+
+    val W = lit(window.toLong)
+    // fold 1: sorted starts -> merged disjoint [f, u) intervals
+    //         (touching ranges merge — one continuous excision)
+    def mergedIvs(starts: Column): Column =
+      aggregate(starts,
+        array().cast("array<struct<f:bigint,u:bigint>>"),
+        (acc, p) => when(
+          size(acc) > 0 && element_at(acc, -1).getField("u") >= p,
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(element_at(acc, -1).getField("f").as("f"),
+              greatest(element_at(acc, -1).getField("u"), p + W).as("u")))))
+          .otherwise(concat(acc, array(struct(p.as("f"), (p + W).as("u"))))))
+    // fold 2: intervals -> kept words, a cursor walk emitting the
+    //         inter-interval slices (start index is 1-based)
+    def keptWords(ws: Column, ivs: Column): Column =
+      aggregate(ivs,
+        struct(array().cast("array<string>").as("kept"), lit(0L).as("cur")),
+        (acc, iv) => struct(
+          concat(acc.getField("kept"),
+            slice(ws, (acc.getField("cur") + 1L).cast("int"),
+              (iv.getField("f") - acc.getField("cur")).cast("int")))
+            .as("kept"),
+          iv.getField("u").as("cur")),
+        acc => when(size(ws) > acc.getField("cur"),
+          concat(acc.getField("kept"),
+            slice(ws, (acc.getField("cur") + 1L).cast("int"),
+              (size(ws) - acc.getField("cur")).cast("int"))))
+          .otherwise(acc.getField("kept")))
+
+    docs.select(col(idCol), col(textCol), wordsOf(textCol).as("_ws"))
+      .join(removeStarts, Seq(idCol), "left")
+      .withColumn("_ivs", when(col("_starts").isNotNull,
+        mergedIvs(col("_starts"))))
+      .withColumn("_kept", when(col("_ivs").isNotNull,
+        keptWords(col("_ws"), col("_ivs"))))
+      .select(col(idCol),
+        when(col("_kept").isNotNull, concat_ws(" ", col("_kept")))
+          .otherwise(col(textCol)).as(textCol),
+        when(col("_kept").isNotNull, size(col("_kept")))
+          .otherwise(size(col("_ws"))).cast("long").as("n_tokens"),
+        coalesce(aggregate(col("_ivs"), lit(0L),
+          (acc, iv) => acc + iv.getField("u") - iv.getField("f")), lit(0L))
+          .as("removed_tokens"))
   }
 }

@@ -82,6 +82,76 @@ class SpanDupSpec extends SparkSpec {
     expect.foreach { case (id, e) => assert(relaid(id) === e, s"relaid $id") }
   }
 
+  test("spanDedup: keep-first excision, one surviving copy, clean docs verbatim, tokens conserved") {
+    val d = Seq(
+      (1L, "a b c d e x y z"),
+      (2L, "q q q a b c d e"),
+      (3L, "totally  unique   words here indeed"),
+      (6L, "m n o p m n o p")
+    ).toDF("doc_id", "text")
+    val got = SpanDup.spanDedup(d, window = 3)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 1 holds every keeper occurrence (min (doc, p)): untouched
+    assert(got(1L) === ((1L, "a b c d e x y z", 8L, 0L)))
+    // doc 2 loses the shared "a b c d e" tail (starts 3,4,5 merge to
+    // [3,8)): only its own prefix remains
+    assert(got(2L) === ((2L, "q q q", 3L, 5L)))
+    // untouched docs return their text VERBATIM — whitespace runs intact
+    assert(got(3L)._2 === "totally  unique   words here indeed")
+    assert(got(3L)._4 === 0L)
+    // intra-doc repeat: the second "m n o p" excises, one copy survives
+    assert(got(6L) === ((6L, "m n o p", 4L, 4L)))
+  }
+
+  test("spanDedup matches the single-node keep-first reference on the real table, any layout") {
+    val window = 8
+    val seeded = docs.unionByName(Seq(
+      (900001L, Array.fill(3)("alpha beta gamma delta eps zeta eta theta").mkString(" ")),
+      (900002L, "alpha beta gamma delta eps zeta eta theta plus unrelated tail words")
+    ).toDF("doc_id", "text")).cache()
+    val texts = seeded.as[(Long, String)].collect().toMap
+    def words(t: String) = t.split(" ").filter(_.nonEmpty)
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    val first = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    texts.toSeq.sortBy(_._1).foreach { case (id, t) =>
+      val w = words(t)
+      for (p <- 0 to w.length - window) {
+        val k = w.slice(p, p + window).mkString("\u0001")
+        counts(k) += 1L
+        val cand = (id, p.toLong)
+        if (!first.contains(k) ||
+            Ordering[(Long, Long)].lt(cand, first(k))) first(k) = cand
+      }
+    }
+    val expect = texts.map { case (id, t) =>
+      val w = words(t)
+      val starts = (0 to w.length - window).filter { p =>
+        val k = w.slice(p, p + window).mkString("\u0001")
+        counts(k) >= 2L && first(k) != ((id, p.toLong))
+      }
+      val keep = Array.fill(w.length)(true)
+      starts.foreach(p => (p until p + window).foreach(keep(_) = false))
+      val kept = w.indices.filter(keep).map(w)
+      val removed = keep.count(!_).toLong
+      id -> ((id,
+        if (starts.isEmpty) t else kept.mkString(" "),
+        w.length.toLong - removed, removed))
+    }
+    val got = SpanDup.spanDedup(seeded, window)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.size === expect.size)
+    expect.foreach { case (id, e) => assert(got(id) === e, s"doc $id") }
+    assert(expect.values.exists(_._4 > 0L), "seeded duplicates must excise")
+    // conservation: remaining + removed == original, for every doc
+    got.values.foreach { case (id, _, n, r) =>
+      assert(n + r === words(texts(id)).length.toLong, s"doc $id leaks tokens")
+    }
+    val relaid = SpanDup.spanDedup(seeded.repartition(7), window)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    expect.foreach { case (id, e) => assert(relaid(id) === e, s"relaid $id") }
+  }
+
   test("plan audit: fingerprint count partial-aggregates below its shuffle, nothing single-partitions") {
     val p = SpanDup.spanDupStats(docs, 8).queryExecution.executedPlan.toString
     val ex = p.indexOf("Exchange hashpartitioning")
@@ -93,6 +163,10 @@ class SpanDupSpec extends SparkSpec {
 
   test("guards: window and minDupCount bounds") {
     intercept[IllegalArgumentException] { SpanDup.spanDupStats(docs, 0) }
+    intercept[IllegalArgumentException] { SpanDup.spanDedup(docs, 0) }
+    intercept[IllegalArgumentException] {
+      SpanDup.spanDedup(docs, 8, minDupCount = 1L)
+    }
     intercept[IllegalArgumentException] {
       SpanDup.spanDupStats(docs, 8, minDupCount = 1L)
     }
