@@ -390,6 +390,14 @@ object Stress {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"STRESS span_dup_stats               $dt%8.2f s   " +
         f"docs=${s.getLong(0)} dupWindows=${s.getLong(1)} avgFrac=${s.getDouble(2)}%.3f")
+      // the removal half on the same worst case: nearly every >=50-word
+      // doc is a non-keeper copy, so almost all coverage excises
+      val t1 = System.nanoTime()
+      val d2 = SpanDup.spanDedup(docsDf, window = 50)
+        .agg(sum(col("n_tokens")), sum(col("removed_tokens"))).head()
+      val dt1 = (System.nanoTime() - t1) / 1e9
+      println(f"STRESS span_dedup                   $dt1%8.2f s   " +
+        s"kept=${d2.getLong(0)} removed=${d2.getLong(1)}")
     }
 
     // incremental dedup: first refresh pays for its batch; the second
