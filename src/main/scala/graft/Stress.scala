@@ -356,6 +356,22 @@ object Stress {
         .select(input_file_name()).distinct().count()
       println(f"STRESS token_shard_read             $dt4%8.2f s   " +
         s"shards=$tokSlice filesRead=$tokFiles ofTotal=$nTokSh")
+      // the epoch layer: schedule epoch 1's order, fetch the first 4
+      // SCHEDULED (scattered, non-contiguous) shards as a worker would
+      // — the IN-set pruning must read exactly those shards' files
+      val sched = TrainingExport.epochSchedule(spark, nTokSh, epoch = 1L)
+        .orderBy(col("position")).limit(4).select("shard_id")
+        .collect().map(_.getLong(0)).toSeq
+      val t5 = System.nanoTime()
+      TrainingExport.readTokenShardsAt(spark, out, sched)
+        .write.format("noop").mode("overwrite").save()
+      val dt5 = (System.nanoTime() - t5) / 1e9
+      val scatFiles = spark.read.parquet(out)
+        .filter(col("shard_group").isin(sched.map(_ / 1024).distinct: _*) &&
+          col("shard_id").isin(sched: _*))
+        .select(input_file_name()).distinct().count()
+      println(f"STRESS token_shard_scatter          $dt5%8.2f s   " +
+        s"shards=${sched.length} filesRead=$scatFiles ofTotal=$nTokSh")
       cached.unpersist()
     }
 
