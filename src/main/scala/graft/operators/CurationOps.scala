@@ -126,9 +126,14 @@ object CurationOps {
     * The mixture must be UNIQUE on source — a recipe frame carrying two
     * rows for one source would silently duplicate that source's every
     * document through the join, so it fails loudly here instead (one
-    * aggregate over the domains-sized recipe, driver-bounded). Scale
-    * shape: the mixture is domains, not documents — KBs — so this is a
-    * broadcast join plus a per-row projection, zero corpus shuffles. */
+    * aggregate over the domains-sized recipe, driver-bounded). That
+    * probe is an EAGER driver action on every invocation — cheap for a
+    * KB recipe, but a caller re-planning in a loop (per micro-batch, or
+    * repeated planMixture→sample cycles) pays one small Spark job per
+    * call; validate once and reuse the returned frame, or pre-dedup the
+    * recipe, if that matters. Scale shape: the mixture is domains, not
+    * documents — KBs — so this is a broadcast join plus a per-row
+    * projection, zero corpus shuffles. */
   def mixtureSample(docs: DataFrame, mixture: DataFrame,
       idCol: String = "doc_id", defaultPerMille: Long = 0L): DataFrame = {
     val m = mixture.select(col("source"),

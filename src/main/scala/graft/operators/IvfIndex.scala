@@ -339,17 +339,27 @@ final class IvfIndex private[operators] (spark: SparkSession, path: String,
     * repoints its handle/config instead (exactly the FeatureStore
     * latest-active convention). The old path stays valid for in-flight
     * readers until the operator retires it. Writes nothing under the
-    * live path and takes no lock — builds into `destPath` are isolated
-    * by construction. */
+    * live path, but HOLDS the live index's writer lock for the
+    * duration: the rebuild's training/encode scans read the live
+    * codes/vectors batch directories, and the lazy-frame grace contract
+    * covers only ONE compaction — two `compact()` calls completing
+    * during a long rebuild scan (the second purges the generation the
+    * scan is reading) would delete files out from under it. The lock
+    * quiesces add/compact exactly as they quiesce each other; a
+    * concurrent writer fails loudly and retries after the rebuild. */
   def rebuild(destPath: String, nlist: Int = 0,
       maxTrainRows: Long = 50000L): Unit = {
     require(destPath != path,
       "rebuild into the live path would destroy the index under its " +
         "readers — build to a new path and repoint")
-    IvfIndex.build(
-      vectors.select(col("neighbor_id"), col("ec").as("embedding")),
-      "neighbor_id", destPath, nlist, meta.m, meta.ksub, meta.seed,
-      maxTrainRows, meta.saltFactor)
+    acquireWriterLock()
+    try {
+      meta = IvfIndex.readMeta(spark, path)
+      IvfIndex.build(
+        vectors.select(col("neighbor_id"), col("ec").as("embedding")),
+        "neighbor_id", destPath, nlist, meta.m, meta.ksub, meta.seed,
+        maxTrainRows, meta.saltFactor)
+    } finally releaseWriterLock()
   }
 
   /** Fold every committed batch into ONE new generation — the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** N-gram language model + perplexity scoring — MODEL-based quality
@@ -86,22 +86,85 @@ object NgramLm {
         .toDF("n", "gram", "cnt"))
   }
 
+  /** Persist a [[train]]ed model durably — count tables + the n=0
+    * total row as one committed parquet generation under `path`, on the
+    * [[ModelStore]] `_meta` atomic-commit convention (writer-locked,
+    * keep-two retention). This closes the session-bound gap: [[score]]
+    * over `load(path)` in ANY later session is bit-identical to scoring
+    * over the in-session frame (parity-spec'd), and the loaded model is
+    * ALREADY materialized — the score-side "persist a fresh model
+    * first" caveat disappears, because the metadata probe and the join
+    * build side read small parquet instead of re-running train's heavy
+    * pass. The save executes `model`'s plan exactly once (the write);
+    * the shape validation runs against the files just written (the
+    * writeShards read-back convention: a green save certifies the
+    * artifact). A frame that is not a [[train]] output fails BEFORE the
+    * meta swap — nothing commits. */
+  def save(model: DataFrame, path: String): Unit = {
+    val spark = model.sparkSession
+    ModelStore.withLock(spark, path, "NgramLm model") {
+      val g = ModelStore.nextGen(spark, path)
+      val dir = ModelStore.genDir(path, g, "counts")
+      model.select(col("n").cast("int").as("n"), col("gram"),
+          col("cnt").cast("long").as("cnt"))
+        .write.mode("overwrite").parquet(dir)
+      val metaRow = spark.read.parquet(dir)
+        .agg(max(when(col("n") > 0, col("n"))).as("order"),
+          sum(when(col("n") === 0, col("cnt"))).as("total")).head()
+      require(!metaRow.isNullAt(0) && !metaRow.isNullAt(1),
+        "frame lacks n>0 gram rows or the (n=0) total-tokens row — " +
+          "was it produced by NgramLm.train? (nothing committed)")
+      ModelStore.writeMeta(spark, path, Seq(
+        "version" -> "1", "kind" -> "ngram_lm", "gen" -> g.toString,
+        "order" -> metaRow.getInt(0).toString,
+        "total" -> metaRow.getLong(1).toString))
+      ModelStore.pruneGens(spark, path, g)
+    }
+  }
+
+  /** Reopen a committed model: the (n, gram, cnt) frame [[score]]
+    * takes, lazily over the committed generation's parquet — no
+    * retraining, no corpus scan, readable across one subsequent save
+    * (keep-two retention). */
+  def load(spark: SparkSession, path: String): DataFrame = {
+    val kv = ModelStore.readMeta(spark, path, "NgramLm model")
+    ModelStore.checkKind(kv, path, "ngram_lm", "1")
+    spark.read.parquet(ModelStore.genDir(path, kv("gen").toLong, "counts"))
+  }
+
   /** Score `docs` against a [[train]]ed model: (idCol, n_tokens,
     * log_prob, avg_log_prob, ppl) — ppl = exp(−avg log S), the filter
     * column (lower = more like the training corpus; CCNet keeps the
-    * low-perplexity head/middle). An unseen word backs off through
-    * every order to the floor α^(order−1)·1/(total+1), so scores are
-    * total and finite on ANY input. `idCol` must be unique (two docs
-    * sharing an id would merge their position maps and fail loudly in
-    * map_from_entries). Empty/whitespace docs do not appear, like
-    * encodeCorpus. Persist a freshly-[[train]]ed model before scoring
-    * (the 50× stress localCheckpoints it): the metadata probe and the
-    * join build side otherwise each re-run train's plan — the
-    * writeTokenShards cache note, same class. */
+    * low-perplexity head/middle). The backoff penalty counts ACTUAL
+    * backoff steps from the position's own maximum expressible order
+    * kMax = min(order, p+1) — a document-start position where only a
+    * bigram context exists is not charged for the trigram it could
+    * never have formed (KenLM's BOS-context convention; charging the
+    * full α^(order−k) there would bias ppl against short documents).
+    * An unseen word backs off to the floor α^(kMax−1)·1/(total+1), so
+    * scores are total and finite on ANY input. `idCol` must be unique
+    * (two docs sharing an id would merge their position maps and fail
+    * loudly in map_from_entries). Empty/whitespace docs do not appear,
+    * like encodeCorpus. Persist a freshly-[[train]]ed model before
+    * scoring (the 50× stress localCheckpoints it): the metadata probe
+    * and the join build side otherwise each re-run train's plan — the
+    * writeTokenShards cache note, same class.
+    *
+    * CHUNK FIRST at scale: the per-document scoring state is a (pos,
+    * order)→cnt map bounded by document length × order — fine for web
+    * pages, a multi-million-entry single aggregation buffer for a
+    * book-length document. `maxDocTokens` (default 200k words — an
+    * order-3 map of ≤600k entries, tens of MB) fails loudly before the
+    * shuffle rather than OOMing inside it; score chunks
+    * ([[ChunkOps.chunkPlan]]) and aggregate exact log-probs per doc
+    * (log_prob is additive over a disjoint token partition, modulo the
+    * window's context reset at chunk starts) when documents exceed it. */
   def score(docs: DataFrame, model: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", alpha: Double = 0.4,
-      broadcastModel: Boolean = true): DataFrame = {
+      broadcastModel: Boolean = true,
+      maxDocTokens: Long = 200000L): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha $alpha out of (0, 1]")
+    require(maxDocTokens >= 1, s"maxDocTokens $maxDocTokens must be >= 1")
     // driver-bounded model metadata: the order and the token total
     val metaRow = model.agg(max(when(col("n") > 0, col("n"))).as("order"),
       sum(when(col("n") === 0, col("cnt"))).as("total")).head()
@@ -113,6 +176,17 @@ object NgramLm {
 
     val ws = docs.select(col(idCol), wordsCol(textCol).as("_ws"))
       .filter(size(col("_ws")) > 0)
+    // fail-loud length probe (the packSequences duplicate-probe
+    // convention — one narrow scan, no shuffle): stop BEFORE building a
+    // doc-length-sized aggregation buffer, with the fix in the message
+    val over = ws.filter(size(col("_ws")).cast("long") > maxDocTokens)
+      .select(col(idCol)).limit(3).collect()
+    require(over.isEmpty,
+      s"document(s) ${over.map(_.get(0)).mkString(", ")} exceed " +
+        s"maxDocTokens=$maxDocTokens — the per-document scoring map is " +
+        "doc-length × order entries in ONE aggregation buffer; chunk first " +
+        "(ChunkOps.chunkPlan) and sum per-chunk log_probs, or raise the " +
+        "cap if executor memory really covers it")
     // (doc, p, k, gram) for every position p and order k ≤ min(order,
     // p+1): the ≤ order× fan-out of the token stream the join runs on
     val pk = ws
@@ -147,20 +221,25 @@ object NgramLm {
 
     // the backoff chain, statically unrolled over k = order..1 (order
     // is a driver constant): the first present (longest) gram wins at
-    // penalty α^(order−k); gram-present ⇒ context-present (closure)
+    // penalty α^(kMax−k), kMax = min(order, p+1) the position's own
+    // maximum expressible order — only ACTUAL backoff steps are
+    // penalized (KenLM/CCNet's convention; penalizing from `order`
+    // would inflate short-document ppl for contexts that never
+    // existed). gram-present ⇒ context-present (closure)
     val logAlpha = math.log(alpha)
     def entry(mCol: Column, p: Column, k: Int): Column =
       element_at(mCol, (p * (order + 1) + lit(k)).cast("long"))
+    def kMax(p: Column): Column = least(lit(order.toLong), p + 1L)
     def scoreAt(mCol: Column, p: Column): Column = {
       val branches = (order to 1 by -1).map { k =>
         val ctx = if (k > 1) log(entry(mCol, p - 1, k - 1).cast("double"))
                   else lit(math.log(total.toDouble))
         when(p + 1 >= k && entry(mCol, p, k).isNotNull,
-          lit((order - k) * logAlpha) +
+          (kMax(p) - k).cast("double") * logAlpha +
             log(entry(mCol, p, k).cast("double")) - ctx)
       }
-      val floor = lit((order - 1) * logAlpha +
-        math.log(1.0 / (total.toDouble + 1.0)))
+      val floor = (kMax(p) - 1L).cast("double") * logAlpha +
+        lit(math.log(1.0 / (total.toDouble + 1.0)))
       coalesce(branches :+ floor: _*)
     }
 

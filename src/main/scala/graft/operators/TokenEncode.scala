@@ -171,9 +171,22 @@ object TokenEncode {
           "unique (epoch-qualify mixtureRepeat output) or pass " +
           "requireUniqueIds = false if uniqueness is guaranteed upstream")
     }
+    // the per-document slice arithmetic below is int-indexed (slice
+    // bounds), so one document may hold at most ~2^31 tokens — raise
+    // inside the row rather than silently wrapping the cast (the global
+    // stream's 2^53 bound is separate: it is the prefix-sum's domain).
+    // A document that big should have been chunked (E16) long before
+    // packing; no realistic corpus hits this, hence a row-level guard,
+    // not an extra probe pass.
     val withEod = encoded
       .select(col(idCol), concat(col("ids"), array(lit(eodId))).as("_ids"))
       .withColumn("_len", size(col("_ids")).cast("long"))
+      .withColumn("_len",
+        when(col("_len") < lit(Int.MaxValue.toLong), col("_len"))
+          .otherwise(raise_error(concat(lit("document "),
+            col(idCol).cast("string"),
+            lit(" exceeds 2^31 tokens — the per-document slice index is " +
+              "int-bounded; chunk the document (ChunkOps.chunkPlan) first")))))
     val offs = RankOps.exclusivePrefixSum(withEod, "_len", "_off",
       numPartitions, col(idCol))
     val L = lit(seqLen.toLong)

@@ -207,19 +207,42 @@ object TrainingExport {
     * corpus still reads ~100 files (PartitionFilters spec-audited).
     * Rows arrive grouped by shard in (shard_id, seq_id) order; the
     * caller re-sequences shards into schedule order per its worker loop
-    * (a partition holds whole shards of its hash range). */
+    * (a partition holds whole shards of its hash range).
+    *
+    * A fetch wider than `maxInSet` (default 10⁴ — a generous worker
+    * slice) switches from literal IN-lists to a broadcast left-semi
+    * join on the id frame: a 10⁶-literal IN-set makes plan
+    * analysis/serialization the bottleneck long before the read is.
+    * The group-level IN stays literal while the GROUP list fits (it is
+    * ids/groupSize-sized, and a literal partition filter prunes
+    * statically); past that, both levels join and leaf pruning falls
+    * to Spark's dynamic partition pruning on the broadcast keys. A
+    * whole-epoch-sized fetch is still better served by the contiguous
+    * [[readTokenShards]] over a range. */
   def readTokenShardsAt(spark: org.apache.spark.sql.SparkSession,
       path: String, shardIds: Seq[Long],
-      groupSize: Int = 1024): DataFrame = {
+      groupSize: Int = 1024, maxInSet: Int = 10000): DataFrame = {
     require(shardIds.nonEmpty, "empty shard set — nothing to read")
-    require(shardIds.length <= 1000000,
-      s"${shardIds.length} shards in one fetch — slice the schedule " +
-        "into worker-sized reads")
+    require(maxInSet > 0, s"maxInSet $maxInSet must be positive")
     val distinctIds = shardIds.distinct
     val groups = distinctIds.map(_ / groupSize).distinct
-    spark.read.parquet(path)
-      .filter(col("shard_group").isin(groups: _*) &&
-        col("shard_id").isin(distinctIds: _*))
+    val base = spark.read.parquet(path)
+    val grouped =
+      if (groups.length <= maxInSet) base.filter(col("shard_group").isin(groups: _*))
+      else {
+        import spark.implicits._
+        base.join(broadcast(groups.toDF("shard_group")), Seq("shard_group"),
+          "left_semi")
+      }
+    val picked =
+      if (distinctIds.length <= maxInSet)
+        grouped.filter(col("shard_id").isin(distinctIds: _*))
+      else {
+        import spark.implicits._
+        grouped.join(broadcast(distinctIds.toDF("shard_id")), Seq("shard_id"),
+          "left_semi")
+      }
+    picked
       .select(col("shard_id").cast("long").as("shard_id"), col("seq_id"),
         col("ids"), col("n_tokens"))
       .repartition(math.max(1, distinctIds.length), col("shard_id"))

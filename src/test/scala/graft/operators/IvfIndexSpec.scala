@@ -165,6 +165,30 @@ class IvfIndexSpec extends SparkSpec {
     assert(idx.batches === Seq(0, 1))
   }
 
+  test("rebuild holds the writer lock: a held lock fails it loudly, and it releases on completion") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").cache()
+    val path = tmpPath()
+    IvfIndex.build(vecs.filter(col("vec_id") < 300), "vec_id", path, nlist = 4)
+    val idx = IvfIndex.load(spark, path)
+    // a concurrent add/compact in flight: rebuild must NOT scan under it
+    // (two compactions completing during a long rebuild scan can purge
+    // the generation the scan is reading — the ADVICE finding)
+    val lock = java.nio.file.Paths.get(path, "_lock_add")
+    java.nio.file.Files.createFile(lock)
+    val e = intercept[IllegalStateException] { idx.rebuild(tmpPath()) }
+    assert(e.getMessage.contains("_lock_add"))
+    java.nio.file.Files.delete(lock)
+    // released lock -> rebuild runs, commits the dest, and releases so
+    // a subsequent writer proceeds
+    val dest = tmpPath()
+    idx.rebuild(dest, nlist = 4)
+    assert(IvfIndex.load(spark, dest).batches.nonEmpty)
+    assert(!java.nio.file.Files.exists(lock),
+      "rebuild must release the writer lock when done")
+    assert(idx.add(vecs.filter(col("vec_id") >= 300 && col("vec_id") < 350),
+      "vec_id") > 0)
+  }
+
   test("two concurrent adds: no silent drop — every committed add's vectors are visible") {
     val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").cache()
     val path = tmpPath()

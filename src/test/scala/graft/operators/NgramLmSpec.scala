@@ -51,18 +51,22 @@ class NgramLmSpec extends SparkSpec {
     def refScore(w: Vector[String]): Double = {
       var s = 0.0
       for (p <- w.indices) {
-        var k = math.min(order, p + 1); var v = Double.NaN
+        // the penalty counts ACTUAL backoff steps from this position's
+        // maximum expressible order kMax = min(order, p+1) — the
+        // KenLM-style start-of-document convention
+        val kMax = math.min(order, p + 1)
+        var k = kMax; var v = Double.NaN
         while (v.isNaN && k >= 1) {
           mm.get((k, w.slice(p - k + 1, p + 1).mkString(S))) match {
             case Some(c) =>
               val ctx = if (k > 1) mm((k - 1, w.slice(p - k + 1, p).mkString(S))).toDouble
                         else total.toDouble
-              v = (order - k) * math.log(alpha) + math.log(c.toDouble) - math.log(ctx)
+              v = (kMax - k) * math.log(alpha) + math.log(c.toDouble) - math.log(ctx)
             case None => k -= 1
           }
         }
         if (v.isNaN)
-          v = (order - 1) * math.log(alpha) + math.log(1.0 / (total.toDouble + 1.0))
+          v = (kMax - 1) * math.log(alpha) + math.log(1.0 / (total.toDouble + 1.0))
         s += v
       }
       s
@@ -146,5 +150,28 @@ class NgramLmSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       NgramLm.score(docs, model.filter(col("n") > 0)) // total row missing
     }
+  }
+
+  test("score fails loudly on documents beyond maxDocTokens, naming the offender") {
+    val model = NgramLm.train(docs, 2).cache()
+    val long = Seq((1L, ("w " * 40).trim), (2L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      NgramLm.score(long, model, maxDocTokens = 30L)
+    }
+    assert(e.getMessage.contains("maxDocTokens") && e.getMessage.contains("1"))
+    // at the default cap the same frame scores fine
+    assert(NgramLm.score(long, model).count() === 2L)
+  }
+
+  test("doc-start positions are not charged phantom backoff: a bigram-opening doc scores its first token at zero penalty") {
+    // train where "alpha beta" is frequent; score a doc STARTING with
+    // a seen unigram: position 0 has kMax = 1, so a unigram match must
+    // carry NO alpha penalty under the KenLM-style convention
+    val train = Seq((1L, "alpha beta gamma alpha beta")).toDF("doc_id", "text")
+    val model = NgramLm.train(train, 3).cache()
+    val one = Seq((10L, "alpha")).toDF("doc_id", "text")
+    val lp = NgramLm.score(one, model).select("log_prob").as[Double].head()
+    // cnt(alpha) = 2, total = 5 — exactly log(2/5), no alpha factor
+    assert(math.abs(lp - math.log(2.0 / 5.0)) <= 1e-12, s"got $lp")
   }
 }

@@ -245,6 +245,18 @@ class TrainingExportSpec extends SparkSpec {
       .collect().sortBy(_._1)
     assert(scatRows.toSeq ===
       ref.filter(r => wanted.contains(r._1 / 4)).sortBy(_._1).toSeq)
+    // a fetch wider than maxInSet switches both levels to a broadcast
+    // semi-join (the large-IN plan-analysis cliff): identical rows, and
+    // the join really is the broadcast kind, never a shuffle of the ids
+    val joined = TrainingExport.readTokenShardsAt(spark, out, wanted.toSeq,
+      groupSize = groupSize, maxInSet = 1)
+    val joinedRows = joined.select("seq_id", "ids").as[(Long, Seq[Long])]
+      .collect().sortBy(_._1)
+    assert(joinedRows.toSeq === scatRows.toSeq,
+      "semi-join path must return exactly the IN-set path's rows")
+    val jp = joined.queryExecution.executedPlan.toString
+    assert(jp.contains("BroadcastHashJoin") && jp.contains("LeftSemi"),
+      s"large fetch must broadcast-semi-join the id frame:\n$jp")
     // an empty pack fails loudly, matching writeShards
     val e = intercept[IllegalArgumentException] {
       TrainingExport.writeTokenShards(packed.filter(lit(false)), out + "-e")
