@@ -162,18 +162,55 @@ object CurationOps {
     * appears as epoch 0 only, a 2500‰ source's doc as epochs 0,1 and —
     * when its md5 bucket clears the 500‰ remainder — 2. Downstream
     * shard packing sees each epoch as its own row, which is exactly
-    * what "repeat the curated corpus 2.5×" means operationally. Copies
-    * SHARE the document id: a doc-keyed consumer (e.g.
-    * [[TrainingExport.writeShards]], which orders by (doc_id,
-    * chunk_idx)) must epoch-qualify the key first — `doc_id·N + epoch`
-    * for a recipe capped at N epochs (composition spec'd in
-    * TrainingExportSpec). */
+    * what "repeat the curated corpus 2.5×" means operationally.
+    *
+    * By default copies SHARE the document id (epoch 0..n−1 rows carry
+    * the same `idCol`); a doc-keyed consumer — [[TrainingExport
+    * .writeShards]]'s (doc_id, chunk_idx) order, [[TokenEncode
+    * .packSequences]]'s unique-id prefix sum — needs a UNIQUE key.
+    * `qualifyMaxEpochs` > 0 makes that an operator instead of a
+    * documented caller duty: `idCol` is rewritten to
+    * `doc_id·qualifyMaxEpochs + epoch` (injective while epoch <
+    * qualifyMaxEpochs — enforced PER ROW with raise_error, as is the
+    * id-magnitude bound that would otherwise overflow the long
+    * silently), so downstream uniqueness holds by construction and the
+    * original id/epoch recover as `div`/`mod`. Requires an integral
+    * `idCol` (fails loudly on strings — qualify those upstream); pick
+    * qualifyMaxEpochs ≥ the recipe's ceil(maxRate/1000), e.g.
+    * [[planMixture]]'s maxEpochs + 1 when remainders apply. */
   def mixtureRepeat(docs: DataFrame, mixture: DataFrame,
-      idCol: String = "doc_id", defaultPerMille: Long = 0L): DataFrame =
-    mixtureSample(docs, mixture, idCol, defaultPerMille)
+      idCol: String = "doc_id", defaultPerMille: Long = 0L,
+      qualifyMaxEpochs: Int = 0): DataFrame = {
+    val base = mixtureSample(docs, mixture, idCol, defaultPerMille)
       .filter(col("n_copies") > 0)
       .withColumn("epoch", explode(expr("sequence(0, n_copies - 1)")))
       .drop("n_copies", "keep")
+    if (qualifyMaxEpochs <= 0) base
+    else {
+      val integral = {
+        import org.apache.spark.sql.types._
+        Seq(LongType, IntegerType, ShortType, ByteType)
+          .contains(docs.schema(idCol).dataType)
+      }
+      require(integral,
+        s"qualifyMaxEpochs needs an integral $idCol to form doc_id·N + " +
+          s"epoch (got ${docs.schema(idCol).dataType}) — map string ids " +
+          "to longs upstream")
+      val m = qualifyMaxEpochs.toLong
+      val lim = (Long.MaxValue - (m - 1L)) / m
+      base.withColumn(idCol,
+        when(col("epoch") >= m, raise_error(concat(
+          lit("document "), col(idCol).cast("string"),
+          lit(" reaches epoch "), col("epoch").cast("string"),
+          lit(s" >= qualifyMaxEpochs=$qualifyMaxEpochs — set it to at " +
+            "least the recipe's ceil(max rate / 1000)"))))
+          .when(col(idCol).cast("long") < 0L || col(idCol).cast("long") > lim,
+            raise_error(concat(lit("document id "), col(idCol).cast("string"),
+              lit(s" outside [0, $lim] — qualification by ×$m would " +
+                "overflow the long id space"))))
+          .otherwise(col(idCol).cast("long") * m + col("epoch").cast("long")))
+    }
+  }
 
   /** E18: the gated mixture-sampling query — feeds [[mixtureSample]] a
     * recipe table carrying 100% / 50% / 25% / 12.5% by source index

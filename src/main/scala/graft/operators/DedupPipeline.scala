@@ -27,6 +27,54 @@ import org.apache.spark.sql.functions._
   */
 object DedupPipeline {
 
+  /** The full published curation recipe (Lee et al. 2021 run BOTH
+    * levels): doc-level dedup ([[dedup]] — exact → near-dup → CC →
+    * keeper) THEN exact-substring span excision over the keepers
+    * ([[SpanDup.spanDedup]]). Doc-level removal cannot see a verbatim
+    * paragraph shared by otherwise-distinct pages; span-level removal
+    * alone would shred near-duplicate documents token-by-token instead
+    * of dropping them — the recipe needs both, in this order (the span
+    * stage runs over keepers only, so a 10-copy cluster contributes ONE
+    * document's spans, not ten; running spans first would flag every
+    * window of every copy).
+    *
+    * Returns one row per INPUT document: (idCol, cluster_id, keep,
+    * textCol, n_tokens, removed_tokens). Keepers carry their
+    * span-excised text and the excision accounting; dropped duplicates
+    * keep their ORIGINAL text with removed_tokens 0 (labeled, not
+    * destroyed — the same honesty convention as [[dedup]]; downstream
+    * filters on `keep`). `spanWindow`/`spanMinDupCount` are
+    * [[SpanDup.spanDedup]]'s knobs. ≡-composition spec'd: this equals
+    * running [[dedup]], filtering to keepers, and spanDedup over them
+    * (DedupPipelineSpec), and [[dedup]]'s own contract is untouched.
+    *
+    * Scale shape: adds exactly [[SpanDup.spanDedup]]'s stages (one
+    * keyed fingerprint pass bounded by actual duplication, two per-doc
+    * folds) over the keeper subset, plus two keyed joins to relabel —
+    * nothing single-partition, nothing corpus-buffered. */
+  def curate(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 0.8, maxDf: Int = 1000,
+      spanWindow: Int = 50, spanMinDupCount: Long = 2L): DataFrame = {
+    val id = col(idCol)
+    val labels = dedup(docs, idCol, textCol, threshold, maxDf)
+    val keepers = docs
+      .join(labels.filter(col("keep")).select(id), Seq(idCol))
+      .select(id, col(textCol))
+    val excised = SpanDup.spanDedup(keepers, spanWindow, spanMinDupCount,
+        idCol, textCol)
+      .select(id, col(textCol).as("_sp_text"),
+        col("n_tokens").as("_sp_n"), col("removed_tokens").as("_sp_rm"))
+    docs.select(id, col(textCol))
+      .join(labels.select(id, col("cluster_id"), col("keep")), Seq(idCol))
+      .join(excised, Seq(idCol), "left")
+      .select(id, col("cluster_id"), col("keep"),
+        coalesce(col("_sp_text"), col(textCol)).as(textCol),
+        coalesce(col("_sp_n"),
+          size(filter(split(col(textCol), " "), w => length(w) > 0))
+            .cast("long")).as("n_tokens"),
+        coalesce(col("_sp_rm"), lit(0L)).as("removed_tokens"))
+  }
+
   /** (id, cluster_id, keep) for every input document. */
   def dedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.8, maxDf: Int = 1000): DataFrame = {

@@ -104,6 +104,41 @@ class CurationOpsSpec extends SparkSpec {
       s"mixtureRepeat must not shuffle the corpus:\n$plan")
   }
 
+  test("mixtureRepeat qualifyMaxEpochs: ids become unique by construction, recoverable, and guarded") {
+    val over = Seq(("wikipedia", 2500L), ("books", 500L))
+      .toDF("source", "keep_per_mille")
+    val plain = CurationOps.mixtureRepeat(docs, over)
+      .select("doc_id", "epoch").as[(Long, Long)].collect().toSet
+    val q = CurationOps.mixtureRepeat(docs, over, qualifyMaxEpochs = 3)
+      .select("doc_id", "epoch").as[(Long, Long)].collect()
+    // unique by construction — the packSequences guard passes as-is
+    assert(q.map(_._1).distinct.length === q.length)
+    // original (id, epoch) recover as div/mod — same rows as unqualified
+    assert(q.map { case (id, e) => (id / 3, id % 3) }.toSet === plain)
+    q.foreach { case (id, e) => assert(id % 3 === e, s"qualified id $id") }
+    // a recipe reaching epochs >= qualifyMaxEpochs fails loudly per row
+    // (collect the id column — a count would let pruning skip the guard)
+    val e = intercept[Exception] {
+      CurationOps.mixtureRepeat(docs, over, qualifyMaxEpochs = 2)
+        .select("doc_id").collect()
+    }
+    assert(e.getMessage.contains("qualifyMaxEpochs"))
+    // a string id cannot qualify — fail at plan time, naming the fix
+    val sdocs = docs.withColumn("doc_id", concat(lit("d"), col("doc_id")))
+    val e2 = intercept[IllegalArgumentException] {
+      CurationOps.mixtureRepeat(sdocs, over, qualifyMaxEpochs = 3)
+    }
+    assert(e2.getMessage.contains("integral"))
+    // an id past the overflow bound fails loudly, never wraps
+    val big = Seq((Long.MaxValue / 2, "wikipedia", 5L))
+      .toDF("doc_id", "source", "n_chars")
+    val e3 = intercept[Exception] {
+      CurationOps.mixtureRepeat(big, over, qualifyMaxEpochs = 3)
+        .select("doc_id").collect()
+    }
+    assert(e3.getMessage.contains("overflow"))
+  }
+
   test("a mixture with duplicate source rows fails loudly, not silently duplicating docs") {
     val dup = Seq(("wikipedia", 1000L), ("wikipedia", 250L), ("books", 500L))
       .toDF("source", "keep_per_mille")

@@ -63,4 +63,51 @@ class DedupPipelineSpec extends SparkSpec {
     assert(viaPipeline.except(reference).count() === 0)
     assert(reference.except(viaPipeline).count() === 0)
   }
+
+  test("curate: doc-level drop then span excision — the dup doc drops whole, the shared span excises from the later keeper only") {
+    val docs = Seq(
+      (1L, "a b c d e f"),                // keeper of the exact pair
+      (2L, "a b c d e f"),                // exact duplicate -> dropped whole
+      (10L, "x y z s1 s2 s3 q r"),        // first occurrence of the shared span
+      (20L, "m n s1 s2 s3 o p")           // later occurrence -> span excised
+    ).toDF("doc_id", "text")
+    val out = DedupPipeline.curate(docs, threshold = 0.9,
+      spanWindow = 3, spanMinDupCount = 2L).cache()
+    assert(out.count() === 4, "every input document comes back labeled")
+    val byDoc = out.select("doc_id", "keep", "text", "n_tokens", "removed_tokens")
+      .as[(Long, Boolean, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // the exact duplicate drops at doc level, text untouched
+    assert(byDoc(1L) === ((1L, true, "a b c d e f", 6L, 0L)))
+    assert(byDoc(2L) === ((2L, false, "a b c d e f", 6L, 0L)))
+    // the shared 3-word span keeps its globally-first occurrence (doc
+    // 10, position 3 sorts before doc 20, position 2 on (doc, p)) and
+    // excises the later one — the signal doc-level dedup cannot see
+    assert(byDoc(10L) === ((10L, true, "x y z s1 s2 s3 q r", 8L, 0L)))
+    assert(byDoc(20L) === ((20L, true, "m n o p", 4L, 3L)))
+  }
+
+  test("curate ≡ dedup then spanDedup over the keepers, on the real corpus; labels unchanged") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val viaCurate = DedupPipeline.curate(docs, threshold = 0.5,
+      spanWindow = 8, spanMinDupCount = 2L).cache()
+    val labels = DedupPipeline.dedup(docs, threshold = 0.5).cache()
+    // the labels half is exactly dedup's output
+    assert(viaCurate.select("doc_id", "cluster_id", "keep")
+      .except(labels).count() === 0)
+    assert(labels.except(
+      viaCurate.select("doc_id", "cluster_id", "keep")).count() === 0)
+    // the keeper half is exactly the sequential composition
+    val keepers = docs.join(labels.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+    val sequential = SpanDup.spanDedup(keepers, 8, 2L)
+      .select("doc_id", "text", "n_tokens", "removed_tokens")
+    val curateKeepers = viaCurate.filter(col("keep"))
+      .select("doc_id", "text", "n_tokens", "removed_tokens")
+    assert(curateKeepers.except(sequential).count() === 0)
+    assert(sequential.except(curateKeepers).count() === 0)
+    // dropped docs pass through with original text and zero removal
+    val dropped = viaCurate.filter(!col("keep"))
+      .join(docs.select(col("doc_id"), col("text").as("_orig")), Seq("doc_id"))
+    assert(dropped.filter(col("text") =!= col("_orig") ||
+      col("removed_tokens") =!= 0L).count() === 0)
+  }
 }
