@@ -406,6 +406,16 @@ object Stress {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"STRESS span_dup_stats               $dt%8.2f s   " +
         f"docs=${s.getLong(0)} dupWindows=${s.getLong(1)} avgFrac=${s.getDouble(2)}%.3f")
+      // in-session A/B of the two fingerprint paths: the default above
+      // is the O(1)/position rolling hash; this is the O(window)/
+      // position joined-xxhash64 path — same flagged sets (spec'd),
+      // the delta is pure fingerprint cost at window 50
+      val tj = System.nanoTime()
+      val sj = SpanDup.spanDupStats(docsDf, window = 50, rolling = false)
+        .agg(sum(col("dup_windows"))).head()
+      val dtj = (System.nanoTime() - tj) / 1e9
+      println(f"STRESS span_dup_stats_joinedfp      $dtj%8.2f s   " +
+        s"dupWindows=${sj.getLong(0)}")
       // the removal half on the same worst case: nearly every >=50-word
       // doc is a non-keeper copy, so almost all coverage excises
       val t1 = System.nanoTime()

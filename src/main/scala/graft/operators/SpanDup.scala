@@ -24,16 +24,22 @@ import org.apache.spark.sql.functions._
   * window count, never the corpus. No stage is single-partition
   * (plan-audit spec).
   *
-  * Fingerprints are xxhash64 of the Sep-joined span — the standard
-  * hashed approximation of the paper's suffix-array exactness: a
+  * Fingerprints approximate the paper's suffix-array exactness: a
   * collision (≈2⁻⁶⁴ per pair) can flag a non-duplicated span, never
   * miss a duplicated one. Callers needing certainty verify flagged
-  * spans by string compare within fingerprint groups downstream.
-  * Fingerprinting is O(window) per position (each span joins into one
-  * codegen'd xxhash64 call); a Rabin-Karp rolling hash would be O(1)
-  * per position, at the price of a hand-rolled stateful expression and
-  * a non-avalanching, adversarially collidable fingerprint — the
-  * deliberate trade here is builtin-only compute, measured at §6.
+  * spans by string compare within fingerprint groups downstream. TWO
+  * fingerprint paths, spec'd to flag identical window sets on the real
+  * corpus (the choice is cost/robustness, never semantics):
+  *  - `rolling = true` (default): a Rabin-Karp rolling hash
+  *    ([[org.apache.spark.sql.graft.RollingWindowFp]], codegen'd) —
+  *    O(1) per position, each word hashed once; at window 50 that is
+  *    ~50× less hashing on the one corpus-sized pass (measured at §6).
+  *    Non-avalanching and adversarially collidable, like any
+  *    polynomial fingerprint.
+  *  - `rolling = false`: xxhash64 of the Sep-joined span — builtin,
+  *    avalanching, O(window) per position. The path to pick when the
+  *    corpus is adversarial (crafted collisions inflate flagged
+  *    coverage; they still never cause a MISS).
   */
 object SpanDup {
 
@@ -44,11 +50,17 @@ object SpanDup {
     * per span start — so the stats and the removal can never disagree
     * about what a span is (the prunedScan convention). */
   private def spanFrame(docs: DataFrame, window: Int, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, rolling: Boolean): DataFrame = {
     require(window >= 1, s"window $window must be >= 1")
-    docs.select(col(idCol), wordsOf(textCol).as("_ws"))
+    val base = docs.select(col(idCol), wordsOf(textCol).as("_ws"))
       .filter(size(col("_ws")) >= window)
-      .select(col(idCol),
+    if (rolling)
+      base.select(col(idCol),
+        posexplode(org.apache.spark.sql.graft.RollingWindowFp
+          .rollingFp(col("_ws"), window)).as(Seq("p", "fp")))
+        .select(col(idCol), col("p").cast("long").as("p"), col("fp"))
+    else
+      base.select(col(idCol),
         explode(sequence(lit(0), size(col("_ws")) - window)).as("p"),
         col("_ws"))
       .select(col(idCol), col("p").cast("long").as("p"),
@@ -63,10 +75,10 @@ object SpanDup {
     * empty docs). */
   def spanDupStats(docs: DataFrame, window: Int = 50,
       minDupCount: Long = 2L, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", rolling: Boolean = true): DataFrame = {
     require(minDupCount >= 2, s"minDupCount $minDupCount must be >= 2 — " +
       "1 would flag every span")
-    val spans = spanFrame(docs, window, idCol, textCol)
+    val spans = spanFrame(docs, window, idCol, textCol, rolling)
     // corpus-wide duplicated fingerprints: keyed count, map-combined;
     // the surviving table is bounded by actual duplication
     val dups = spans.groupBy(col("fp")).agg(count(lit(1)).as("_n"))
@@ -99,6 +111,56 @@ object SpanDup {
             col("n_tokens")).otherwise(lit(0.0)).as("dup_fraction"))
   }
 
+  /** Variable-length MAXIMAL duplicated spans — the output shape of
+    * the paper's suffix-array formulation (one row per maximal
+    * duplicated region, not per fixed window): adjacent/overlapping
+    * flagged windows merge into one span per document, reported as
+    * (idCol, span_start, span_len, n_windows, min_occurrences).
+    * `span_start`/`span_len` are word offsets/counts;
+    * `min_occurrences` is the minimum corpus-wide occurrence count
+    * over the span's windows — a LOWER bound on whole-span occurrences
+    * (every window of the span occurs at least that often; the span
+    * need not repeat as one unit). A span shorter than `window` words
+    * is still invisible — the fixed-window floor is inherent to the
+    * fingerprint approximation (object doc).
+    *
+    * Scale shape: identical to [[spanDupStats]] — the merge fold rides
+    * the same per-document sorted-starts aggregation, now carrying
+    * (start, count) pairs; the explode emits at most one row per
+    * flagged window. */
+  def spanDupSpans(docs: DataFrame, window: Int = 50,
+      minDupCount: Long = 2L, idCol: String = "doc_id",
+      textCol: String = "text", rolling: Boolean = true): DataFrame = {
+    require(minDupCount >= 2, s"minDupCount $minDupCount must be >= 2 — " +
+      "1 would flag every span")
+    val spans = spanFrame(docs, window, idCol, textCol, rolling)
+    val dups = spans.groupBy(col("fp")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= minDupCount)
+    val W = lit(window.toLong)
+    spans.join(dups, Seq("fp"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("p"), col("_n")))).as("_pn"))
+      .select(col(idCol), explode(aggregate(col("_pn"),
+        array().cast("array<struct<f:bigint,u:bigint,nw:bigint,mn:bigint>>"),
+        (acc, x) => when(
+          size(acc) > 0 && element_at(acc, -1).getField("u") >= x.getField("p"),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(element_at(acc, -1).getField("f").as("f"),
+              greatest(element_at(acc, -1).getField("u"),
+                x.getField("p") + W).as("u"),
+              (element_at(acc, -1).getField("nw") + 1L).as("nw"),
+              least(element_at(acc, -1).getField("mn"),
+                x.getField("_n")).as("mn")))))
+          .otherwise(concat(acc, array(struct(x.getField("p").as("f"),
+            (x.getField("p") + W).as("u"), lit(1L).as("nw"),
+            x.getField("_n").as("mn"))))))).as("_iv"))
+      .select(col(idCol),
+        col("_iv").getField("f").as("span_start"),
+        (col("_iv").getField("u") - col("_iv").getField("f")).as("span_len"),
+        col("_iv").getField("nw").as("n_windows"),
+        col("_iv").getField("mn").as("min_occurrences"))
+  }
+
   /** Span REMOVAL — the paper's keep-first-occurrence excision: for
     * each duplicated fingerprint the globally-first occurrence (min
     * (doc, start) — deterministic, layout-independent) is the KEEPER;
@@ -120,10 +182,10 @@ object SpanDup {
     * higher-order expressions, state bounded by the document. */
   def spanDedup(docs: DataFrame, window: Int = 50,
       minDupCount: Long = 2L, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", rolling: Boolean = true): DataFrame = {
     require(minDupCount >= 2, s"minDupCount $minDupCount must be >= 2 — " +
       "1 would excise every span")
-    val spans = spanFrame(docs, window, idCol, textCol)
+    val spans = spanFrame(docs, window, idCol, textCol, rolling)
     // one keyed pass: occurrence count AND the keeper argmin per print
     val keepers = spans
       .groupBy(col("fp"))

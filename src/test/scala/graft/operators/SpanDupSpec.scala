@@ -152,6 +152,90 @@ class SpanDupSpec extends SparkSpec {
     expect.foreach { case (id, e) => assert(relaid(id) === e, s"relaid $id") }
   }
 
+  test("rolling and joined fingerprints flag identical window sets: stats and excision bit-equal on the real table") {
+    val window = 8
+    val seeded = docs.unionByName(Seq(
+      (900001L, Array.fill(3)("alpha beta gamma delta eps zeta eta theta").mkString(" ")),
+      (900002L, "alpha beta gamma delta eps zeta eta theta plus unrelated tail words")
+    ).toDF("doc_id", "text")).cache()
+    val statsRolling = SpanDup.spanDupStats(seeded, window)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    val statsJoined = SpanDup.spanDupStats(seeded, window, rolling = false)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(statsRolling.toSeq === statsJoined.toSeq)
+    assert(statsRolling.exists(_._3 > 0L), "must actually flag something")
+    val dedupRolling = SpanDup.spanDedup(seeded, window)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    val dedupJoined = SpanDup.spanDedup(seeded, window, rolling = false)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(dedupRolling.toSeq === dedupJoined.toSeq)
+  }
+
+  test("the rolling fingerprint slide equals direct polynomial evaluation at every position") {
+    import org.apache.spark.sql.graft.RollingWindowFp
+    // single-node reference: FNV-1a word hashes folded as a degree-
+    // (w-1) polynomial in the same base — computed WITHOUT the slide
+    def fnv(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      s.getBytes("UTF-8").foreach(b => h = (h ^ (b & 0xffL)) * RollingWindowFp.Base)
+      h
+    }
+    def direct(ws: Array[String], p: Int, w: Int): Long =
+      ws.slice(p, p + w).foldLeft(0L)((acc, x) => acc * RollingWindowFp.Base + fnv(x))
+    val text = "the quick brown fox jumps over the lazy dog the quick brown fox again"
+    val ws = text.split(" ")
+    for (w <- Seq(1, 3, 5)) {
+      val got = Seq((1L, text)).toDF("doc_id", "text")
+        .select(posexplode(RollingWindowFp.rollingFp(
+          split(col("text"), " "), w)).as(Seq("p", "fp")))
+        .as[(Int, Long)].collect().sortBy(_._1)
+      assert(got.length === ws.length - w + 1)
+      got.foreach { case (p, fp) =>
+        assert(fp === direct(ws, p, w), s"window $w position $p") }
+    }
+    // identical spans share a fingerprint; the repeated "the quick
+    // brown fox" at 0 and 9 must collide by construction
+    val fp3 = Seq((1L, text)).toDF("doc_id", "text")
+      .select(posexplode(RollingWindowFp.rollingFp(
+        split(col("text"), " "), 4)).as(Seq("p", "fp")))
+      .as[(Int, Long)].collect().toMap
+    assert(fp3(0) === fp3(9))
+  }
+
+  test("spanDupSpans merges flagged windows into maximal spans with occurrence lower bounds") {
+    val d = Seq(
+      // docs 1/2 share "c1 c2 c3 c4" (two 3-windows, overlapping) and,
+      // disjointly, "z1 z2 z3" (one window) — two maximal spans in each
+      (1L, "u1 u2 c1 c2 c3 c4 u3 z1 z2 z3"),
+      (2L, "c1 c2 c3 c4 v1 v2 v3 v4 z1 z2 z3"),
+      // doc 3 is clean
+      (3L, "totally unique words here indeed today")
+    ).toDF("doc_id", "text")
+    val got = SpanDup.spanDupSpans(d, window = 3)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2).toSeq }
+    // doc 1: "c1..c4" occupies words [2,6) (windows at 2,3 merge),
+    // "z1 z2 z3" words [7,10)
+    assert(got(1L) === Seq((1L, 2L, 4L, 2L, 2L), (1L, 7L, 3L, 1L, 2L)))
+    // doc 2: same spans at its own offsets
+    assert(got(2L) === Seq((2L, 0L, 4L, 2L, 2L), (2L, 8L, 3L, 1L, 2L)))
+    assert(!got.contains(3L), "clean docs report no spans")
+    // min_occurrences is a lower bound: a window occurring 3x inside a
+    // span whose other window occurs 2x reports 2
+    val t = Seq(
+      (10L, "a b c d"),   // windows (a,b,c) and (b,c,d)
+      (11L, "a b c d"),
+      (12L, "x a b c y")  // (a,b,c) only -> that window occurs 3x
+    ).toDF("doc_id", "text")
+    val spans10 = SpanDup.spanDupSpans(t, window = 3)
+      .filter(col("doc_id") === 10L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(spans10.toSeq === Seq((10L, 0L, 4L, 2L, 2L)))
+    intercept[IllegalArgumentException] {
+      SpanDup.spanDupSpans(d, window = 0)
+    }
+  }
+
   test("plan audit: fingerprint count partial-aggregates below its shuffle, nothing single-partitions") {
     val p = SpanDup.spanDupStats(docs, 8).queryExecution.executedPlan.toString
     val ex = p.indexOf("Exchange hashpartitioning")
