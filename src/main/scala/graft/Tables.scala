@@ -23,9 +23,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-    * to TimestampType. Read it as a raw long (legacy conf) and truncate to
-    * microseconds — matching DuckDB's ns→us truncation in the oracles. */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) (Spark 4
+    * refuses to map it to TimestampType — read as a raw long via the
+    * legacy conf and truncate to microseconds) and, in later testdata
+    * generations, as TIMESTAMP_NTZ micros (wall time, no zone — cast to
+    * an instant). Both conversions treat the stored wall time as UTC,
+    * matching DuckDB's naive-timestamp `epoch_us` in the oracles; every
+    * entry point (Verify/Bench/Stress/tests) pins
+    * `spark.sql.session.timeZone=UTC` so the NTZ cast is
+    * deployment-independent. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
@@ -33,6 +39,9 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df   // already a proper timestamp (e.g. re-written copies)
     }
   }

@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The whole-document pack must place every document in exactly one
+  * sequence, in corpus order, by the declared group-local next-fit —
+  * matching a single-node fold of the same rule bin for bin — while
+  * conserving every token, padding to exactly seqLen, reporting the
+  * attention spans, and staying layout-independent. The approximation
+  * surface (group seams) is pinned by the parity test: with groupSize
+  * ≥ corpus the assignment IS single-node next-fit.
+  */
+class PackWholeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val SeqLen = 128
+
+  /** Deterministic synthetic encoded corpus: ids are (doc_id, pos)
+    * coded — (i+2)·1000+p, all ≥ 2000 so they never collide with the
+    * eod (1) or pad (0) ids — so any misplacement is visible; lengths
+    * vary 1..~120. */
+  private def corpus(n: Int): org.apache.spark.sql.DataFrame =
+    (0 until n).map { i =>
+      val len = 1 + (i * 37 + 11) % 120
+      (i.toLong, (0 until len).map(p => (i.toLong + 2) * 1000 + p).toArray)
+    }.toDF("doc_id", "ids")
+
+  /** Single-node group-local next-fit: returns doc -> (seqId, order). */
+  private def refPack(lens: Seq[(Long, Int)], seqLen: Int,
+      groupSize: Int): Map[Long, Long] = {
+    val sorted = lens.sortBy(_._1)
+    var out = Map.empty[Long, Long]
+    var nextSeq = 0L
+    sorted.grouped(groupSize).foreach { group =>
+      var filled = Long.MaxValue / 2
+      var bin = -1L
+      group.foreach { case (id, payload) =>
+        if (filled + payload <= seqLen) { filled += payload }
+        else { bin += 1; filled = payload.toLong }
+        out += id -> (nextSeq + bin)
+      }
+      nextSeq += bin + 1
+    }
+    out
+  }
+
+  test("assignment matches the single-node next-fit fold, at group seams too") {
+    val docs = corpus(300).cache()
+    val lens = docs.select(col("doc_id"), (size(col("ids")) + 1).as("l"))
+      .as[(Long, Int)].collect().toSeq
+    for (groupSize <- Seq(7, 64, 1000)) {
+      val ref = refPack(lens, SeqLen, groupSize)
+      // recover doc -> seq from the packed ids themselves (every id
+      // encodes its document; eod/pad can't alias — ids are ≥ 2000)
+      val bySeq = PackWhole.packSequencesWhole(docs, SeqLen,
+          groupSize = groupSize)
+        .select("seq_id", "ids", "n_tokens").as[(Long, Seq[Long], Long)]
+        .collect()
+      val docSeq = scala.collection.mutable.Map.empty[Long, Long]
+      bySeq.foreach { case (sid, ids, nt) =>
+        ids.take(nt.toInt).filter(_ >= 2000)
+          .foreach(v => docSeq.getOrElseUpdate(v / 1000 - 2, sid))
+      }
+      assert(docSeq.toMap === ref, s"groupSize $groupSize")
+    }
+  }
+
+  test("every token survives, sequences are padded to seqLen, spans partition the payload, docs never split") {
+    val docs = corpus(300).cache()
+    val packed = PackWhole.packSequencesWhole(docs, SeqLen).cache()
+    val rows = packed
+      .select("seq_id", "ids", "n_tokens", "n_docs", "doc_lens")
+      .as[(Long, Seq[Long], Long, Long, Seq[Long])].collect()
+    rows.foreach { case (sid, ids, nt, nd, dl) =>
+      assert(ids.length === SeqLen, s"seq $sid not padded to seqLen")
+      assert(dl.sum === nt, s"seq $sid spans don't cover the payload")
+      assert(dl.length === nd)
+      assert(nt <= SeqLen)
+      assert(ids.drop(nt.toInt).forall(_ == 0L), s"seq $sid pad ids")
+      // walk the spans: each must be one whole doc's ids + trailing eod
+      var off = 0
+      dl.foreach { l =>
+        val span = ids.slice(off, off + l.toInt)
+        assert(span.last === 1L, s"seq $sid span at $off lacks eod")
+        val payload = span.dropRight(1)
+        if (payload.nonEmpty) {
+          val base = payload.head / 1000
+          assert(payload === payload.indices.map(p => base * 1000 + p),
+            s"seq $sid: doc ${base - 2} split or reordered")
+        }
+        off += l.toInt
+      }
+    }
+    // global conservation: every doc appears exactly once
+    val total = rows.map(_._3).sum
+    val expect = docs.select(sum(size(col("ids")) + 1)).as[Long].head()
+    assert(total === expect)
+  }
+
+  test("assignment is layout-independent and next-fit-tight within groups") {
+    val docs = corpus(257).cache()
+    val a = PackWhole.packSequencesWhole(docs, SeqLen)
+      .select("seq_id", "n_tokens", "n_docs").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    val b = PackWhole.packSequencesWhole(docs.repartition(13), SeqLen)
+      .select("seq_id", "n_tokens", "n_docs").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(a === b)
+    // next-fit invariant inside a group: consecutive sequences can't be
+    // merged — seq s's fill plus seq s+1's FIRST doc payload > seqLen
+    val packed = PackWhole.packSequencesWhole(docs, SeqLen, groupSize = 64)
+      .select("seq_id", "n_tokens", "doc_lens")
+      .as[(Long, Long, Seq[Long])].collect().sortBy(_._1)
+    val lens = docs.select(col("doc_id"), (size(col("ids")) + 1).as("l"))
+      .as[(Long, Int)].collect().sortBy(_._1)
+    val nGroups = (lens.length + 63) / 64
+    // group boundaries in seq space: recompute which seqs belong to
+    // which group via the doc walk
+    var di = 0
+    val seqGroup = packed.map { case (sid, _, dl) =>
+      val g = di / 64; di += dl.length; sid -> g
+    }.toMap
+    packed.sliding(2).foreach {
+      case Array((s1, nt1, _), (s2, _, dl2)) =>
+        if (seqGroup(s1) == seqGroup(s2))
+          assert(nt1 + dl2.head > SeqLen,
+            s"seqs $s1/$s2 violate next-fit tightness")
+      case _ =>
+    }
+    assert(nGroups >= 1)
+  }
+
+  test("oversize documents and duplicate ids fail loudly") {
+    val over = Seq((1L, (0 until SeqLen).map(_.toLong).toArray),
+      (2L, Array(5L))).toDF("doc_id", "ids")
+    val e1 = intercept[Exception] {
+      PackWhole.packSequencesWhole(over, SeqLen).collect() }
+    assert(e1.getMessage.contains("exceeds seqLen"))
+    val dup = Seq((1L, Array(1L)), (1L, Array(2L))).toDF("doc_id", "ids")
+    val e2 = intercept[IllegalArgumentException] {
+      PackWhole.packSequencesWhole(dup, SeqLen) }
+    assert(e2.getMessage.contains("duplicate"))
+  }
+}
