@@ -453,6 +453,50 @@ object Stress {
         println(f"STRESS incdedup_second_half         ${(t2 - t1) / 1e9}%8.2f s")
       }
     }
+
+    // learned quality classifier: ONE corpus pass into the dim-bounded
+    // count table, then the whole corpus scored through the shuffle-join
+    // path (the honest plan when the model outgrows broadcast). The
+    // label is mechanical (id parity) — this measures the plan, the
+    // separation property is spec'd on constructed labels
+    locally {
+      val docsDf = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"),
+          (col("doc_id") % 2 === 0).as("label"))
+      val t0 = System.nanoTime()
+      val model = QualityClassifier.train(docsDf, dim = 1 << 18)
+        .localCheckpoint(true)
+      val nFeat = model.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"STRESS quality_clf_train            $dt%8.2f s   features=$nFeat")
+      val t1 = System.nanoTime()
+      QualityClassifier.paretoKeep(
+          QualityClassifier.score(docsDf, model, broadcastModel = false))
+        .write.format("noop").mode("overwrite").save()
+      val dt1 = (System.nanoTime() - t1) / 1e9
+      println(f"STRESS quality_clf_score            $dt1%8.2f s   docs=${docsDf.count()}")
+    }
+
+    // whole-document packing: the boundary-respecting pack over the 50x
+    // corpus — rank + bounded-group fold + prefix + assemble; per-task
+    // state never exceeds a group's (rank, len) list / one sequence
+    locally {
+      // mechanical word-hash encoding: real document lengths without
+      // paying a BPE encode — packing cost depends only on lengths
+      val encoded = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          expr("transform(filter(split(text, ' '), w -> length(w) > 0), " +
+            "w -> pmod(xxhash64(w), 50000L))").as("ids"))
+      val t0 = System.nanoTime()
+      val packed = PackWhole.packSequencesWhole(encoded, 2048,
+        numPartitions = 64)
+      packed.write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val agg = packed.agg(count(lit(1)), sum(col("n_tokens")),
+        avg(col("n_tokens"))).head()
+      println(f"STRESS pack_whole                   $dt%8.2f s   " +
+        f"seqs=${agg.getLong(0)} tokens=${agg.getLong(1)} fill=${agg.getDouble(2) / 2048}%.3f")
+    }
     spark.stop()
   }
 }
