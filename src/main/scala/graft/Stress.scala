@@ -497,6 +497,49 @@ object Stress {
       println(f"STRESS pack_whole                   $dt%8.2f s   " +
         f"seqs=${agg.getLong(0)} tokens=${agg.getLong(1)} fill=${agg.getDouble(2) / 2048}%.3f")
     }
+    // round-10 curation additions on the 50x worst case. line_dedup:
+    // word-per-line makes every line cross-doc boilerplate (the corpus
+    // is ~50 copies of everything) — maximal flagged-join and rebuild
+    // load. sem_dedup: every vector has ~50 exact copies, so ~49/50 of
+    // each cluster prunes — maximal within-cluster pair yield.
+    // importance_resample: whole-corpus weighing via the shuffle-join
+    // path plus the Gumbel top-k.
+    locally {
+      val docsDf = Tables.documents(spark, dir)
+        .select(col("doc_id"), regexp_replace(col("text"), " ", "\n").as("text"))
+      val t0 = System.nanoTime()
+      val ld = LineDedup.dedupLines(docsDf, minDocs = 3L)
+        .agg(sum(col("n_lines")), sum(col("removed_lines"))).head()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"STRESS line_dedup                   $dt%8.2f s   " +
+        s"kept=${ld.getLong(0)} removed=${ld.getLong(1)}")
+    }
+    locally {
+      val vecsDf = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      val t0 = System.nanoTime()
+      val sd = SemDedup.semDedup(vecsDf, threshold = 0.99, id = "vec_id")
+        .agg(count(lit(1)), count(when(col("keep"), lit(1)))).head()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"STRESS sem_dedup                    $dt%8.2f s   " +
+        s"rows=${sd.getLong(0)} kept=${sd.getLong(1)}")
+    }
+    locally {
+      val docsDf = Tables.documents(spark, dir).select("doc_id", "text")
+      val t0 = System.nanoTime()
+      val model = ImportanceResample.train(
+          docsDf.filter(col("doc_id") % 2 === 0),
+          docsDf.filter(col("doc_id") % 2 === 1))
+        .localCheckpoint(true)
+      val nFeat = model.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"STRESS importance_train             $dt%8.2f s   features=$nFeat")
+      val t1 = System.nanoTime()
+      val sel = ImportanceResample.resample(docsDf, model, 10000,
+        broadcastModel = false)
+      sel.write.format("noop").mode("overwrite").save()
+      val dt1 = (System.nanoTime() - t1) / 1e9
+      println(f"STRESS importance_resample          $dt1%8.2f s   k=${sel.count()}")
+    }
     spark.stop()
   }
 }

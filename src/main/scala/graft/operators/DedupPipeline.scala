@@ -51,20 +51,37 @@ object DedupPipeline {
     * Scale shape: adds exactly [[SpanDup.spanDedup]]'s stages (one
     * keyed fingerprint pass bounded by actual duplication, two per-doc
     * folds) over the keeper subset, plus two keyed joins to relabel —
-    * nothing single-partition, nothing corpus-buffered. */
+    * nothing single-partition, nothing corpus-buffered.
+    *
+    * `lineMinDocs ≥ 2` opts in a LINE-level boilerplate stage
+    * ([[LineDedup.dedupLines]]) BEFORE the document level — the CCNet
+    * order (Wenzek et al. 2020 dedup lines first): two pages differing
+    * only in nav/footer chrome become byte-identical once the chrome is
+    * gone, so exact dedup catches what it would otherwise miss, and the
+    * span stage never wastes windows on boilerplate. All downstream
+    * stages (hashing, shingles, spans, n_tokens) see the CLEANED text;
+    * non-keepers carry their cleaned (not raw) text back, consistent
+    * with every stage after the opt-in operating on it. 0 = off. */
   def curate(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", threshold: Double = 0.8, maxDf: Int = 1000,
-      spanWindow: Int = 50, spanMinDupCount: Long = 2L): DataFrame = {
+      spanWindow: Int = 50, spanMinDupCount: Long = 2L,
+      lineMinDocs: Long = 0L, lineMinChars: Int = 1): DataFrame = {
+    require(lineMinDocs == 0L || lineMinDocs >= 2L,
+      s"lineMinDocs $lineMinDocs must be 0 (off) or >= 2 (LineDedup's floor)")
     val id = col(idCol)
-    val labels = dedup(docs, idCol, textCol, threshold, maxDf)
-    val keepers = docs
+    val base = if (lineMinDocs >= 2L)
+      LineDedup.dedupLines(docs, lineMinDocs, idCol, textCol, lineMinChars)
+        .select(id, col(textCol))
+    else docs.select(id, col(textCol))
+    val labels = dedup(base, idCol, textCol, threshold, maxDf)
+    val keepers = base
       .join(labels.filter(col("keep")).select(id), Seq(idCol))
       .select(id, col(textCol))
     val excised = SpanDup.spanDedup(keepers, spanWindow, spanMinDupCount,
         idCol, textCol)
       .select(id, col(textCol).as("_sp_text"),
         col("n_tokens").as("_sp_n"), col("removed_tokens").as("_sp_rm"))
-    docs.select(id, col(textCol))
+    base
       .join(labels.select(id, col("cluster_id"), col("keep")), Seq(idCol))
       .join(excised, Seq(idCol), "left")
       .select(id, col("cluster_id"), col("keep"),

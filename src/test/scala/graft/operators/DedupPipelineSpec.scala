@@ -86,6 +86,55 @@ class DedupPipelineSpec extends SparkSpec {
     assert(byDoc(20L) === ((20L, true, "m n o p", 4L, 3L)))
   }
 
+  test("curate with lineMinDocs: pages differing only in boilerplate collapse to exact duplicates") {
+    // d1/d2 share the same body but carry DIFFERENT banners; each
+    // banner appears on THREE pages so it flags at minDocs=3, while
+    // the shared body line sits on only two pages and survives —
+    // after the line stage d1 and d2 are byte-identical
+    val docs = Seq(
+      (1L, "Please accept our many cookies now\nalpha beta gamma delta epsilon zeta"),
+      (2L, "Subscribe to the newsletter today friends\nalpha beta gamma delta epsilon zeta"),
+      (3L, "Please accept our many cookies now\ncompletely unrelated junk page words"),
+      (4L, "Subscribe to the newsletter today friends\nother unrelated junk entirely here"),
+      (5L, "Please accept our many cookies now\nfifth page distinct content words here"),
+      (6L, "Subscribe to the newsletter today friends\nsixth page some different words again")
+    ).toDF("doc_id", "text")
+    // without the line stage the banners keep Jaccard below 0.9: all
+    // six docs stay their own cluster
+    val without = DedupPipeline.curate(docs, threshold = 0.9, spanWindow = 50)
+    assert(without.filter(col("keep")).count() === 6)
+    // with it, d2 collapses into d1's exact group and drops
+    val withLine = DedupPipeline.curate(docs, threshold = 0.9,
+      spanWindow = 50, lineMinDocs = 3L).cache()
+    val byDoc = withLine.select("doc_id", "cluster_id", "keep", "text")
+      .as[(Long, Long, Boolean, String)].collect().map(r => r._1 -> r).toMap
+    assert(byDoc(1L) === ((1L, 1L, true, "alpha beta gamma delta epsilon zeta")))
+    assert(byDoc(2L) === ((2L, 1L, false, "alpha beta gamma delta epsilon zeta")))
+    assert(byDoc(3L)._3 && byDoc(4L)._3)
+    assert(!byDoc(3L)._4.contains("cookies") && !byDoc(4L)._4.contains("newsletter"),
+      "every stage after the opt-in must see cleaned text")
+    intercept[IllegalArgumentException] {
+      DedupPipeline.curate(docs, lineMinDocs = 1L)
+    }
+  }
+
+  test("curate with lineMinDocs ≡ dedupLines then curate, on the real corpus") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    // universal chrome on every page — flagged at any minDocs
+    val seeded = docs.select(col("doc_id"),
+      concat(lit("NAVBAR HOME ABOUT\n"), col("text"),
+        lit("\nCOPYRIGHT ALL RIGHTS RESERVED")).as("text")).cache()
+    val viaOne = DedupPipeline.curate(seeded, threshold = 0.5,
+      spanWindow = 8, lineMinDocs = 2L).cache()
+    val sequential = DedupPipeline.curate(
+      LineDedup.dedupLines(seeded, minDocs = 2L).select("doc_id", "text"),
+      threshold = 0.5, spanWindow = 8)
+    assert(viaOne.except(sequential).count() === 0)
+    assert(sequential.except(viaOne).count() === 0)
+    assert(viaOne.filter(col("text").contains("NAVBAR")).count() === 0,
+      "the chrome must actually be gone or the test is vacuous")
+  }
+
   test("curate ≡ dedup then spanDedup over the keepers, on the real corpus; labels unchanged") {
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
     val viaCurate = DedupPipeline.curate(docs, threshold = 0.5,
