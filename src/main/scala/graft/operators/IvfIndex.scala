@@ -199,6 +199,15 @@ final class IvfIndex private[operators] (spark: SparkSession, path: String,
     import spark.implicits._
     centroids.toSeq.toDF("list_id", "centroid", "cnorm2")
   }
+
+  /** The coarse quantizer as a frame — (list_id, centroid, cnorm2),
+    * driver-bounded (nlist rows). Public so the learned partitioning
+    * can be REUSED outside search: [[SemDedup.semDedupWithCentroids]]
+    * accepts it directly (same assignment metric as [[add]] — argmax
+    * 2v·c − |c|², ties to the lower list), so a corpus indexed for ANN
+    * gets semantic dedup without retraining k-means. */
+  def coarseCentroids: DataFrame = centroidsDf
+
   private def cbLit: Column = lit(codebook)
 
   /** Committed batch ids (visible state of the index). */

@@ -106,6 +106,21 @@ object LineDedup {
       .limit(k)
   }
 
+  /** The flagged-line fingerprint set as a STANDALONE frame — (fp),
+    * one row per boilerplate line. Compute it ONCE on the big corpus
+    * and apply to deltas with [[dedupLinesAgainst]] (O(delta) per
+    * batch, the IncrementalDedup economics), persist it with [[save]],
+    * or serve it online by running dedupLinesAgainst inside
+    * foreachBatch (the G21 StreamingModelGate shape — the verdict for
+    * a line depends only on the frozen index, so batch/online parity
+    * is structural). Bounded by ACTUAL boilerplate, not the corpus. */
+  def boilerplateIndex(docs: DataFrame, minDocs: Long = 2L,
+      idCol: String = "doc_id", textCol: String = "text",
+      minLineChars: Int = 1): DataFrame = {
+    val lines = lineFrame(docs, idCol, textCol, minLineChars)
+    dupFps(lines, minDocs, idCol)
+  }
+
   /** Line REMOVAL: every occurrence of every flagged line is excised
     * and the document rebuilt from its remaining lines (joined with
     * \n — lossless for what split preserved). Returns every input
@@ -114,9 +129,26 @@ object LineDedup {
     * lines. */
   def dedupLines(docs: DataFrame, minDocs: Long = 2L,
       idCol: String = "doc_id", textCol: String = "text",
+      minLineChars: Int = 1): DataFrame =
+    dedupLinesAgainst(docs,
+      boilerplateIndex(docs, minDocs, idCol, textCol, minLineChars),
+      idCol, textCol, minLineChars)
+
+  /** [[dedupLines]] against a FROZEN index ((fp) rows — a
+    * [[boilerplateIndex]] from another corpus, another time, or
+    * [[load]]): lines matching the index excise; lines duplicated only
+    * WITHIN `docs` do not flag — frozen-index semantics, what makes
+    * delta application O(delta) and streaming service stateless.
+    * `minLineChars` must match the index's build floor for exact
+    * equivalence (a lower floor here can only excise more). */
+  def dedupLinesAgainst(docs: DataFrame, index: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
       minLineChars: Int = 1): DataFrame = {
     val lines = lineFrame(docs, idCol, textCol, minLineChars)
-    val removePos = lines.join(dupFps(lines, minDocs, idCol), Seq("fp"))
+    // defensive distinct: a duplicated index row would double-count
+    // removed_lines through the join fan-out
+    val removePos = lines
+      .join(index.select(col("fp").cast("long").as("fp")).distinct(), Seq("fp"))
       .groupBy(col(idCol)).agg(collect_list(col("p")).as("_ps"))
     docs.select(col(idCol), col(textCol), linesOf(textCol).as("_ls"))
       .join(removePos, Seq(idCol), "left")
@@ -131,5 +163,39 @@ object LineDedup {
         when(col("_kept").isNotNull, size(col("_kept")))
           .otherwise(size(col("_ls"))).cast("long").as("n_lines"),
         coalesce(size(col("_ps")), lit(0)).cast("long").as("removed_lines"))
+  }
+
+  /** Persist a [[boilerplateIndex]] durably on the [[ModelStore]]
+    * `_meta` atomic-commit convention (writer-locked, keep-two
+    * retention) — the QualityClassifier.save twin for the line index.
+    * The row count is validated against the WRITTEN files and recorded
+    * in the meta, so a torn table fails the next [[load]] loudly. */
+  def save(index: DataFrame, path: String): Unit = {
+    val spark = index.sparkSession
+    ModelStore.withLock(spark, path, "line boilerplate index") {
+      val g = ModelStore.nextGen(spark, path)
+      val dir = ModelStore.genDir(path, g, "fps")
+      index.select(col("fp").cast("long").as("fp")).distinct()
+        .write.mode("overwrite").parquet(dir)
+      val n = spark.read.parquet(dir).count()
+      ModelStore.writeMeta(spark, path, Seq(
+        "version" -> "1", "kind" -> "line_boilerplate", "gen" -> g.toString,
+        "nFps" -> n.toString))
+      ModelStore.pruneGens(spark, path, g)
+    }
+  }
+
+  /** Reopen a committed index: the (fp) frame [[dedupLinesAgainst]]
+    * takes, lazily over the committed generation's parquet, row count
+    * cross-checked against the meta. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val kv = ModelStore.readMeta(spark, path, "line boilerplate index")
+    ModelStore.checkKind(kv, path, "line_boilerplate", "1")
+    val df = spark.read.parquet(ModelStore.genDir(path, kv("gen").toLong, "fps"))
+    val n = df.count()
+    require(n == kv("nFps").toLong,
+      s"line boilerplate index at $path is torn: ${kv("nFps")} fingerprints " +
+        s"committed, $n readable — re-save")
+    df
   }
 }

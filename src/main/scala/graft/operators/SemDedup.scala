@@ -23,21 +23,25 @@ import org.apache.spark.sql.functions._
   * The kept member of every duplicate group is therefore its
   * lowest-centroid-cosine example, deterministically.
   *
-  * Scale shape: assignment is a broadcast-centroids argmax projection
-  * (no shuffle, corpus never replicated nlist×); ranking is a window
-  * partitioned BY CLUSTER (never global); the pair search is one
-  * self-join keyed on cluster id — O(c²) per cluster, the paper's own
-  * cost model, which `nlist` (≈√n default) keeps bounded. A cluster
-  * past `maxClusterSize` fails LOUDLY with the paper's own remedy
-  * (raise nlist) rather than pinning one task with a quadratic
-  * straggler; the probe is one nlist-row driver aggregate.
+  * Scale shape: assignment is a ROW-LOCAL argmax fold over the
+  * centroid array embedded as a literal (no join, no shuffle, no per-id
+  * window — a corpus×nlist exchange would dwarf the operator; the
+  * literal is nlist×dim floats, guarded ≤ 8192 lists — past that,
+  * assign with the broadcast k-means model and use
+  * [[semDedupAssigned]]); ranking is a window partitioned BY CLUSTER
+  * (never global); the pair search is one self-join keyed on cluster
+  * id — O(c²) per cluster, the paper's own cost model, which `nlist`
+  * (≈√n default) keeps bounded. A cluster past `maxClusterSize` fails
+  * LOUDLY with the paper's own remedy (raise nlist) rather than
+  * pinning one task with a quadratic straggler; the probe is one
+  * nlist-row driver aggregate.
   *
   * [[semDedup]] trains k-means (the IvfSearch sampler) and delegates to
-  * [[semDedupWithCentroids]], which does its own expression-level
-  * assignment (argmax 2e·c − |c|², tie-break list_id — deterministic,
-  * layout-free, spec-matchable; KMeansModel.transform stays out of the
-  * semantics so given centroids the output is a pure function of the
-  * input set).
+  * [[semDedupWithCentroids]], whose expression-level assignment
+  * (argmax 2e·c − |c|², first max wins — so ties break to the lower
+  * list_id — deterministic, layout-free, spec-matchable) keeps
+  * KMeansModel.transform out of the semantics: given centroids the
+  * output is a pure function of the input set.
   */
 object SemDedup {
 
@@ -64,45 +68,85 @@ object SemDedup {
       maxClusterSize)
   }
 
-  /** The deterministic core: assign every vector to its nearest
-    * centroid (euclidean, expanded 2e·c − |c|²; ties to the lower
-    * list_id), rank within cluster by (centroid cosine asc, id), flag
-    * items whose cosine to an earlier cluster-mate reaches `threshold`.
-    * Output: one row per input — (id, cluster_id, centroid_sim, keep,
-    * dup_of) with `dup_of` the earliest similar cluster-mate (null for
-    * kept rows). `centroids` must be (list_id, centroid). */
+  /** Assign every vector to its nearest centroid (euclidean, expanded
+    * 2e·c − |c|²; ties to the lower list_id) with a row-local fold over
+    * the literal centroid array, then apply [[semDedupAssigned]].
+    * `centroids` must be (list_id, centroid) with distinct list ids,
+    * at most 8192 of them (the literal-plan regime; past that, assign
+    * via the broadcast k-means model and call semDedupAssigned). */
   def semDedupWithCentroids(vecs: DataFrame, centroids: DataFrame,
       threshold: Double = 0.95, id: String = "id",
       embCol: String = "embedding",
       maxClusterSize: Long = 10000L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold $threshold out of (0, 1]")
-    require(maxClusterSize >= 2, s"maxClusterSize $maxClusterSize must be >= 2")
-    val cents = centroids.select(col("list_id").cast("int").as("list_id"),
-      col("centroid"),
-      VecDot.vecDot(col("centroid"), col("centroid")).as("_cn2"))
-    // assignment: broadcast centroids, per-row argmax — no shuffle
-    val wa = Window.partitionBy(col(id))
-      .orderBy(col("_score").desc, col("list_id"))
+    // driver-bounded: nlist rows, ordered so the fold's first-max tie
+    // break IS the lower list_id; |c|² uses VecDot's exact double fold
+    val cents = centroids
+      .select(col("list_id").cast("int"), col("centroid"))
+      .collect()
+      .map { r =>
+        val ce = r.getSeq[Float](1)
+        var n2 = 0.0
+        ce.foreach(x => n2 += x.toDouble * x.toDouble)
+        (r.getInt(0), ce, n2)
+      }
+      .sortBy(_._1).toSeq
+    require(cents.nonEmpty, "centroids frame is empty")
+    require(cents.map(_._1).distinct.size == cents.size,
+      "duplicate list_id in centroids frame")
+    require(cents.size <= 8192,
+      s"${cents.size} centroids exceed the literal-assignment regime " +
+        "(8192) — assign clusters with the broadcast k-means model " +
+        "(KMeansModel.transform, the IvfSearch corpus side) and call " +
+        "semDedupAssigned")
+    val centArr = typedLit(cents)
+    val scores = transform(centArr, c =>
+      lit(2.0) * VecDot.vecDot(col("_e"), c.getField("_2")) -
+        c.getField("_3"))
+    val chosen = element_at(centArr,
+      array_position(scores, array_max(scores)).cast("int"))
     val assigned = vecs.select(col(id), col(embCol).as("_e"))
-      .crossJoin(broadcast(cents))
-      .withColumn("_score",
-        lit(2.0) * VecDot.vecDot(col("_e"), col("centroid")) - col("_cn2"))
-      .withColumn("_r", row_number().over(wa))
-      .filter(col("_r") === 1)
-      .select(col(id), col("_e"), col("list_id").as("cluster_id"),
-        cosCol(col("_e"), col("centroid")).as("centroid_sim"))
-    // quadratic-straggler probe: one nlist-row driver aggregate
-    val big = assigned.groupBy(col("cluster_id")).agg(count(lit(1)).as("_c"))
+      .withColumn("_ch", chosen)
+      .select(col(id), col("_e").as(embCol),
+        col("_ch").getField("_1").as("cluster_id"),
+        cosCol(col("_e"), col("_ch").getField("_2")).as("centroid_sim"))
+    semDedupAssigned(assigned, threshold, id, embCol, maxClusterSize)
+  }
+
+  /** The rule core over a PRE-ASSIGNED frame — (id, embCol,
+    * cluster_id, centroid_sim) — for callers whose assignment came
+    * from elsewhere (a persisted IVF index's lists, a huge-nlist
+    * broadcast k-means projection): rank within cluster by
+    * (centroid_sim asc, id), flag items whose cosine to an earlier
+    * cluster-mate reaches `threshold`. Output: one row per input —
+    * (id, cluster_id, centroid_sim, keep, dup_of) with `dup_of` the
+    * earliest similar cluster-mate (null for kept rows). */
+  def semDedupAssigned(assigned: DataFrame, threshold: Double = 0.95,
+      id: String = "id", embCol: String = "embedding",
+      maxClusterSize: Long = 10000L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold $threshold out of (0, 1]")
+    require(maxClusterSize >= 2, s"maxClusterSize $maxClusterSize must be >= 2")
+    val base = assigned.select(col(id), col(embCol).as("_e"),
+      col("cluster_id"), col("centroid_sim"))
+    val wr = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("centroid_sim").asc, col(id))
+    // materialize ONCE: ranked feeds both pair-join sides, the probe
+    // and the final relabel — without the checkpoint the upstream
+    // assignment fold + cluster window recompute 3-4× (measured 4× the
+    // operator cost at 50×; the DedupClusters lineage convention)
+    val ranked = base.withColumn("_rnk", row_number().over(wr))
+      .localCheckpoint()
+    // quadratic-straggler probe: one nlist-row driver aggregate,
+    // fired BEFORE the quadratic join can execute
+    val big = ranked.groupBy(col("cluster_id")).agg(count(lit(1)).as("_c"))
       .filter(col("_c") > maxClusterSize).limit(3).collect()
     require(big.isEmpty,
       s"cluster(s) ${big.map(r => s"${r.get(0)} (${r.get(1)} rows)").mkString(", ")} " +
         s"exceed maxClusterSize=$maxClusterSize — the within-cluster pair " +
         "search is quadratic per cluster; raise nlist (the paper's remedy) " +
         "or raise the cap if the task-level cost is truly acceptable")
-    val wr = Window.partitionBy(col("cluster_id"))
-      .orderBy(col("centroid_sim").asc, col(id))
-    val ranked = assigned.withColumn("_rnk", row_number().over(wr))
     // upper-triangular pair search, keyed on the cluster
     val a = ranked.select(col(id).as("_aid"), col("_e").as("_ae"),
       col("cluster_id"), col("_rnk").as("_ar"))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{NgramLm, QualityClassifier}
+import graft.operators.{LineDedup, NgramLm, QualityClassifier}
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
@@ -66,4 +66,20 @@ object StreamingModelGate {
       sink(scored.withColumn("keep", col("ppl") <= lit(maxPpl)), batchId)
     }
   }
+
+  /** Clean a streaming (idCol, textCol) frame against a FROZEN line
+    * boilerplate index (C9 [[LineDedup.boilerplateIndex]], typically
+    * [[LineDedup.load]]ed): every micro-batch runs the batch operator
+    * and passes (idCol, textCol, n_lines, removed_lines) to `sink`. A
+    * document's cleaned form depends only on its own text and the
+    * frozen index — zero cross-batch state, replays reproduce
+    * bit-for-bit, and lines duplicated only WITHIN the stream never
+    * excise (frozen-index semantics, exactly the batch contract). */
+  def lines(docs: DataFrame, index: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minLineChars: Int = 1)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(LineDedup.dedupLinesAgainst(batch.toDF(), index, idCol, textCol,
+        minLineChars), batchId)
+    }
 }

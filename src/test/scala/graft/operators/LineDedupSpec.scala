@@ -146,6 +146,56 @@ class LineDedupSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSeq === Seq(("footer", 4L, 5L)))
   }
 
+  test("frozen index: known boilerplate excises from NEW docs; delta-only duplication never flags") {
+    val corpusA = Seq(
+      (1L, "footer line\nbody a"),
+      (2L, "footer line\nbody b"),
+      (3L, "footer line\nbody c")
+    ).toDF("doc_id", "text")
+    val index = LineDedup.boilerplateIndex(corpusA, minDocs = 2L).cache()
+    // dedupLines IS the composition of index + against, on the same corpus
+    val viaIndex = LineDedup.dedupLinesAgainst(corpusA, index)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val direct = LineDedup.dedupLines(corpusA, minDocs = 2L)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(viaIndex === direct)
+    // NEW docs: the frozen footer excises; a line duplicated only
+    // among the new docs does NOT (frozen-index semantics — the
+    // O(delta) / streaming-service contract)
+    val delta = Seq(
+      (10L, "footer line\nnew shared line\nfresh body x"),
+      (11L, "footer line\nnew shared line\nfresh body y")
+    ).toDF("doc_id", "text")
+    val got = LineDedup.dedupLinesAgainst(delta, index)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(10L) === ((10L, "new shared line\nfresh body x", 2L, 1L)))
+    assert(got(11L) === ((11L, "new shared line\nfresh body y", 2L, 1L)))
+  }
+
+  test("index artifact round-trips through ModelStore; cross-kind load fails loudly") {
+    val corpus = Seq(
+      (1L, "banner here\nalpha"),
+      (2L, "banner here\nbeta")
+    ).toDF("doc_id", "text")
+    val index = LineDedup.boilerplateIndex(corpus, minDocs = 2L)
+    val path = java.nio.file.Files.createTempDirectory("graft-lineidx").toString
+    LineDedup.save(index, path)
+    val loaded = LineDedup.load(spark, path)
+    assert(loaded.as[Long].collect().toSet === index.as[Long].collect().toSet)
+    val viaLoaded = LineDedup.dedupLinesAgainst(corpus, loaded)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(viaLoaded.map(_._2) === Seq("alpha", "beta"))
+    // a committed artifact of another kind must be refused by name
+    val clfPath = java.nio.file.Files.createTempDirectory("graft-clf").toString
+    QualityClassifier.save(QualityClassifier.train(Seq(
+      (true, "some trusted words here"), (false, "junky junk words there"))
+      .toDF("label", "text"), dim = 64), clfPath)
+    val e = intercept[IllegalArgumentException] {
+      LineDedup.load(spark, clfPath)
+    }
+    assert(e.getMessage.contains("kind"))
+  }
+
   test("guards fail loudly; no stage is single-partition") {
     val d = Seq((1L, "a\nb")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] { LineDedup.dedupLines(d, minDocs = 1) }

@@ -125,6 +125,25 @@ class SemDedupSpec extends SparkSpec {
     }
   }
 
+  test("a persisted IVF index's coarse quantizer drives semantic dedup without retraining") {
+    val path = java.nio.file.Files.createTempDirectory("graft-semivf").toString
+    val seeded = vecs.unionByName(vecs.filter(col("vec_id") < 4)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding")))
+    IvfIndex.build(seeded, "vec_id", path, nlist = 8, m = 4, ksub = 16)
+    val idx = IvfIndex.load(spark, path)
+    val got = SemDedup.semDedupWithCentroids(seeded, idx.coarseCentroids,
+        threshold = 0.999, id = "vec_id")
+      .as[(Long, Int, Double, Boolean, Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.size.toLong === seeded.count())
+    (0L until 4L).foreach { i =>
+      assert(got(i)._2 === got(i + 900000L)._2,
+        s"identical vectors $i split across index lists")
+      assert(!(got(i)._4 && got(i + 900000L)._4),
+        s"identical pair $i both kept")
+    }
+  }
+
   test("guards fail loudly; no stage is single-partition") {
     val cents = Seq((0, Array(1.0f, 0.0f))).toDF("list_id", "centroid")
     val many = (1L to 50L).map(i => (i, Array(1.0f, i / 1000.0f)))

@@ -115,4 +115,50 @@ class StreamingModelGateSpec extends SparkSpec {
     assert(keptReal > keptJunk,
       s"real docs should dominate the kept set: $keptReal vs $keptJunk")
   }
+
+  test("line gate: per-batch cleaning ≡ offline dedupLinesAgainst over a loaded index; stream-only duplication never excises") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.LineDedup
+    // chrome-seeded corpus; the index is fit offline and persisted
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 120)
+      .select(col("doc_id"), concat(lit("NAVBAR HOME\n"), col("text"),
+        lit("\nFOOTER LINE")).as("text")).cache()
+    val dir = java.nio.file.Files.createTempDirectory("line-gate").toString
+    LineDedup.save(LineDedup.boilerplateIndex(docs, minDocs = 2L), dir)
+    val index = LineDedup.load(spark, dir)
+    // two docs sharing a line ONLY with each other inside the stream —
+    // the frozen index must not excise it
+    val fresh = Seq(
+      (900001L, "fresh shared line\nbody number one"),
+      (900002L, "fresh shared line\nbody number two")).toDF("doc_id", "text")
+    val all = docs.unionByName(fresh).cache()
+    val offline = LineDedup.dedupLinesAgainst(all, index)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    val rows = all.as[(Long, String)].collect()
+    val got = scala.collection.mutable.Map.empty[Long, (String, Long, Long)]
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingModelGate.lines(
+        mem.toDS().toDF("doc_id", "text"), index) {
+      (out: DataFrame, _: Long) =>
+        got.synchronized {
+          out.as[(Long, String, Long, Long)].collect()
+            .foreach(r => got(r._1) = (r._2, r._3, r._4))
+        }
+    }.start()
+    try {
+      mem.addData(rows.take(45).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(45).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.keySet === offline.keySet)
+    got.foreach { case (id, v) => assert(v === offline(id), s"doc $id") }
+    // the chrome actually excised online, and the stream-only shared
+    // line survived verbatim
+    assert(got.count(_._2._3 > 0) >= 120)
+    assert(got(900001L) === (("fresh shared line\nbody number one", 2L, 0L)))
+    assert(got(900002L) === (("fresh shared line\nbody number two", 2L, 0L)))
+  }
 }
