@@ -70,6 +70,57 @@ object Contamination {
       .orderBy(col("doc_id"))
   }
 
+  /** SEMANTIC benchmark contamination — the embedding-space companion
+    * to the n-gram overlap above: flag corpus documents whose embedding
+    * cosine to SOME benchmark item reaches `threshold`. N-gram overlap
+    * only sees near-verbatim leakage; paraphrased or translated
+    * benchmark items evade it, which is exactly what embedding
+    * similarity catches (the semantic-decontamination check of recent
+    * eval-hygiene recipes — the same signal SemDeDup/D5 near-dup uses,
+    * pointed at an eval set).
+    *
+    * Scale shape (the lshNearDupPairs discipline, cross-frame): both
+    * sides sketch into (id, table, bucket) cells
+    * ([[AnnSearch.sketchCells]] — bytes, never embeddings); candidates
+    * are ONE equi-join on the cell key with the benchmark side
+    * BROADCAST (an eval set is KBs-MBs); exact cosine verifies only
+    * the deduped candidates, so false positives are impossible and the
+    * sketch controls recall alone (the lshNearDupPairs recall
+    * arithmetic applies unchanged — ≥0.99 at t = 0.45 under the
+    * defaults, higher above). Output: (idCol, n_bench_hits,
+    * worst_bench_id, worst_cos), one row per contaminated document —
+    * the argmax bench item via the struct-MAX convention. */
+  def embedContamination(corpus: DataFrame, bench: DataFrame,
+      threshold: Double, dims: Int, idCol: String = "doc_id",
+      benchIdCol: String = "bench_id", tables: Int = 24,
+      planesPerTable: Int = 4): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold $threshold out of (0, 1]")
+    val cCells = AnnSearch.sketchCells(
+      corpus.select(col(idCol), col("embedding")), idCol, dims, tables,
+      planesPerTable)
+    val bCells = AnnSearch.sketchCells(
+      bench.select(col(benchIdCol), col("embedding")), benchIdCol, dims,
+      tables, planesPerTable)
+    val cand = cCells
+      .join(broadcast(bCells), Seq("table_idx", "bucket"))
+      .select(col(idCol), col(benchIdCol)).distinct()
+    val ce = corpus.select(col(idCol), col("embedding").as("_ec"),
+      org.apache.spark.sql.graft.VecDot.vecNorm(col("embedding")).as("_nc"))
+    val be = bench.select(col(benchIdCol), col("embedding").as("_eb"),
+      org.apache.spark.sql.graft.VecDot.vecNorm(col("embedding")).as("_nb"))
+    cand.join(ce, Seq(idCol)).join(broadcast(be), Seq(benchIdCol))
+      .withColumn("cos", org.apache.spark.sql.graft.VecDot.cosine(
+        col("_ec"), col("_nc"), col("_eb"), col("_nb")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bench_hits"),
+        max(struct(col("cos"), col(benchIdCol))).as("_wk"))
+      .select(col(idCol), col("n_bench_hits"),
+        col("_wk").getField(benchIdCol).as("worst_bench_id"),
+        col("_wk").getField("cos").as("worst_cos"))
+  }
+
   /** E10 query: benchmark set = every 50th doc (deterministic,
     * oracle-expressible); contaminated = ≥3 shared 3-grams with some
     * benchmark doc. Self-hits (a benchmark doc matching itself) are

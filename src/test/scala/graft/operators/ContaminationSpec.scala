@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Semantic contamination must flag exactly the corpus documents a
+  * brute-force cosine sweep against the benchmark flags: the LSH
+  * candidates can only MISS (never invent) pairs, and at the spec's
+  * thresholds the 24×4 sketch's miss probability is ≤1e-8 — the same
+  * probabilistic-but-pinned footing as the recall specs. (The n-gram
+  * path E10 is oracle-gated; this file covers the embedding path.)
+  */
+class ContaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Tables.embeddings(spark, sf)
+    .filter(col("vec_id") < 300).select("vec_id", "embedding").cache()
+
+  private def dot(a: Seq[Float], b: Seq[Float]): Double = {
+    var acc = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+  private def cos(a: Seq[Float], b: Seq[Float]): Double =
+    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+  test("matches the brute-force cosine sweep on the real table with a seeded benchmark") {
+    // benchmark: exact copies of five corpus vectors, one perturbed
+    // near-copy, and two corpus vectors verbatim under their own role —
+    // every above-threshold pair sits at cos ≥ 0.99 where the 24×4
+    // sketch's miss probability is ≤ 1e-15
+    val bench = corpus.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 100L).as("bench_id"), col("embedding"))
+      .unionByName(corpus.filter(col("vec_id") === 7)
+        .select(lit(200L).as("bench_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(0.0005f)).otherwise(x))
+            .as("embedding")))
+      .unionByName(corpus.filter(col("vec_id").isin(250L, 251L))
+        .select(col("vec_id").as("bench_id"), col("embedding")))
+      .cache()
+    val dims = corpus.head().getSeq[Float](1).length
+    val threshold = 0.95
+
+    val cv = corpus.as[(Long, Seq[Float])].collect()
+    val bv = bench.as[(Long, Seq[Float])].collect()
+    val expect = cv.flatMap { case (id, e) =>
+      val hits = bv.map { case (bid, be) => (bid, cos(e, be)) }
+        .filter(_._2 >= threshold)
+      if (hits.isEmpty) None
+      else {
+        val worst = hits.maxBy(h => (h._2, h._1))
+        Some(id -> ((hits.length.toLong, worst._1, worst._2)))
+      }
+    }.toMap
+    assert(expect.size >= 8, "seeding must contaminate at least 8 docs")
+
+    val got = Contamination.embedContamination(corpus, bench, threshold,
+        dims, idCol = "vec_id")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (id, (n, wid, wcos)) =>
+      assert(got(id)._1 === n, s"hit count of $id")
+      assert(got(id)._2 === wid, s"worst bench of $id")
+      assert(math.abs(got(id)._3 - wcos) < 1e-12, s"worst cos of $id")
+    }
+    intercept[IllegalArgumentException] {
+      Contamination.embedContamination(corpus, bench, 1.5, dims,
+        idCol = "vec_id")
+    }
+  }
+}

@@ -242,6 +242,31 @@ class CurationOpsSpec extends SparkSpec {
     assert((kept("books") - 20L).abs <= 10, s"got $kept")
   }
 
+  test("temperatureWeights: α=1 is proportional, smaller α flattens toward uniform, end-to-end through planMixture") {
+    val stats = Seq(("big", 90000L), ("small", 10000L)).toDF("source", "n_tokens")
+    // α = 1: weights ARE the token counts — planMixture splits the
+    // target proportionally (every token equally likely)
+    val prop = CurationOps.planMixture(stats,
+      CurationOps.temperatureWeights(stats, 1.0), targetTokens = 10000L)
+      .as[(String, Long)].collect().toMap
+    assert(prop === Map("big" -> 100L, "small" -> 100L))
+    // α = 0.5: w = (300, 100) — the small source's share rises from
+    // 10% to 25%: share_small = 2500 of 10000 → rate 250‰, share_big =
+    // 7500 of 90000 → 83‰ (floored)
+    val flat = CurationOps.planMixture(stats,
+      CurationOps.temperatureWeights(stats, 0.5), targetTokens = 10000L)
+      .as[(String, Long)].collect().toMap
+    assert(flat === Map("big" -> 83L, "small" -> 250L))
+    assert(flat("small") > prop("small") && flat("big") < prop("big"),
+      "lower α must shift share toward the low-resource source")
+    intercept[IllegalArgumentException] {
+      CurationOps.temperatureWeights(stats, 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      CurationOps.temperatureWeights(stats, 1.5)
+    }
+  }
+
   test("sampleFixedK grows stably: new docs only swap in by beating an incumbent") {
     val k = 5
     val old = docs.filter(col("doc_id") < 200)
