@@ -524,6 +524,19 @@ object Stress {
         s"rows=${sd.getLong(0)} kept=${sd.getLong(1)}")
     }
     locally {
+      val vecsDf = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      val dims = vecsDf.head().getSeq[Float](1).length
+      val bench = vecsDf.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("bench_id"), col("embedding"))
+      val t0 = System.nanoTime()
+      val ec = Contamination.embedContamination(vecsDf, bench, 0.99, dims,
+        idCol = "vec_id")
+      ec.write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"STRESS embed_contamination          $dt%8.2f s   " +
+        s"flagged=${ec.count()}")
+    }
+    locally {
       val docsDf = Tables.documents(spark, dir).select("doc_id", "text")
       val t0 = System.nanoTime()
       val model = ImportanceResample.train(

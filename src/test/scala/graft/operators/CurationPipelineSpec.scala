@@ -119,4 +119,63 @@ class CurationPipelineSpec extends SparkSpec {
       .collect().map { case (i, s) => (i, s.toSeq) }.sortBy(_._1)
     assert(roundTrip.toSeq === reference.toSeq)
   }
+
+  test("the round-10 tiers compose: line boilerplate → curate → learned gate → DSIR selection") {
+    // a crawl with chrome on every page and a junk half (word-mangled,
+    // disjoint vocabulary — the constructed label every classifier
+    // spec uses, since the synthetic text has no natural junk)
+    val real = Tables.documents(spark, sf).filter(col("doc_id") < 150)
+      .select("doc_id", "text")
+    val junk = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= 200 && col("doc_id") < 350)
+      .select(col("doc_id"),
+        expr("array_join(transform(filter(split(text, ' '), " +
+          "w -> length(w) > 0), w -> concat(w, 'q')), ' ')").as("text"))
+    val crawl = real.unionByName(junk)
+      .select(col("doc_id"), concat(lit("NAVBAR HOME ABOUT\n"), col("text"),
+        lit("\nCOPYRIGHT FOOTER")).as("text")).cache()
+
+    // 1. LINE STAGE inside curate: every keeper comes back chrome-free
+    val curated = DedupPipeline.curate(crawl, threshold = 0.5,
+      spanWindow = 8, lineMinDocs = 2L).cache()
+    assert(curated.count() === crawl.count(), "every crawl row labeled")
+    val keepers = curated.filter(col("keep")).select("doc_id", "text").cache()
+    assert(keepers.filter(col("text").contains("NAVBAR") ||
+      col("text").contains("COPYRIGHT")).count() === 0L,
+      "the line stage must strip chrome from every keeper")
+
+    // 2. LEARNED GATE: classifier fit on the construction's labels,
+    // applied to the cleaned keepers — the kept set must lean real
+    val labeled = keepers
+      .withColumn("label", col("doc_id") < 150)
+    val model = QualityClassifier.train(labeled, dim = 1 << 14, order = 2)
+      .localCheckpoint(true)
+    val gated = QualityClassifier.paretoKeep(
+        QualityClassifier.score(keepers, model), seed = 7L)
+      .join(keepers, Seq("doc_id")).cache()
+    val keptReal = gated.filter(col("keep") && col("doc_id") < 150).count()
+    val keptJunk = gated.filter(col("keep") && col("doc_id") >= 200).count()
+    assert(keptReal > keptJunk,
+      s"learned gate must favor the real class: $keptReal vs $keptJunk")
+
+    // 3. DSIR SELECTION over the cleaned keepers (the gate's sibling
+    // tier — the Pareto gate can legitimately keep ZERO junk, which
+    // would make a post-gate tilt vacuous): target = the real class,
+    // raw = the whole keeper pool; the selection must lean real harder
+    // than the pool does, and reproduce on any layout
+    val pool = keepers.cache()
+    val dsir = ImportanceResample.train(
+      pool.filter(col("doc_id") < 150), pool, dim = 1 << 14)
+    val k = math.max(10, (pool.count() / 3L).toInt)
+    val picked = ImportanceResample.resample(pool, dsir, k, seed = 3L)
+      .select("doc_id").as[Long].collect().toSet
+    val pickedAgain = ImportanceResample.resample(pool.repartition(5), dsir,
+      k, seed = 3L).select("doc_id").as[Long].collect().toSet
+    assert(picked === pickedAgain, "selection must reproduce on any layout")
+    val poolRealFrac = pool.filter(col("doc_id") < 150).count().toDouble /
+      pool.count()
+    val pickedRealFrac = picked.count(_ < 150).toDouble / picked.size
+    assert(pickedRealFrac > poolRealFrac,
+      s"DSIR must tilt toward the target: $pickedRealFrac vs pool $poolRealFrac")
+  }
 }
