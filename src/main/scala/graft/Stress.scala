@@ -528,9 +528,13 @@ object Stress {
       val dims = vecsDf.head().getSeq[Float](1).length
       val bench = vecsDf.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("bench_id"), col("embedding"))
+      // planesPerTable grows with the corpus (the lshNearDupPairs
+      // guidance): 4 planes = 16 buckets degenerates to ~300M candidate
+      // pairs at 100k vectors (measured 291 s); 16 planes = 65k buckets
+      // keeps cells sparse at miss ≈ 1.5e-7 for the 0.99 threshold
       val t0 = System.nanoTime()
       val ec = Contamination.embedContamination(vecsDf, bench, 0.99, dims,
-        idCol = "vec_id")
+        idCol = "vec_id", planesPerTable = 16)
       ec.write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"STRESS embed_contamination          $dt%8.2f s   " +

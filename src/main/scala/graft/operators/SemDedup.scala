@@ -81,10 +81,12 @@ object SemDedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold $threshold out of (0, 1]")
     // driver-bounded: nlist rows, ordered so the fold's first-max tie
-    // break IS the lower list_id; |c|² uses VecDot's exact double fold
+    // break IS the lower list_id; |c|² uses VecDot's exact double fold.
+    // The fetch is limit-bounded so a mistakenly corpus-sized frame
+    // fails the guard instead of OOMing the driver on the collect
     val cents = centroids
       .select(col("list_id").cast("int"), col("centroid"))
-      .collect()
+      .limit(8193).collect()
       .map { r =>
         val ce = r.getSeq[Float](1)
         var n2 = 0.0
@@ -93,13 +95,13 @@ object SemDedup {
       }
       .sortBy(_._1).toSeq
     require(cents.nonEmpty, "centroids frame is empty")
-    require(cents.map(_._1).distinct.size == cents.size,
-      "duplicate list_id in centroids frame")
     require(cents.size <= 8192,
-      s"${cents.size} centroids exceed the literal-assignment regime " +
-        "(8192) — assign clusters with the broadcast k-means model " +
+      "more than 8192 centroids exceed the literal-assignment regime " +
+        "— assign clusters with the broadcast k-means model " +
         "(KMeansModel.transform, the IvfSearch corpus side) and call " +
         "semDedupAssigned")
+    require(cents.map(_._1).distinct.size == cents.size,
+      "duplicate list_id in centroids frame")
     val centArr = typedLit(cents)
     val scores = transform(centArr, c =>
       lit(2.0) * VecDot.vecDot(col("_e"), c.getField("_2")) -
