@@ -70,6 +70,18 @@ object Contamination {
       .orderBy(col("doc_id"))
   }
 
+  /** Hyperplane count per LSH table sized for ~32 expected corpus
+    * vectors per bucket — ceil(log2(n/32)) clamped to [4, 20]. Bucket
+    * capacity (2^planes) must track corpus size: too few planes and
+    * the candidate join degenerates quadratically inside fat cells
+    * (measured, §6); too many and recall needs more tables. At the
+    * clamp ceiling (20 planes, ~10⁶ buckets/table) per-cell occupancy
+    * grows again — for 10⁹+ corpora raise `tables` with it. */
+  def defaultPlanesPerTable(n: Long): Int = {
+    val p = math.ceil(math.log(math.max(1.0, n / 32.0)) / math.log(2.0)).toInt
+    math.max(4, math.min(20, p))
+  }
+
   /** SEMANTIC benchmark contamination — the embedding-space companion
     * to the n-gram overlap above: flag corpus documents whose embedding
     * cosine to SOME benchmark item reaches `threshold`. N-gram overlap
@@ -86,22 +98,31 @@ object Contamination {
     * BROADCAST (an eval set is KBs-MBs); exact cosine verifies only
     * the deduped candidates, so false positives are impossible and the
     * sketch controls recall alone (the lshNearDupPairs recall
-    * arithmetic applies unchanged — ≥0.99 at t = 0.45 under the
-    * defaults, higher above). Output: (idCol, n_bench_hits,
+    * arithmetic applies unchanged). Output: (idCol, n_bench_hits,
     * worst_bench_id, worst_cos), one row per contaminated document —
-    * the argmax bench item via the struct-MAX convention. */
+    * the argmax bench item via the struct-MAX convention.
+    *
+    * `planesPerTable` 0 (default) sizes itself from the corpus via
+    * [[defaultPlanesPerTable]] — bucket capacity must GROW with the
+    * corpus or the cell join degenerates: at 100k vectors a fixed 4
+    * planes (16 buckets/table) yields ~300M candidate pairs and a
+    * 291 s run where 16 planes measure 21 s with identical output
+    * (§6-measured). Low thresholds (< ~0.5) erode per-plane agreement;
+    * there, pass planes explicitly and add tables to hold recall. */
   def embedContamination(corpus: DataFrame, bench: DataFrame,
       threshold: Double, dims: Int, idCol: String = "doc_id",
       benchIdCol: String = "bench_id", tables: Int = 24,
-      planesPerTable: Int = 4): DataFrame = {
+      planesPerTable: Int = 0): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold $threshold out of (0, 1]")
+    val planes = if (planesPerTable > 0) planesPerTable
+      else defaultPlanesPerTable(corpus.count())
     val cCells = AnnSearch.sketchCells(
       corpus.select(col(idCol), col("embedding")), idCol, dims, tables,
-      planesPerTable)
+      planes)
     val bCells = AnnSearch.sketchCells(
       bench.select(col(benchIdCol), col("embedding")), benchIdCol, dims,
-      tables, planesPerTable)
+      tables, planes)
     val cand = cCells
       .join(broadcast(bCells), Seq("table_idx", "bucket"))
       .select(col(idCol), col(benchIdCol)).distinct()

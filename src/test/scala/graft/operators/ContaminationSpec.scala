@@ -70,5 +70,23 @@ class ContaminationSpec extends SparkSpec {
       Contamination.embedContamination(corpus, bench, 1.5, dims,
         idCol = "vec_id")
     }
+    // the auto-sized plane count (default) agrees with the explicit
+    // small-corpus setting here (308 rows -> 4 planes)
+    val auto = Contamination.embedContamination(corpus, bench, threshold,
+        dims, idCol = "vec_id", planesPerTable = 4)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(auto === got)
+  }
+
+  test("defaultPlanesPerTable tracks corpus size: floor 4, ~32 per bucket, ceiling 20") {
+    assert(Contamination.defaultPlanesPerTable(1L) === 4)
+    assert(Contamination.defaultPlanesPerTable(512L) === 4)
+    assert(Contamination.defaultPlanesPerTable(100000L) === 12)
+    assert(Contamination.defaultPlanesPerTable(100000000L) === 20)
+    assert(Contamination.defaultPlanesPerTable(Long.MaxValue / 4) === 20)
+    val sizes = Seq(100L, 10000L, 1000000L, 100000000L)
+      .map(Contamination.defaultPlanesPerTable)
+    assert(sizes === sizes.sorted, "monotone in corpus size")
   }
 }
