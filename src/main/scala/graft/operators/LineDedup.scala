@@ -72,17 +72,10 @@ object LineDedup {
     * `dup_fraction` is their ratio. Every input document appears. */
   def lineDupStats(docs: DataFrame, minDocs: Long = 2L,
       idCol: String = "doc_id", textCol: String = "text",
-      minLineChars: Int = 1): DataFrame = {
-    val lines = lineFrame(docs, idCol, textCol, minLineChars)
-    val perDoc = lines.join(dupFps(lines, minDocs, idCol), Seq("fp"))
-      .groupBy(col(idCol)).agg(count(lit(1)).as("dup_lines"))
-    docs.select(col(idCol), size(linesOf(textCol)).cast("long").as("n_lines"))
-      .join(perDoc, Seq(idCol), "left")
-      .select(col(idCol), col("n_lines"),
-        coalesce(col("dup_lines"), lit(0L)).as("dup_lines"),
-        (coalesce(col("dup_lines"), lit(0L)).cast("double") /
-          col("n_lines")).as("dup_fraction"))
-  }
+      minLineChars: Int = 1): DataFrame =
+    lineDupStatsAgainst(docs,
+      boilerplateIndex(docs, minDocs, idCol, textCol, minLineChars),
+      idCol, textCol, minLineChars)
 
   /** The boilerplate REPORT: the `k` most widespread flagged lines as
     * (line, n_docs, n_occurrences), ordered by (n_docs desc,
@@ -133,6 +126,26 @@ object LineDedup {
     dedupLinesAgainst(docs,
       boilerplateIndex(docs, minDocs, idCol, textCol, minLineChars),
       idCol, textCol, minLineChars)
+
+  /** [[lineDupStats]] against a FROZEN index — the coverage signal
+    * (how boilerplate-laden is this batch?) for deltas and streams,
+    * with the same frozen semantics as [[dedupLinesAgainst]]: a line
+    * counts as duplicated iff the INDEX knows it. The RefinedWeb
+    * drop-threshold applied per delta without rescanning the corpus. */
+  def lineDupStatsAgainst(docs: DataFrame, index: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      minLineChars: Int = 1): DataFrame = {
+    val lines = lineFrame(docs, idCol, textCol, minLineChars)
+    val perDoc = lines
+      .join(index.select(col("fp").cast("long").as("fp")).distinct(), Seq("fp"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("dup_lines"))
+    docs.select(col(idCol), size(linesOf(textCol)).cast("long").as("n_lines"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("dup_lines"), lit(0L)).as("dup_lines"),
+        (coalesce(col("dup_lines"), lit(0L)).cast("double") /
+          col("n_lines")).as("dup_fraction"))
+  }
 
   /** [[dedupLines]] against a FROZEN index ((fp) rows — a
     * [[boilerplateIndex]] from another corpus, another time, or

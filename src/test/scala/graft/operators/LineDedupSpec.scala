@@ -170,6 +170,12 @@ class LineDedupSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
     assert(got(10L) === ((10L, "new shared line\nfresh body x", 2L, 1L)))
     assert(got(11L) === ((11L, "new shared line\nfresh body y", 2L, 1L)))
+    // the frozen coverage signal agrees with the frozen removal, and
+    // the delta-only shared line does not count as duplicated
+    val stats = LineDedup.lineDupStatsAgainst(delta, index)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(stats(10L) === ((10L, 3L, 1L, 1.0 / 3)))
+    assert(stats(11L) === ((11L, 3L, 1L, 1.0 / 3)))
   }
 
   test("index artifact round-trips through ModelStore; cross-kind load fails loudly") {
