@@ -76,10 +76,63 @@ object Contamination {
     * the candidate join degenerates quadratically inside fat cells
     * (measured, §6); too many and recall needs more tables. At the
     * clamp ceiling (20 planes, ~10⁶ buckets/table) per-cell occupancy
-    * grows again — for 10⁹+ corpora raise `tables` with it. */
+    * grows again — for 10⁹+ corpora raise the table budget with it.
+    * This is the OCCUPANCY side of the sizing only; recall is governed
+    * by [[requiredTables]], and [[embedContamination]]'s auto path
+    * shrinks this count when the recall arithmetic demands it. */
   def defaultPlanesPerTable(n: Long): Int = {
     val p = math.ceil(math.log(math.max(1.0, n / 32.0)) / math.log(2.0)).toInt
     math.max(4, math.min(20, p))
+  }
+
+  /** Probability a single random hyperplane agrees on a pair at cosine
+    * `cos`: p = 1 − arccos(cos)/π (Charikar 2002, SimHash). The whole
+    * recall budget of a (planes, tables) sketch follows from this one
+    * number: per-table collision p^planes, miss over T independent
+    * tables (1 − p^planes)^T. */
+  def planeAgreement(cos: Double): Double =
+    1.0 - math.acos(math.max(-1.0, math.min(1.0, cos))) / math.Pi
+
+  /** Tables needed so a pair AT the threshold cosine is missed with
+    * probability ≤ `maxMiss`: smallest T with (1 − p^planes)^T ≤
+    * maxMiss, p = [[planeAgreement]](threshold). Pairs above the
+    * threshold collide strictly more often, so this bounds the miss of
+    * every reportable pair. Grows fast as planes rise at fixed
+    * threshold — p^planes is the per-table hit rate, and recall must be
+    * bought back table by table — which is why the auto path trades
+    * planes DOWN (fatter buckets, more join work) rather than silently
+    * eroding recall: a decontamination miss is an invisible eval leak,
+    * a fat bucket is only time. */
+  def requiredTables(threshold: Double, planes: Int,
+      maxMiss: Double = 1e-6): Int = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold $threshold out of (0, 1]")
+    require(maxMiss > 0.0 && maxMiss < 1.0, s"maxMiss $maxMiss out of (0, 1)")
+    val hit = math.pow(planeAgreement(threshold), planes)
+    if (hit >= 1.0) 1
+    else math.max(1, math.ceil(math.log(maxMiss) / math.log1p(-hit)).toInt)
+  }
+
+  /** Joint (planes, tables) sizing: start planes at the occupancy
+    * target ([[defaultPlanesPerTable]]) and shrink toward the floor of
+    * 4 until the table count that holds `maxMiss` recall at `threshold`
+    * fits `maxTables`; fail LOUDLY (with the arithmetic and the
+    * remedies) if even 4 planes cannot — low thresholds genuinely need
+    * a bigger table budget, and silently under-recalling a
+    * decontamination check is the one failure mode this operator must
+    * not have. */
+  private[graft] def autoSketchSize(n: Long, threshold: Double,
+      maxMiss: Double, maxTables: Int): (Int, Int) = {
+    var planes = defaultPlanesPerTable(n)
+    while (planes > 4 && requiredTables(threshold, planes, maxMiss) > maxTables)
+      planes -= 1
+    val t = requiredTables(threshold, planes, maxMiss)
+    require(t <= maxTables,
+      s"recall infeasible: threshold $threshold at the 4-plane floor still " +
+        s"needs $t tables for miss <= $maxMiss (budget $maxTables). " +
+        "Raise maxAutoTables, relax maxMiss, or pass tables/planesPerTable " +
+        "explicitly if the recall erosion is acceptable.")
+    (planes, t)
   }
 
   /** SEMANTIC benchmark contamination — the embedding-space companion
@@ -102,27 +155,53 @@ object Contamination {
     * worst_bench_id, worst_cos), one row per contaminated document —
     * the argmax bench item via the struct-MAX convention.
     *
-    * `planesPerTable` 0 (default) sizes itself from the corpus via
-    * [[defaultPlanesPerTable]] — bucket capacity must GROW with the
-    * corpus or the cell join degenerates: at 100k vectors a fixed 4
+    * Sizing (both knobs default to 0 = auto, and the two constraints
+    * pull in opposite directions): bucket capacity must GROW with the
+    * corpus or the cell join degenerates — at 100k vectors a fixed 4
     * planes (16 buckets/table) yields ~300M candidate pairs and a
     * 291 s run where 16 planes measure 21 s with identical output
-    * (§6-measured). Low thresholds (< ~0.5) erode per-plane agreement;
-    * there, pass planes explicitly and add tables to hold recall. */
+    * (§6-measured) — but per-table recall is p^planes with p =
+    * [[planeAgreement]](threshold), so every added plane must be paid
+    * for in tables: at threshold 0.8 (p ≈ 0.795), 15 planes collide
+    * per-table at only ~3% and 24 tables would recover barely half of
+    * threshold-boundary pairs. The auto path therefore sizes planes
+    * from the corpus ([[defaultPlanesPerTable]]) but SHRINKS them until
+    * [[requiredTables]] (threshold, planes, `maxMiss`) fits
+    * `maxAutoTables`, then uses exactly that table count — recall wins
+    * over occupancy, and an infeasible combination (threshold too low
+    * for the budget even at 4 planes) fails loudly with the remedy
+    * rather than silently leaking eval items. Explicit `tables` /
+    * `planesPerTable` (> 0) bypass the corresponding auto rule
+    * unchecked, for corpora whose cosine distribution the caller knows
+    * better. */
   def embedContamination(corpus: DataFrame, bench: DataFrame,
       threshold: Double, dims: Int, idCol: String = "doc_id",
-      benchIdCol: String = "bench_id", tables: Int = 24,
-      planesPerTable: Int = 0): DataFrame = {
+      benchIdCol: String = "bench_id", tables: Int = 0,
+      planesPerTable: Int = 0, maxMiss: Double = 1e-6,
+      maxAutoTables: Int = 64): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold $threshold out of (0, 1]")
-    val planes = if (planesPerTable > 0) planesPerTable
-      else defaultPlanesPerTable(corpus.count())
+    val tableBudget = if (tables > 0) tables else maxAutoTables
+    val planes =
+      if (planesPerTable > 0) planesPerTable
+      else autoSketchSize(corpus.count(), threshold, maxMiss, tableBudget)._1
+    val nTables =
+      if (tables > 0) tables
+      else {
+        val t = requiredTables(threshold, planes, maxMiss)
+        require(t <= tableBudget,
+          s"recall infeasible: the explicit $planes planes need $t tables " +
+            s"for miss <= $maxMiss at threshold $threshold (budget " +
+            s"$maxAutoTables). Raise maxAutoTables or pass tables " +
+            "explicitly if the recall erosion is acceptable.")
+        t
+      }
     val cCells = AnnSearch.sketchCells(
-      corpus.select(col(idCol), col("embedding")), idCol, dims, tables,
+      corpus.select(col(idCol), col("embedding")), idCol, dims, nTables,
       planes)
     val bCells = AnnSearch.sketchCells(
       bench.select(col(benchIdCol), col("embedding")), benchIdCol, dims,
-      tables, planes)
+      nTables, planes)
     val cand = cCells
       .join(broadcast(bCells), Seq("table_idx", "bucket"))
       .select(col(idCol), col(benchIdCol)).distinct()

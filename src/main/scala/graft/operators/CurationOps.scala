@@ -248,6 +248,23 @@ object CurationOps {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Temperature-based mixture weights — the multilingual/multi-domain
+    * α-sampling rule (Arivazhagan et al. 2019 §5, the GPipe/M4
+    * temperature; mT5 uses α = 0.3, Xue et al. 2021 §3.2): weight each
+    * source by `n_tokens^alpha`. α = 1 is proportional sampling (every
+    * token equally likely, big sources dominate); α → 0 approaches
+    * uniform-over-sources; the published 0.2-0.7 band upweights
+    * low-resource sources without handing them the mixture. Feed the
+    * result straight to [[planMixture]] (with `maxEpochs` when the
+    * upweighted small sources should repeat rather than redistribute).
+    * Domains-sized projection — no collect, no shuffle. */
+  def temperatureWeights(stats: DataFrame, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha out of (0, 1] — " +
+      "1 is proportional sampling, smaller flattens toward uniform")
+    stats.select(col("source"),
+      pow(col("n_tokens").cast("double"), lit(alpha)).as("weight"))
+  }
+
   /** Turn target mixture WEIGHTS into feasible keep rates — the planning
     * half of [[mixtureSample]]. Given per-source availability (`stats`:
     * source, n_tokens) and target proportions (`weights`: source,
@@ -273,23 +290,6 @@ object CurationOps {
     * than ever pulling an unbounded set. Rates are floored to per-mille
     * granularity, so the planned total undershoots by < |sources|/1000
     * of a token-per-mille unit, never overshoots. */
-  /** Temperature-based mixture weights — the multilingual/multi-domain
-    * α-sampling rule (Arivazhagan et al. 2019 §5, the GPipe/M4
-    * temperature; mT5 uses α = 0.3, Xue et al. 2021 §3.2): weight each
-    * source by `n_tokens^alpha`. α = 1 is proportional sampling (every
-    * token equally likely, big sources dominate); α → 0 approaches
-    * uniform-over-sources; the published 0.2-0.7 band upweights
-    * low-resource sources without handing them the mixture. Feed the
-    * result straight to [[planMixture]] (with `maxEpochs` when the
-    * upweighted small sources should repeat rather than redistribute).
-    * Domains-sized projection — no collect, no shuffle. */
-  def temperatureWeights(stats: DataFrame, alpha: Double): DataFrame = {
-    require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha out of (0, 1] — " +
-      "1 is proportional sampling, smaller flattens toward uniform")
-    stats.select(col("source"),
-      pow(col("n_tokens").cast("double"), lit(alpha)).as("weight"))
-  }
-
   def planMixture(stats: DataFrame, weights: DataFrame, targetTokens: Long,
       maxSources: Int = 100000, maxEpochs: Int = 1): DataFrame = {
     require(targetTokens > 0, s"targetTokens $targetTokens must be positive")

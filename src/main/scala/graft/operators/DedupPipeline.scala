@@ -69,9 +69,15 @@ object DedupPipeline {
     require(lineMinDocs == 0L || lineMinDocs >= 2L,
       s"lineMinDocs $lineMinDocs must be 0 (off) or >= 2 (LineDedup's floor)")
     val id = col(idCol)
+    // the line stage's lineage (posexplode -> distinct-doc count ->
+    // flagged join -> per-doc rebuild) feeds THREE consumers below
+    // (labels, keepers, the final relabel join); checkpoint it once so
+    // it computes once — the DedupClusters/SemDedup lineage convention
+    // (same pattern measured 4-6x there). Off = passthrough projection,
+    // nothing to save.
     val base = if (lineMinDocs >= 2L)
       LineDedup.dedupLines(docs, lineMinDocs, idCol, textCol, lineMinChars)
-        .select(id, col(textCol))
+        .select(id, col(textCol)).localCheckpoint()
     else docs.select(id, col(textCol))
     val labels = dedup(base, idCol, textCol, threshold, maxDf)
     val keepers = base

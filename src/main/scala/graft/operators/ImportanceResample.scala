@@ -74,21 +74,87 @@ object ImportanceResample {
     * n_grams, log_weight, sample_key), the k largest sample_key =
     * log_weight + Gumbel(md5(id, seed)), ties broken by id. Same seed
     * → the identical selection on any layout; a fresh seed is a fresh
-    * resample. `k ≥ n` returns every weighable document. */
+    * resample. `k ≥ n` returns every weighable document.
+    *
+    * Scale bound: the per-partition TakeOrdered keeps every EXECUTOR's
+    * state at O(k), but the final merge materializes all k selected
+    * rows at ONE point (the standard Spark top-k merge) — fine through
+    * k in the millions (a (id, n_grams, log_weight, sample_key) row is
+    * ~40 bytes), but corpus-scale DSIR selection (k in the tens of
+    * millions, the paper's regime) should use [[resampleThreshold]],
+    * which bounds the exact top-k to the quantile-boundary band and
+    * never holds more than the band at one point. */
   def resample(docs: DataFrame, model: DataFrame, k: Int,
       seed: Long = 0L, idCol: String = "doc_id", textCol: String = "text",
       alpha: Double = 1.0, broadcastModel: Boolean = true,
       maxDocTokens: Long = 200000L): DataFrame = {
     require(k >= 1, s"k $k must be >= 1")
-    // u in (0,1): 32-bit md5 prefix of "id:seed", +0.5 to dodge the
-    // endpoints — the paretoKeep draw, shared convention
+    logWeights(docs, model, idCol, textCol, alpha, broadcastModel,
+        maxDocTokens)
+      .withColumn("sample_key", col("log_weight") + gumbel(idCol, seed))
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Derived standard Gumbel noise on (id, seed): u in (0,1) is the
+    * 32-bit md5 prefix of "id:seed" (+0.5 to dodge the endpoints — the
+    * paretoKeep draw, shared convention), G = −log(−log u). */
+  private def gumbel(idCol: String, seed: Long) = {
     val u = (conv(substring(md5(concat(col(idCol).cast("string"),
         lit(":"), lit(seed.toString))), 1, 8), 16, 10).cast("double") +
       lit(0.5)) / lit(4294967296.0)
-    logWeights(docs, model, idCol, textCol, alpha, broadcastModel,
-        maxDocTokens)
-      .withColumn("sample_key", col("log_weight") + (-log(-log(u))))
-      .orderBy(col("sample_key").desc, col(idCol))
-      .limit(k)
+    -log(-log(u))
+  }
+
+  /** [[resample]] for corpus-scale k (tens of millions — the paper's
+    * regime), selecting the IDENTICAL set without ever holding k rows
+    * at one point: an approx-quantile threshold splits the keyed frame
+    * into definite keepers (`sample_key` strictly above the
+    * conservative upper cut — provably inside the true top-k, kept as
+    * a distributed FILTER) and a boundary band of O(relErr·n) rows
+    * where a small exact top-(k − m) merge settles the edge. The
+    * quantile sketch's rank guarantee (±eps·n with eps =
+    * max(relErr, 1/n)) makes the split safe on both sides: rows above
+    * the upper cut number ≤ k − eps·n, rows above the lower cut
+    * ≥ k + eps·n ≥ k, so the selection ≡ [[resample]]'s exactly (ties
+    * at the cut all land in the band, where the (sample_key desc, id)
+    * order matches the global one beneath the strictly-greater
+    * keepers).
+    *
+    * Execution contract: eager — the keyed frame localCheckpoints (it
+    * feeds the quantile sketch, two counts and both filters; the
+    * SemDedup convention) and the counts/quantile run at call time. */
+  def resampleThreshold(docs: DataFrame, model: DataFrame, k: Int,
+      seed: Long = 0L, idCol: String = "doc_id", textCol: String = "text",
+      alpha: Double = 1.0, broadcastModel: Boolean = true,
+      maxDocTokens: Long = 200000L, relErr: Double = 1e-4): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    require(relErr > 0.0 && relErr <= 0.1, s"relErr $relErr out of (0, 0.1]")
+    val keyed = logWeights(docs, model, idCol, textCol, alpha,
+        broadcastModel, maxDocTokens)
+      .withColumn("sample_key", col("log_weight") + gumbel(idCol, seed))
+      .localCheckpoint()
+    val n = keyed.count()
+    if (n <= k) keyed
+    else {
+      val eps = math.max(relErr, 1.0 / n)
+      val pMid = 1.0 - k.toDouble / n
+      val pLo = math.max(0.0, pMid - 2.0 * eps)
+      val pHi = math.min(1.0, pMid + 2.0 * eps)
+      val cuts = keyed.stat.approxQuantile("sample_key",
+        Array(pLo, pHi), eps)
+      val (tLo, tHi) = (cuts(0), cuts(1))
+      val sure =
+        if (pHi >= 1.0) keyed.filter(lit(false)) // k/n <= 2eps: band-only
+        else keyed.filter(col("sample_key") > tHi)
+      val m = sure.count()
+      assert(m <= k, s"quantile upper cut admitted $m > k=$k rows — " +
+        "rank guarantee violated")
+      val band = keyed.filter(col("sample_key") > tLo &&
+        (lit(pHi >= 1.0) || col("sample_key") <= tHi))
+      val edge = band.orderBy(col("sample_key").desc, col(idCol))
+        .limit((k - m).toInt)
+      sure.unionByName(edge)
+    }
   }
 }

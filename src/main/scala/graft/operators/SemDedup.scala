@@ -123,7 +123,20 @@ object SemDedup {
     * (centroid_sim asc, id), flag items whose cosine to an earlier
     * cluster-mate reaches `threshold`. Output: one row per input —
     * (id, cluster_id, centroid_sim, keep, dup_of) with `dup_of` the
-    * earliest similar cluster-mate (null for kept rows). */
+    * earliest similar cluster-mate (null for kept rows).
+    *
+    * Execution contract (NOT a lazy frame-returning operator): calling
+    * this runs Spark jobs immediately — the ranked frame is eagerly
+    * `localCheckpoint`ed (it feeds three consumers) and the
+    * straggler probe fires a small aggregate before the quadratic join
+    * is allowed to exist. The returned DataFrame reads the checkpoint's
+    * EXECUTOR-LOCAL blocks: they are not replicated, so losing an
+    * executor after return FAILS downstream actions rather than
+    * recomputing, and the blocks hold memory/disk until the session (or
+    * a checkpoint GC) releases them. Fine for the intended
+    * pipeline-step usage (consume the result promptly, same session);
+    * for long-lived results across a flaky cluster, persist the OUTPUT
+    * to storage and read that back instead of holding this frame. */
   def semDedupAssigned(assigned: DataFrame, threshold: Double = 0.95,
       id: String = "id", embCol: String = "embedding",
       maxClusterSize: Long = 10000L): DataFrame = {

@@ -147,4 +147,33 @@ class ImportanceResampleSpec extends SparkSpec {
       ImportanceResample.resample(eval, model, 0)
     }
   }
+
+  test("resampleThreshold selects exactly resample's set without a k-row merge") {
+    val model = ImportanceResample.train(target, raw, dim = Dim,
+      order = Order).cache()
+    val eval = target.select("doc_id", "text").unionByName(
+        raw.select((col("doc_id") + 1000L).as("doc_id"), col("text")))
+      .cache()
+    def sel(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Double)].collect()
+        .map(r => (r._1, r._4)).sortBy(_._1).toSeq
+    // a wide relErr forces a real band (the boundary top-k does work);
+    // the selection must still be IDENTICAL to the exact top-k
+    for (k <- Seq(5, 60, 250)) {
+      val exact = sel(ImportanceResample.resample(eval, model, k))
+      val thr = sel(ImportanceResample.resampleThreshold(eval, model, k,
+        relErr = 0.05))
+      assert(thr === exact, s"k=$k: threshold selection must equal resample")
+      val tight = sel(ImportanceResample.resampleThreshold(eval, model, k,
+        relErr = 1e-4))
+      assert(tight === exact, s"k=$k: tight-relErr parity")
+    }
+    // k >= n returns every weighable doc, matching resample
+    val n = ImportanceResample.logWeights(eval, model).count().toInt
+    assert(sel(ImportanceResample.resampleThreshold(eval, model, n + 10)) ===
+      sel(ImportanceResample.resample(eval, model, n + 10)))
+    intercept[IllegalArgumentException] {
+      ImportanceResample.resampleThreshold(eval, model, 10, relErr = 0.5)
+    }
+  }
 }
