@@ -20,13 +20,60 @@ final case class TableDef(
     description: Option[String] = None)
 
 /** A feature definition: `compute` must yield (entity_id, value) rows.
-  * `featureType` mirrors the reference's numeric/categorical/text tags. */
+  * `featureType` mirrors the reference's numeric/categorical/text tags.
+  * `logic` carries the SQL text when the feature was defined as DATA
+  * (via [[FeatureDef.sql]]) — the registry then exposes the computation
+  * the way the reference does (models.py:25-42 stores
+  * `computation_logic` as a column), and registration validates it
+  * against the registered table's schema before accepting it. */
 final case class FeatureDef(
     name: String,
     table: String,
     featureType: String,
     compute: DataFrame => DataFrame,
-    description: Option[String] = None)
+    description: Option[String] = None,
+    logic: Option[String] = None)
+
+object FeatureDef {
+  /** The table placeholder in SQL-defined features — the Spark ML
+    * SQLTransformer convention: write the statement against `__THIS__`
+    * and the registered table is substituted at plan time. */
+  val TablePlaceholder = "__THIS__"
+
+  /** Computation logic as DATA — the reference's runtime-registered
+    * `computation_logic` string (models.py:25-42, compute.py:10-59),
+    * re-expressed safely: where the reference `exec`s Python against a
+    * pandas frame (unoptimizable, undistributable), this hands the
+    * string to Catalyst — `spark.sql` over a uniquely-named temp view,
+    * so the resulting plan predicate-pushes, prunes and codegens like
+    * any closure-defined feature, and a malformed or schema-invalid
+    * statement is rejected AT REGISTRATION (defineFeature analyzes the
+    * plan against the registered table — parse errors, missing
+    * columns, wrong output shape all fail the Either before anything
+    * is stored).
+    *
+    * `sqlText` must be a full SELECT over [[TablePlaceholder]]
+    * yielding exactly (entity_id, value), e.g.
+    * `SELECT o_custkey AS entity_id, sum(o_totalprice) AS value FROM
+    * __THIS__ GROUP BY 1`. */
+  def sql(name: String, table: String, featureType: String,
+      sqlText: String, description: Option[String] = None): FeatureDef =
+    FeatureDef(name, table, featureType, df => applySql(df, sqlText),
+      description, Some(sqlText))
+
+  /** Run a `__THIS__` statement against a frame: register the frame
+    * under a collision-proof temp view name, analyze, drop the view.
+    * Analysis resolves the view into the underlying plan eagerly, so
+    * the returned frame survives the drop (the SQLTransformer dance). */
+  private[graft] def applySql(df: DataFrame, sqlText: String): DataFrame = {
+    val spark = df.sparkSession
+    val view = "graft_sql_feature_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    df.createOrReplaceTempView(view)
+    try spark.sql(sqlText.replace(TablePlaceholder, view))
+    finally spark.catalog.dropTempView(view)
+  }
+}
 
 final case class FeatureVersion(
     feature: String,

@@ -86,11 +86,32 @@ final class FeatureStore(spark: SparkSession, storePath: String,
       case Right(())  =>
     }
     if (!tables.contains(defn.table)) Left(List(s"Raw table '${defn.table}' not found"))
-    else if (features.putIfAbsent(defn.name, defn).isDefined)
-      Left(List(s"Feature '${defn.name}' already exists"))
     else {
-      featureTypes.put(defn.name, defn.featureType)
-      Right(defn)
+      // SQL-defined features (computation logic as data) validate at the
+      // door: build the plan against the registered table — analysis
+      // only, no job — so a parse error, a column the schema lacks, or
+      // a wrong output shape is rejected HERE, not at computeVersion
+      // time on a cluster. Closure-defined features keep their existing
+      // contract (shape-checked at compute time).
+      defn.logic.foreach { _ =>
+        try {
+          val out = defn.compute(tables(defn.table)._2)
+          val cols = out.columns
+          if (!cols.contains("entity_id") || cols.length != 2)
+            return Left(List(s"SQL feature '${defn.name}' must select exactly " +
+              s"(entity_id, value) columns, got (${cols.mkString(", ")})"))
+        } catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            return Left(List(s"SQL feature '${defn.name}' failed analysis " +
+              s"against table '${defn.table}': ${e.getSimpleMessage}"))
+        }
+      }
+      if (features.putIfAbsent(defn.name, defn).isDefined)
+        Left(List(s"Feature '${defn.name}' already exists"))
+      else {
+        featureTypes.put(defn.name, defn.featureType)
+        Right(defn)
+      }
     }
   }
 

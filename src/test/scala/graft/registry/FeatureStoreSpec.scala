@@ -151,6 +151,51 @@ class FeatureStoreSpec extends SparkSpec {
     assert(Set("O", "F", "P").contains(served("last_status").asInstanceOf[String]))
   }
 
+  test("SQL-defined feature: registered as data, validated at the door, vectors identical to the closure twin") {
+    var now = 1000L
+    val fs = freshStore(() => now)
+    fs.registerTable(ordersDef, Tables.orders(spark, sf))
+    // the closure twin and the SQL-as-data twin of the same feature
+    fs.defineFeature(FeatureDef("spend_closure", "orders", "numeric",
+      df => df.groupBy(col("o_custkey").as("entity_id"))
+        .agg(sum("o_totalprice").as("value"))))
+    val sqlDef = FeatureDef.sql("spend_sql", "orders", "numeric",
+      "SELECT o_custkey AS entity_id, sum(o_totalprice) AS value " +
+        "FROM __THIS__ GROUP BY 1")
+    assert(fs.defineFeature(sqlDef).isRight)
+    // the registry exposes the computation as data (the reference's
+    // computation_logic column, models.py:25-42)
+    assert(fs.listFeatures.find(_.name == "spend_sql").flatMap(_.logic)
+      .exists(_.contains("sum(o_totalprice)")))
+
+    // rejected AT REGISTRATION, nothing stored: parse error, unknown
+    // column, wrong output shape
+    val Left(parseErr) = fs.defineFeature(FeatureDef.sql("bad_parse",
+      "orders", "numeric", "SELEKT nope FROM __THIS__")): @unchecked
+    assert(parseErr.exists(_.contains("failed analysis")))
+    val Left(colErr) = fs.defineFeature(FeatureDef.sql("bad_col",
+      "orders", "numeric",
+      "SELECT no_such_col AS entity_id, 1.0 AS value FROM __THIS__")): @unchecked
+    assert(colErr.exists(_.contains("failed analysis")))
+    val Left(shapeErr) = fs.defineFeature(FeatureDef.sql("bad_shape",
+      "orders", "numeric",
+      "SELECT o_custkey AS entity_id, 1.0 AS value, 2.0 AS extra " +
+        "FROM __THIS__")): @unchecked
+    assert(shapeErr.exists(_.contains("(entity_id, value)")))
+    assert(fs.listFeatures.map(_.name).toSet ===
+      Set("spend_closure", "spend_sql"))
+
+    // end to end: compute + serve, vectors identical to the closure twin
+    assert(fs.computeVersion("spend_closure", "v1").isRight)
+    assert(fs.computeVersion("spend_sql", "v1").isRight)
+    val vecs = fs.featureVectors()
+    assert(vecs.filter(col("spend_closure") =!= col("spend_sql") ||
+      col("spend_closure").isNull =!= col("spend_sql").isNull).count() === 0L)
+    val entity = vecs.select("entity_id").first().getString(0)
+    val served = fs.getVector(entity)
+    assert(served("spend_sql") === served("spend_closure"))
+  }
+
   test("version metadata survives a restart: fresh instance serves same vectors") {
     var now = 1000L
     val dir = java.nio.file.Files.createTempDirectory("graft-persist").toString
