@@ -155,10 +155,10 @@ object NgramLm {
     * pages, a multi-million-entry single aggregation buffer for a
     * book-length document. `maxDocTokens` (default 200k words — an
     * order-3 map of ≤600k entries, tens of MB) fails loudly before the
-    * shuffle rather than OOMing inside it; score chunks
-    * ([[ChunkOps.chunkPlan]]) and aggregate exact log-probs per doc
-    * (log_prob is additive over a disjoint token partition, modulo the
-    * window's context reset at chunk starts) when documents exceed it. */
+    * shuffle rather than OOMing inside it; use [[scoreChunked]] (the
+    * implemented composition of exactly that note: disjoint chunks,
+    * exact per-doc aggregation, context reset only at chunk starts)
+    * when documents exceed it. */
   def score(docs: DataFrame, model: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", alpha: Double = 0.4,
       broadcastModel: Boolean = true,
@@ -248,6 +248,63 @@ object NgramLm {
         aggregate(transform(sequence(lit(0L), col("n_tokens") - 1L),
             p => scoreAt(col("_m"), p)),
           lit(0.0), (acc, x) => acc + x))
+      .withColumn("avg_log_prob", col("log_prob") / col("n_tokens"))
+      .withColumn("ppl", exp(-col("avg_log_prob")))
+      .select(col(idCol), col("n_tokens"), col("log_prob"),
+        col("avg_log_prob"), col("ppl"))
+  }
+
+  /** [[score]] for book-length documents — the CHUNK-FIRST composition
+    * the score scaladoc prescribes, implemented: split every document
+    * into DISJOINT `chunkTokens`-word chunks (same whitespace
+    * tokenization as [[score]], stride = window so the token partition
+    * is exact), score each chunk as its own document, then aggregate
+    * EXACT per-doc totals — log_prob is additive over a disjoint token
+    * partition, n_tokens conserves, ppl = exp(−Σlog/Σtokens). Output
+    * schema ≡ [[score]]'s.
+    *
+    * The one semantic divergence is the documented CONTEXT RESET: the
+    * first order−1 positions of a non-first chunk see only the context
+    * inside their own chunk (each chunk starts at kMax = 1 like a
+    * document), so a boundary token scores from a shorter context than
+    * the whole-doc walk would give it — the standard chunked-scoring
+    * approximation, affecting ≤ (order−1)·(n_chunks−1) of the
+    * document's positions. With `chunkTokens` ≥ the longest document
+    * there are no boundaries and the output is BIT-IDENTICAL to
+    * [[score]] (spec'd both ways).
+    *
+    * Scale: per-chunk aggregation state is chunkTokens × order map
+    * entries regardless of document length, so the OOM class [[score]]'s
+    * maxDocTokens guard fails loudly on cannot arise here at any
+    * length; the default (100k words ≈ a long novel per chunk) keeps
+    * buffers in the tens of MB. The per-doc re-aggregation is one
+    * additional keyed sum over chunk-count rows — nothing
+    * corpus-buffered. `idCol` must be unique, as in [[score]]. */
+  def scoreChunked(docs: DataFrame, model: DataFrame,
+      chunkTokens: Int = 100000, idCol: String = "doc_id",
+      textCol: String = "text", alpha: Double = 0.4,
+      broadcastModel: Boolean = true): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens $chunkTokens must be >= 1")
+    val ws = docs.select(col(idCol), wordsCol(textCol).as("_ws"))
+      .filter(size(col("_ws")) > 0)
+    // disjoint chunk ci covers words [ci*chunkTokens+1, ...+chunkTokens]
+    // (1-based slice, tail truncates); the chunk id is a STRUCT so the
+    // original id survives with its type and no separator can alias
+    val chunks = ws
+      .select(col(idCol), col("_ws"),
+        explode(sequence(lit(0L),
+          floor((size(col("_ws")).cast("long") - 1L) / chunkTokens)
+            .cast("long"))).as("_ci"))
+      .select(
+        struct(col(idCol).as("id"), col("_ci").as("ci")).as("_cid"),
+        array_join(slice(col("_ws"),
+          (col("_ci") * chunkTokens + 1L).cast("int"), lit(chunkTokens)), " ")
+          .as("_ct"))
+    score(chunks, model, idCol = "_cid", textCol = "_ct", alpha = alpha,
+        broadcastModel = broadcastModel, maxDocTokens = chunkTokens.toLong)
+      .groupBy(col("_cid").getField("id").as(idCol))
+      .agg(sum(col("n_tokens")).as("n_tokens"),
+        sum(col("log_prob")).as("log_prob"))
       .withColumn("avg_log_prob", col("log_prob") / col("n_tokens"))
       .withColumn("ppl", exp(-col("avg_log_prob")))
       .select(col(idCol), col("n_tokens"), col("log_prob"),

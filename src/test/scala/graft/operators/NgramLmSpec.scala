@@ -22,6 +22,32 @@ class NgramLmSpec extends SparkSpec {
   private def refWords(t: String): Vector[String] =
     t.split(" ").filter(_.nonEmpty).toVector
 
+  /** The single-node stupid-backoff walk (the reference both the score
+    * and scoreChunked specs pin against): penalty counts ACTUAL backoff
+    * steps from the position's maximum expressible order kMax =
+    * min(order, p+1) — the KenLM start-of-document convention. */
+  private def refScoreWalk(mm: Map[(Int, String), Long], total: Long,
+      order: Int, alpha: Double)(w: Vector[String]): Double = {
+    var s = 0.0
+    for (p <- w.indices) {
+      val kMax = math.min(order, p + 1)
+      var k = kMax; var v = Double.NaN
+      while (v.isNaN && k >= 1) {
+        mm.get((k, w.slice(p - k + 1, p + 1).mkString(S))) match {
+          case Some(c) =>
+            val ctx = if (k > 1) mm((k - 1, w.slice(p - k + 1, p).mkString(S))).toDouble
+                      else total.toDouble
+            v = (kMax - k) * math.log(alpha) + math.log(c.toDouble) - math.log(ctx)
+          case None => k -= 1
+        }
+      }
+      if (v.isNaN)
+        v = (kMax - 1) * math.log(alpha) + math.log(1.0 / (total.toDouble + 1.0))
+      s += v
+    }
+    s
+  }
+
   test("train: counts match the single-node reference for every order, plus the total row") {
     val order = 3
     val model = NgramLm.train(docs, order).cache()
@@ -48,29 +74,7 @@ class NgramLmSpec extends SparkSpec {
       .select("n", "gram", "cnt").as[(Int, String, Long)].collect()
       .map { case (n, g, c) => (n, g) -> c }.toMap
     val total = model.filter(col("n") === 0).select("cnt").as[Long].head()
-    def refScore(w: Vector[String]): Double = {
-      var s = 0.0
-      for (p <- w.indices) {
-        // the penalty counts ACTUAL backoff steps from this position's
-        // maximum expressible order kMax = min(order, p+1) — the
-        // KenLM-style start-of-document convention
-        val kMax = math.min(order, p + 1)
-        var k = kMax; var v = Double.NaN
-        while (v.isNaN && k >= 1) {
-          mm.get((k, w.slice(p - k + 1, p + 1).mkString(S))) match {
-            case Some(c) =>
-              val ctx = if (k > 1) mm((k - 1, w.slice(p - k + 1, p).mkString(S))).toDouble
-                        else total.toDouble
-              v = (kMax - k) * math.log(alpha) + math.log(c.toDouble) - math.log(ctx)
-            case None => k -= 1
-          }
-        }
-        if (v.isNaN)
-          v = (kMax - 1) * math.log(alpha) + math.log(1.0 / (total.toDouble + 1.0))
-        s += v
-      }
-      s
-    }
+    val refScore = refScoreWalk(mm, total, order, alpha) _
     val got = NgramLm.score(docs, model, alpha = alpha)
       .select("doc_id", "n_tokens", "log_prob", "ppl")
       .as[(Long, Long, Double, Double)].collect()
@@ -161,6 +165,73 @@ class NgramLmSpec extends SparkSpec {
     assert(e.getMessage.contains("maxDocTokens") && e.getMessage.contains("1"))
     // at the default cap the same frame scores fine
     assert(NgramLm.score(long, model).count() === 2L)
+  }
+
+  test("scoreChunked: identical to score when nothing chunks; exact per-chunk-walk parity and conservation when it does") {
+    val order = 3; val alpha = 0.4
+    val model = NgramLm.train(docs, order).cache()
+    // no document reaches the default chunk size -> zero boundaries ->
+    // bit-identical to the whole-doc scorer, ppl included
+    val whole = NgramLm.score(docs, model, alpha = alpha)
+      .select("doc_id", "n_tokens", "log_prob", "avg_log_prob", "ppl")
+      .as[(Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    val unchunked = NgramLm.scoreChunked(docs, model, alpha = alpha)
+      .select("doc_id", "n_tokens", "log_prob", "avg_log_prob", "ppl")
+      .as[(Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(unchunked.toSeq === whole.toSeq,
+      "chunkTokens >= max doc length must be bit-identical to score")
+
+    // small chunks: every doc's log_prob must equal the single-node
+    // backoff walk run over each disjoint 7-word chunk independently —
+    // the context-reset semantics, pinned exactly
+    val mm = model.filter(col("n") > 0)
+      .select("n", "gram", "cnt").as[(Int, String, Long)].collect()
+      .map { case (n, g, c) => (n, g) -> c }.toMap
+    val total = model.filter(col("n") === 0).select("cnt").as[Long].head()
+    val walk = refScoreWalk(mm, total, order, alpha) _
+    val chunkT = 7
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    val expect = texts.flatMap { case (id, t) =>
+      val w = refWords(t)
+      if (w.isEmpty) None
+      else Some(id -> w.grouped(chunkT).map(c => walk(c.toVector)).sum)
+    }
+    val got = NgramLm.scoreChunked(docs, model, chunkTokens = chunkT,
+        alpha = alpha)
+      .select("doc_id", "n_tokens", "log_prob", "ppl")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.length === expect.size)
+    got.foreach { case (id, n, lp, ppl) =>
+      assert(n === refWords(texts(id)).length.toLong, s"doc $id conservation")
+      val rlp = expect(id)
+      assert(math.abs(lp - rlp) <= 1e-9 * math.max(1.0, math.abs(rlp)),
+        s"doc $id: $lp vs per-chunk walk $rlp")
+      assert(math.abs(ppl - math.exp(-lp / n)) <= 1e-9 * ppl, s"doc $id ppl")
+    }
+    // a multi-chunk doc whose boundary token had longer context in the
+    // whole-doc walk scores differently — the reset is real, documented
+    val wholeMap = whole.map(r => r._1 -> r._3).toMap
+    val diff = got.count { case (id, n, lp, _) =>
+      n > chunkT && math.abs(lp - wholeMap(id)) > 1e-12 }
+    assert(diff > 0, "some multi-chunk doc must feel the context reset")
+    intercept[IllegalArgumentException] {
+      NgramLm.scoreChunked(docs, model, chunkTokens = 0)
+    }
+  }
+
+  test("scoreChunked scores documents past score's maxDocTokens guard, conserving tokens") {
+    val model = NgramLm.train(docs, 2).cache()
+    val long = Seq((1L, ("w " * 40).trim), (2L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      NgramLm.score(long, model, maxDocTokens = 30L)
+    }
+    // the chunked composition handles the same frame with a 10-word
+    // bound on every aggregation buffer
+    val out = NgramLm.scoreChunked(long, model, chunkTokens = 10)
+      .select("doc_id", "n_tokens", "ppl").as[(Long, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(out.map(r => r._1 -> r._2).toSeq === Seq(1L -> 40L, 2L -> 3L))
+    assert(out.forall(r => r._3 > 0.0 && !r._3.isNaN && !r._3.isInfinite))
   }
 
   test("doc-start positions are not charged phantom backoff: a bigram-opening doc scores its first token at zero penalty") {
