@@ -1,16 +1,18 @@
-package graft
+package graft.bench
 
+import graft.Tables
 import graft.operators._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-stress harness: multiplies the sf0.1 tables N× on disk (ids
+/** Scale-stress HARNESS (measurement code, not engine — it lives in
+  * `graft.bench` so the main tree proper stays engine-only): multiplies the sf0.1 tables N× on disk (ids
   * remapped so keys stay unique) and runs the headline operators —
   * evidence that plans hold past the oracle SF, not just at it.
   *
   * `SPARK_GRAFT_STRESS_MULT` (default 20) → ~12M lineitem rows,
   * 2M events, 100k docs at 20×. Run:
-  *   SPARK_GRAFT_STRESS_MULT=20 sbt "runMain graft.Stress"
+  *   SPARK_GRAFT_STRESS_MULT=20 sbt "runMain graft.bench.Stress"
   */
 object Stress {
   def main(args: Array[String]): Unit = {
@@ -531,7 +533,8 @@ object Stress {
       // planesPerTable grows with the corpus (the lshNearDupPairs
       // guidance): 4 planes = 16 buckets degenerates to ~300M candidate
       // pairs at 100k vectors (measured 291 s); 16 planes = 65k buckets
-      // keeps cells sparse at miss ≈ 1.5e-7 for the 0.99 threshold
+      // keeps cells sparse, and the r11 recall-governed auto-tables
+      // derive ~22 tables for miss <= 1e-6 at the 0.99 threshold
       val t0 = System.nanoTime()
       val ec = Contamination.embedContamination(vecsDf, bench, 0.99, dims,
         idCol = "vec_id", planesPerTable = 16)
