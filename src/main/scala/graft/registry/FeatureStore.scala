@@ -34,10 +34,37 @@ import scala.collection.concurrent.TrieMap
   * `entity_id` to make the serving join shuffle-free; locally the
   * partition pruning is the part that matters and is visible in
   * `.explain` as PartitionFilters.
+  *
+  * Every physical value-store operation (append / read / drop /
+  * compact) routes through the [[ValueStoreFormat]] seam — the one
+  * interface a transactional table format (Delta Lake, the
+  * BASELINE-stated approach; unavailable in this zero-egress mirror,
+  * probe recorded in SURVEY §5) would implement to replace the parquet
+  * layouts wholesale, retiring the S3A lock caveat and the
+  * non-transactional compaction swap with it.
   */
 final class FeatureStore(spark: SparkSession, storePath: String,
     clock: () => Long = () => System.currentTimeMillis(),
-    bucketEntities: Option[Int] = None) {
+    bucketEntities: Option[Int] = None,
+    valueFormat: Option[ValueStoreFormat] = None) {
+
+  /** Catalog name of the bucketed store table — deterministic from the
+    * path, so every FeatureStore instance over the same files shares it. */
+  val bucketTable: String = "graft_store_" +
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(storePath.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+
+  /** Every physical value-store operation routes through this ONE
+    * seam ([[ValueStoreFormat]]) — the injection point where a
+    * transactional format (Delta) replaces the parquet layouts without
+    * touching store logic. Defaults preserve the historical behavior
+    * of `bucketEntities`. */
+  private val format: ValueStoreFormat = valueFormat.getOrElse(
+    bucketEntities match {
+      case Some(n) => new BucketedParquetValueStore(spark, storePath, n,
+        bucketTable)
+      case None => new ParquetValueStore(spark, storePath)
+    })
 
   private val tables = TrieMap.empty[String, (TableDef, DataFrame)]
   private val features = TrieMap.empty[String, FeatureDef]
@@ -160,22 +187,7 @@ final class FeatureStore(spark: SparkSession, storePath: String,
         (if (numeric) lit(null).cast("string") else col(valueCol).cast("string")).as("value_str"),
         lit(new java.sql.Timestamp(now)).as("computed_at"),
         lit(feature).as("feature_name"), lit(version).as("version"))
-    bucketEntities match {
-      case Some(n) =>
-        // declare the table (and recover any partitions already on disk)
-        // BEFORE writing: a fresh session whose first store operation is
-        // a write would otherwise let saveAsTable create the catalog
-        // entry with only the new partition, hiding prior versions
-        ensureBucketTable(n)
-        rows.write.mode("append").format("parquet")
-          .option("path", storePath)
-          .partitionBy("feature_name", "version")
-          .bucketBy(n, "entity_id").sortBy("entity_id")
-          .saveAsTable(bucketTable)
-      case None =>
-        rows.write.mode("append").partitionBy("feature_name", "version")
-          .parquet(storePath)
-    }
+    format.append(rows)
     val fv = FeatureVersion(feature, version, "active", now, metadata)
     versions.put((feature, version), fv)
     appendManifest(fv, fd.featureType)
@@ -220,54 +232,35 @@ final class FeatureStore(spark: SparkSession, storePath: String,
     val archived = versions.collect { case (k, v) if v.status == "archived" => k }.toSeq
     val hconf = spark.sparkContext.hadoopConfiguration
     archived.foreach { case (f, v) =>
-      val dir = new Path(s"$storePath/feature_name=$f/version=$v")
-      val hfs = dir.getFileSystem(hconf)
-      if (hfs.exists(dir)) hfs.delete(dir, true)
-      if (bucketEntities.isDefined && spark.catalog.tableExists(bucketTable))
-        spark.sql(s"ALTER TABLE $bucketTable DROP IF EXISTS PARTITION " +
-          s"(feature_name='$f', version='$v')")
+      format.dropPartition(f, v)
       val fv = versions((f, v))
       appendManifest(fv.copy(status = "purged"), featureTypes.getOrElse(f, "numeric"))
       versions.remove((f, v))
       // free the version tag: after a purge the data is gone, so a
       // recompute under the same tag is a fresh computation, not a race
+      val hfs = versionLockPath(f, v).getFileSystem(hconf)
       hfs.delete(versionLockPath(f, v), false)
     }
     if (archived.nonEmpty) invalidateCache()
     archived
   }
 
-  /** Catalog name of the bucketed store table — deterministic from the
-    * path, so every FeatureStore instance over the same files shares it. */
-  val bucketTable: String = "graft_store_" +
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(storePath.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-
-  /** The session catalog is not durable with the in-memory metastore: a
-    * fresh session re-declares the external bucketed table over the
-    * existing files and recovers its partitions — the bucket layout on
-    * disk is what makes the serving plans shuffle-free, the catalog
-    * entry just describes it. */
-  private def ensureBucketTable(n: Int): Unit =
-    if (!spark.catalog.tableExists(bucketTable)) {
-      val dir = new Path(storePath)
-      val hfs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!hfs.exists(dir)) hfs.mkdirs(dir) // CREATE TABLE LOCATION + RECOVER both need it
-      spark.sql(
-        s"""CREATE TABLE $bucketTable
-           |  (entity_id STRING, value DOUBLE, value_str STRING, computed_at TIMESTAMP,
-           |   feature_name STRING, version STRING)
-           |USING parquet
-           |PARTITIONED BY (feature_name, version)
-           |CLUSTERED BY (entity_id) SORTED BY (entity_id) INTO $n BUCKETS
-           |LOCATION '$storePath'""".stripMargin)
-      spark.sql(s"ALTER TABLE $bucketTable RECOVER PARTITIONS")
-    }
-
-  private def store: DataFrame = bucketEntities match {
-    case Some(n) => ensureBucketTable(n); spark.table(bucketTable)
-    case None    => spark.read.parquet(storePath)
+  /** Delta-`OPTIMIZE`-shaped maintenance: compact one version's
+    * partition to `targetFiles` through the format seam. Returns
+    * (filesBefore, filesAfter). Serving results are unchanged
+    * (content-preserving by the [[ValueStoreFormat]] contract — the
+    * parquet format verifies row counts before its swap); the cache is
+    * invalidated because file identity changed under any cached plan. */
+  def optimizeVersion(feature: String, version: String,
+      targetFiles: Int = 1): Either[List[String], (Int, Int)] = {
+    if (!versions.contains((feature, version)))
+      return Left(List(s"Version '$version' of feature '$feature' not found"))
+    val r = format.optimize(feature, version, targetFiles)
+    invalidateCache()
+    Right(r)
   }
+
+  private def store: DataFrame = format.read()
 
   /** Latest ACTIVE version per (entity, feature) — reference main.py:269's
     * per-feature `ORDER BY computed_at DESC LIMIT 1`, done for all

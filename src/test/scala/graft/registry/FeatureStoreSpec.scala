@@ -196,6 +196,80 @@ class FeatureStoreSpec extends SparkSpec {
     assert(served("spend_sql") === served("spend_closure"))
   }
 
+  test("optimizeVersion compacts a fragmented partition; vectors identical; bucketed partitions are born compact") {
+    var now = 1000L
+    val dir = java.nio.file.Files.createTempDirectory("graft-opt").toString
+    val fs = new FeatureStore(spark, s"$dir/values", () => now)
+    fs.registerTable(ordersDef, Tables.orders(spark, sf))
+    // the explicit repartition(5) models a cluster-scale aggregate whose
+    // output tasks each write a file (AQE coalesces the tiny local one)
+    fs.defineFeature(FeatureDef("total_spend", "orders", "numeric",
+      df => df.groupBy(col("o_custkey").as("entity_id"))
+        .agg(sum("o_totalprice").as("value")).repartition(5)))
+    assert(fs.computeVersion("total_spend", "v1").isRight)
+    val before = fs.featureVectors().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    val Right((nb, na)) = fs.optimizeVersion("total_spend", "v1"): @unchecked
+    assert(nb > 1, s"expected a fragmented partition, saw $nb file(s)")
+    assert(na === 1, s"expected 1 file after compaction, saw $na")
+    val after = fs.featureVectors().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(after === before, "compaction must not change served vectors")
+    // idempotent: already compact reports itself and rewrites nothing
+    assert(fs.optimizeVersion("total_spend", "v1") === Right((1, 1)))
+    assert(fs.optimizeVersion("nope", "v1").isLeft)
+
+    // bucketed store: the optimized write (repartition on the bucket
+    // column) lands each partition as <= buckets files, so optimize is
+    // a verifying no-op
+    val bdir = java.nio.file.Files.createTempDirectory("graft-optb").toString
+    val bfs = new FeatureStore(spark, s"$bdir/values", () => now,
+      bucketEntities = Some(4))
+    bfs.registerTable(ordersDef, Tables.orders(spark, sf))
+    bfs.defineFeature(FeatureDef("total_spend", "orders", "numeric",
+      df => df.groupBy(col("o_custkey").as("entity_id"))
+        .agg(sum("o_totalprice").as("value"))))
+    assert(bfs.computeVersion("total_spend", "v1").isRight)
+    val Right((bb, ba)) = bfs.optimizeVersion("total_spend", "v1"): @unchecked
+    assert(bb <= 4 && bb === ba,
+      s"bucketed partition must be born compact (<= 4 files), saw ($bb, $ba)")
+    assert(bfs.featureVectors().collect().map(r =>
+      r.getString(0) -> r.getDouble(1)).toMap === before)
+  }
+
+  test("the value-store format is one injectable seam: a custom format carries every physical operation") {
+    var now = 1000L
+    val dir = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    val calls = scala.collection.mutable.ArrayBuffer.empty[String]
+    val inner = new ParquetValueStore(spark, s"$dir/values")
+    val counted = new ValueStoreFormat {
+      def append(rows: org.apache.spark.sql.DataFrame): Unit = {
+        calls += "append"; inner.append(rows) }
+      def read(): org.apache.spark.sql.DataFrame = {
+        calls += "read"; inner.read() }
+      def dropPartition(f: String, v: String): Unit = {
+        calls += s"drop:$f/$v"; inner.dropPartition(f, v) }
+      def optimize(f: String, v: String, t: Int): (Int, Int) = {
+        calls += s"optimize:$f/$v"; inner.optimize(f, v, t) }
+    }
+    val fs = new FeatureStore(spark, s"$dir/values", () => now,
+      valueFormat = Some(counted))
+    fs.registerTable(ordersDef, Tables.orders(spark, sf))
+    fs.defineFeature(FeatureDef("total_spend", "orders", "numeric",
+      df => df.groupBy(col("o_custkey").as("entity_id"))
+        .agg(sum("o_totalprice").as("value"))))
+    assert(fs.computeVersion("total_spend", "v1").isRight)
+    assert(fs.featureVectors().count() > 0)
+    assert(fs.optimizeVersion("total_spend", "v1").isRight)
+    fs.archive("total_spend", "v1")
+    assert(fs.purgeArchived() === Seq(("total_spend", "v1")))
+    assert(calls.contains("append") && calls.contains("read") &&
+      calls.contains("optimize:total_spend/v1") &&
+      calls.contains("drop:total_spend/v1"),
+      s"every physical operation must route through the seam, saw $calls")
+  }
+
   test("version metadata survives a restart: fresh instance serves same vectors") {
     var now = 1000L
     val dir = java.nio.file.Files.createTempDirectory("graft-persist").toString
