@@ -161,6 +161,63 @@ object SpanDup {
         col("_iv").getField("mn").as("min_occurrences"))
   }
 
+  /** [[spanDupSpans]] with EXACT whole-span occurrence counts — the
+    * Lee et al. suffix-array output exactly, closing the documented
+    * lower-bound gap: `min_occurrences` (every window of the span
+    * occurs at least that often) stays, and `occurrences` reports how
+    * many corpus positions carry the span's FULL word sequence
+    * (including the span itself, so ≥ 1; always ≤ min_occurrences,
+    * since a whole-span occurrence contributes one occurrence of every
+    * constituent window).
+    *
+    * The second keyed pass: candidate positions are the flagged
+    * occurrences of the span's FIRST window — a provable superset of
+    * true occurrences (an occurrence's first window shares content,
+    * hence fingerprint, with the span's first window, whose count
+    * already cleared minDupCount) — verified by an xxhash64 content
+    * hash of the exact word slice at the candidate. Both joins' build
+    * sides are bounded by ACTUAL duplication (flagged occurrences ×
+    * spans sharing a first window), the verify is O(span_len) per
+    * candidate, and only documents containing flagged windows are ever
+    * re-tokenized. Collision class unchanged: a collision can
+    * OVER-count (≈2⁻⁶⁴ per pair), never miss. */
+  def spanDupSpansExact(docs: DataFrame, window: Int = 50,
+      minDupCount: Long = 2L, idCol: String = "doc_id",
+      textCol: String = "text", rolling: Boolean = true): DataFrame = {
+    val maximal = spanDupSpans(docs, window, minDupCount, idCol, textCol,
+      rolling)
+    val spans = spanFrame(docs, window, idCol, textCol, rolling)
+    val dups = spans.groupBy(col("fp")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= minDupCount).select(col("fp"))
+    val flagged = spans.join(dups, Seq("fp")) // (idCol, p, fp)
+    val words = docs
+      .join(flagged.select(col(idCol)).distinct(), Seq(idCol))
+      .select(col(idCol), wordsOf(textCol).as("_ws"))
+    def sliceHash(ws: Column, start: Column, len: Column): Column =
+      xxhash64(concat_ws(NgramLm.Sep,
+        slice(ws, (start + 1L).cast("int"), len.cast("int"))))
+    // span signature: first-window fp (the candidate join key) + the
+    // content hash of the exact slice in the source document
+    val sigs = maximal
+      .join(flagged.select(col(idCol), col("p").as("span_start"),
+        col("fp").as("_ffp")), Seq(idCol, "span_start"))
+      .join(words, Seq(idCol))
+      .select(col(idCol).as("_sid"), col("span_start"), col("span_len"),
+        col("n_windows"), col("min_occurrences"), col("_ffp"),
+        sliceHash(col("_ws"), col("span_start"), col("span_len")).as("_sig"))
+    flagged.select(col(idCol).as("_cid"), col("p").as("_cp"),
+        col("fp").as("_ffp"))
+      .join(sigs, Seq("_ffp"))
+      .join(words.select(col(idCol).as("_cid"), col("_ws")), Seq("_cid"))
+      .filter(size(col("_ws")).cast("long") >= col("_cp") + col("span_len") &&
+        sliceHash(col("_ws"), col("_cp"), col("span_len")) === col("_sig"))
+      .groupBy(col("_sid"), col("span_start"), col("span_len"),
+        col("n_windows"), col("min_occurrences"))
+      .agg(count(lit(1)).as("occurrences"))
+      .select(col("_sid").as(idCol), col("span_start"), col("span_len"),
+        col("n_windows"), col("min_occurrences"), col("occurrences"))
+  }
+
   /** Span REMOVAL — the paper's keep-first-occurrence excision: for
     * each duplicated fingerprint the globally-first occurrence (min
     * (doc, start) — deterministic, layout-independent) is the KEEPER;

@@ -236,6 +236,52 @@ class SpanDupSpec extends SparkSpec {
     }
   }
 
+  test("spanDupSpansExact: exact whole-span occurrences where the window bound over-counts, equality where the span repeats as a unit") {
+    // doc 20 merges two pairwise-duplicated windows into a span that
+    // never recurs as a unit: (a b c) recurs in 21, (b c d) in 22, but
+    // "a b c d" exists once — the bound says 2, the exact count 1
+    val d = Seq(
+      (20L, "a b c d"),
+      (21L, "p q a b c"),
+      (22L, "b c d r s"),
+      // docs 23/24 share "e f g h" verbatim — bound and exact agree
+      (23L, "e f g h t1 t2"),
+      (24L, "t3 e f g h")
+    ).toDF("doc_id", "text")
+    val got = SpanDup.spanDupSpansExact(d, window = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // the divergence case: min_occurrences 2, occurrences 1
+    assert(got((20L, 0L)) === ((4L, 2L, 2L, 1L)),
+      s"merged-but-unique span must report exact 1, got ${got((20L, 0L))}")
+    // its window-length mates count both true positions
+    assert(got((21L, 2L)) === ((3L, 1L, 2L, 2L)))
+    assert(got((22L, 0L)) === ((3L, 1L, 2L, 2L)))
+    // the unit-repeat case: bound == exact == 2 in both carriers
+    assert(got((23L, 0L)) === ((4L, 2L, 2L, 2L)))
+    assert(got((24L, 1L)) === ((4L, 2L, 2L, 2L)))
+    assert(got.size === 5)
+
+    // both fingerprint paths agree on the exact counts
+    val gotJoined = SpanDup.spanDupSpansExact(d, window = 3, rolling = false)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(gotJoined === got)
+
+    // real table: one row per spanDupSpans row, and the invariant
+    // 1 <= occurrences <= min_occurrences holds everywhere
+    val base = SpanDup.spanDupSpans(docs, 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val exact = SpanDup.spanDupSpansExact(docs, 8)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(exact.map(r => (r._1, r._2, r._3, r._4, r._5)).toSet === base,
+      "the exact pass must preserve spanDupSpans' rows verbatim")
+    exact.foreach { r =>
+      assert(r._6 >= 1L && r._6 <= r._5,
+        s"span ${(r._1, r._2)}: occurrences ${r._6} outside [1, ${r._5}]")
+    }
+  }
+
   test("plan audit: fingerprint count partial-aggregates below its shuffle, nothing single-partitions") {
     val p = SpanDup.spanDupStats(docs, 8).queryExecution.executedPlan.toString
     val ex = p.indexOf("Exchange hashpartitioning")
