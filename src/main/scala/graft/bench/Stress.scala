@@ -560,6 +560,88 @@ object Stress {
       val dt1 = (System.nanoTime() - t1) / 1e9
       println(f"STRESS importance_resample          $dt1%8.2f s   k=${sel.count()}")
     }
+
+    // r11: exact whole-span occurrence counts on the same worst case
+    // as span_dup_stats — ~every window flagged, so the second keyed
+    // pass (first-window candidates + content-hash verify) runs at its
+    // maximal load
+    locally {
+      val docsDf = Tables.documents(spark, dir).select("doc_id", "text")
+      val t0 = System.nanoTime()
+      val s = SpanDup.spanDupSpansExact(docsDf, window = 50)
+        .agg(count(lit(1)), sum(col("occurrences"))).head()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"STRESS span_dup_spans_exact         $dt%8.2f s   " +
+        s"spans=${s.getLong(0)} occSum=${s.getLong(1)}")
+    }
+
+    // r11: the Gopher repetition suite — thirteen signals over all
+    // 250k docs in ONE narrow projection (no shuffle); the 50x corpus
+    // maximizes duplicated-gram coverage, so the interval folds run at
+    // full load
+    locally {
+      val docsDf = Tables.documents(spark, dir).select("doc_id", "text")
+      val t0 = System.nanoTime()
+      val rep = GopherRepetition.repetitionFlags(docsDf)
+      rep.write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val s = rep.agg(avg(col("dup_5gram_char_frac")),
+        sum(when(col("pass_repetition"), 1L).otherwise(0L))).head()
+      println(f"STRESS gopher_repetition            $dt%8.2f s   " +
+        f"avg5g=${s.getDouble(0)}%.3f pass=${s.getLong(1)}")
+    }
+
+    // r11: C4 line+page rules on the word-per-line-ified corpus — the
+    // worst case for the line fold (13.5M one-word lines, every line
+    // fails the word-count rule, every page fails closed)
+    locally {
+      val docsDf = Tables.documents(spark, dir)
+        .select(col("doc_id"), translate(col("text"), " ", "\n").as("text"))
+      val t0 = System.nanoTime()
+      val c4 = C4Filters.c4Clean(docsDf, blocklist = Seq("blockedword"))
+      c4.write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val s = c4.agg(sum(col("n_lines")), sum(col("n_lines_kept")),
+        sum(when(col("keep"), 1L).otherwise(0L))).head()
+      println(f"STRESS c4_filter                    $dt%8.2f s   " +
+        s"lines=${s.getLong(0)} kept=${s.getLong(1)} pages=${s.getLong(2)}")
+    }
+
+    // r11: unigram-LM tokenizer — one corpus word-count pass + driver
+    // EM over the Zipf-small vocabulary (the learnMergesLocal engine
+    // split), then the full corpus Viterbi-tokenized through the
+    // broadcast word join
+    locally {
+      val docsDf = Tables.documents(spark, dir).select("doc_id", "text")
+      val t0 = System.nanoTime()
+      val model = UnigramTokenizer.train(docsDf, vocabSize = 2000)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"STRESS unigram_train                $dt%8.2f s   " +
+        s"pieces=${model.pieces.length}")
+      val t1 = System.nanoTime()
+      val toks = UnigramTokenizer.tokenizeCorpus(docsDf, model)
+      toks.write.format("noop").mode("overwrite").save()
+      val dt1 = (System.nanoTime() - t1) / 1e9
+      val nTok = toks.agg(sum(col("n_tokens"))).head().getLong(0)
+      println(f"STRESS unigram_encode               $dt1%8.2f s   tokens=$nTok")
+    }
+
+    // r11: chunked LM scoring — the book-length composition path; at
+    // chunkTokens 32 every ~54-word doc splits into two chunks, so the
+    // chunk plan + per-chunk score + exact per-doc re-aggregation all
+    // carry the full corpus
+    locally {
+      val docsDf = Tables.documents(spark, dir).select("doc_id", "text")
+      val model = NgramLm.train(docsDf, order = 3, minCount = 2)
+        .localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val scored = NgramLm.scoreChunked(docsDf, model, chunkTokens = 32,
+        broadcastModel = false)
+      scored.write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"STRESS ngram_lm_score_chunked       $dt%8.2f s   " +
+        s"docs=${scored.count()}")
+    }
     spark.stop()
   }
 }

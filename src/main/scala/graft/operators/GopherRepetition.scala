@@ -1,0 +1,213 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.RollingWindowFp
+
+/** E27: the Gopher REPETITION rules — the second half of the published
+  * Gopher quality filter (Rae et al. 2021, "Scaling Language Models:
+  * Methods, Analysis & Insights from Training Gopher", Table A1;
+  * reference compute.py:10-59 is the generic compute-a-signal-per-row
+  * surface this specializes). E11 (`quality_gopher`) implements the
+  * document-shape rules (word count, mean word length, type-token
+  * ratio, stopwords); this operator implements the within-document
+  * repetition rules the paper lists beside them:
+  *
+  *   - duplicate line / paragraph fraction (occurrences beyond the
+  *     first, over the line/paragraph count),
+  *   - duplicate line / paragraph CHARACTER fraction (characters of
+  *     those non-first occurrences, over the document's characters),
+  *   - top 2/3/4-gram character fraction (characters covered by the
+  *     most-repeated n-gram: count × gram chars, over doc chars),
+  *   - duplicate 5..10-gram character fraction (characters covered by
+  *     ANY n-gram occurring ≥ 2 times in the doc — an exact interval
+  *     UNION over token positions, so overlapping occurrences never
+  *     double-count; the C8 SpanDup fold applied doc-locally).
+  *
+  * Scale shape — the ideal one: every signal is a function of the row
+  * alone, so the whole suite is ONE narrow projection. No shuffle, no
+  * join, no window, no state; 100 TB costs exactly one scan,
+  * embarrassingly parallel. The per-doc work is O(tokens × log tokens)
+  * per order (an `array_sort` of fingerprints replaces the hash map a
+  * single-node implementation would use: equal grams become ADJACENT,
+  * so duplicate marking is one neighbor scan and the most-common gram
+  * is the longest run). N-gram identity is the codegen'd Rabin-Karp
+  * rolling fingerprint ([[RollingWindowFp]] — each token hashed once,
+  * O(1) per slide); the C8 collision class applies (a 2⁻⁶⁴ collision
+  * can overstate repetition, never understate; SpanDupSpec pins the
+  * rolling/joined paths equal on the real corpus).
+  *
+  * Definition choices, pinned here and mirrored by the spec's
+  * single-node reference:
+  *   - tokens = `split(text, " ")` (the E11 convention), lines =
+  *     `split(text, "\n")`, paragraphs = `split(text, "\n\n")`; empty
+  *     segments count (a run of blank lines is itself repetition).
+  *   - gram characters include the gram's INTERNAL separators (the
+  *     gram as it appears in the text); char fractions divide by
+  *     `length(text)`.
+  *   - top-gram picks the gram maximizing the statistic itself
+  *     (count × chars) — deterministic, where "most frequent" leaves
+  *     count-ties ambiguous. Overlapping self-repeats can push the
+  *     product past 1.0 ("a a a a": 3 × "a a") — reported raw, as the
+  *     published implementations do; thresholds are unaffected.
+  *   - duplicate-gram coverage merges ADJACENT flagged windows (the
+  *     merged token range is contiguous in the text, so the seam
+  *     separator is covered).
+  */
+object GopherRepetition {
+
+  /** The paper's Table A1 repetition thresholds: a document PASSES a
+    * rule when the signal is ≤ the threshold. */
+  val DefaultThresholds: Seq[(String, Double)] = Seq(
+    "dup_line_frac" -> 0.30, "dup_para_frac" -> 0.30,
+    "dup_line_char_frac" -> 0.20, "dup_para_char_frac" -> 0.20,
+    "top_2gram_char_frac" -> 0.20, "top_3gram_char_frac" -> 0.18,
+    "top_4gram_char_frac" -> 0.16,
+    "dup_5gram_char_frac" -> 0.15, "dup_6gram_char_frac" -> 0.14,
+    "dup_7gram_char_frac" -> 0.13, "dup_8gram_char_frac" -> 0.12,
+    "dup_9gram_char_frac" -> 0.11, "dup_10gram_char_frac" -> 0.10)
+
+  val TopNs: Seq[Int] = Seq(2, 3, 4)
+  val DupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)
+
+  /** Characters of the duplicated-line (or paragraph) occurrences
+    * beyond the first: Σ over all segments − Σ over distinct segments
+    * — exactly "each occurrence after the first counts its length",
+    * without ordering logic. */
+  private def dupSegCols(seg: Column, prefix: String): Seq[Column] = {
+    val charsAll = aggregate(seg, lit(0L), (a, x) => a + length(x))
+    val charsDistinct =
+      aggregate(array_distinct(seg), lit(0L), (a, x) => a + length(x))
+    Seq(
+      (size(seg) - size(array_distinct(seg))).cast("long").as(s"_${prefix}_dup_n"),
+      size(seg).cast("long").as(s"_${prefix}_n"),
+      (charsAll - charsDistinct).as(s"_${prefix}_dup_chars"))
+  }
+
+  /** count × chars of the best run over the (hash, chars)-sorted
+    * fingerprint structs — equal grams are adjacent after the sort, so
+    * one linear fold with four scalars of state finds the maximum.
+    * `_tl` indexing is always in bounds: fingerprint position i spans
+    * tokens [i, i+n) and the fingerprint array has size(toks)−n+1
+    * elements. */
+  private def topGramExpr(n: Int): String = {
+    val charLen =
+      (0 until n).map(j => s"_tl[i + $j]").mkString(" + ") + s" + ${n - 1}"
+    s"""aggregate(
+       |  array_sort(transform(_fps$n,
+       |    (x, i) -> named_struct('h', x, 'c', CAST($charLen AS BIGINT)))),
+       |  named_struct('ph', CAST(0 AS BIGINT), 'rl', CAST(0 AS BIGINT),
+       |               'rc', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+       |  (st, x) -> CASE
+       |    WHEN st.rl = 0 THEN
+       |      named_struct('ph', x.h, 'rl', CAST(1 AS BIGINT), 'rc', x.c, 'best', st.best)
+       |    WHEN x.h = st.ph THEN
+       |      named_struct('ph', st.ph, 'rl', st.rl + CAST(1 AS BIGINT), 'rc', st.rc, 'best', st.best)
+       |    ELSE
+       |      named_struct('ph', x.h, 'rl', CAST(1 AS BIGINT), 'rc', x.c,
+       |                   'best', greatest(st.best, st.rl * st.rc))
+       |    END,
+       |  st -> greatest(st.best, st.rl * st.rc))""".stripMargin
+  }
+
+  /** Characters covered by the union of all occurrences of duplicated
+    * n-grams: flag positions whose fingerprint has an equal NEIGHBOR in
+    * the sorted struct array (⇔ occurs ≥ 2 times), re-sort the flagged
+    * positions, and run the C8 interval-union fold over [p, p+n) spans.
+    * Interval chars are summed when an interval CLOSES via an inner
+    * fold over exactly the covered token slice — merged intervals are
+    * disjoint, so the inner work totals O(tokens) per document. */
+  private def dupCoverExpr(n: Int): String = {
+    val intervalChars =
+      s"""aggregate(slice(_toks, st.s + 1, st.e - st.s), CAST(0 AS BIGINT),
+         |         (a, x) -> a + length(x)) + st.e - st.s - 1""".stripMargin
+    s"""CASE WHEN size(_fps$n) < 2 THEN CAST(0 AS BIGINT) ELSE
+       |aggregate(
+       |  array_sort(transform(
+       |    filter(_srt$n, (x, i) ->
+       |      (i > 0 AND x.h = _srt$n[i - 1].h)
+       |      OR (i < size(_srt$n) - 1 AND x.h = _srt$n[i + 1].h)),
+       |    x -> x.p)),
+       |  named_struct('s', -1, 'e', -1, 'acc', CAST(0 AS BIGINT)),
+       |  (st, p) -> CASE
+       |    WHEN st.s < 0 THEN named_struct('s', p, 'e', p + $n, 'acc', st.acc)
+       |    WHEN p <= st.e THEN
+       |      named_struct('s', st.s, 'e', greatest(st.e, p + $n), 'acc', st.acc)
+       |    ELSE named_struct('s', p, 'e', p + $n, 'acc', st.acc + $intervalChars)
+       |    END,
+       |  st -> CASE WHEN st.s < 0 THEN CAST(0 AS BIGINT)
+       |        ELSE st.acc + $intervalChars END)
+       |END""".stripMargin
+  }
+
+  /** All thirteen repetition signals per document — one projection, no
+    * exchange (plan-audit spec'd). Input needs (idCol, textCol);
+    * output: idCol, n_chars, n_tokens, n_lines, n_paras, and the
+    * signal columns named as in [[DefaultThresholds]]. */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs.select(
+      Seq(col(idCol),
+        length(col(textCol)).cast("long").as("_nc"),
+        split(col(textCol), " ").as("_toks"),
+        split(col(textCol), "\n").as("_lines"),
+        split(col(textCol), "\n\n").as("_paras")): _*)
+      .withColumn("_tl", transform(col("_toks"), t => length(t)))
+    val withFps = (TopNs ++ DupNs).foldLeft(base) { (df, n) =>
+      df.withColumn(s"_fps$n", RollingWindowFp.rollingFp(col("_toks"), n))
+    }
+    val withSrt = DupNs.foldLeft(withFps) { (df, n) =>
+      df.withColumn(s"_srt$n", expr(
+        s"array_sort(transform(_fps$n, (x, i) -> named_struct('h', x, 'p', i)))"))
+    }
+    val withSegs = withSrt.select(
+      Seq(col(idCol), col("_nc"), col("_toks"), col("_tl")) ++
+        (TopNs ++ DupNs).map(n => col(s"_fps$n")) ++
+        DupNs.map(n => col(s"_srt$n")) ++
+        dupSegCols(col("_lines"), "line") ++
+        dupSegCols(col("_paras"), "para"): _*)
+    def overChars(c: Column): Column =
+      when(col("_nc") > 0, c.cast("double") / col("_nc")).otherwise(lit(0.0))
+    withSegs.select(
+      Seq(col(idCol),
+        col("_nc").as("n_chars"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        col("_line_n").as("n_lines"),
+        col("_para_n").as("n_paras"),
+        (col("_line_dup_n").cast("double") / col("_line_n")).as("dup_line_frac"),
+        (col("_para_dup_n").cast("double") / col("_para_n")).as("dup_para_frac"),
+        overChars(col("_line_dup_chars")).as("dup_line_char_frac"),
+        overChars(col("_para_dup_chars")).as("dup_para_char_frac")) ++
+        TopNs.map(n => overChars(expr(topGramExpr(n))).as(s"top_${n}gram_char_frac")) ++
+        DupNs.map(n => overChars(expr(dupCoverExpr(n))).as(s"dup_${n}gram_char_frac")): _*)
+  }
+
+  /** Signals + one boolean flag per rule (`flag_<signal>`, true =
+    * passes) + the conjoined `pass_repetition`. Still row-local — the
+    * full Gopher gate is this AND E11's `pass`
+    * (`QualityOps.qualityFlags`), both streamable as-is. */
+  def repetitionFlags(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      thresholds: Seq[(String, Double)] = DefaultThresholds): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val sig = repetitionSignals(docs, idCol, textCol)
+    val known = sig.columns.toSet
+    thresholds.foreach { case (name, _) =>
+      require(known.contains(name), s"unknown signal '$name' — known: " +
+        sig.columns.sorted.mkString(", "))
+    }
+    val flagged = thresholds.foldLeft(sig) { case (df, (name, t)) =>
+      df.withColumn(s"flag_$name", col(name) <= t)
+    }
+    flagged.withColumn("pass_repetition",
+      thresholds.map { case (name, _) => col(s"flag_$name") }
+        .reduce(_ && _))
+  }
+
+  /** Harness entry over the documents table (line-ified upstream by
+    * callers that want line/paragraph signals on this newline-free
+    * synthetic corpus). */
+  def gopherRepetition(spark: SparkSession, d: String): DataFrame =
+    repetitionFlags(Tables.documents(spark, d).select(col("doc_id"), col("text")))
+}
