@@ -39,16 +39,22 @@ import org.apache.spark.sql.functions._
   */
 object LineDedup {
 
-  private def linesOf(textCol: String): Column = split(col(textCol), "\n")
+  /** `sep` is used BOTH as the split pattern and the rejoin literal,
+    * so it must be a metacharacter-free literal string ("\n" for
+    * lines, "\n\n" for PARAGRAPHS — the RefinedWeb/MassiveText
+    * paragraph-granular variant comes free through this one knob). */
+  private def linesOf(textCol: String, sep: String): Column =
+    split(col(textCol), java.util.regex.Pattern.quote(sep))
 
   /** (idCol, p, fp) — one row per CANDIDATE line (trimmed length ≥
     * minLineChars); the one frame stats and removal both build on, so
     * they can never disagree about what a line is (the SpanDup
     * spanFrame convention). */
   private def lineFrame(docs: DataFrame, idCol: String, textCol: String,
-      minLineChars: Int): DataFrame = {
+      minLineChars: Int, sep: String): DataFrame = {
     require(minLineChars >= 1, s"minLineChars $minLineChars must be >= 1")
-    docs.select(col(idCol), posexplode(linesOf(textCol)).as(Seq("p", "_l")))
+    require(sep.nonEmpty, "sep must be non-empty")
+    docs.select(col(idCol), posexplode(linesOf(textCol, sep)).as(Seq("p", "_l")))
       .filter(length(trim(col("_l"))) >= minLineChars)
       .select(col(idCol), col("p").cast("long").as("p"),
         xxhash64(trim(col("_l"))).as("fp"))
@@ -72,10 +78,10 @@ object LineDedup {
     * `dup_fraction` is their ratio. Every input document appears. */
   def lineDupStats(docs: DataFrame, minDocs: Long = 2L,
       idCol: String = "doc_id", textCol: String = "text",
-      minLineChars: Int = 1): DataFrame =
+      minLineChars: Int = 1, sep: String = "\n"): DataFrame =
     lineDupStatsAgainst(docs,
-      boilerplateIndex(docs, minDocs, idCol, textCol, minLineChars),
-      idCol, textCol, minLineChars)
+      boilerplateIndex(docs, minDocs, idCol, textCol, minLineChars, sep),
+      idCol, textCol, minLineChars, sep)
 
   /** The boilerplate REPORT: the `k` most widespread flagged lines as
     * (line, n_docs, n_occurrences), ordered by (n_docs desc,
@@ -84,11 +90,11 @@ object LineDedup {
     * is free). Driver result is k rows — bounded by construction. */
   def topBoilerplate(docs: DataFrame, k: Int, minDocs: Long = 2L,
       idCol: String = "doc_id", textCol: String = "text",
-      minLineChars: Int = 1): DataFrame = {
+      minLineChars: Int = 1, sep: String = "\n"): DataFrame = {
     require(k >= 1, s"k $k must be >= 1")
     require(minDocs >= 2, s"minDocs $minDocs must be >= 2")
     require(minLineChars >= 1, s"minLineChars $minLineChars must be >= 1")
-    docs.select(col(idCol), explode(linesOf(textCol)).as("_l"))
+    docs.select(col(idCol), explode(linesOf(textCol, sep)).as("_l"))
       .select(col(idCol), trim(col("_l")).as("line"))
       .filter(length(col("line")) >= minLineChars)
       .groupBy(col("line"))
@@ -109,8 +115,8 @@ object LineDedup {
     * is structural). Bounded by ACTUAL boilerplate, not the corpus. */
   def boilerplateIndex(docs: DataFrame, minDocs: Long = 2L,
       idCol: String = "doc_id", textCol: String = "text",
-      minLineChars: Int = 1): DataFrame = {
-    val lines = lineFrame(docs, idCol, textCol, minLineChars)
+      minLineChars: Int = 1, sep: String = "\n"): DataFrame = {
+    val lines = lineFrame(docs, idCol, textCol, minLineChars, sep)
     dupFps(lines, minDocs, idCol)
   }
 
@@ -122,10 +128,10 @@ object LineDedup {
     * lines. */
   def dedupLines(docs: DataFrame, minDocs: Long = 2L,
       idCol: String = "doc_id", textCol: String = "text",
-      minLineChars: Int = 1): DataFrame =
+      minLineChars: Int = 1, sep: String = "\n"): DataFrame =
     dedupLinesAgainst(docs,
-      boilerplateIndex(docs, minDocs, idCol, textCol, minLineChars),
-      idCol, textCol, minLineChars)
+      boilerplateIndex(docs, minDocs, idCol, textCol, minLineChars, sep),
+      idCol, textCol, minLineChars, sep)
 
   /** [[lineDupStats]] against a FROZEN index — the coverage signal
     * (how boilerplate-laden is this batch?) for deltas and streams,
@@ -134,12 +140,13 @@ object LineDedup {
     * drop-threshold applied per delta without rescanning the corpus. */
   def lineDupStatsAgainst(docs: DataFrame, index: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      minLineChars: Int = 1): DataFrame = {
-    val lines = lineFrame(docs, idCol, textCol, minLineChars)
+      minLineChars: Int = 1, sep: String = "\n"): DataFrame = {
+    val lines = lineFrame(docs, idCol, textCol, minLineChars, sep)
     val perDoc = lines
       .join(index.select(col("fp").cast("long").as("fp")).distinct(), Seq("fp"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("dup_lines"))
-    docs.select(col(idCol), size(linesOf(textCol)).cast("long").as("n_lines"))
+    docs.select(col(idCol),
+        size(linesOf(textCol, sep)).cast("long").as("n_lines"))
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol), col("n_lines"),
         coalesce(col("dup_lines"), lit(0L)).as("dup_lines"),
@@ -156,14 +163,14 @@ object LineDedup {
     * equivalence (a lower floor here can only excise more). */
   def dedupLinesAgainst(docs: DataFrame, index: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      minLineChars: Int = 1): DataFrame = {
-    val lines = lineFrame(docs, idCol, textCol, minLineChars)
+      minLineChars: Int = 1, sep: String = "\n"): DataFrame = {
+    val lines = lineFrame(docs, idCol, textCol, minLineChars, sep)
     // defensive distinct: a duplicated index row would double-count
     // removed_lines through the join fan-out
     val removePos = lines
       .join(index.select(col("fp").cast("long").as("fp")).distinct(), Seq("fp"))
       .groupBy(col(idCol)).agg(collect_list(col("p")).as("_ps"))
-    docs.select(col(idCol), col(textCol), linesOf(textCol).as("_ls"))
+    docs.select(col(idCol), col(textCol), linesOf(textCol, sep).as("_ls"))
       .join(removePos, Seq(idCol), "left")
       // index filter over the doc's own lines; O(lines × flagged) per
       // doc worst case, both factors document-bounded
@@ -171,7 +178,8 @@ object LineDedup {
         filter(col("_ls"), (l, i) =>
           !array_contains(col("_ps"), i.cast("long")))))
       .select(col(idCol),
-        when(col("_kept").isNotNull, concat_ws("\n", col("_kept")))
+        when(col("_kept").isNotNull,
+          concat_ws(sep, col("_kept")))
           .otherwise(col(textCol)).as(textCol),
         when(col("_kept").isNotNull, size(col("_kept")))
           .otherwise(size(col("_ls"))).cast("long").as("n_lines"),

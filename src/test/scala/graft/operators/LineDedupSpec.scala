@@ -16,6 +16,27 @@ class LineDedupSpec extends SparkSpec {
   private lazy val docs = Tables.documents(spark, sf)
     .filter(col("doc_id") < 200).select("doc_id", "text").cache()
 
+  test("paragraph granularity (sep = two newlines): whole paragraphs flag as units") {
+    val footer = "Follow us on social media\nCopyright 2020 SITE"
+    val d = Seq(
+      (1L, s"real content about one thing\n\n$footer"),
+      (2L, s"entirely different real content\n\n$footer"),
+      (3L, "no footer on this page at all")
+    ).toDF("doc_id", "text")
+    // paragraph-granular: the two-LINE footer flags as ONE unit
+    val para = LineDedup.dedupLines(d, sep = "\n\n")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(para(1L) === ((1L, "real content about one thing", 1L, 1L)))
+    assert(para(2L) === ((2L, "entirely different real content", 1L, 1L)))
+    assert(para(3L) === ((3L, "no footer on this page at all", 1L, 0L)))
+    // line-granular on the same input: the footer's TWO lines flag
+    // individually (2 removals per doc), the content lines survive
+    val line = LineDedup.dedupLines(d)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(line(1L)._4 === 2L, "line mode removes the footer's two lines")
+    assert(line(1L)._2 === "real content about one thing\n")
+  }
+
   test("constructed: flagged lines removed everywhere, trim-matched, others verbatim") {
     val d = Seq(
       (1L, "Welcome to SITE\nunique content one\nCopyright 2020 SITE"),
