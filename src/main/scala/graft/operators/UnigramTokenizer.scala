@@ -232,8 +232,12 @@ object UnigramTokenizer {
     * arrays of |word|+1 elements. Unseen characters fall back to
     * single-char UNK edges at `model.unkLogp`, so segmentation is
     * total and lossless. */
-  def segmentWords(spark: SparkSession, words: DataFrame,
-      model: Model, maxWordLen: Int = 256): DataFrame = {
+  /** The per-word lattice: (word, _edges) with _edges the sorted
+    * struct(e, s, lp, p) array — every vocabulary piece occurrence
+    * plus single-char UNK fallbacks; shared by Viterbi and sampling
+    * so the two decodings see the identical lattice. */
+  private def latticeEdges(spark: SparkSession, words: DataFrame,
+      model: Model, maxWordLen: Int): DataFrame = {
     import spark.implicits._
     val maxLen = model.maxPieceLen
     val piecesDf = model.pieces.toDF("p", "lp")
@@ -260,12 +264,17 @@ object UnigramTokenizer {
       .select(col("word"), col("c.s").as("s"), col("c.p").as("p"))
       .join(broadcast(piecesDf), Seq("p"), "left")
       .withColumn("lp", coalesce(col("lp"), lit(model.unkLogp)))
-    val edges = multi.unionByName(single)
+    multi.unionByName(single)
       .select(col("word"), struct(
         (col("s") + length(col("p"))).cast("int").as("e"),
         col("s").cast("int").as("s"),
         col("lp").as("lp"), col("p").as("p")).as("edge"))
       .groupBy("word").agg(array_sort(collect_list(col("edge"))).as("_edges"))
+  }
+
+  def segmentWords(spark: SparkSession, words: DataFrame,
+      model: Model, maxWordLen: Int = 256): DataFrame = {
+    val edges = latticeEdges(spark, words, model, maxWordLen)
     // DP fold: only a STRICTLY better score updates, so the first edge
     // in (e, s) order wins ties — earliest start = longest piece
     val dp = edges.withColumn("_dp", expr(
@@ -290,6 +299,81 @@ object UnigramTokenizer {
           |                 'parts', concat(st.parts, array(_dp.bpp[st.pos])))),
           |  st -> st.parts))""".stripMargin).as("pieces"),
       expr("_dp.best[length(word)]").as("word_logp"))
+  }
+
+  /** Stable two-operand log-sum-exp as a SQL snippet — used by BOTH
+    * the forward fold and the backward sampling scan, in the SAME
+    * accumulation order, so the sampler's final cumulative mass is
+    * BITWISE equal to the forward value it normalizes against (the
+    * crossing `log u + fwd < fwd` is therefore guaranteed — no
+    * fallback branch exists to hide an arithmetic bug). */
+  private def lse(p: String, q: String): String =
+    s"(greatest($p, $q) + log(exp(least($p, $q) - greatest($p, $q)) + 1.0d))"
+
+  /** SUBWORD REGULARIZATION — the sampling decode that is the point of
+    * Kudo 2018: draw a segmentation with probability ∝ P(seg)^alpha
+    * by exact forward-filtering backward-sampling over the word's
+    * lattice (alpha = 1 the true posterior, alpha = 0 uniform over
+    * segmentations, large alpha → Viterbi). Output: (word, pieces,
+    * sample_logp) — sample_logp the UNtempered log P(seg).
+    *
+    * The randomness is DERIVED, not drawn (the E9/E15/E26 md5
+    * convention): the uniform at boundary position `pos` is the 32-bit
+    * md5 prefix of "word:pos:seed" — a sample is a pure function of
+    * (word, model, alpha, seed), reproducible across runs, layouts and
+    * engines. One draw per (word, seed): callers wanting fresh
+    * segmentations per epoch rotate the seed (the mixtureRepeat epoch
+    * convention) — per-OCCURRENCE draws would forfeit the per-distinct-
+    * word economics that make the decode corpus-scale.
+    *
+    * Scale shape: identical to [[segmentWords]] — same lattice frame,
+    * one per-word fold; the backward scan re-walks ≤ |word| boundary
+    * positions, each an O(edges) pass, so per-word cost is
+    * O(|word| × edges) with |word|+1 doubles of state. */
+  def sampleSegmentations(spark: SparkSession, words: DataFrame,
+      model: Model, seed: Long, alpha: Double = 1.0,
+      maxWordLen: Int = 256): DataFrame = {
+    require(alpha >= 0.0, s"alpha $alpha must be >= 0")
+    val edges = latticeEdges(spark, words, model, maxWordLen)
+    val a = s"CAST($alpha AS DOUBLE)"
+    // forward: fwd[e] = logsumexp over edges (s -> e) of fwd[s] + a*lp,
+    // accumulated in the sorted (e, s) edge order
+    val fwd = edges.withColumn("_fwd", expr(
+      s"""aggregate(_edges,
+         |  concat(array(CAST(0.0 AS DOUBLE)),
+         |    transform(sequence(1, length(word)), i -> CAST(-1e30 AS DOUBLE))),
+         |  (acc, x) -> transform(acc, (v, i) ->
+         |    IF(i = x.e, ${lse("v", s"acc[x.s] + $a * x.lp")}, v)))""".stripMargin))
+    // backward: at each boundary pos, draw the incoming edge whose
+    // cumulative tempered mass first reaches log(u) + fwd[pos]; the
+    // scan accumulates in the same edge order as the forward fold
+    val choose =
+      s"""aggregate(
+         |  filter(_edges, x -> x.e = st.pos),
+         |  named_struct('cum', CAST(-1e30 AS DOUBLE), 'cs', -1,
+         |               'cp', CAST(NULL AS STRING), 'cl', CAST(0.0 AS DOUBLE)),
+         |  (c, x) -> IF(c.cp IS NOT NULL, c,
+         |    IF(${lse("c.cum", s"_fwd[x.s] + $a * x.lp")} >=
+         |         log((CAST(conv(substring(md5(concat(word, ':',
+         |           CAST(st.pos AS STRING), ':', '${seed}')), 1, 8), 16, 10)
+         |           AS DOUBLE) + 0.5d) / 4294967296.0d) + _fwd[st.pos],
+         |       named_struct('cum', ${lse("c.cum", s"_fwd[x.s] + $a * x.lp")},
+         |                    'cs', x.s, 'cp', x.p, 'cl', x.lp),
+         |       named_struct('cum', ${lse("c.cum", s"_fwd[x.s] + $a * x.lp")},
+         |                    'cs', -1, 'cp', CAST(NULL AS STRING),
+         |                    'cl', CAST(0.0 AS DOUBLE)))))""".stripMargin
+    fwd.withColumn("_bs", expr(
+      s"""aggregate(sequence(1, length(word)),
+         |  named_struct('pos', length(word),
+         |               'parts', CAST(array() AS ARRAY<STRING>),
+         |               'lp', CAST(0.0 AS DOUBLE)),
+         |  (st, i) -> IF(st.pos <= 0, st,
+         |    named_struct('pos', ($choose).cs,
+         |                 'parts', concat(st.parts, array(($choose).cp)),
+         |                 'lp', st.lp + ($choose).cl)))""".stripMargin))
+      .select(col("word"),
+        expr("reverse(_bs.parts)").as("pieces"),
+        col("_bs.lp").as("sample_logp"))
   }
 
   /** Corpus tokenization under the unigram model — the

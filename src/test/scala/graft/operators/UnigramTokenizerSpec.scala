@@ -170,6 +170,92 @@ class UnigramTokenizerSpec extends SparkSpec {
     compounds.foreach(w => assert(got(w) === ref(w), s"parity on '$w'"))
   }
 
+  test("subword-regularization sampling: exact FFBS parity, limits, frequencies") {
+    // hand-set model so every segmentation's probability is enumerable:
+    // "ab" segments as [ab] (p=.5) or [a][b] (.25*.25) -> P([ab]) = 8/9
+    val m = UnigramTokenizer.Model(
+      Seq(("a", math.log(0.25)), ("b", math.log(0.25)), ("ab", math.log(0.5))),
+      maxPieceLen = 2, emLogLik = Seq.empty)
+    val w = Seq("ab").toDF("word")
+
+    /** Single-node FFBS with the same md5-derived uniform, the same
+      * lse, the same (e, s) edge order — independent implementation. */
+    def refSample(word: String, seed: Long, alpha: Double): Seq[String] = {
+      val pieces = m.pieces.toMap
+      val L = word.length
+      val es = (for {
+        e <- 1 to L; s <- math.max(0, e - m.maxPieceLen) until e
+        p = word.substring(s, e)
+        lp <- if (e - s == 1) Some(pieces.getOrElse(p, m.unkLogp)) else pieces.get(p)
+      } yield (e, s, lp, p)).sortBy(t => (t._1, t._2))
+      def lse(p: Double, q: Double): Double = {
+        val (hi, lo) = if (p >= q) (p, q) else (q, p)
+        hi + math.log(math.exp(lo - hi) + 1.0)
+      }
+      val fwd = Array.fill(L + 1)(-1e30); fwd(0) = 0.0
+      es.foreach { case (e, s, lp, _) => fwd(e) = lse(fwd(e), fwd(s) + alpha * lp) }
+      def uniform(pos: Int): Double = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"$word:$pos:$seed".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+      }
+      val parts = scala.collection.mutable.Buffer.empty[String]
+      var pos = L
+      while (pos > 0) {
+        val target = math.log(uniform(pos)) + fwd(pos)
+        var cum = -1e30
+        var chosen: Option[(Int, String)] = None
+        es.filter(_._1 == pos).foreach { case (_, s, lp, p) =>
+          if (chosen.isEmpty) {
+            cum = lse(cum, fwd(s) + alpha * lp)
+            if (cum >= target) chosen = Some((s, p))
+          }
+        }
+        val (s, p) = chosen.get
+        parts += p; pos = s
+      }
+      parts.reverse.toSeq
+    }
+
+    val seeds = (0L until 600L)
+    // engine == reference exactly, seed by seed, at three alphas
+    Seq(0.0, 1.0, 8.0).foreach { alpha =>
+      val some = seeds.take(40)
+      val df = some.map(sd => UnigramTokenizer
+        .sampleSegmentations(spark, w, m, seed = sd, alpha = alpha)
+        .as[(String, Seq[String], Double)].collect().head)
+      df.zip(some).foreach { case ((word, pieces, lp), sd) =>
+        assert(pieces === refSample(word, sd, alpha), s"alpha=$alpha seed=$sd")
+        assert(pieces.mkString("") === word)
+        val expLp = pieces.map(p => m.pieces.toMap.apply(p)).sum
+        assert(math.abs(lp - expLp) < 1e-12, "sample_logp is the untempered sum")
+      }
+    }
+    // frequencies via the (cheap) reference proved identical above:
+    // alpha=1 -> P([ab]) = 8/9; alpha=0 -> uniform 1/2
+    val f1 = seeds.count(sd => refSample("ab", sd, 1.0) == Seq("ab")).toDouble / seeds.size
+    assert(math.abs(f1 - 8.0 / 9.0) < 0.05, s"posterior freq $f1")
+    val f0 = seeds.count(sd => refSample("ab", sd, 0.0) == Seq("ab")).toDouble / seeds.size
+    assert(math.abs(f0 - 0.5) < 0.07, s"uniform freq $f0")
+    // large alpha concentrates on the Viterbi segmentation
+    assert(seeds.take(50).forall(sd => refSample("ab", sd, 50.0) == Seq("ab")))
+    // determinism + layout invariance on the real corpus at alpha=1
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val s1 = UnigramTokenizer.sampleSegmentations(spark, words, model, seed = 7L)
+      .as[(String, Seq[String], Double)].collect().map(r => r._1 -> r._2).toMap
+    val s2 = UnigramTokenizer.sampleSegmentations(spark, words.repartition(5),
+        model, seed = 7L)
+      .as[(String, Seq[String], Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(s1 === s2)
+    s1.foreach { case (word, pieces) => assert(pieces.mkString("") === word) }
+    // rotating the seed actually changes some segmentation somewhere
+    val s3 = UnigramTokenizer.sampleSegmentations(spark, words, model, seed = 8L)
+      .as[(String, Seq[String], Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(s1.keySet === s3.keySet)
+  }
+
   test("artifact round-trip; torn and cross-kind loads fail loudly") {
     val path = java.nio.file.Files
       .createTempDirectory("unigram-art").toString
