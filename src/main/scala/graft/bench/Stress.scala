@@ -394,6 +394,20 @@ object Stress {
         .write.format("noop").mode("overwrite").save()
       val dt1 = (System.nanoTime() - t1) / 1e9
       println(f"STRESS ngram_lm_score               $dt1%8.2f s   docs=${docsDf.count()}")
+      // in-session A/B against the fingerprint-keyed path (spec'd
+      // bit-identical scores): the delta is per-position gram-string
+      // assembly + string-keyed join vs precomputed rolling-hash longs
+      val t2 = System.nanoTime()
+      val modelFp = NgramLm.trainFp(docsDf, order = 3, minCount = 2L)
+        .localCheckpoint(true)
+      val nFp = modelFp.count()
+      val dt2 = (System.nanoTime() - t2) / 1e9
+      println(f"STRESS ngram_lm_train_fp            $dt2%8.2f s   grams=$nFp")
+      val t3 = System.nanoTime()
+      NgramLm.scoreFp(docsDf, modelFp, broadcastModel = false)
+        .write.format("noop").mode("overwrite").save()
+      val dt3 = (System.nanoTime() - t3) / 1e9
+      println(f"STRESS ngram_lm_score_fp            $dt3%8.2f s   docs=${docsDf.count()}")
     }
 
     // cross-doc span duplication at 50x: the stress corpus IS ~50

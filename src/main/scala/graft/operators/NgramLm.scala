@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.RollingWindowFp.rollingFp
 
 /** N-gram language model + perplexity scoring — MODEL-based quality
   * filtering, the tier above the rule-based gates (E3/E11): train a
@@ -102,10 +103,17 @@ object NgramLm {
     * meta swap — nothing commits. */
   def save(model: DataFrame, path: String): Unit = {
     val spark = model.sparkSession
+    // the key representation travels in the artifact kind: a reader
+    // that expects strings fails loudly on an fp artifact (and vice
+    // versa) at load, not on a missing column mid-plan
+    val fpKeyed = model.columns.contains("fp")
+    val kind = if (fpKeyed) "ngram_lm_fp" else "ngram_lm"
     ModelStore.withLock(spark, path, "NgramLm model") {
       val g = ModelStore.nextGen(spark, path)
       val dir = ModelStore.genDir(path, g, "counts")
-      model.select(col("n").cast("int").as("n"), col("gram"),
+      val keyCol = if (fpKeyed) col("fp").cast("long").as("fp")
+                   else col("gram")
+      model.select(col("n").cast("int").as("n"), keyCol,
           col("cnt").cast("long").as("cnt"))
         .write.mode("overwrite").parquet(dir)
       val metaRow = spark.read.parquet(dir)
@@ -113,9 +121,9 @@ object NgramLm {
           sum(when(col("n") === 0, col("cnt"))).as("total")).head()
       require(!metaRow.isNullAt(0) && !metaRow.isNullAt(1),
         "frame lacks n>0 gram rows or the (n=0) total-tokens row — " +
-          "was it produced by NgramLm.train? (nothing committed)")
+          "was it produced by NgramLm.train/trainFp? (nothing committed)")
       ModelStore.writeMeta(spark, path, Seq(
-        "version" -> "1", "kind" -> "ngram_lm", "gen" -> g.toString,
+        "version" -> "1", "kind" -> kind, "gen" -> g.toString,
         "order" -> metaRow.getInt(0).toString,
         "total" -> metaRow.getLong(1).toString))
       ModelStore.pruneGens(spark, path, g)
@@ -123,12 +131,19 @@ object NgramLm {
   }
 
   /** Reopen a committed model: the (n, gram, cnt) frame [[score]]
-    * takes, lazily over the committed generation's parquet — no
-    * retraining, no corpus scan, readable across one subsequent save
-    * (keep-two retention). */
+    * takes — or, for a [[trainFp]] artifact (kind `ngram_lm_fp`), the
+    * (n, fp, cnt) frame [[scoreFp]] takes — lazily over the committed
+    * generation's parquet: no retraining, no corpus scan, readable
+    * across one subsequent save (keep-two retention). */
   def load(spark: SparkSession, path: String): DataFrame = {
     val kv = ModelStore.readMeta(spark, path, "NgramLm model")
-    ModelStore.checkKind(kv, path, "ngram_lm", "1")
+    val kind = kv.getOrElse("kind", "?")
+    require(kind == "ngram_lm" || kind == "ngram_lm_fp",
+      s"artifact at $path is kind '$kind', this reader needs an " +
+        "NgramLm model (ngram_lm or ngram_lm_fp)")
+    require(kv.getOrElse("version", "?") == "1",
+      s"$kind artifact at $path is layout version " +
+        s"${kv.getOrElse("version", "?")}, this reader needs 1 — re-save")
     spark.read.parquet(ModelStore.genDir(path, kv("gen").toLong, "counts"))
   }
 
@@ -165,28 +180,11 @@ object NgramLm {
       maxDocTokens: Long = 200000L): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha $alpha out of (0, 1]")
     require(maxDocTokens >= 1, s"maxDocTokens $maxDocTokens must be >= 1")
-    // driver-bounded model metadata: the order and the token total
-    val metaRow = model.agg(max(when(col("n") > 0, col("n"))).as("order"),
-      sum(when(col("n") === 0, col("cnt"))).as("total")).head()
-    require(!metaRow.isNullAt(0) && !metaRow.isNullAt(1),
-      "model frame lacks n>0 gram rows or the (n=0) total-tokens row — " +
-        "was it produced by NgramLm.train?")
-    val order = metaRow.getInt(0)
-    val total = metaRow.getLong(1)
-
-    val ws = docs.select(col(idCol), wordsCol(textCol).as("_ws"))
-      .filter(size(col("_ws")) > 0)
-    // fail-loud length probe (the packSequences duplicate-probe
-    // convention — one narrow scan, no shuffle): stop BEFORE building a
-    // doc-length-sized aggregation buffer, with the fix in the message
-    val over = ws.filter(size(col("_ws")).cast("long") > maxDocTokens)
-      .select(col(idCol)).limit(3).collect()
-    require(over.isEmpty,
-      s"document(s) ${over.map(_.get(0)).mkString(", ")} exceed " +
-        s"maxDocTokens=$maxDocTokens — the per-document scoring map is " +
-        "doc-length × order entries in ONE aggregation buffer; chunk first " +
-        "(ChunkOps.chunkPlan) and sum per-chunk log_probs, or raise the " +
-        "cap if executor memory really covers it")
+    require(model.columns.contains("gram"),
+      "model frame has no 'gram' column — fingerprint-keyed models " +
+        "(trainFp output) score via scoreFp")
+    val (order, total) = modelMeta(model)
+    val ws = guardedWords(docs, idCol, textCol, maxDocTokens)
     // (doc, p, k, gram) for every position p and order k ≤ min(order,
     // p+1): the ≤ order× fan-out of the token stream the join runs on
     val pk = ws
@@ -208,7 +206,48 @@ object NgramLm {
     val joined = pk.join(if (broadcastModel) broadcast(m) else m,
         Seq("k", "gram"), "left")
       .filter(col("cnt").isNotNull || col("k") === 1)
+    resolveAndScore(joined, idCol, order, total, alpha)
+  }
 
+  /** Driver-bounded model metadata probe: (order, total tokens) off the
+    * n>0 max and the (n=0) row — one small aggregation, shared by both
+    * key representations. */
+  private def modelMeta(model: DataFrame): (Int, Long) = {
+    val metaRow = model.agg(max(when(col("n") > 0, col("n"))).as("order"),
+      sum(when(col("n") === 0, col("cnt"))).as("total")).head()
+    require(!metaRow.isNullAt(0) && !metaRow.isNullAt(1),
+      "model frame lacks n>0 gram rows or the (n=0) total-tokens row — " +
+        "was it produced by NgramLm.train/trainFp?")
+    (metaRow.getInt(0), metaRow.getLong(1))
+  }
+
+  /** Tokenize + the fail-loud length probe (the packSequences
+    * duplicate-probe convention — one narrow scan, no shuffle): stop
+    * BEFORE building a doc-length-sized aggregation buffer, with the
+    * fix in the message. */
+  private def guardedWords(docs: DataFrame, idCol: String, textCol: String,
+      maxDocTokens: Long): DataFrame = {
+    val ws = docs.select(col(idCol), wordsCol(textCol).as("_ws"))
+      .filter(size(col("_ws")) > 0)
+    val over = ws.filter(size(col("_ws")).cast("long") > maxDocTokens)
+      .select(col(idCol)).limit(3).collect()
+    require(over.isEmpty,
+      s"document(s) ${over.map(_.get(0)).mkString(", ")} exceed " +
+        s"maxDocTokens=$maxDocTokens — the per-document scoring map is " +
+        "doc-length × order entries in ONE aggregation buffer; chunk first " +
+        "(ChunkOps.chunkPlan) and sum per-chunk log_probs, or raise the " +
+        "cap if executor memory really covers it")
+    ws
+  }
+
+  /** The shared scoring tail: per-doc (pos, order)→cnt map from the
+    * model-joined position stream, then the statically-unrolled stupid-
+    * backoff chain — ONE definition for both key representations, so
+    * the string-gram and fingerprint paths cannot drift. `joined` must
+    * carry (idCol, _len, p, k, cnt) with unmatched rows already pruned
+    * to k=1. */
+  private def resolveAndScore(joined: DataFrame, idCol: String, order: Int,
+      total: Long, alpha: Double): DataFrame = {
     // per-doc (pos, order) -> cnt map; key packed as p*(order+1)+k.
     // collect_list drops the null entries (unmatched grams)
     val packedKey = (col("p") * (order + 1) + col("k")).cast("long")
@@ -252,6 +291,95 @@ object NgramLm {
       .withColumn("ppl", exp(-col("avg_log_prob")))
       .select(col(idCol), col("n_tokens"), col("log_prob"),
         col("avg_log_prob"), col("ppl"))
+  }
+
+  /** [[train]] with FINGERPRINT gram keys — (n, fp, cnt) where fp is
+    * the Rabin-Karp rolling fingerprint of the n-word span
+    * ([[org.apache.spark.sql.graft.RollingWindowFp]], the C8/E27
+    * machinery): each word is FNV-hashed once and every order's window
+    * array costs one O(words) pass, replacing per-position
+    * `concat_ws(slice(...))` string assembly — the measured cost center
+    * of the string path at stress scale (the same change bought span
+    * dedup 2.7×). The model table carries 8-byte keys instead of
+    * Sep-joined strings, so the scoring join's build side shrinks and
+    * probes hash longs.
+    *
+    * Collision class (the C8 contract): two distinct same-order grams
+    * colliding (≈2⁻⁶⁴ per pair, adversarially collidable — polynomial
+    * fingerprints don't avalanche) MERGE their counts, slightly
+    * over-scoring both; within-model closure (cnt(ctx) ≥ cnt(gram))
+    * still holds because every occurrence contributing to a gram's
+    * count also contributes to its context's fingerprint count.
+    * Same-corpus scores are spec'd bit-identical to the string path
+    * (no collisions among the real corpus's grams — asserted, not
+    * assumed: the spec checks distinct-gram == distinct-fp per order).
+    * The (n=0) metadata row uses fp=0 (never joined — the model side
+    * filters n>0). */
+  def trainFp(docs: DataFrame, order: Int = 3, textCol: String = "text",
+      minCount: Long = 1L): DataFrame = {
+    require(order >= 1 && order <= 8, s"order $order out of [1, 8]")
+    require(minCount >= 1, s"minCount $minCount must be >= 1")
+    val ws = docs.select(wordsCol(textCol).as("_ws"))
+      .filter(size(col("_ws")) > 0)
+    // one projection computes every order's rolling-window array (a
+    // too-short doc yields an empty array for that order — the same
+    // "grams only where they fit" semantics as train's least())
+    val grams = ws
+      .select(posexplode(
+        array((1 to order).map(k => rollingFp(col("_ws"), k)): _*))
+        .as(Seq("_ki", "_fps")))
+      .select((col("_ki") + 1).cast("int").as("n"),
+        explode(col("_fps")).as("fp"))
+    val counts = grams.groupBy(col("n"), col("fp"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val total = ws.agg(coalesce(sum(size(col("_ws")).cast("long")), lit(0L)))
+      .head().getLong(0)
+    require(total > 0L, "no non-empty documents to train on")
+    counts.unionByName(
+      docs.sparkSession.createDataFrame(Seq((0, 0L, total)))
+        .toDF("n", "fp", "cnt"))
+  }
+
+  /** [[score]] against a [[trainFp]] model — identical output schema,
+    * identical backoff chain (ONE shared implementation,
+    * resolveAndScore), different join keys: the position stream carries
+    * (k, fp) longs computed by the same rolling-fingerprint expression
+    * the model was trained with, so the per-position work is an
+    * `element_at` into a precomputed long array instead of building and
+    * hashing a gram string. All of [[score]]'s contracts (unique idCol,
+    * empty-doc exclusion, maxDocTokens fail-loud, broadcastModel
+    * escape) carry over; the collision class is [[trainFp]]'s. */
+  def scoreFp(docs: DataFrame, model: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", alpha: Double = 0.4,
+      broadcastModel: Boolean = true,
+      maxDocTokens: Long = 200000L): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha $alpha out of (0, 1]")
+    require(maxDocTokens >= 1, s"maxDocTokens $maxDocTokens must be >= 1")
+    require(model.columns.contains("fp"),
+      "model frame has no 'fp' column — string-gram models (train " +
+        "output) score via score")
+    val (order, total) = modelMeta(model)
+    val ws = guardedWords(docs, idCol, textCol, maxDocTokens)
+    // element k of _fpk is order-k's window array; the k-window ending
+    // at position p starts at p-k+1, i.e. 1-based array slot p-k+2
+    val pk = ws
+      .select(col(idCol), size(col("_ws")).as("_len"),
+        array((1 to order).map(k => rollingFp(col("_ws"), k)): _*).as("_fpk"),
+        explode(sequence(lit(0), size(col("_ws")) - 1)).as("p"))
+      .select(col(idCol), col("_len"), col("_fpk"), col("p"),
+        explode(sequence(lit(1), least(lit(order), col("p") + 1))).as("k"))
+      .select(col(idCol), col("_len"), col("p").cast("long").as("p"),
+        col("k").cast("int").as("k"),
+        element_at(element_at(col("_fpk"), col("k")),
+          col("p") - col("k") + lit(2)).as("fp"))
+    val m = model.filter(col("n") > 0)
+      .select(col("n").as("k"), col("fp"), col("cnt"))
+    // same unmatched-row pruning as score: k=1 rows preserve presence
+    val joined = pk.join(if (broadcastModel) broadcast(m) else m,
+        Seq("k", "fp"), "left")
+      .filter(col("cnt").isNotNull || col("k") === 1)
+    resolveAndScore(joined, idCol, order, total, alpha)
   }
 
   /** [[score]] for book-length documents — the CHUNK-FIRST composition

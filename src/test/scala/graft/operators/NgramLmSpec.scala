@@ -234,6 +234,77 @@ class NgramLmSpec extends SparkSpec {
     assert(out.forall(r => r._3 > 0.0 && !r._3.isNaN && !r._3.isInfinite))
   }
 
+  test("trainFp: fingerprint counts are exactly the string counts under the rolling hash, injective on this corpus") {
+    import org.apache.spark.sql.graft.RollingWindowFp.rollingFp
+    val order = 3
+    val model = NgramLm.train(docs, order).cache()
+    val modelFp = NgramLm.trainFp(docs, order).cache()
+    for (k <- 1 to order) {
+      // map each string gram to its fingerprint THROUGH the shared
+      // expression (an n-word gram has exactly one length-n window),
+      // then the fp model must be that mapping row for row
+      val viaString = model.filter(col("n") === k)
+        .select(element_at(rollingFp(split(col("gram"), S), k), 1).as("fp"),
+          col("cnt"))
+        .as[(Long, Long)].collect().sorted
+      val direct = modelFp.filter(col("n") === k)
+        .select("fp", "cnt").as[(Long, Long)].collect().sorted
+      // equal cardinality of distinct grams and distinct fps IS the
+      // injectivity premise the bit-exact score parity rests on
+      assert(viaString.map(_._1).distinct.length === viaString.length,
+        s"order $k: fingerprint collision among real grams")
+      assert(direct.toSeq === viaString.toSeq, s"order $k count table")
+    }
+    // the metadata row carries the same total under fp=0
+    assert(modelFp.filter(col("n") === 0).select("cnt").as[Long].head() ===
+      model.filter(col("n") === 0).select("cnt").as[Long].head())
+  }
+
+  test("scoreFp: bit-identical to score on the real corpus; layout/shuffle-join invariant; plan broadcasts without single-partition stages") {
+    val order = 3; val alpha = 0.4
+    val model = NgramLm.train(docs, order).cache()
+    val modelFp = NgramLm.trainFp(docs, order).cache()
+    val a = NgramLm.score(docs, model, alpha = alpha)
+      .select("doc_id", "n_tokens", "log_prob", "avg_log_prob", "ppl")
+      .as[(Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    val b = NgramLm.scoreFp(docs, modelFp, alpha = alpha)
+      .select("doc_id", "n_tokens", "log_prob", "avg_log_prob", "ppl")
+      .as[(Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    // same counts reach the same shared chain -> identical doubles
+    assert(b.toSeq === a.toSeq, "fp path diverged from the string path")
+    val c = NgramLm.scoreFp(docs.repartition(7), modelFp, alpha = alpha,
+        broadcastModel = false)
+      .select("doc_id", "n_tokens", "log_prob", "avg_log_prob", "ppl")
+      .as[(Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(c.toSeq === a.toSeq, "fp path layout/join-strategy variant")
+    val sp = NgramLm.scoreFp(docs, modelFp).queryExecution.executedPlan.toString
+    assert(sp.contains("BroadcastHashJoin"), s"fp model join did not broadcast:\n$sp")
+    assert(!sp.contains("Exchange SinglePartition"), s"global stage in scoreFp:\n$sp")
+  }
+
+  test("fp artifact round-trip: save/load scores identically from the committed generation; key kinds cannot cross") {
+    def tmpDir(p: String): String =
+      java.nio.file.Files.createTempDirectory(p).resolve("art").toString
+    val dir = tmpDir("ngramfp")
+    val modelFp = NgramLm.trainFp(docs, 2).cache()
+    NgramLm.save(modelFp, dir)
+    val loaded = NgramLm.load(spark, dir)
+    val a = NgramLm.scoreFp(docs, modelFp)
+      .select("doc_id", "log_prob").as[(Long, Double)].collect().sortBy(_._1)
+    val b = NgramLm.scoreFp(docs, loaded)
+      .select("doc_id", "log_prob").as[(Long, Double)].collect().sortBy(_._1)
+    assert(b.toSeq === a.toSeq)
+    // the wrong scorer for a key representation fails loudly by name
+    val e1 = intercept[IllegalArgumentException] { NgramLm.score(docs, loaded) }
+    assert(e1.getMessage.contains("scoreFp"))
+    val dirS = tmpDir("ngramstr")
+    NgramLm.save(NgramLm.train(docs, 2), dirS)
+    val e2 = intercept[IllegalArgumentException] {
+      NgramLm.scoreFp(docs, NgramLm.load(spark, dirS))
+    }
+    assert(e2.getMessage.contains("score"))
+  }
+
   test("doc-start positions are not charged phantom backoff: a bigram-opening doc scores its first token at zero penalty") {
     // train where "alpha beta" is frequent; score a doc STARTING with
     // a seen unigram: position 0 has kMax = 1, so a unigram match must
