@@ -38,9 +38,16 @@ object Contamination {
     * which is exactly the group representative. Provably identical
     * output for ANY input; on a duplicated benchmark (the 50× stress:
     * 95 %-dup corpus ⇒ 95 %-dup benchmark) it cuts the shingle-join
-    * fan-out by the duplication factor (188 s → ~8 s measured). */
+    * fan-out by the duplication factor (188 s → ~8 s measured).
+    *
+    * `broadcastBench = false` drops the broadcast hint (the
+    * E22/E23 `broadcastModel` convention) for "benchmark" sides that
+    * are themselves corpus-scale — a held-out SPLIT of the training
+    * corpus (Splits.holdoutLeaks) is a constant fraction of it, not a
+    * benchmark-sized table; the size-based planner shuffles instead,
+    * identical output (spec'd). */
   def contamination(docs: DataFrame, bench: DataFrame,
-      minOverlap: Int = 3): DataFrame = {
+      minOverlap: Int = 3, broadcastBench: Boolean = true): DataFrame = {
     val benchGroups = bench.groupBy(col("text"))
       .agg(max(col("bench_id")).as("bench_id"), count(lit(1)).as("n_copies"))
     val benchSh = shingleHashes(benchGroups, "bench_id")
@@ -48,7 +55,7 @@ object Contamination {
     val corpusSh = shingleHashes(docs, "doc_id")
     val sizes = corpusSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val perPair = corpusSh
-      .join(broadcast(benchSh), Seq("sh"))
+      .join(if (broadcastBench) broadcast(benchSh) else benchSh, Seq("sh"))
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("overlap"), max(col("n_copies")).as("n_copies"))
     // worst benchmark match via a struct-valued MAX: both engines order
