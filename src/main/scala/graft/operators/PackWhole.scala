@@ -46,12 +46,27 @@ object PackWhole {
     * training text is the one thing a pack must never do. `idCol` must
     * be unique (the [[TokenEncode.packSequences]] probe, same hazard:
     * mixtureRepeat epochs share doc_id — epoch-qualify first). */
+  /** Packing strategies. `nextfit` fills bins in corpus order — the
+    * streaming-friendly baseline whose sequences are contiguous runs of
+    * ranks (consecutive-doc locality). `bestfit` is best-fit-DECREASING
+    * within each group: docs sorted by (len desc, rank), each placed in
+    * the FULLEST bin that still fits, else a new bin — the classic BFD
+    * bound (≤ 11/9·OPT + 2/3 bins) and the direction of Krell et al.'s
+    * sorted histogram packing; on heterogeneous lengths it recovers
+    * most of next-fit's padding waste (the spec MEASURES fewer
+    * sequences / higher fill on the real corpus). Both are pure
+    * functions of (ids in rank order, lengths, seqLen, groupSize). */
+  val Strategies: Set[String] = Set("nextfit", "bestfit")
+
   def packSequencesWhole(encoded: DataFrame, seqLen: Int,
       eodId: Long = 1L, padId: Long = 0L, idCol: String = "doc_id",
       groupSize: Int = 512, numPartitions: Int = 32,
-      requireUniqueIds: Boolean = true): DataFrame = {
+      requireUniqueIds: Boolean = true,
+      strategy: String = "nextfit"): DataFrame = {
     require(seqLen > 0, s"seqLen $seqLen must be positive")
     require(groupSize > 0, s"groupSize $groupSize must be positive")
+    require(Strategies.contains(strategy),
+      s"strategy '$strategy' not in $Strategies")
     if (requireUniqueIds) {
       val dup = encoded.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
         .filter(col("_n") > 1).select(col(idCol)).limit(3).collect()
@@ -77,30 +92,69 @@ object PackWhole {
         expr(s"CAST(_r - 1 AS BIGINT) div $groupSize").as("_g"),
         (col("_r") - 1).cast("long").as("_rank"))
 
-    // next-fit WITHIN each group: one fold over the group's docs in
-    // rank order; state = the bin-per-doc list plus the running fill
-    val sorted = array_sort(collect_list(struct(col("_rank"), col(idCol),
-      col("_len"))))
-    val folded = aggregate(
-      col("_docs"),
-      struct(array().cast("array<bigint>").as("bins"),
-        lit(Long.MaxValue / 2).as("filled")),
-      (acc, d) => {
-        // try_element_at: element_at(-1) THROWS on the empty start array
-        val lastBin = coalesce(try_element_at(acc.getField("bins"), lit(-1)),
-          lit(-1L))
-        val fits = acc.getField("filled") + d.getField("_len") <= L
-        struct(
-          concat(acc.getField("bins"),
-            array(when(fits, lastBin).otherwise(lastBin + 1L))).as("bins"),
-          when(fits, acc.getField("filled") + d.getField("_len"))
-            .otherwise(d.getField("_len")).as("filled"))
-      },
-      acc => acc.getField("bins"))
-    val groups = ranked.groupBy(col("_g"))
-      .agg(sorted.as("_docs"))
-      .withColumn("_bins", folded)
-      .withColumn("_nbins", element_at(col("_bins"), -1) + 1L)
+    // the per-group fold: one aggregate expression over the group's
+    // docs in STRATEGY order; state never holds token arrays
+    val groups = strategy match {
+      case "nextfit" =>
+        // corpus order; state = the bin-per-doc list + the running fill
+        val sorted = array_sort(collect_list(struct(col("_rank"), col(idCol),
+          col("_len"))))
+        val folded = aggregate(
+          col("_docs"),
+          struct(array().cast("array<bigint>").as("bins"),
+            lit(Long.MaxValue / 2).as("filled")),
+          (acc, d) => {
+            // try_element_at: element_at(-1) THROWS on the empty start array
+            val lastBin = coalesce(try_element_at(acc.getField("bins"), lit(-1)),
+              lit(-1L))
+            val fits = acc.getField("filled") + d.getField("_len") <= L
+            struct(
+              concat(acc.getField("bins"),
+                array(when(fits, lastBin).otherwise(lastBin + 1L))).as("bins"),
+              when(fits, acc.getField("filled") + d.getField("_len"))
+                .otherwise(d.getField("_len")).as("filled"))
+          },
+          acc => acc.getField("bins"))
+        ranked.groupBy(col("_g"))
+          .agg(sorted.as("_docs"))
+          .withColumn("_bins", folded)
+          .withColumn("_nbins", element_at(col("_bins"), -1) + 1L)
+      case "bestfit" =>
+        // (len desc, rank) order; state = every bin's fill (≤ groupSize
+        // longs) + the bin-per-doc list. Each step: the FULLEST bin
+        // that still fits (array_max over the fitting fills;
+        // array_position's first-occurrence rule breaks fill ties to
+        // the LOWEST bin id — deterministic), else open bin #size.
+        // O(groupSize) per step, same class as next-fit's array concat
+        val sorted = array_sort(collect_list(struct((-col("_len")).as("_nl"),
+          col("_rank"), col(idCol), col("_len"))))
+        val folded = aggregate(
+          col("_docs"),
+          struct(array().cast("array<bigint>").as("fills"),
+            array().cast("array<bigint>").as("bins")),
+          (acc, d) => {
+            val len = d.getField("_len")
+            val fills = acc.getField("fills")
+            val bestFill = array_max(filter(fills, f => f + len <= L))
+            val pos = array_position(fills, bestFill) // null iff no fit
+            val newFills = when(bestFill.isNotNull,
+                transform(fills, (f, i) =>
+                  when(i === (pos - 1L).cast("int"), f + len).otherwise(f)))
+              .otherwise(concat(fills, array(len)))
+            val binId = when(bestFill.isNotNull, pos - 1L)
+              .otherwise(size(fills).cast("long"))
+            struct(newFills.as("fills"),
+              concat(acc.getField("bins"), array(binId)).as("bins"))
+          },
+          acc => struct(acc.getField("bins").as("bins"),
+            size(acc.getField("fills")).cast("long").as("nbins")))
+        ranked.groupBy(col("_g"))
+          .agg(sorted.as("_docs"))
+          .withColumn("_fb", folded)
+          .withColumn("_bins", col("_fb").getField("bins"))
+          .withColumn("_nbins", col("_fb").getField("nbins"))
+          .drop("_fb")
+    }
 
     // global sequence ids: prefix the per-group bin counts (groups are
     // corpus/groupSize rows — keyed, distributed)

@@ -131,6 +131,105 @@ class PackWholeSpec extends SparkSpec {
     assert(nGroups >= 1)
   }
 
+  /** Single-node group-local best-fit-decreasing: the engine's declared
+    * rule — (len desc, rank) order, fullest fitting bin, fill ties to
+    * the lowest bin id. */
+  private def refPackBfd(lens: Seq[(Long, Int)], seqLen: Int,
+      groupSize: Int): Map[Long, Long] = {
+    val sorted = lens.sortBy(_._1)
+    var out = Map.empty[Long, Long]
+    var nextSeq = 0L
+    sorted.grouped(groupSize).foreach { group =>
+      val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+      group.sortBy { case (id, l) => (-l, id) }.foreach { case (id, l) =>
+        val fitting = fills.zipWithIndex.filter(_._1 + l <= seqLen)
+        val bin =
+          if (fitting.isEmpty) { fills += l.toLong; fills.length - 1 }
+          else {
+            val best = fitting.map(_._1).max
+            val i = fills.indexOf(best) // first occurrence = lowest bin id
+            fills(i) += l; i
+          }
+        out += id -> (nextSeq + bin)
+      }
+      nextSeq += fills.length
+    }
+    out
+  }
+
+  test("bestfit: assignment matches the single-node best-fit-decreasing fold, at group seams too") {
+    val docs = corpus(300).cache()
+    val lens = docs.select(col("doc_id"), (size(col("ids")) + 1).as("l"))
+      .as[(Long, Int)].collect().toSeq
+    for (groupSize <- Seq(7, 64, 1000)) {
+      val ref = refPackBfd(lens, SeqLen, groupSize)
+      val bySeq = PackWhole.packSequencesWhole(docs, SeqLen,
+          groupSize = groupSize, strategy = "bestfit")
+        .select("seq_id", "ids", "n_tokens").as[(Long, Seq[Long], Long)]
+        .collect()
+      val docSeq = scala.collection.mutable.Map.empty[Long, Long]
+      bySeq.foreach { case (sid, ids, nt) =>
+        ids.take(nt.toInt).filter(_ >= 2000)
+          .foreach(v => docSeq.getOrElseUpdate(v / 1000 - 2, sid))
+      }
+      assert(docSeq.toMap === ref, s"groupSize $groupSize")
+    }
+  }
+
+  test("bestfit recovers next-fit's padding waste: strictly fewer sequences on the constructed alternating case, never more on the real corpus; invariants hold") {
+    // payload lens 6,5,6,5 at seqLen 10: next-fit opens 4 bins (no
+    // adjacent pair fits), BFD packs [6],[6],[5,5] — 3
+    val alt = Seq(
+      (0L, (0 until 5).map(p => 2000L + p).toArray),
+      (1L, (0 until 4).map(p => 3000L + p).toArray),
+      (2L, (0 until 5).map(p => 4000L + p).toArray),
+      (3L, (0 until 4).map(p => 5000L + p).toArray)).toDF("doc_id", "ids")
+    val nfSeqs = PackWhole.packSequencesWhole(alt, 10).count()
+    val bfSeqs = PackWhole.packSequencesWhole(alt, 10,
+      strategy = "bestfit").count()
+    assert(nfSeqs === 4L && bfSeqs === 3L)
+
+    val docs = corpus(300).cache()
+    val nf = PackWhole.packSequencesWhole(docs, SeqLen, groupSize = 64).count()
+    val bf = PackWhole.packSequencesWhole(docs, SeqLen, groupSize = 64,
+      strategy = "bestfit")
+    val bfRows = bf.select("seq_id", "ids", "n_tokens", "n_docs", "doc_lens")
+      .as[(Long, Seq[Long], Long, Long, Seq[Long])].collect()
+    assert(bfRows.length <= nf.toInt,
+      s"best-fit packed ${bfRows.length} sequences vs next-fit's $nf")
+    // same invariants as the next-fit suite: pad, spans, whole docs
+    bfRows.foreach { case (sid, ids, nt, nd, dl) =>
+      assert(ids.length === SeqLen && dl.sum === nt && dl.length === nd)
+      assert(ids.drop(nt.toInt).forall(_ == 0L), s"seq $sid pad ids")
+      var off = 0
+      dl.foreach { l =>
+        val span = ids.slice(off, off + l.toInt)
+        assert(span.last === 1L, s"seq $sid span at $off lacks eod")
+        val payload = span.dropRight(1)
+        if (payload.nonEmpty) {
+          val base = payload.head / 1000
+          assert(payload === payload.indices.map(p => base * 1000 + p),
+            s"seq $sid: doc ${base - 2} split or reordered")
+        }
+        off += l.toInt
+      }
+    }
+    val total = bfRows.map(_._3).sum
+    val expect = docs.select(sum(size(col("ids")) + 1)).as[Long].head()
+    assert(total === expect, "token conservation under bestfit")
+
+    // layout independence
+    val a = bfRows.map(r => (r._1, r._3, r._4)).sortBy(_._1).toSeq
+    val b = PackWhole.packSequencesWhole(docs.repartition(13), SeqLen,
+        groupSize = 64, strategy = "bestfit")
+      .select("seq_id", "n_tokens", "n_docs").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(a === b)
+    intercept[IllegalArgumentException] {
+      PackWhole.packSequencesWhole(docs, SeqLen, strategy = "worstfit")
+    }
+  }
+
   test("oversize documents and duplicate ids fail loudly") {
     val over = Seq((1L, (0 until SeqLen).map(_.toLong).toArray),
       (2L, Array(5L))).toDF("doc_id", "ids")
