@@ -656,6 +656,86 @@ object Stress {
       println(f"STRESS ngram_lm_score_chunked       $dt%8.2f s   " +
         s"docs=${scored.count()}")
     }
+    // r11 session 2: split + holdout decontamination on the 95%-dup
+    // corpus — the WORST case for the leak check: every document's ~50
+    // copies straddle the 80/10/10 boundary, so nearly every train doc
+    // genuinely leaks the holdout and the un-broadcast shingle join
+    // carries the full flagged fan
+    locally {
+      val docsDf = Tables.documents(spark, dir).select("doc_id", "text")
+      val t0 = System.nanoTime()
+      val cleaned = Splits.assignSplitClean(docsDf,
+        Seq("train" -> 800, "valid" -> 100, "test" -> 100))
+      cleaned.write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val s = cleaned.agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)),
+        sum(when(col("leaks_holdout"), 1L).otherwise(0L))).head()
+      println(f"STRESS splits_clean                 $dt%8.2f s   " +
+        s"train=${s.getLong(0)} leaks=${s.getLong(1)}")
+    }
+
+    // r11 session 2: URL gate over synthesized per-doc URLs — row-local
+    // parse + three broadcast list joins + one verdict join-back
+    locally {
+      val urls = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          concat(lit("https://sub."), col("source"), lit(".example.com/page/"),
+            col("doc_id").cast("string"), lit("?q=cheap-pills")).as("url"))
+      import spark.implicits._
+      val block = Seq("src3.example.com", "src7.example.com").toDF("domain")
+      val allow = Seq("src7.example.com").toDF("domain")
+      val words = Seq(("pills", 0.5), ("casino", 0.7)).toDF("word", "weight")
+      val t0 = System.nanoTime()
+      val gated = UrlFilters.filterUrls(urls, block, words, allow)
+      gated.write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val s = gated.agg(sum(when(col("keep"), 1L).otherwise(0L)),
+        sum(when(col("blocked_domain").isNotNull, 1L).otherwise(0L))).head()
+      println(f"STRESS url_filter                   $dt%8.2f s   " +
+        s"kept=${s.getLong(0)} domainBlocked=${s.getLong(1)}")
+    }
+
+    // r11 session 2: the dataset card — three rule-family passes (incl.
+    // the 13-signal repetition projection) + the volume/HLL pass, all
+    // collapsing to per-source rows map-side
+    locally {
+      val docsDf = Tables.documents(spark, dir)
+        .select("doc_id", "text", "source")
+      val t0 = System.nanoTime()
+      val card = CorpusReport.report(docsDf)
+      val rows = card.collect()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val tot = rows.find(_.getString(0) == CorpusReport.TotalRow).get
+      println(f"STRESS corpus_report                $dt%8.2f s   " +
+        f"sources=${rows.length - 1} docs=${tot.getLong(1)} " +
+        f"dupEst=${tot.getDouble(6)}%.3f")
+    }
+
+    // r11 session 2: whole-doc pack A/B — next-fit vs best-fit-
+    // decreasing at seqLen 512 over the 250k-doc corpus (ids
+    // synthesized from token counts; lengths are what packing sees).
+    // The delta is packing quality (fewer padded sequences) vs the
+    // extra per-step bin scan
+    locally {
+      val encoded = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          expr("transform(sequence(1, size(filter(split(text, ' '), " +
+            "w -> length(w) > 0))), i -> CAST(i + 1 AS BIGINT))").as("ids"))
+        .localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val nf = PackWhole.packSequencesWhole(encoded, 512)
+      nf.write.format("noop").mode("overwrite").save()
+      val dt0 = (System.nanoTime() - t0) / 1e9
+      val nfn = nf.count()
+      println(f"STRESS pack_whole_nextfit           $dt0%8.2f s   seqs=$nfn")
+      val t1 = System.nanoTime()
+      val bf = PackWhole.packSequencesWhole(encoded, 512, strategy = "bestfit")
+      bf.write.format("noop").mode("overwrite").save()
+      val dt1 = (System.nanoTime() - t1) / 1e9
+      val bfn = bf.count()
+      println(f"STRESS pack_whole_bestfit           $dt1%8.2f s   seqs=$bfn")
+    }
     spark.stop()
   }
 }
