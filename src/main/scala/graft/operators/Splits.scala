@@ -18,9 +18,13 @@ import org.apache.spark.sql.functions._
   * Assignment is the E9/E15/E18 md5-bucket convention on (id, seed):
   * bucket = first 8 hex chars of md5("id:seed") mod 1000, split by
   * cumulative per-mille ranges in recipe order. A per-row projection —
-  * zero shuffles, stream-transparent (the mixtureSample argument), and
-  * cross-engine reproducible (DuckDB computes the identical bucket,
-  * the E9 oracle precedent).
+  * zero shuffles, stream-transparent (the mixtureSample argument;
+  * spec'd stateless on a real stream), and cross-engine reproducible
+  * (DuckDB computes the identical bucket, the E9 oracle precedent).
+  * The leak-checked composition ([[assignSplitClean]]) joins the
+  * corpus against itself and therefore streams via `foreachBatch`
+  * (the StreamingModelGate convention), not as a bare stream
+  * transform.
   *
   * Leak detection composes E10 verbatim: the train slice plays the
   * corpus, the held-out slices play the "benchmark" — but a holdout is

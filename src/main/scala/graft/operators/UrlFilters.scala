@@ -45,6 +45,14 @@ import org.apache.spark.sql.functions._
   * (input columns..., host, blocked_domain, url_score, allowed_domain,
   * keep). Null/empty/hostless URLs fail CLOSED (keep = false,
   * null host) — an unparseable address is not evidence of quality.
+  *
+  * Streaming: a verdict depends only on the row and the frozen lists,
+  * but the implementation aggregates matches per doc before the
+  * join-back, so the operator is NOT literally stream-transparent (a
+  * streaming aggregation would drag in a state store for state that is
+  * semantically per-row). The honest online shape is `foreachBatch`
+  * running THIS operator per micro-batch — the StreamingModelGate
+  * argument: zero cross-batch state, structural batch/online parity.
   */
 object UrlFilters {
 

@@ -54,6 +54,28 @@ class SplitsSpec extends SparkSpec {
       "seed rotation left every assignment unchanged")
   }
 
+  test("assignSplit runs UNCHANGED on a stream (stateless, no watermark); verdicts match batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = docs.select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val batch = Splits.assignSplit(docs, recipe)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = Splits.assignSplit(mem.toDS().toDF("doc_id", "text"), recipe)
+      .select("doc_id", "split")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("split_stream").start()
+    try {
+      mem.addData(input: _*)
+      q.processAllAvailable()
+      val online = spark.table("split_stream")
+        .as[(Long, String)].collect().toMap
+      assert(online === batch)
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"unexpected state operator: ${q.lastProgress}")
+    } finally q.stop()
+  }
+
   test("recipe guards: per-milles must partition 1000, names unique, recipe non-empty") {
     intercept[IllegalArgumentException] {
       Splits.assignSplit(docs, Seq("train" -> 900, "valid" -> 90))
