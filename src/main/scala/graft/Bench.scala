@@ -28,7 +28,18 @@ object Bench {
     * headroom — raised from 1850 when the 73-query set pushed the
     * realistic 2-dp line to 1861 (degrading every query to 1 dp over
     * 11 missing chars is the worse trade; BenchLineSpec repro's the
-    * arithmetic). */
+    * arithmetic).
+    *
+    * ROUND-11 PRECISION DECISION: the gated set grew past the 2-dp
+    * name budget (78 queries at realistic widths ≈ 1965 chars), and
+    * the r10 verdict required an explicit degradation decision before
+    * any new gated query. Adjudicated: per-query precision degrades to
+    * 1 dp (the built-in jsonLine ladder) rather than capping the gated
+    * set or truncating names — the total keeps 2 dp, per-query values
+    * at 0.1 s resolution still expose outliers and regressions, and
+    * BENCH_FULL retains 6-dp detail on stdout for in-repo analysis.
+    * Excluding an operator from the correctness gate to preserve two
+    * decimals of its neighbors' timings would be the wrong trade. */
   val MaxLineLen = 1910
 
   private def fmt(v: Double, dp: Int): String =

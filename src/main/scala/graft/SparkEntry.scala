@@ -17,7 +17,8 @@ object SparkEntry {
       PipelineOps.queries ++ DedupClusters.queries ++ Contamination.queries ++
       ShapeQueries.queries ++ ShapeQueries2.queries ++ ShapeQueries3.queries ++
       QualityOps.queries ++ CurationOps.queries ++ IntervalJoin.queries ++
-      ChunkOps.queries
+      ChunkOps.queries ++ Splits.queries ++ UrlFilters.queries ++
+      GopherRepetition.queries
 
   /** Queries deliberately WITHOUT an oracle entry — the driver records
     * its weaker rows-only check for these. Membership requires a
@@ -36,5 +37,6 @@ object SparkEntry {
       PipelineOps.oracles ++ DedupClusters.oracles ++ Contamination.oracles ++
       ShapeQueries.oracles ++ ShapeQueries2.oracles ++ ShapeQueries3.oracles ++
       QualityOps.oracles ++ CurationOps.oracles ++ IntervalJoin.oracles ++
-      ChunkOps.oracles
+      ChunkOps.oracles ++ Splits.oracles ++ UrlFilters.oracles ++
+      GopherRepetition.oracles
 }

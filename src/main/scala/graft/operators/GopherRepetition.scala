@@ -210,4 +210,79 @@ object GopherRepetition {
     * synthetic corpus). */
   def gopherRepetition(spark: SparkSession, d: String): DataFrame =
     repetitionFlags(Tables.documents(spark, d).select(col("doc_id"), col("text")))
+
+  /** Gated subset of the signal suite: the five signals DuckDB can
+    * recompute independently on this corpus — top 2/3/4-gram coverage
+    * (the oracle groups the literal gram STRINGS where the engine runs
+    * sorted fingerprints, so the gate pins the fingerprint path against
+    * ground truth — a fp collision would surface as a hash mismatch
+    * here) and the duplicate-5-gram interval union (the oracle merges
+    * intervals by gaps-and-islands over flagged positions, an
+    * independent derivation of the same union). The line/paragraph
+    * signals are degenerate on this newline-free synthetic corpus
+    * (every doc is one line), so they stay spec-gated on constructed
+    * fixtures rather than wasting a trivially-constant oracle. */
+  def gopherRep(spark: SparkSession, d: String): DataFrame =
+    repetitionSignals(Tables.documents(spark, d)
+        .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        col("top_2gram_char_frac"), col("top_3gram_char_frac"),
+        col("top_4gram_char_frac"), col("dup_5gram_char_frac"))
+
+  /** One top-n CTE pair: all n-grams as strings, then max(count×chars)
+    * per doc. */
+  private def topSql(n: Int): String =
+    s"""g$n AS (SELECT doc_id,
+       |  unnest(list_transform(generate_series(1, len(w) - ${n - 1}),
+       |    i -> array_to_string(w[i:i+${n - 1}], ' '))) AS gram FROM t),
+       |c$n AS (SELECT doc_id, MAX(cnt * length(gram)) AS best
+       |  FROM (SELECT doc_id, gram, COUNT(*) AS cnt
+       |        FROM g$n GROUP BY doc_id, gram)
+       |  GROUP BY doc_id)""".stripMargin
+
+  val gopherRepSql: String =
+    s"""WITH t AS (SELECT doc_id, length(text) AS n_chars,
+       |  string_split(text, ' ') AS w FROM documents),
+       |${topSql(2)},
+       |${topSql(3)},
+       |${topSql(4)},
+       |g5 AS (SELECT doc_id,
+       |  unnest(list_transform(generate_series(1, len(w) - 4),
+       |    i -> {'i': i, 'g': array_to_string(w[i:i+4], ' ')})) AS x FROM t),
+       |f5 AS (SELECT doc_id, x.i AS i FROM g5
+       |  QUALIFY COUNT(*) OVER (PARTITION BY doc_id, x.g) >= 2),
+       |b5 AS (SELECT doc_id, i,
+       |  CASE WHEN i > COALESCE(MAX(i + 5) OVER
+       |    (PARTITION BY doc_id ORDER BY i
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), i)
+       |  THEN 1 ELSE 0 END AS brk FROM f5),
+       |i5 AS (SELECT doc_id, i, SUM(brk) OVER
+       |  (PARTITION BY doc_id ORDER BY i) AS isl FROM b5),
+       |v5 AS (SELECT doc_id, MIN(i) AS s, MAX(i) + 5 AS e
+       |  FROM i5 GROUP BY doc_id, isl),
+       |d5 AS (SELECT v5.doc_id,
+       |  SUM(list_sum(list_transform(t.w[v5.s:v5.e-1], tk -> length(tk)))
+       |      + (v5.e - v5.s - 1)) AS dup5
+       |  FROM v5 JOIN t USING (doc_id) GROUP BY v5.doc_id)
+       |SELECT t.doc_id, t.n_chars, len(t.w) AS n_tokens,
+       |  CASE WHEN t.n_chars > 0
+       |    THEN CAST(COALESCE(c2.best, 0) AS DOUBLE) / t.n_chars
+       |    ELSE 0.0 END AS top_2gram_char_frac,
+       |  CASE WHEN t.n_chars > 0
+       |    THEN CAST(COALESCE(c3.best, 0) AS DOUBLE) / t.n_chars
+       |    ELSE 0.0 END AS top_3gram_char_frac,
+       |  CASE WHEN t.n_chars > 0
+       |    THEN CAST(COALESCE(c4.best, 0) AS DOUBLE) / t.n_chars
+       |    ELSE 0.0 END AS top_4gram_char_frac,
+       |  CASE WHEN t.n_chars > 0
+       |    THEN CAST(COALESCE(d5.dup5, 0) AS DOUBLE) / t.n_chars
+       |    ELSE 0.0 END AS dup_5gram_char_frac
+       |FROM t LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
+       |  LEFT JOIN c4 USING (doc_id) LEFT JOIN d5 USING (doc_id)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gopher_rep" -> gopherRep _)
+
+  val oracles: Map[String, String] = Map(
+    "gopher_rep" -> gopherRepSql)
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus SPLITS + leakage-safe holdout — the step every
@@ -111,4 +112,29 @@ object Splits {
     labeled.join(leaks, Seq(idCol), "left")
       .withColumn("leaks_holdout", coalesce(col("leaks_holdout"), lit(false)))
   }
+
+  /** Gated harness entry: the canonical 800/100/100‰ recipe at seed 0
+    * over the documents table — per-document split labels, hash-exact
+    * against DuckDB recomputing the identical md5 bucket (the E9/E15
+    * oracle precedent; cross-engine reproducibility is the whole point
+    * of the convention, so it is exactly what the gate should pin). */
+  def splitAssign(spark: SparkSession, d: String): DataFrame =
+    assignSplit(Tables.documents(spark, d).select(col("doc_id")),
+      Seq("train" -> 800, "valid" -> 100, "test" -> 100))
+
+  val splitAssignSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN b < 800 THEN 'train'
+      |       WHEN b < 900 THEN 'valid'
+      |       ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8)
+      |             AS BIGINT) % 1000 AS b
+      |      FROM documents) t""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_assign" -> splitAssign _)
+
+  val oracles: Map[String, String] = Map(
+    "split_assign" -> splitAssignSql)
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** URL-level filtering — the FIRST gate of the published web-curation
@@ -145,4 +146,55 @@ object UrlFilters {
           (col("blocked_domain").isNull &&
             col("url_score") < scoreThreshold)))
   }
+
+  /** Gated harness entry. The synthetic corpus carries no crawl URLs,
+    * so the query derives one deterministically from columns it does
+    * have — `https://<source>.example.com/<lang>/<doc_id>` — and runs
+    * the full three-rule gate against fixed literal lists chosen to
+    * exercise every verdict path on this corpus: a domain block
+    * (src3), a block overridden by the allowlist (src7), a strict-ban
+    * word (lang `de` at weight 1.0) and an accumulating pair (source
+    * `src5` + lang `fr` at 0.5 each, blocking only together). The
+    * DuckDB oracle recomputes host, suffix match, distinct-run word
+    * score and the keep rule independently from the same columns —
+    * every weight a small power of two, so the score sum is bit-exact
+    * in any addition order. */
+  def urlGate(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("url", concat(lit("https://"), col("source"),
+        lit(".example.com/"), col("lang"), lit("/"),
+        col("doc_id").cast("string")))
+    val bl = Seq("src3.example.com", "src7.example.com").toDF("domain")
+    val al = Seq("src7.example.com").toDF("domain")
+    val ww = Seq(("de", 1.0), ("src5", 0.5), ("fr", 0.5))
+      .toDF("word", "weight")
+    filterUrls(docs, bl, ww, al)
+      .select(col("doc_id"), col("host"), col("blocked_domain"),
+        col("url_score"), col("allowed_domain"), col("keep"))
+  }
+
+  val urlGateSql: String =
+    """SELECT doc_id,
+      |  source || '.example.com' AS host,
+      |  CASE WHEN source IN ('src3', 'src7')
+      |       THEN source || '.example.com' END AS blocked_domain,
+      |  CAST(CASE WHEN lang = 'de' THEN 1.0 ELSE 0.0 END
+      |     + CASE WHEN source = 'src5' THEN 0.5 ELSE 0.0 END
+      |     + CASE WHEN lang = 'fr' THEN 0.5 ELSE 0.0 END
+      |       AS DOUBLE) AS url_score,
+      |  CASE WHEN source = 'src7'
+      |       THEN 'src7.example.com' END AS allowed_domain,
+      |  (source = 'src7') OR (source NOT IN ('src3', 'src7')
+      |    AND (CASE WHEN lang = 'de' THEN 1.0 ELSE 0.0 END
+      |       + CASE WHEN source = 'src5' THEN 0.5 ELSE 0.0 END
+      |       + CASE WHEN lang = 'fr' THEN 0.5 ELSE 0.0 END) < 1.0) AS keep
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "url_gate" -> urlGate _)
+
+  val oracles: Map[String, String] = Map(
+    "url_gate" -> urlGateSql)
 }

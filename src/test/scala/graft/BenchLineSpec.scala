@@ -16,15 +16,17 @@ class BenchLineSpec extends AnyFunSuite {
   test("per-query detail survives the tail window for the current query set") {
     // worst case (9999.99 s/query, a sub-3h run) must fit by 0 dp at the
     // latest — the totals-only fallback dropping per-query data is never
-    // acceptable; and at realistic widths (< 1000 s/query) full 2-dp
-    // precision must fit, so the line only degrades on pathological runs
+    // acceptable; and at realistic widths (< 1000 s/query) at least 1-dp
+    // precision must fit (the round-11 decision recorded at
+    // Bench.MaxLineLen: the gated set outgrew the 2-dp name budget, and
+    // per-query 1 dp + 2-dp total beats capping the gated query set)
     val zeroDp = Bench.jsonLine(names, worst, sf, dp = 0, maxLen = Int.MaxValue)
     assert(zeroDp.length <= Bench.MaxLineLen,
       s"0-dp worst-case line is ${zeroDp.length} chars; shorten new query names")
-    val realistic = names.map(_ -> 999.994).toMap
-    val twoDp = Bench.jsonLine(names, realistic, sf, dp = 2, maxLen = Int.MaxValue)
-    assert(twoDp.length <= Bench.MaxLineLen,
-      s"realistic 2-dp line is ${twoDp.length} chars; shorten new query names")
+    val realistic = names.map(_ -> 999.94).toMap // widest sub-1000s 1-dp value ("999.9")
+    val oneDp = Bench.jsonLine(names, realistic, sf, dp = 1, maxLen = Int.MaxValue)
+    assert(oneDp.length <= Bench.MaxLineLen,
+      s"realistic 1-dp line is ${oneDp.length} chars; shorten new query names")
   }
 
   test("degradation keeps the emitted line within budget and parseable-shaped") {
