@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{PqAdc, PqEncode, PqTab, VecDot}
+import org.apache.spark.sql.graft.{PqAdc, PqEncode, PqTab, StripAccents, VecDot}
 import org.apache.spark.sql.types.IntegerType
 
 /** The extension-jar injection point: makes graft's native expressions
@@ -22,6 +22,7 @@ import org.apache.spark.sql.types.IntegerType
   *   pq_encode(vec, codebook, m, k) m-byte PQ code (m, k literal ints)
   *   pq_tab(query, codebook, m, k)  per-query ADC table
   *   pq_adc(codes, tab)             ADC candidate score
+  *   strip_accents(s)               NFD accent folding (E34)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -53,5 +54,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("pq_adc"),
       new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
       (es: Seq[Expression]) => PqAdc(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
+      (es: Seq[Expression]) => StripAccents(es(0))))
   }
 }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import org.apache.spark.sql.graft.VecDot
+import org.apache.spark.sql.graft.{StripAccents, VecDot}
 
 /** Extension entry point for cluster deployment:
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions` makes the
@@ -15,5 +15,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       exprs => VecDot(exprs(0), exprs(1))))
+    extensions.injectFunction((
+      FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
+      exprs => StripAccents(exprs(0))))
   }
 }

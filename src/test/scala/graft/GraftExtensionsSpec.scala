@@ -40,6 +40,11 @@ class GraftExtensionsSpec extends SparkSpec {
     // tab: [0*9, 10*9, 0*1, 10*1]; adc = tab[1] + tab[2] = 90 + 0
     assert(row === 90.0)
 
+    val accents = spark.sql(
+      "SELECT strip_accents('caf\u00e9 NA\u00cfVE stra\u00dfe') AS a")
+      .first().getString(0)
+    assert(accents === "cafe NAIVE stra\u00dfe")
+
     // non-literal m rejected loudly, not silently misparsed
     val err = intercept[Exception] {
       spark.sql("SELECT pq_encode(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)), 1 + 0, 2)")
