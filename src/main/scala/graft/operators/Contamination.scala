@@ -77,6 +77,81 @@ object Contamination {
       .orderBy(col("doc_id"))
   }
 
+  /** SPAN-level decontamination — excise the colliding region instead
+    * of dropping the document (the GPT-3 recipe exactly: Brown et al.
+    * 2020 Appendix C remove a window around each 13-gram collision
+    * with the benchmark and keep the rest of the document; dropping
+    * whole documents over one quoted benchmark sentence throws away
+    * good tokens, which is the whole reason the published stacks
+    * excise). [[contamination]] is the DETECTION/reporting side
+    * (whole-doc overlap counts); this is the REMOVAL side.
+    *
+    * Rule: every length-`window` word span of a corpus document whose
+    * fingerprint appears among the benchmark's length-`window` spans
+    * excises, widened by `buffer` words on EACH side (GPT-3's
+    * 200-character margin, token-denominated), overlaps merged into
+    * one continuous cut. The span machinery is [[SpanDup]]'s verbatim
+    * — same spanFrame (flagged windows mean the same thing as C8's),
+    * same mergedIvs/keptWords rebuild folds (buffered starts may go
+    * negative; intervals clamp AFTER the fixed-width merge), same
+    * collision class (xxhash64 can over-excise at ≈2⁻⁶⁴, never miss a
+    * true collision). Untouched documents return their text VERBATIM.
+    *
+    * Honest limits, documented not hidden: (1) benchmark items shorter
+    * than `window` words produce no spans and are invisible here —
+    * [[contamination]]'s 3-gram whole-doc overlap is the companion
+    * that catches them; (2) an excision splices previously-distant
+    * words, so a PATHOLOGICAL corpus can mint a new colliding window
+    * across the seam — one more pass converges (the spec pins the
+    * honest one-pass contract on a constructed seam).
+    *
+    * Scale shape: the benchmark's distinct span fingerprints broadcast
+    * (`broadcastBench = false` for corpus-scale holdouts, the
+    * [[contamination]] convention); the corpus pays its span explode +
+    * one equi-join on the 8-byte fp; only documents carrying a flagged
+    * window join the rebuild (build side bounded by actual
+    * contamination); the rebuild is SpanDup's two per-document folds,
+    * cursor state only. Stream-transparent against a frozen benchmark
+    * (stream-static join, no state).
+    *
+    * Output: every input document as (idCol, textCol cleaned,
+    * n_tokens, removed_tokens, n_flagged_windows) — kept + removed ≡
+    * original token count (conservation, spec'd). */
+  def spanDecontaminate(docs: DataFrame, bench: DataFrame,
+      window: Int = 13, buffer: Int = 20, idCol: String = "doc_id",
+      textCol: String = "text", rolling: Boolean = true,
+      broadcastBench: Boolean = true): DataFrame = {
+    require(window >= 1, s"window $window must be >= 1")
+    require(buffer >= 0, s"buffer $buffer must be >= 0")
+    val benchFps = SpanDup.spanFrame(bench, window, "bench_id", textCol,
+      rolling).select(col("fp")).distinct()
+    val spans = SpanDup.spanFrame(docs, window, idCol, textCol, rolling)
+    val removeStarts = spans
+      .join(if (broadcastBench) broadcast(benchFps) else benchFps, Seq("fp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("_nflag"),
+        // buffered starts, possibly negative — the fixed-width merge
+        // needs the un-clamped arithmetic; clamp after
+        array_sort(collect_list(col("p") - lit(buffer.toLong))).as("_starts"))
+    val W = lit(window.toLong + 2L * buffer)
+    docs.select(col(idCol), col(textCol), SpanDup.wordsOf(textCol).as("_ws"))
+      .join(removeStarts, Seq(idCol), "left")
+      .withColumn("_ivs", when(col("_starts").isNotNull,
+        transform(SpanDup.mergedIvs(col("_starts"), W),
+          iv => struct(greatest(iv.getField("f"), lit(0L)).as("f"),
+            least(iv.getField("u"), size(col("_ws")).cast("long")).as("u")))))
+      .withColumn("_kept", when(col("_ivs").isNotNull,
+        SpanDup.keptWords(col("_ws"), col("_ivs"))))
+      .select(col(idCol),
+        when(col("_kept").isNotNull, concat_ws(" ", col("_kept")))
+          .otherwise(col(textCol)).as(textCol),
+        when(col("_kept").isNotNull, size(col("_kept")))
+          .otherwise(size(col("_ws"))).cast("long").as("n_tokens"),
+        when(col("_kept").isNotNull, size(col("_ws")) - size(col("_kept")))
+          .otherwise(lit(0)).cast("long").as("removed_tokens"),
+        coalesce(col("_nflag"), lit(0L)).as("n_flagged_windows"))
+  }
+
   /** Hyperplane count per LSH table sized for ~32 expected corpus
     * vectors per bucket — ceil(log2(n/32)) clamped to [4, 20]. Bucket
     * capacity (2^planes) must track corpus size: too few planes and

@@ -43,13 +43,15 @@ import org.apache.spark.sql.functions._
   */
 object SpanDup {
 
-  private def wordsOf(textCol: String): Column =
+  private[operators] def wordsOf(textCol: String): Column =
     filter(split(col(textCol), " "), w => length(w) > 0)
 
   /** THE span frame both operators build on — (idCol, p, fp), one row
     * per span start — so the stats and the removal can never disagree
-    * about what a span is (the prunedScan convention). */
-  private def spanFrame(docs: DataFrame, window: Int, idCol: String,
+    * about what a span is (the prunedScan convention). Shared with
+    * [[Contamination.spanDecontaminate]], whose flagged windows must
+    * mean exactly what this operator's flagged windows mean. */
+  private[operators] def spanFrame(docs: DataFrame, window: Int, idCol: String,
       textCol: String, rolling: Boolean): DataFrame = {
     require(window >= 1, s"window $window must be >= 1")
     val base = docs.select(col(idCol), wordsOf(textCol).as("_ws"))
@@ -237,6 +239,42 @@ object SpanDup {
     * merged disjoint intervals, then intervals → the kept word slices
     * (O(len + intervals), cursor state only) — all builtin
     * higher-order expressions, state bounded by the document. */
+  /** Fold 1 of the excision rebuild: sorted removal starts → merged
+    * disjoint [f, u) intervals of fixed width `w` (touching ranges
+    * merge — one continuous excision). Starts may be NEGATIVE (a
+    * buffered caller clamps AFTER merging — clamping first would
+    * break the fixed-width merge arithmetic); the fold is monotone in
+    * the sorted order either way. Shared with
+    * [[Contamination.spanDecontaminate]] — one definition of what an
+    * excision is. */
+  private[operators] def mergedIvs(starts: Column, w: Column): Column =
+    aggregate(starts,
+      array().cast("array<struct<f:bigint,u:bigint>>"),
+      (acc, p) => when(
+        size(acc) > 0 && element_at(acc, -1).getField("u") >= p,
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(struct(element_at(acc, -1).getField("f").as("f"),
+            greatest(element_at(acc, -1).getField("u"), p + w).as("u")))))
+        .otherwise(concat(acc, array(struct(p.as("f"), (p + w).as("u"))))))
+
+  /** Fold 2 of the excision rebuild: disjoint sorted in-range
+    * intervals → the kept words, a cursor walk emitting the
+    * inter-interval slices (slice start is 1-based). */
+  private[operators] def keptWords(ws: Column, ivs: Column): Column =
+    aggregate(ivs,
+      struct(array().cast("array<string>").as("kept"), lit(0L).as("cur")),
+      (acc, iv) => struct(
+        concat(acc.getField("kept"),
+          slice(ws, (acc.getField("cur") + 1L).cast("int"),
+            (iv.getField("f") - acc.getField("cur")).cast("int")))
+          .as("kept"),
+        iv.getField("u").as("cur")),
+      acc => when(size(ws) > acc.getField("cur"),
+        concat(acc.getField("kept"),
+          slice(ws, (acc.getField("cur") + 1L).cast("int"),
+            (size(ws) - acc.getField("cur")).cast("int"))))
+        .otherwise(acc.getField("kept")))
+
   def spanDedup(docs: DataFrame, window: Int = 50,
       minDupCount: Long = 2L, idCol: String = "doc_id",
       textCol: String = "text", rolling: Boolean = true): DataFrame = {
@@ -257,38 +295,10 @@ object SpanDup {
       .agg(array_sort(collect_list(col("p"))).as("_starts"))
 
     val W = lit(window.toLong)
-    // fold 1: sorted starts -> merged disjoint [f, u) intervals
-    //         (touching ranges merge — one continuous excision)
-    def mergedIvs(starts: Column): Column =
-      aggregate(starts,
-        array().cast("array<struct<f:bigint,u:bigint>>"),
-        (acc, p) => when(
-          size(acc) > 0 && element_at(acc, -1).getField("u") >= p,
-          concat(slice(acc, lit(1), size(acc) - 1),
-            array(struct(element_at(acc, -1).getField("f").as("f"),
-              greatest(element_at(acc, -1).getField("u"), p + W).as("u")))))
-          .otherwise(concat(acc, array(struct(p.as("f"), (p + W).as("u"))))))
-    // fold 2: intervals -> kept words, a cursor walk emitting the
-    //         inter-interval slices (start index is 1-based)
-    def keptWords(ws: Column, ivs: Column): Column =
-      aggregate(ivs,
-        struct(array().cast("array<string>").as("kept"), lit(0L).as("cur")),
-        (acc, iv) => struct(
-          concat(acc.getField("kept"),
-            slice(ws, (acc.getField("cur") + 1L).cast("int"),
-              (iv.getField("f") - acc.getField("cur")).cast("int")))
-            .as("kept"),
-          iv.getField("u").as("cur")),
-        acc => when(size(ws) > acc.getField("cur"),
-          concat(acc.getField("kept"),
-            slice(ws, (acc.getField("cur") + 1L).cast("int"),
-              (size(ws) - acc.getField("cur")).cast("int"))))
-          .otherwise(acc.getField("kept")))
-
     docs.select(col(idCol), col(textCol), wordsOf(textCol).as("_ws"))
       .join(removeStarts, Seq(idCol), "left")
       .withColumn("_ivs", when(col("_starts").isNotNull,
-        mergedIvs(col("_starts"))))
+        mergedIvs(col("_starts"), W)))
       .withColumn("_kept", when(col("_ivs").isNotNull,
         keptWords(col("_ws"), col("_ivs"))))
       .select(col(idCol),
