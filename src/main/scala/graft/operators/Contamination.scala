@@ -336,9 +336,73 @@ object Contamination {
       |WHERE wk.overlap >= 3
       |ORDER BY a.doc_id""".stripMargin
 
+  /** Gated query for [[spanDecontaminate]]: the benchmark is derived
+    * deterministically from the corpus itself (13-word slices of every
+    * doc_id ≡ 11 mod 100 — the url_gate derive-the-input precedent),
+    * window 13 (the GPT-3 gram size) with a 5-token buffer. DuckDB
+    * re-derives everything independently — string 13-grams (pinning
+    * the fingerprint path against ground truth, the gopher_rep
+    * argument), the buffered fixed-width interval merge by
+    * gaps-and-islands, clamping AFTER the merge, and the kept-text
+    * rebuild as an anti-join + ordered string_agg. */
+  def spanClean(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val bench = docs.filter(pmod(col("doc_id"), lit(100)) === 11)
+      .select(col("doc_id").as("bench_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 5, 13)).as("text"))
+      .filter(size(split(col("text"), " ")) === 13)
+    spanDecontaminate(docs, bench, window = 13, buffer = 5)
+      .withColumnRenamed("text", "text_clean")
+      .orderBy(col("doc_id"))
+  }
+
+  val spanCleanSql: String =
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
+      |           FROM documents),
+      |bg AS (SELECT DISTINCT array_to_string(w[5:17], ' ') AS gram
+      |       FROM t WHERE doc_id % 100 = 11 AND len(w) >= 17),
+      |gx AS (SELECT doc_id, w,
+      |         unnest(generate_series(1, len(w) - 12)) AS i FROM t),
+      |f AS (SELECT gx.doc_id, gx.i - 1 - 5 AS s0 FROM gx
+      |      JOIN bg ON array_to_string(gx.w[gx.i:gx.i+12], ' ') = bg.gram),
+      |nf AS (SELECT doc_id, COUNT(*) AS n_flagged FROM f GROUP BY doc_id),
+      |br AS (SELECT doc_id, s0,
+      |  CASE WHEN s0 > COALESCE(MAX(s0 + 23) OVER
+      |    (PARTITION BY doc_id ORDER BY s0
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), s0)
+      |  THEN 1 ELSE 0 END AS brk FROM f),
+      |i2 AS (SELECT doc_id, s0, SUM(brk) OVER
+      |  (PARTITION BY doc_id ORDER BY s0) AS isl FROM br),
+      |v AS (SELECT doc_id, MIN(s0) AS s_raw, MAX(s0) + 23 AS e_raw
+      |      FROM i2 GROUP BY doc_id, isl),
+      |vc AS (SELECT v.doc_id, GREATEST(s_raw, 0) AS s,
+      |         LEAST(e_raw, len(t.w)) AS e FROM v JOIN t USING (doc_id)),
+      |r AS (SELECT doc_id, SUM(e - s) AS removed FROM vc GROUP BY doc_id),
+      |p0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+      |       FROM t),
+      |kx AS (SELECT p0.doc_id, p0.i, p0.w[p0.i] AS wd FROM p0
+      |       WHERE NOT EXISTS (SELECT 1 FROM vc
+      |         WHERE vc.doc_id = p0.doc_id
+      |           AND p0.i - 1 >= vc.s AND p0.i - 1 < vc.e)),
+      |k AS (SELECT doc_id, COUNT(*) AS kept_n,
+      |        string_agg(wd, ' ' ORDER BY i) AS kept
+      |      FROM kx GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  CASE WHEN r.removed IS NULL THEN t.text
+      |       ELSE COALESCE(k.kept, '') END AS text_clean,
+      |  CAST(CASE WHEN r.removed IS NULL THEN len(t.w)
+      |       ELSE COALESCE(k.kept_n, 0) END AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(r.removed, 0) AS BIGINT) AS removed_tokens,
+      |  CAST(COALESCE(nf.n_flagged, 0) AS BIGINT) AS n_flagged_windows
+      |FROM t LEFT JOIN r USING (doc_id) LEFT JOIN k USING (doc_id)
+      |  LEFT JOIN nf USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_contamination" -> textContamination _)
+    "text_contamination" -> textContamination _,
+    "span_clean" -> spanClean _)
 
   val oracles: Map[String, String] = Map(
-    "text_contamination" -> textContaminationSql)
+    "text_contamination" -> textContaminationSql,
+    "span_clean" -> spanCleanSql)
 }
