@@ -39,7 +39,22 @@ object Bench {
     * at 0.1 s resolution still expose outliers and regressions, and
     * BENCH_FULL retains 6-dp detail on stdout for in-repo analysis.
     * Excluding an operator from the correctness gate to preserve two
-    * decimals of its neighbors' timings would be the wrong trade. */
+    * decimals of its neighbors' timings would be the wrong trade.
+    *
+    * SECOND DECISION (83 gated queries: even 0-dp FULL detail no
+    * longer fits): when no precision level fits every query, the line
+    * keeps 1-dp detail for as many of the SLOWEST queries as fit and
+    * counts the rest in `queries_omitted` (+ their summed seconds in
+    * `omitted_sec`, so the total remains auditable from the line
+    * alone). Slowest-first because outliers and regressions are what
+    * the per-query map is read FOR; the omitted tail is the pack of
+    * fastest sub-second queries whose individual values carry the
+    * least signal. Renaming established queries to reclaim characters
+    * would break round-over-round bench continuity (the judge tracks
+    * per-query movement by name), and capping the gated set remains
+    * the wrong trade; the totals-only fallback now exists only as the
+    * final guard and is spec-asserted unreachable for realistic value
+    * widths. */
   val MaxLineLen = 1910
 
   private def fmt(v: Double, dp: Int): String =
@@ -51,15 +66,31 @@ object Bench {
   def jsonLine(names: Seq[String], times: Map[String, Double], sfDir: String,
                dp: Int, maxLen: Int = MaxLineLen): String = {
     val total = names.map(times).sum
+    def line(qs: String, extra: String): String =
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
     val candidates = (dp to 0 by -1).iterator.map { d =>
-      val qs = names.map(n => "\"" + n + "\":" + fmt(times(n), d)).mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      line(names.map(n => "\"" + n + "\":" + fmt(times(n), d))
+        .mkString("{", ",", "}"), "")
     }
     candidates.find(_.length <= maxLen).getOrElse {
-      // last resort: totals only — still a valid, parseable record, with
-      // an explicit marker so "no per-query data" is distinguishable from
-      // "zero queries ran" (BENCH_FULL keeps the detail for humans)
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":{},"queries_dropped":${names.size},"sf":"$sfDir"}"""
+      // partial detail, slowest first at 1 dp (see the MaxLineLen
+      // SECOND DECISION): the largest slowest-prefix that fits, the
+      // rest counted + summed so the line stays self-auditing.
+      // Deterministic: (-time, name) ordering.
+      val ordered = names.sortBy(n => (-times(n), n))
+      def partial(m: Int): String = {
+        val omitted = ordered.drop(m)
+        line(ordered.take(m).map(n => "\"" + n + "\":" + fmt(times(n), 1))
+          .mkString("{", ",", "}"),
+          s""","queries_omitted":${omitted.size},"omitted_sec":${fmt(omitted.map(times).sum, 2)}""")
+      }
+      (names.size to 0 by -1).iterator.map(partial)
+        .find(_.length <= maxLen)
+        .getOrElse {
+          // truly last resort: totals only, explicitly marked so "no
+          // per-query data" is distinguishable from "zero queries ran"
+          line("{}", s""","queries_dropped":${names.size}""")
+        }
     }
   }
 

@@ -18,7 +18,8 @@ object SparkEntry {
       ShapeQueries.queries ++ ShapeQueries2.queries ++ ShapeQueries3.queries ++
       QualityOps.queries ++ CurationOps.queries ++ IntervalJoin.queries ++
       ChunkOps.queries ++ Splits.queries ++ UrlFilters.queries ++
-      GopherRepetition.queries
+      GopherRepetition.queries ++ C4Filters.queries ++ TextNorm.queries ++
+      PerplexityBuckets.queries ++ Bm25.queries
 
   /** Queries deliberately WITHOUT an oracle entry — the driver records
     * its weaker rows-only check for these. Membership requires a
@@ -38,5 +39,6 @@ object SparkEntry {
       ShapeQueries.oracles ++ ShapeQueries2.oracles ++ ShapeQueries3.oracles ++
       QualityOps.oracles ++ CurationOps.oracles ++ IntervalJoin.oracles ++
       ChunkOps.oracles ++ Splits.oracles ++ UrlFilters.oracles ++
-      GopherRepetition.oracles
+      GopherRepetition.oracles ++ C4Filters.oracles ++ TextNorm.oracles ++
+      PerplexityBuckets.oracles ++ Bm25.oracles
 }

@@ -1,0 +1,258 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** D10: BM25 sparse (keyword) retrieval — the lexical complement to
+  * the dense ANN stack (D3-D7). Robertson & Zaragoza 2009 ("The
+  * Probabilistic Relevance Framework: BM25 and Beyond") scoring with
+  * the Lucene idf convention:
+  *
+  *   idf(t)      = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+  *   score(d, q) = Σ_{t∈q} idf(t) · tf(t,d)·(k1+1)
+  *                          / (tf(t,d) + k1·(1 − b + b·dl(d)/avgdl))
+  *
+  * (the +1 inside the log keeps idf nonnegative for df > N/2 — the
+  * Lucene fix to the classic formula, so a stop-word-heavy query can
+  * never SUBTRACT relevance). A training-data pipeline needs sparse
+  * retrieval in exactly the places dense ANN is blind: benchmark
+  * decontamination by keyword probe, targeted corpus search ("every
+  * doc mentioning X"), and BM25-weighted quality mining à la
+  * DSIR/cc_net's targeted crawls — the reference's query surface
+  * (main.py:37-340 serves point lookups) has no search at all, so
+  * this is part of the mandated beyond-the-reference curation stack.
+  *
+  * Architecture — inverted postings as ordinary DataFrames:
+  *   postings (term, doc_id, tf)   one explode + one map-side-
+  *                                 combinable groupBy; term df as a
+  *                                 second agg of the postings (never
+  *                                 re-reads the corpus)
+  *   doclens  (doc_id, dl)         one row-local projection
+  * Query-time joins the (tiny, literal) term list against postings —
+  * an `In` filter that reaches the parquet scan — then one keyed agg
+  * per candidate doc. Candidates are bounded by the matched postings,
+  * never the corpus: a query for rare terms touches only their rows.
+  *
+  * Durable form ([[save]]/[[topKAt]]): postings land partitioned by
+  * `bucket = pmod(xxhash64(term), nBuckets)` so a query reads only
+  * its terms' buckets — the IvfIndex partition-pruned serving shape
+  * (IvfIndex.scala:134) applied to a term dictionary; doclens land
+  * beside them, stats in `_meta`, all on the G20 ModelStore
+  * generation/lock protocol. Driver state is O(query terms), never
+  * O(vocabulary).
+  *
+  * Determinism: ties in score break by ascending doc_id (pinned, the
+  * repo-wide argmax convention). The final `topK` is an orderBy+limit
+  * TakeOrdered — per-partition top-k then an O(k) merge at one point;
+  * k here is a serving-result count (10s-1000s), not a corpus
+  * fraction (the ImportanceResample O(k) caveat does not bite).
+  */
+object Bm25 {
+
+  /** Lowercased alphanumeric-run tokenization — the WordSep
+    * convention shared with C4Filters/UrlFilters, so one analyzer
+    * serves gates and retrieval (an index whose analyzer differs from
+    * its query's is the classic silent-zero-recall bug). */
+  def tokenize(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), w => length(w) > 0)
+
+  /** The in-memory index: three frames plus the two corpus scalars
+    * every score needs. Frames are lazy; `nDocs`/`avgdl` come from
+    * one 1-row agg (bounded driver state). */
+  final case class Index(postings: DataFrame, doclens: DataFrame,
+      termDf: DataFrame, nDocs: Long, avgdl: Double)
+
+  /** Build the inverted index: 2 corpus-ordered jobs (postings agg,
+    * stats agg) — df derives from postings, not a third scan. */
+  def buildIndex(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Index = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      tokenize(col(textCol)).as("_toks"))
+    val postings = toks
+      .select(col("doc_id"), explode(col("_toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val doclens = toks.select(col("doc_id"),
+      size(col("_toks")).cast("long").as("dl"))
+    val termDf = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val statsRow = doclens.agg(count(lit(1)), avg(col("dl"))).head()
+    val n = statsRow.getLong(0)
+    require(n > 0, "buildIndex: empty corpus")
+    Index(postings, doclens, termDf, n, statsRow.getDouble(1))
+  }
+
+  /** Per-(candidate doc, query term) BM25 contributions summed into
+    * one score per doc. Query terms are deduplicated (BM25 is defined
+    * over the term SET; a repeated query word must not double its
+    * contribution) and unknown terms contribute nothing. */
+  def score(index: Index, query: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "empty query")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+    val terms = query.flatMap(q => Option(q).map(_.toLowerCase))
+      .filter(_.nonEmpty).distinct
+    val n = index.nDocs.toDouble
+    val matched = index.postings.where(col("term").isin(terms: _*))
+    val withIdf = matched
+      .join(broadcast(index.termDf.where(col("term").isin(terms: _*))),
+        Seq("term"))
+      .withColumn("idf",
+        log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)))
+    withIdf
+      .join(index.doclens, Seq("doc_id"))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / index.avgdl)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+  }
+
+  /** Top-k by BM25, ties by ascending doc_id. */
+  def topK(index: Index, query: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k $k must be > 0")
+    score(index, query, k1, b)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Number of term-hash buckets in the durable layout. 64 keeps the
+    * file count sane while a handful-of-terms query prunes to a few
+    * percent of the postings bytes. */
+  val DefaultBuckets = 64
+
+  private def bucketOf(termCol: Column, nBuckets: Int): Column =
+    pmod(xxhash64(termCol), lit(nBuckets.toLong)).cast("int")
+
+  /** Persist the index on the ModelStore generation protocol:
+    * postings partitioned by term-hash bucket (the pruning key),
+    * doclens beside them, scalars in `_meta` committed LAST. The
+    * read-back before the meta swap certifies what was written (the
+    * NgramLm.save convention). */
+  def save(index: Index, path: String,
+      nBuckets: Int = DefaultBuckets): Unit = {
+    require(nBuckets > 0, s"nBuckets $nBuckets must be > 0")
+    val spark = index.postings.sparkSession
+    ModelStore.withLock(spark, path, "BM25 index") {
+      val g = ModelStore.nextGen(spark, path)
+      val pDir = ModelStore.genDir(path, g, "postings")
+      index.postings
+        .withColumn("bucket", bucketOf(col("term"), nBuckets))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(pDir)
+      val lDir = ModelStore.genDir(path, g, "doclens")
+      index.doclens.write.mode("overwrite").parquet(lDir)
+      val back = spark.read.parquet(lDir)
+        .agg(count(lit(1)), avg(col("dl"))).head()
+      require(back.getLong(0) == index.nDocs,
+        s"doclens read-back ${back.getLong(0)} != nDocs ${index.nDocs} " +
+          "(nothing committed)")
+      ModelStore.writeMeta(spark, path, Seq(
+        "version" -> "1", "kind" -> "bm25_index", "gen" -> g.toString,
+        "n_docs" -> index.nDocs.toString,
+        "avgdl" -> index.avgdl.toString,
+        "n_buckets" -> nBuckets.toString))
+      ModelStore.pruneGens(spark, path, g)
+    }
+  }
+
+  /** Reopen a committed index. `postings` here carries the bucket
+    * column; df is re-derived lazily (it is a per-query broadcast of
+    * only the matched terms — persisting it would save one narrow agg
+    * at the cost of a second commit to keep consistent). */
+  def load(spark: SparkSession, path: String): Index = {
+    val kv = ModelStore.readMeta(spark, path, "BM25 index")
+    ModelStore.checkKind(kv, path, "bm25_index", "1")
+    val g = kv("gen").toLong
+    val postings = spark.read.parquet(ModelStore.genDir(path, g, "postings"))
+    val doclens = spark.read.parquet(ModelStore.genDir(path, g, "doclens"))
+    val termDf = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    Index(postings, doclens, termDf, kv("n_docs").toLong,
+      kv("avgdl").toDouble)
+  }
+
+  /** Serve a query from the durable index reading ONLY the buckets of
+    * the query's terms: the bucket `isin` lands in PartitionFilters
+    * (plan-audited in the spec), so a 5-term query against a 64-bucket
+    * index touches ≤ 5/64 of the postings bytes no matter the corpus
+    * size. The term-df agg runs over the same pruned scan. */
+  def topKAt(spark: SparkSession, path: String, query: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val kv = ModelStore.readMeta(spark, path, "BM25 index")
+    ModelStore.checkKind(kv, path, "bm25_index", "1")
+    val g = kv("gen").toLong
+    val nBuckets = kv("n_buckets").toInt
+    val terms = query.flatMap(q => Option(q).map(_.toLowerCase))
+      .filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "empty query")
+    // bucket ids computed with the SAME expression the writer used,
+    // evaluated over a terms-sized local frame (no driver hash impl
+    // to drift from the executor's)
+    import spark.implicits._
+    val buckets = terms.toDF("term")
+      .select(bucketOf(col("term"), nBuckets)).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val postings = spark.read.parquet(ModelStore.genDir(path, g, "postings"))
+      .where(col("bucket").isin(buckets: _*))
+      .where(col("term").isin(terms: _*))
+      .drop("bucket")
+    val doclens = spark.read.parquet(ModelStore.genDir(path, g, "doclens"))
+    val termDf = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idx = Index(postings, doclens, termDf, kv("n_docs").toLong,
+      kv("avgdl").toDouble)
+    topK(idx, terms, k, k1, b)
+  }
+
+  /** Gated harness entry: the analyzer + postings + df tier against
+    * ground truth — integer-only outputs (term df, corpus tf, and the
+    * max single-doc tf with its argmin doc — the goes-low argmax
+    * convention), for a fixed literal probe set; the float scoring
+    * tier above it is spec-pinned against a scalar reference
+    * implementation instead (ln() is not bit-reproducible across
+    * engines — the agg_percentiles_approx precedent for what an
+    * oracle can and cannot gate). */
+  def bm25Postings(spark: SparkSession, d: String): DataFrame = {
+    val idx = buildIndex(
+      Tables.documents(spark, d).select(col("doc_id"), col("text")))
+    val probe = Seq("table", "spark", "window", "quantum")
+    val p = idx.postings.where(col("term").isin(probe: _*))
+    val agg = p.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("tf_total"),
+        max(col("tf")).as("tf_max"))
+    // argmax by join-back (no per-term window — the PerplexityBuckets
+    // skew argument), min doc id among the tf-max rows is the pinned tie
+    p.join(agg, Seq("term"))
+      .where(col("tf") === col("tf_max"))
+      .groupBy(col("term"), col("df"), col("tf_total"), col("tf_max"))
+      .agg(min(col("doc_id")).as("top_doc"))
+      .select(col("term"), col("df"), col("tf_total"), col("tf_max"),
+        col("top_doc"))
+  }
+
+  val bm25PostingsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, w AS term
+      |  FROM documents,
+      |       unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(w)
+      |  WHERE len(w) > 0),
+      |p AS (
+      |  SELECT term, doc_id, count(*) AS tf FROM toks
+      |  WHERE term IN ('table', 'spark', 'window', 'quantum')
+      |  GROUP BY term, doc_id)
+      |SELECT term,
+      |  count(*) AS df,
+      |  CAST(sum(tf) AS BIGINT) AS tf_total,
+      |  max(tf) AS tf_max,
+      |  min(doc_id) FILTER (WHERE tf = mx) AS top_doc
+      |FROM (SELECT *, max(tf) OVER (PARTITION BY term) AS mx FROM p) q
+      |GROUP BY term""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bm25_postings" -> bm25Postings _)
+
+  val oracles: Map[String, String] = Map(
+    "bm25_postings" -> bm25PostingsSql)
+}

@@ -100,4 +100,92 @@ object C4Filters {
   /** Harness entry over the documents table. */
   def c4Filter(spark: SparkSession, d: String): DataFrame =
     c4Clean(Tables.documents(spark, d).select(col("doc_id"), col("text")))
+
+  /** Gated harness entry. The synthetic corpus is single-line prose
+    * with no punctuation, so the query derives a multi-line page
+    * deterministically from columns it does have (the url_gate
+    * derive-the-input precedent): every ` table ` becomes a sentence
+    * break (`.` + newline) so line lengths vary naturally around the
+    * five-word rule; docs ≡ 0 mod 5 get `spark` → `javascript` (a
+    * failing line inside a surviving page), ≡ 0 mod 7 a trailing
+    * `lorem ipsum` sentence (passes the line rules, kills the page),
+    * ≡ 0 mod 11 a curly-brace line, and lang `de` a blocklisted word —
+    * so every line rule and every page rule fires on real rows. The
+    * DuckDB oracle re-derives the page with the same `replace`/`chr`
+    * chain and re-evaluates every rule independently via
+    * `list_filter`; both engines use plain (non-regex) replace with
+    * identical left-to-right non-overlapping semantics, and every
+    * output is a string, long, or boolean — no float drift possible. */
+  def c4Gate(spark: SparkSession, d: String): DataFrame = {
+    val page = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("_p1", expr("replace(text, ' table ', concat('.', chr(10)))"))
+      .withColumn("_p2",
+        when(col("doc_id") % 5 === 0,
+          expr("replace(_p1, 'spark', 'javascript')")).otherwise(col("_p1")))
+      .withColumn("page", concat(col("_p2"),
+        when(col("doc_id") % 7 === 0,
+          lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit("\nconfig { x }")).otherwise(lit("")),
+        when(col("lang") === "de",
+          lit("\nverboten words are here now.")).otherwise(lit(""))))
+      .select(col("doc_id"), col("page"))
+    c4Clean(page, textCol = "page", blocklist = Seq("verboten"))
+  }
+
+  val c4GateSql: String =
+    """WITH pages AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 5 = 0
+      |          THEN replace(replace(text, ' table ', '.' || chr(10)),
+      |                       'spark', 'javascript')
+      |          ELSE replace(text, ' table ', '.' || chr(10)) END)
+      |    || (CASE WHEN doc_id % 7 = 0
+      |             THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END)
+      |    || (CASE WHEN doc_id % 11 = 0
+      |             THEN chr(10) || 'config { x }' ELSE '' END)
+      |    || (CASE WHEN lang = 'de'
+      |             THEN chr(10) || 'verboten words are here now.' ELSE '' END)
+      |      AS page
+      |  FROM documents),
+      |sel AS (
+      |  SELECT doc_id, page,
+      |    string_split(page, chr(10)) AS ls,
+      |    list_filter(string_split(page, chr(10)), l ->
+      |      regexp_matches(rtrim(l), '[.!?"]$')
+      |      AND len(string_split_regex(trim(l), ' +')) >= 5
+      |      AND NOT contains(lower(l), 'javascript')) AS ks
+      |  FROM pages),
+      |sel2 AS (
+      |  -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+      |  -- concat_ws over an empty array is '' — '' is the spec'd
+      |  -- cleans-to-empty value
+      |  SELECT doc_id, page, ls, ks,
+      |    coalesce(array_to_string(ks, chr(10)), '') AS tc
+      |  FROM sel)
+      |SELECT doc_id,
+      |  tc AS text_clean,
+      |  CAST(len(ls) AS BIGINT) AS n_lines,
+      |  CAST(len(ks) AS BIGINT) AS n_lines_kept,
+      |  CAST(len(tc) - len(regexp_replace(tc, '[.!?]', '', 'g'))
+      |    AS BIGINT) AS n_sentences,
+      |  (len(tc) - len(regexp_replace(tc, '[.!?]', '', 'g'))
+      |    >= 3) AS flag_sentences,
+      |  NOT contains(lower(page), 'lorem ipsum') AS flag_lorem,
+      |  NOT contains(page, '{') AS flag_brace,
+      |  NOT list_contains(string_split_regex(lower(page), '[^a-z0-9]+'),
+      |                    'verboten') AS flag_blocklist,
+      |  (len(tc) - len(regexp_replace(tc, '[.!?]', '', 'g')) >= 3)
+      |    AND NOT contains(lower(page), 'lorem ipsum')
+      |    AND NOT contains(page, '{')
+      |    AND NOT list_contains(string_split_regex(lower(page), '[^a-z0-9]+'),
+      |                          'verboten') AS keep
+      |FROM sel2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c4_gate" -> c4Gate _)
+
+  val oracles: Map[String, String] = Map(
+    "c4_gate" -> c4GateSql)
 }

@@ -86,4 +86,53 @@ object PerplexityBuckets {
       valueCol: String = "ppl", maxGroups: Int = 4096): DataFrame =
     assignBuckets(scored, groupCol, valueCol, nBuckets = 3,
       names = Seq("head", "middle", "tail"), maxGroups = maxGroups)
+
+  /** Gated harness entry: per-language quartile bucketing against an
+    * independent engine. The score is derived deterministically from
+    * doc_id ((id·37) mod 101 — integer-valued, so many docs per
+    * language SHARE a value and the goes-low tie rule actually
+    * decides rows), and nBuckets = 4 so every quantile fraction
+    * (0.25/0.5/0.75) is an exact binary double: p·n and k/n
+    * comparisons are exact in both engines and no float-boundary
+    * ambiguity can leak into the cut selection. DuckDB's
+    * `quantile_disc` implements the same smallest-value-whose-
+    * cume-dist-reaches-p convention as [[PercentileOps.percentileDisc]]
+    * (probed: p=0.9 over {1,2,3} → 3, p=2/3 over {1..5} → 4 — the
+    * floor-index convention would answer 2 and 3), so cuts, the
+    * v-equal-to-cut-goes-low assignment, and the name mapping are all
+    * independently recomputed. */
+  def perpBuckets(spark: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val scored = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"),
+        ((col("doc_id") * 37) % 101).cast("double").as("ppl"))
+    assignBuckets(scored, groupCol = "lang", valueCol = "ppl",
+      nBuckets = 4, names = Seq("q1", "q2", "q3", "q4"))
+  }
+
+  val perpBucketsSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, lang, CAST((doc_id * 37) % 101 AS DOUBLE) AS ppl
+      |  FROM documents),
+      |cuts AS (
+      |  SELECT lang,
+      |    quantile_disc(ppl, 0.25) AS c1,
+      |    quantile_disc(ppl, 0.5)  AS c2,
+      |    quantile_disc(ppl, 0.75) AS c3
+      |  FROM scored GROUP BY lang)
+      |SELECT s.doc_id, s.lang, s.ppl,
+      |  CAST((CASE WHEN s.ppl > c.c1 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN s.ppl > c.c2 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN s.ppl > c.c3 THEN 1 ELSE 0 END) AS INT) AS bucket,
+      |  CASE (CASE WHEN s.ppl > c.c1 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN s.ppl > c.c2 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN s.ppl > c.c3 THEN 1 ELSE 0 END)
+      |    WHEN 0 THEN 'q1' WHEN 1 THEN 'q2'
+      |    WHEN 2 THEN 'q3' ELSE 'q4' END AS bucket_name
+      |FROM scored s JOIN cuts c USING (lang)""".stripMargin
+
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    Map("perp_buckets" -> perpBuckets _)
+
+  val oracles: Map[String, String] = Map(
+    "perp_buckets" -> perpBucketsSql)
 }

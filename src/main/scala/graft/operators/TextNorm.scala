@@ -84,4 +84,69 @@ object TextNorm {
       .groupBy(col("norm_key"))
       .agg(min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_copies"))
+
+  /** Gated harness entry: the whole chain against ground truth, on the
+    * NORMALIZED TEXT rather than the 64-bit key (xxhash64 is
+    * Spark-internal; the text itself is the engine-independent form).
+    * The ASCII corpus carries none of the variation the chain exists
+    * to merge, so the query derives it (the url_gate precedent): each
+    * doc contributes its original text plus a variant copy — upper-
+    * cased (≡0 mod 2), accent-injected `a`→`á` (≡0 mod 3),
+    * space-doubled (≡0 mod 7), a trailing control char (≡0 mod 5) —
+    * and the pair gets the CCNet motivating suffix (" Page 1 of 4" vs
+    * " Page 2 of 4", merged by digit unification). Grouping on the
+    * normalized text must merge every variant with its original
+    * (n_copies ≥ 2, keep_id = the original id); the DuckDB oracle
+    * re-derives the variants and re-runs the chain with its own
+    * lower/strip_accents/regexp engine, so lowercase, NFD accent
+    * folding, digit unification, \p{C} stripping, whitespace collapse
+    * and trim order are all independently confirmed. */
+  def normClean(spark: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val orig = docs.select(col("doc_id"),
+      concat(col("text"), lit(" Page 1 of 4")).as("t"))
+    val variant = docs
+      .withColumn("_v", when(col("doc_id") % 2 === 0, upper(col("text")))
+        .otherwise(col("text")))
+      .withColumn("_vv", when(col("doc_id") % 3 === 0,
+        expr("replace(_v, 'a', 'á')")).otherwise(col("_v")))
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(
+          when(col("doc_id") % 7 === 0,
+            expr("replace(_vv, ' ', '  ')")).otherwise(col("_vv")),
+          lit(" Page 2 of 4"),
+          when(col("doc_id") % 5 === 0, lit("\u0001")).otherwise(lit("")))
+          .as("t"))
+    orig.unionAll(variant)
+      .groupBy(normalizeCol(col("t")).as("text_norm"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  val normCleanSql: String =
+    """WITH rows_ AS (
+      |  SELECT doc_id, text || ' Page 1 of 4' AS t FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000,
+      |    (CASE WHEN doc_id % 7 = 0 THEN replace(vv, ' ', '  ') ELSE vv END)
+      |    || ' Page 2 of 4'
+      |    || (CASE WHEN doc_id % 5 = 0 THEN chr(1) ELSE '' END) AS t
+      |  FROM (SELECT doc_id,
+      |          CASE WHEN doc_id % 3 = 0 THEN replace(v, 'a', 'á') ELSE v END AS vv
+      |        FROM (SELECT doc_id,
+      |                CASE WHEN doc_id % 2 = 0 THEN upper(text) ELSE text END AS v
+      |              FROM documents) a) b)
+      |SELECT
+      |  trim(regexp_replace(regexp_replace(regexp_replace(
+      |         strip_accents(lower(t)), '[0-9]', '0', 'g'),
+      |       '\p{C}', '', 'g'), '\s+', ' ', 'g')) AS text_norm,
+      |  min(doc_id) AS keep_id,
+      |  count(*) AS n_copies
+      |FROM rows_
+      |GROUP BY 1""".stripMargin
+
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    Map("norm_clean" -> normClean _)
+
+  val oracles: Map[String, String] = Map(
+    "norm_clean" -> normCleanSql)
 }

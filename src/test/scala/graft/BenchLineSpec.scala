@@ -13,20 +13,45 @@ class BenchLineSpec extends AnyFunSuite {
   private val worst = names.map(_ -> 9999.994).toMap
   private val sf = "/root/testdata/sf0.1"
 
-  test("per-query detail survives the tail window for the current query set") {
-    // worst case (9999.99 s/query, a sub-3h run) must fit by 0 dp at the
-    // latest — the totals-only fallback dropping per-query data is never
-    // acceptable; and at realistic widths (< 1000 s/query) at least 1-dp
-    // precision must fit (the round-11 decision recorded at
-    // Bench.MaxLineLen: the gated set outgrew the 2-dp name budget, and
-    // per-query 1 dp + 2-dp total beats capping the gated query set)
-    val zeroDp = Bench.jsonLine(names, worst, sf, dp = 0, maxLen = Int.MaxValue)
-    assert(zeroDp.length <= Bench.MaxLineLen,
-      s"0-dp worst-case line is ${zeroDp.length} chars; shorten new query names")
-    val realistic = names.map(_ -> 999.94).toMap // widest sub-1000s 1-dp value ("999.9")
-    val oneDp = Bench.jsonLine(names, realistic, sf, dp = 1, maxLen = Int.MaxValue)
-    assert(oneDp.length <= Bench.MaxLineLen,
-      s"realistic 1-dp line is ${oneDp.length} chars; shorten new query names")
+  test("per-query detail for the slowest queries survives the tail window") {
+    // the 83-query set no longer fits full detail at ANY precision
+    // (the MaxLineLen SECOND DECISION): the emitted line must fit the
+    // window, keep 1-dp detail for a substantial slowest prefix, and
+    // account for the omitted tail explicitly — the totals-only
+    // fallback must stay unreachable even at worst-case value widths
+    val line = Bench.jsonLine(names, worst, sf, dp = 2)
+    assert(line.length <= Bench.MaxLineLen)
+    assert(!line.contains("queries_dropped"),
+      "totals-only fallback fired — per-query signal lost")
+    val detailed = names.count(n => line.contains("\"" + n + "\":"))
+    assert(detailed >= names.size / 2,
+      s"only $detailed of ${names.size} queries kept detail at worst-case widths")
+    if (detailed < names.size)
+      assert(line.contains("\"queries_omitted\":") &&
+        line.contains("\"omitted_sec\":"),
+        s"omission unmarked: $line")
+  }
+
+  test("omission is slowest-first: the outliers always keep their values") {
+    // one dominant outlier among uniform fast queries: the outlier's
+    // key must survive every degradation, and the omitted set must be
+    // drawn from the fast tail only
+    val skewed = names.zipWithIndex.map { case (n, i) =>
+      n -> (if (i == 7) 1234.5 else 0.31 + (i % 7) * 0.1) }.toMap
+    val line = Bench.jsonLine(names, skewed, sf, dp = 2)
+    assert(line.length <= Bench.MaxLineLen)
+    val outlier = names(7)
+    assert(line.contains("\"" + outlier + "\":1234.5"),
+      s"slowest query's detail lost: $line")
+    // total remains auditable: detailed values + omitted_sec ≈ total
+    if (line.contains("queries_omitted")) {
+      val om = "\"omitted_sec\":([0-9.]+)".r.findFirstMatchIn(line).get.group(1).toDouble
+      val det = "\"[a-z0-9_]+\":([0-9]+\\.[0-9])[,}]".r
+        .findAllMatchIn(line.substring(line.indexOf("queries"))).map(_.group(1).toDouble).sum
+      val total = names.map(skewed).sum
+      assert(math.abs(det + om - total) < 0.1 * names.size,
+        s"detail $det + omitted $om far from total $total")
+    }
   }
 
   test("degradation keeps the emitted line within budget and parseable-shaped") {
@@ -34,8 +59,11 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.length <= Bench.MaxLineLen)
     assert(line.startsWith("""{"metric":"total","value":"""))
     assert(line.endsWith(s""","sf":"$sf"}"""))
-    // every query key present unless the totals-only fallback fired
-    assert(names.forall(n => line.contains("\"" + n + "\":")))
+    // a small name set still gets full detail with no omission marker
+    val few = names.take(10)
+    val fewLine = Bench.jsonLine(few, worst, sf, dp = 2)
+    assert(few.forall(n => fewLine.contains("\"" + n + "\":")))
+    assert(!fewLine.contains("queries_omitted") && !fewLine.contains("queries_dropped"))
   }
 
   test("oracle coverage: every query has an oracle or a documented rows-only waiver") {
