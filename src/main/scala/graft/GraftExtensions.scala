@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{PqAdc, PqEncode, PqTab, StripAccents, VecDot}
+import org.apache.spark.sql.graft.{FixMojibake, PqAdc, PqEncode, PqTab, StripAccents, VecDot}
 import org.apache.spark.sql.types.IntegerType
 
 /** The extension-jar injection point: makes graft's native expressions
@@ -23,6 +23,7 @@ import org.apache.spark.sql.types.IntegerType
   *   pq_tab(query, codebook, m, k)  per-query ADC table
   *   pq_adc(codes, tab)             ADC candidate score
   *   strip_accents(s)               NFD accent folding (E34)
+  *   fix_mojibake(s)                encoding repair (E37)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -57,5 +58,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("strip_accents"),
       new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
       (es: Seq[Expression]) => StripAccents(es(0))))
+    ext.injectFunction((FunctionIdentifier("fix_mojibake"),
+      new ExpressionInfo(classOf[FixMojibake].getName, "fix_mojibake"),
+      (es: Seq[Expression]) => FixMojibake(es(0))))
   }
 }

@@ -736,6 +736,53 @@ object Stress {
       val bfn = bf.count()
       println(f"STRESS pack_whole_bestfit           $dt1%8.2f s   seqs=$bfn")
     }
+
+    // r11 session 5: sparse retrieval lifecycle — postings build, the
+    // durable bucketed save, then the same query transient vs served
+    // (the served form must win on wall-clock the way ivf_index does:
+    // it reads only the query terms' bucket partitions)
+    locally {
+      val docsDf = Tables.documents(spark, dir).select("doc_id", "text")
+      val t0 = System.nanoTime()
+      val idx = Bm25.buildIndex(docsDf)
+      idx.postings.write.format("noop").mode("overwrite").save()
+      val dt0 = (System.nanoTime() - t0) / 1e9
+      println(f"STRESS bm25_build                   $dt0%8.2f s   " +
+        s"docs=${idx.nDocs} avgdl=${idx.avgdl.round}")
+      val path = s"$dir/bm25_idx"
+      val t1 = System.nanoTime()
+      Bm25.save(idx, path)
+      val dt1 = (System.nanoTime() - t1) / 1e9
+      println(f"STRESS bm25_save                    $dt1%8.2f s")
+      val q = Seq("table", "window", "hash", "merge", "vector")
+      val t2 = System.nanoTime()
+      val tr = Bm25.topK(idx, q, 100)
+      tr.write.format("noop").mode("overwrite").save()
+      val dt2 = (System.nanoTime() - t2) / 1e9
+      println(f"STRESS bm25_topk_transient          $dt2%8.2f s   rows=${tr.count()}")
+      val t3 = System.nanoTime()
+      val sv = Bm25.topKAt(spark, path, q, 100)
+      sv.write.format("noop").mode("overwrite").save()
+      val dt3 = (System.nanoTime() - t3) / 1e9
+      println(f"STRESS bm25_topk_served             $dt3%8.2f s   rows=${sv.count()}")
+    }
+
+    // r11 session 5: hashed TF-IDF vectors (one explode + two keyed
+    // aggs + the ≤dim-row idf broadcast) and the model-free semantic
+    // dedup they unlock — the whole D-stack on plain text, no encoder
+    locally {
+      val docsDf = Tables.documents(spark, dir).select("doc_id", "text")
+      val t0 = System.nanoTime()
+      val v = TfidfVectors.vectorize(docsDf)
+      v.write.format("noop").mode("overwrite").save()
+      val dt0 = (System.nanoTime() - t0) / 1e9
+      println(f"STRESS tfidf_vectorize              $dt0%8.2f s   rows=${v.count()}")
+      val t1 = System.nanoTime()
+      val dd = TfidfVectors.semDedupText(docsDf, threshold = 0.95)
+      val kept = dd.agg(sum(when(col("keep"), 1L).otherwise(0L))).head().getLong(0)
+      val dt1 = (System.nanoTime() - t1) / 1e9
+      println(f"STRESS tfidf_semdedup               $dt1%8.2f s   kept=$kept")
+    }
     spark.stop()
   }
 }

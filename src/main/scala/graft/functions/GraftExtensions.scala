@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import org.apache.spark.sql.graft.{StripAccents, VecDot}
+import org.apache.spark.sql.graft.{FixMojibake, StripAccents, VecDot}
 
 /** Extension entry point for cluster deployment:
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions` makes the
@@ -19,5 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("strip_accents"),
       new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
       exprs => StripAccents(exprs(0))))
+    extensions.injectFunction((
+      FunctionIdentifier("fix_mojibake"),
+      new ExpressionInfo(classOf[FixMojibake].getName, "fix_mojibake"),
+      exprs => FixMojibake(exprs(0))))
   }
 }

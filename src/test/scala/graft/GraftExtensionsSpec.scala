@@ -45,6 +45,11 @@ class GraftExtensionsSpec extends SparkSpec {
       .first().getString(0)
     assert(accents === "cafe NAIVE stra\u00dfe")
 
+    // "caf\u00c3\u00a9" (UTF-8 bytes of caf\u00e9 mis-decoded as Latin-1) repairs
+    val fixed = spark.sql(
+      "SELECT fix_mojibake('caf\u00c3\u00a9') AS f").first().getString(0)
+    assert(fixed === "caf\u00e9")
+
     // non-literal m rejected loudly, not silently misparsed
     val err = intercept[Exception] {
       spark.sql("SELECT pq_encode(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)), 1 + 0, 2)")
