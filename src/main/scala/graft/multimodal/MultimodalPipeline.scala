@@ -15,11 +15,13 @@ import org.apache.spark.sql.types._
   * known images. AUDIO decode is REAL: [[AudioDecoder]] decodes WAV/
   * AIFF/AU PCM frames with javax.sound.sampled (sample rate, channels,
   * duration, RMS/peak/ZCR/clipping) — spec-verified bit-exact against
-  * generated waveforms. VIDEO decode remains stubbed
-  * ([[FakeVideoDecoder]]: the JDK ships no video codec), with the real
-  * bounded-batch plumbing spec-tested around it. [[FakeDecoder]] is
-  * kept for the deterministic text-payload pipeline tests
-  * ("image/fake" media_type).
+  * generated waveforms. VIDEO decode is REAL for the JDK-decodable AVI
+  * families ([[AviDecoder]]: RIFF container walk; MJPEG frames through
+  * ImageIO, raw-DIB frames exactly; evenly-sampled frame pooling with a
+  * codec-failure honesty lane) — modern codecs (H.264/VP9) remain
+  * outside a bare JVM and such payloads flag as undecodable rather
+  * than decode. [[FakeDecoder]] is kept for the deterministic
+  * text-payload pipeline tests ("image/fake" media_type).
   */
 object MultimodalPipeline {
 
@@ -188,7 +190,8 @@ object MultimodalPipeline {
     * binary fractions — spec-asserted bit-exact on generated WAV/AIFF.
     * Mono duplicates its stats into the ch-1 lanes; >2 channels pool the
     * extras into lane 1. Returns None for payloads AudioSystem rejects
-    * (MP3/Vorbis have no JDK codec — the video stub's honest boundary). */
+    * (MP3/Vorbis have no JDK codec — the same honest boundary the video
+    * path draws at H.264/VP9). */
   object AudioDecoder {
     /** Container magic sniff: the JDK SPI decodes exactly WAV ("RIFF"),
       * AIFF/AIFC ("FORM") and AU (".snd"). Rejecting other payloads here
@@ -270,20 +273,6 @@ object MultimodalPipeline {
     }
   }
 
-  /** STUB video probe — deterministic frame geometry/timing. */
-  object FakeVideoDecoder {
-    def decode(payload: Array[Byte]): (Int, Int, Float, Int, Int, Array[Float]) = {
-      val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
-      def u16(i: Int): Int = ((md(i) & 0xff) << 8) | (md(i + 1) & 0xff)
-      val (w, h) = (u16(0) % 1920 + 16, u16(2) % 1080 + 16)
-      val fps = Array(23.976f, 24f, 25f, 29.97f, 30f, 60f)(u16(4) % 6)
-      val frames = u16(6) % 1800 + 1
-      val durationMs = math.max(1, (frames * 1000 / fps).toInt)
-      val feat = (0 until 8).map(i => (md(15 - i) & 0xff) / 255.0f).toArray
-      (w, h, fps, frames, durationMs, feat)
-    }
-  }
-
   /** Bounded-memory batched extraction over binary payloads: rows are
     * grouped into batches capped by BOTH row count and total payload
     * bytes before `decodeBatch` sees them — the contract a native/FFI
@@ -335,13 +324,28 @@ object MultimodalPipeline {
       }
     }
 
-  /** Video metadata/feature extraction with bounded batches. */
+  /** Video metadata/feature extraction with bounded batches — REAL
+    * decode ([[AviDecoder]]: RIFF/AVI container walk, MJPEG frames via
+    * the image modality's ImageIO path, raw-DIB frames decoded exactly,
+    * evenly-sampled frame pooling). Payloads that are not an AVI with a
+    * video stream surface as width/height/fps/n_frames = 0 with a zero
+    * feature — callers filter on `fps > 0` instead of losing the row
+    * (the image/audio-path convention: corrupt-input rates stay
+    * visible). Codec-level failures INSIDE a parseable container are
+    * finer-grained: the frame-decode failure fraction rides feature
+    * lane 6, so a stripped-table MJPEG clip reports real container
+    * metadata plus an honest "could not decode the pixels" signal. */
   def decodeVideo(media: DataFrame, maxRows: Int = 16,
-      maxBytes: Long = 32L << 20): DataFrame =
+      maxBytes: Long = 32L << 20, sampleFrames: Int = 4): DataFrame =
     decodeBatched(media, videoSchema, maxRows, maxBytes) { batch =>
       batch.map { case (id, payload) =>
-        val (w, h, fps, frames, ms, feat) = FakeVideoDecoder.decode(payload)
-        Row(id, payload.length, w, h, fps, frames, ms, feat)
+        AviDecoder.decode(payload, sampleFrames) match {
+          case Some(d) =>
+            Row(id, payload.length, d.width, d.height, d.fps, d.nFrames,
+              d.durationMs, d.feature)
+          case None =>
+            Row(id, payload.length, 0, 0, 0.0f, 0, 0, Array.fill(8)(0.0f))
+        }
       }
     }
 }
