@@ -291,6 +291,18 @@ final class FeatureStore(spark: SparkSession, storePath: String,
       .drop("rn")
   }
 
+  /** All stored rows of one materialized (feature, version) — the
+    * monitoring read path ([[graft.operators.DriftMonitor.featureDrift]]
+    * compares two of these). The filter is on the store's partition
+    * columns, so the scan prunes to exactly one partition. */
+  def versionValues(feature: String,
+      version: String): Either[List[String], DataFrame] =
+    if (!versions.contains((feature, version)))
+      Left(List(s"Version '$version' of feature '$feature' not found"))
+    else Right(store
+      .filter(col("feature_name") === feature && col("version") === version)
+      .select("entity_id", "value", "value_str", "computed_at"))
+
   /** Backfill: recompute a feature version over a filtered slice of the
     * raw table (e.g. one day's partition) and append it — the batch
     * catch-up path complementing StreamingMaterializer. */
