@@ -146,26 +146,41 @@ object DriftMonitor {
     *         Pearson SHAPE, not an exact test statistic)
     *
     * λ = 0.5 (pinned). An empty side yields NULL scores (fail-visible)
-    * rather than a fabricated 0. */
-  def driftSummary(comparison: DataFrame): DataFrame = {
+    * rather than a fabricated 0.
+    *
+    * `by` groups the fold: pass key columns (e.g. the window bounds of
+    * a streaming comparison) to get ONE summary row PER KEY, each key's
+    * totals and K computed over its own rows — the batch comparator
+    * [[graft.streaming.StreamingDriftMonitor]] reuses, so batch and
+    * online scores share one definition. */
+  def driftSummary(comparison: DataFrame,
+      by: Seq[String] = Nil): DataFrame = {
     val lam = 0.5
-    val tot = comparison.agg(
+    val totAgg = Seq(
       sum("ref_n").as("n_ref"), sum("cur_n").as("n_cur"),
       count(lit(1)).as("n_bins"))
+    val tot =
+      if (by.isEmpty) comparison.agg(totAgg.head, totAgg.tail: _*)
+      else comparison.groupBy(by.map(col): _*)
+        .agg(totAgg.head, totAgg.tail: _*)
     // ANSI-safe: an empty side makes these terms NULL (and the final
     // mask nulls the scores anyway) instead of tripping DIVIDE_BY_ZERO
     def over(n: Column, d: Column): Column = when(d > 0, n / d)
     val p = (col("ref_n") + lam) / (col("n_ref") + col("n_bins") * lam)
     val q = (col("cur_n") + lam) / (col("n_cur") + col("n_bins") * lam)
-    comparison.join(broadcast(tot))
-      .select(col("n_ref"), col("n_cur"), col("n_bins"),
+    val joined =
+      if (by.isEmpty) comparison.join(broadcast(tot))
+      else comparison.join(broadcast(tot), by)
+    val keyCols = by.map(col)
+    joined
+      .select(keyCols ++ Seq(col("n_ref"), col("n_cur"), col("n_bins"),
         ((p - q) * log(p / q)).as("_psi"),
         (p * log(p / q)).as("_kl"),
         abs(over(col("ref_n"), col("n_ref")) -
           over(col("cur_n"), col("n_cur"))).as("_tv"),
         over(pow(col("cur_n") - p * col("n_cur"), 2),
-          p * col("n_cur")).as("_x2"))
-      .groupBy("n_ref", "n_cur", "n_bins")
+          p * col("n_cur")).as("_x2")): _*)
+      .groupBy(keyCols ++ Seq(col("n_ref"), col("n_cur"), col("n_bins")): _*)
       .agg(sum("_psi").as("psi"), sum("_kl").as("kl"),
         (sum("_tv") / 2).as("tvd"), sum("_x2").as("chi2"))
       .withColumn("psi", when(col("n_ref") > 0 && col("n_cur") > 0, col("psi")))
