@@ -18,8 +18,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * characters of stdout and parses the last unprefixed JSON line inside
   * that window (round 3's 67-query line at full double precision
   * overflowed it and the round's numbers were lost). `jsonLine` emits
-  * per-query values at 2 decimals and degrades to 1/0 decimals if the
-  * query set ever grows past the budget; BenchLineSpec guards the fit.
+  * per-query values at 2 decimals and degrades to 1 decimal, then to
+  * slowest-first partial detail, if the query set ever grows past the
+  * budget; BenchLineSpec guards the fit.
   */
 object Bench {
   /** Max JSON line length: 2000-char driver tail minus sbt's trailing
@@ -68,7 +69,12 @@ object Bench {
     val total = names.map(times).sum
     def line(qs: String, extra: String): String =
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
-    val candidates = (dp to 0 by -1).iterator.map { d =>
+    // full detail down to 1 dp only — a 0-dp rung would flatten the
+    // outlier values the per-query map exists to expose (r11: at 90
+    // names the synthetic worst case reached it and lost the slowest
+    // query's magnitude; slowest-first omission below keeps 1-dp
+    // resolution on exactly the queries that carry signal)
+    val candidates = (dp to 1 by -1).iterator.map { d =>
       line(names.map(n => "\"" + n + "\":" + fmt(times(n), d))
         .mkString("{", ",", "}"), "")
     }

@@ -20,7 +20,8 @@ object SparkEntry {
       ChunkOps.queries ++ Splits.queries ++ UrlFilters.queries ++
       GopherRepetition.queries ++ C4Filters.queries ++ TextNorm.queries ++
       PerplexityBuckets.queries ++ Bm25.queries ++ TextRepair.queries ++
-      ClusterOps.queries ++ DriftMonitor.queries
+      ClusterOps.queries ++ DriftMonitor.queries ++ SnapshotDiff.queries ++
+      RobustStats.queries
 
   /** Queries deliberately WITHOUT an oracle entry — the driver records
     * its weaker rows-only check for these. Membership requires a
@@ -42,5 +43,6 @@ object SparkEntry {
       ChunkOps.oracles ++ Splits.oracles ++ UrlFilters.oracles ++
       GopherRepetition.oracles ++ C4Filters.oracles ++ TextNorm.oracles ++
       PerplexityBuckets.oracles ++ Bm25.oracles ++ TextRepair.oracles ++
-      ClusterOps.oracles ++ DriftMonitor.oracles
+      ClusterOps.oracles ++ DriftMonitor.oracles ++ SnapshotDiff.oracles ++
+      RobustStats.oracles
 }
