@@ -849,6 +849,97 @@ object Stress {
       val nRep = rep.filter(col("was_mojibake")).count()
       println(f"STRESS text_repair_mojibake         $dt1%8.2f s   repaired=$nRep")
     }
+
+    // G22 drift: two corpus-scale populations through one histogram
+    // groupBy each + the bins-sized summary fold — the scale claim is
+    // "each side pays one map-side-combinable scan, nothing else grows"
+    scenario("drift") {
+      val ev = Tables.events(spark, dir)
+      val edges = (0 to 10).map(_ * 50.0)
+      val t0 = System.nanoTime()
+      val s = DriftMonitor.driftSummary(DriftMonitor.numericDrift(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") =!= "view"), "value", edges)).collect()
+      val dt0 = (System.nanoTime() - t0) / 1e9
+      println(f"STRESS drift_numeric                $dt0%8.2f s   psi=${s.head.getAs[Double]("psi")}%.4f n=${s.head.getAs[Long]("n_ref") + s.head.getAs[Long]("n_cur")}")
+      val t1 = System.nanoTime()
+      val c = DriftMonitor.driftSummary(DriftMonitor.categoricalDrift(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1), "event_type")).collect()
+      val dt1 = (System.nanoTime() - t1) / 1e9
+      println(f"STRESS drift_categorical            $dt1%8.2f s   psi=${c.head.getAs[Double]("psi")}%.6f")
+    }
+
+    // G24 diff: full corpus vs a 5%-edited refresh — exact mode carries
+    // document text through the shuffle, hash mode carries 8 bytes; the
+    // A/B quantifies what the byHash trade buys at scale
+    scenario("snapshot_diff") {
+      val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      val cur = docs.filter(col("doc_id") % 19 =!= 0)
+        .withColumn("text", when(col("doc_id") % 20 === 0,
+          concat(col("text"), lit(" [rev]"))).otherwise(col("text")))
+      time("snapdiff_exact")(SnapshotDiff.diff(docs, cur, "doc_id"))
+      time("snapdiff_hashed")(
+        SnapshotDiff.diff(docs, cur, "doc_id", byHash = true))
+    }
+
+    // G25: two count-banded exact quantile rounds over the full events
+    // table (5 groups) + the row-level flag join
+    scenario("robust_outliers") {
+      val ev = Tables.events(spark, dir)
+      val t0 = System.nanoTime()
+      val flags = RobustStats.outliers(ev, "event_type", "value")
+      flags.write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val nOut = flags.filter(col("is_outlier")).count()
+      println(f"STRESS robust_outliers              $dt%8.2f s   flagged=$nOut")
+    }
+
+    // F4 real video decode: row-local batched AVI parse + frame stats
+    // over thousands of clips (one ~8-frame raw-DIB template replicated
+    // with distinct ids — decode cost is per-row, payload content
+    // identical, which is exactly what a throughput probe wants)
+    scenario("video_decode") {
+      def u32le(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def u16le(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      def fcc(s: String) = s.getBytes("US-ASCII")
+      def chunk(id: String, d: Array[Byte]) = fcc(id) ++ u32le(d.length.toLong) ++
+        d ++ (if (d.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+      def list(t: String, subs: Array[Byte]*) = chunk("LIST", fcc(t) ++ subs.flatten)
+      val (w, h, nf) = (64, 64, 8)
+      val frame = {
+        val stride = (w * 3 + 3) & ~3
+        val px = new Array[Byte](stride * h)
+        var i = 0; while (i < px.length) { px(i) = (i % 251).toByte; i += 1 }
+        px
+      }
+      val avih = u32le(40000) ++ u32le(0) ++ u32le(0) ++ u32le(0) ++
+        u32le(nf.toLong) ++ u32le(0) ++ u32le(1) ++ u32le(0) ++
+        u32le(w.toLong) ++ u32le(h.toLong) ++ Array.fill(16)(0.toByte)
+      val strh = fcc("vids") ++ fcc("DIB ") ++ u32le(0) ++ u32le(0) ++ u32le(0) ++
+        u32le(1) ++ u32le(25) ++ u32le(0) ++ u32le(nf.toLong) ++ u32le(0) ++
+        u32le(0) ++ u32le(0) ++ u16le(0) ++ u16le(0) ++ u16le(0) ++ u16le(0)
+      val strf = u32le(40) ++ u32le(w.toLong) ++ u32le(h.toLong) ++ u16le(1) ++
+        u16le(24) ++ u32le(0) ++ u32le(0) ++ u32le(0) ++ u32le(0) ++
+        u32le(0) ++ u32le(0)
+      val body = fcc("AVI ") ++
+        list("hdrl", chunk("avih", avih),
+          list("strl", chunk("strh", strh), chunk("strf", strf))) ++
+        list("movi", (0 until nf).map(_ => chunk("00db", frame)): _*)
+      val avi = fcc("RIFF") ++ u32le(body.length.toLong) ++ body
+      val clips = 4000
+      val media = spark.range(clips.toLong)
+        .select(col("id").as("media_id"), lit(avi).as("payload"),
+          lit("video/avi").as("media_type"))
+        .repartition(64)
+      val t0 = System.nanoTime()
+      val dec = graft.multimodal.MultimodalPipeline.decodeVideo(media)
+      dec.write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val mb = avi.length.toLong * clips / (1 << 20)
+      println(f"STRESS video_decode                 $dt%8.2f s   clips=$clips bytes=${mb}MiB")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,123 @@
+package graft.registry
+
+import graft.operators.{DriftMonitor, SnapshotDiff}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** G26: Write-Audit-Publish for dataset refreshes — the release
+  * discipline the lakehouse world publishes as WAP (write the
+  * candidate aside, AUDIT it against the live snapshot, publish only
+  * on pass): a refresh pipeline that publishes whatever it produced
+  * will eventually publish the run where an upstream extractor
+  * silently broke and 40% of the corpus vanished. The gate makes
+  * "does this refresh look like a refresh, or like an incident?" a
+  * CHECKED question, composed from the engine's own audit surfaces —
+  * nothing here re-implements a rule:
+  *
+  *   - CHURN bounds ([[graft.operators.SnapshotDiff]]): added+changed
+  *     over |cur| and removed over |old| each under a frozen maximum —
+  *     the two directions fail differently (a feed replay inflates
+  *     churn; a broken extractor inflates removals) so they bound
+  *     separately.
+  *   - EXPECTATION rules ([[Expectations]]): the candidate itself must
+  *     be clean — one conditional-aggregation scan for all rules.
+  *   - DRIFT bound ([[graft.operators.DriftMonitor]], optional): PSI of
+  *     a named numeric column against the OLD snapshot under frozen
+  *     edges — a refresh can be row-wise plausible and still move the
+  *     distribution a training consumer depends on.
+  *
+  * The verdict is fail-closed and EVIDENCE-CARRYING: `audit` returns
+  * every reason that failed (never just the first — re-running a 100 TB
+  * audit to learn the second failure is the expensive path) plus the
+  * measured numbers, so a rejected release is a diagnosis, not a
+  * boolean. Publishing itself stays the caller's move (the value-store
+  * formats and ModelStore already own atomic commit); the gate is the
+  * audit step those commits should sit behind.
+  *
+  * Scale: one diff (two keyed aggregates + one keyed join), one
+  * expectations scan, two histogram scans when the drift bound is on —
+  * each individually audited in its own operator; the gate adds only
+  * driver-side arithmetic on their bounded outputs.
+  */
+object ReleaseGate {
+
+  /** The measured evidence, pass or fail. `psi` is None when no drift
+    * bound was requested (or the column had no comparable data). */
+  final case class Audit(
+      nOld: Long, nCur: Long,
+      added: Long, removed: Long, changed: Long, unchanged: Long,
+      churnFrac: Double, removedFrac: Double,
+      expectationViolations: Map[String, Long],
+      psi: Option[Double],
+      failures: List[String]) {
+    def publishable: Boolean = failures.isEmpty
+  }
+
+  /** Audit a candidate refresh against the published snapshot. Bounds
+    * are inclusive (a churn exactly at the max passes — the bound is a
+    * budget, not a strict envelope). `driftOn` names a numeric column
+    * to PSI-bound with edges frozen from the OLD snapshot. */
+  def audit(old: DataFrame, cur: DataFrame, key: String,
+      compare: Seq[String] = Nil,
+      maxChurnFrac: Double = 0.2, maxRemovedFrac: Double = 0.05,
+      rules: Seq[Expectations.Rule] = Nil,
+      driftOn: Option[String] = None, maxPsi: Double = 0.25,
+      driftBins: Int = 10, byHash: Boolean = false): Audit = {
+    require(maxChurnFrac >= 0 && maxRemovedFrac >= 0 && maxPsi >= 0,
+      "bounds must be non-negative")
+
+    val statuses = SnapshotDiff.diff(old, cur, key, compare, byHash)
+      .groupBy("status").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .withDefaultValue(0L)
+    val (added, removed, changed, unchanged) = (statuses("added"),
+      statuses("removed"), statuses("changed"), statuses("unchanged"))
+    val nOld = removed + changed + unchanged
+    val nCur = added + changed + unchanged
+    val churnFrac =
+      if (nCur == 0) 1.0 else (added + changed).toDouble / nCur
+    val removedFrac =
+      if (nOld == 0) 0.0 else removed.toDouble / nOld
+
+    val report =
+      if (rules.isEmpty) Expectations.Report(nCur, Map.empty)
+      else Expectations.check(cur, rules)
+
+    // data conditions (empty old side, all-null column) fail CLOSED via
+    // the could-not-score path rather than throwing out of the audit
+    val psi = driftOn.map { c =>
+      scala.util.Try {
+        val edges = DriftMonitor.equiWidthEdges(old, c, driftBins)
+        DriftMonitor.driftSummary(
+            DriftMonitor.numericDrift(old, cur, c, edges))
+          .collect().headOption
+          .flatMap(r => Option(r.getAs[java.lang.Double]("psi")))
+          .map(_.doubleValue)
+      }.toOption.flatten
+    }
+
+    val failures = List(
+      (if (nCur == 0)
+        Some(s"candidate snapshot is empty (old had $nOld keys)") else None),
+      (if (churnFrac > maxChurnFrac)
+        Some(f"churn $churnFrac%.4f (added=$added changed=$changed of $nCur) exceeds max $maxChurnFrac%.4f")
+      else None),
+      (if (removedFrac > maxRemovedFrac)
+        Some(f"removals $removedFrac%.4f ($removed of $nOld) exceed max $maxRemovedFrac%.4f")
+      else None)) .flatten ++
+      report.violations.collect { case (rule, n) if n > 0 =>
+        s"expectation $rule violated by $n rows" }.toList.sorted ++
+      (psi match {
+        case Some(Some(p)) if p > maxPsi =>
+          List(f"drift psi $p%.4f on '${driftOn.get}' exceeds max $maxPsi%.4f")
+        case Some(None) =>
+          List(s"drift bound on '${driftOn.get}' could not be scored " +
+            "(no comparable non-null data) — fail closed")
+        case _ => Nil
+      })
+
+    Audit(nOld, nCur, added, removed, changed, unchanged,
+      churnFrac, removedFrac, report.violations,
+      psi.flatten, failures)
+  }
+}
