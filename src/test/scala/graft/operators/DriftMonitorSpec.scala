@@ -140,6 +140,22 @@ class DriftMonitorSpec extends SparkSpec {
     assert(DriftMonitor.featureDrift(fs, "ghost", "v1", "v2").isLeft)
   }
 
+  test("plan shape: histogram map-side combines; no window, no corpus cartesian") {
+    val ev = Tables.events(spark, sf)
+    val e10 = (0 to 10).map(_ * 50.0)
+    val hist = DriftMonitor.histogram(ev, "value", e10)
+      .queryExecution.executedPlan.toString
+    // partial + final aggregate levels and nothing heavier
+    assert("HashAggregate".r.findAllMatchIn(hist).size >= 2, hist)
+    assert(!hist.contains("Window") && !hist.contains("CartesianProduct"), hist)
+    // the full comparison plans only bin-keyed work on the corpus side;
+    // the sole nested-loop join is the bins-sized 1-row summary cross
+    val cmp = DriftMonitor.numericDrift(ev, ev, "value", e10)
+      .queryExecution.executedPlan.toString
+    assert(!cmp.contains("CartesianProduct"), cmp)
+    assert(!cmp.contains("Window"), cmp)
+  }
+
   test("edge guards and equiWidthEdges derivation") {
     intercept[IllegalArgumentException] {
       DriftMonitor.histogram(Seq(1.0).toDF("v"), "v", Seq.empty) }
