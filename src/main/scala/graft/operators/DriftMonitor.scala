@@ -189,6 +189,40 @@ object DriftMonitor {
       .withColumn("chi2", when(col("n_ref") > 0 && col("n_cur") > 0, col("chi2")))
   }
 
+  /** Two-sample Kolmogorov-Smirnov distance over an ORDERED binned
+    * comparison ([[numericDrift]] output): the maximum, taken in bin
+    * order, of |cumulative ref fraction − cumulative cur fraction| —
+    * the classic supremum-of-CDF-gap statistic, at bin resolution
+    * (binning can only UNDERSTATE the continuous KS, never overstate
+    * it — both CDFs are evaluated at the same edge set). Complements
+    * the summary scores: PSI/KL weight per-bin ratios, KS catches a
+    * consistent small shift that accumulates across bins.
+    *
+    * The NULL bin is EXCLUDED (a CDF over nulls is undefined; null
+    * mass stays visible in the comparison rows and the G22 null-bin
+    * convention). Computed driver-side over the bins-sized frame (the
+    * percentileDisc collect class — bounded by |edges|+2 rows, never
+    * data-sized). None when either side has no non-null rows. */
+  def ksStatistic(comparison: DataFrame): Option[Double] = {
+    val rows = comparison.select("bin", "ref_n", "cur_n")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .filter(_._1 >= 0)
+      .sortBy(_._1)
+    val nr = rows.map(_._2).sum.toDouble
+    val nc = rows.map(_._3).sum.toDouble
+    if (nr == 0 || nc == 0) None
+    else {
+      var cr, cc = 0L
+      var ks = 0.0
+      rows.foreach { case (_, a, b) =>
+        cr += a; cc += b
+        ks = math.max(ks, math.abs(cr / nr - cc / nc))
+      }
+      Some(ks)
+    }
+  }
+
   /** Version-over-version drift for a REGISTERED feature: compare two
     * materialized versions out of the value store (partition-pruned
     * reads). Numeric features bin `value` (explicit edges, or

@@ -140,6 +140,25 @@ class DriftMonitorSpec extends SparkSpec {
     assert(DriftMonitor.featureDrift(fs, "ghost", "v1", "v2").isLeft)
   }
 
+  test("ksStatistic: exact CDF gap, zero on self, null mass excluded") {
+    val ref = (Seq.fill(5)(1.0) ++ Seq.fill(5)(15.0)).toDF("v")   // bins 1,2
+    val cur = (Seq.fill(5)(15.0) ++ Seq.fill(5)(25.0)).toDF("v")  // bins 2,3
+    val ks = DriftMonitor.ksStatistic(
+      DriftMonitor.numericDrift(ref, cur, "v", edges))
+    assert(ks === Some(0.5), s"CDF gap .5 after bin 1: $ks")
+    // identical populations: exact zero
+    assert(DriftMonitor.ksStatistic(
+      DriftMonitor.numericDrift(ref, ref, "v", edges)) === Some(0.0))
+    // null rows on one side do not perturb the CDF comparison
+    val refN = ref.unionByName(Seq(Option.empty[Double]).toDF("v"))
+    assert(DriftMonitor.ksStatistic(
+      DriftMonitor.numericDrift(refN, cur, "v", edges)) === Some(0.5))
+    // an empty side cannot be scored
+    assert(DriftMonitor.ksStatistic(
+      DriftMonitor.numericDrift(ref, cur.filter(lit(false)), "v", edges))
+      .isEmpty)
+  }
+
   test("plan shape: histogram map-side combines; no window, no corpus cartesian") {
     val ev = Tables.events(spark, sf)
     val e10 = (0 to 10).map(_ * 50.0)
