@@ -895,6 +895,31 @@ object Stress {
       println(f"STRESS robust_outliers              $dt%8.2f s   flagged=$nOut")
     }
 
+    // G27 record linkage: a 550k-record synthetic dirty roster (10%
+    // planted one-char-off duplicates), blocking into ~110-record
+    // blocks — ~30M candidate pairs through the row-local edit-
+    // similarity scorer, then CC over the matched edges
+    scenario("record_link") {
+      val base = spark.range(500000L).select(col("id"),
+        concat(lit("rec_"), col("id"), lit("_"),
+          substring(md5(col("id").cast("string")), 1, 6)).as("name"),
+        (col("id") % 5000).as("block"),
+        (col("id") % 7).cast("string").as("seg"))
+      val dupes = base.filter(col("id") % 10 === 0)
+        .select((col("id") + 10000000L).as("id"),
+          concat(lit("xec_"), expr("substring(name, 5)")).as("name"),
+          col("block"), col("seg"))
+      val roster = base.unionByName(dupes)
+      val t0 = System.nanoTime()
+      val linked = RecordLinkage.link(roster, "id", Seq(col("block")),
+        Seq(RecordLinkage.Fuzzy("name", 0.75), RecordLinkage.Exact("seg", 0.25)),
+        threshold = 0.9, maxBlockSize = 200)
+      linked.write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val merged = linked.filter(!col("keep")).count()
+      println(f"STRESS record_link                  $dt%8.2f s   merged=$merged")
+    }
+
     // F4 real video decode: row-local batched AVI parse + frame stats
     // over thousands of clips (one ~8-frame raw-DIB template replicated
     // with distinct ids — decode cost is per-row, payload content

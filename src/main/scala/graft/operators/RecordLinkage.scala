@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** G27: record linkage / entity resolution — fuzzy deduplication of
+  * STRUCTURED records (customer rosters, vendor feeds, user accounts),
+  * the record-shaped sibling of the document dedup family: documents
+  * dedup on content similarity (C1-C9), records dedup on FIELD
+  * similarity under a blocking scheme — the classic Fellegi-Sunter
+  * pipeline shape (block → compare → score → decide → cluster) with a
+  * deterministic weighted score standing in for the probabilistic
+  * match weights (pinnable, oracle-checkable; learning the weights is
+  * E24's job if a labeled set exists).
+  *
+  * The three stages compose the engine's existing discipline:
+  *
+  *   - [[candidatePairs]]: records sharing a blocking key become
+  *     candidate pairs (one self-join per blocking key, id_a < id_b).
+  *     Blocking is what makes linkage subquadratic — the all-pairs
+  *     explosion is confined to blocks, and a block bigger than
+  *     `maxBlockSize` FAILS LOUDLY (the NgramDedup df-cap discipline:
+  *     a degenerate key like an empty zip code would otherwise
+  *     silently reintroduce O(n²)). Multiple blocking keys union
+  *     (a pair is a candidate if ANY key agrees — the standard
+  *     multi-pass blocking recall trick), deduped.
+  *   - [[scorePairs]]: per-field similarity on candidates only, all
+  *     row-local: strings score 1 − levenshtein/max(length) (exact
+  *     integer edit distance, both engines agree on it — the A17
+  *     precedent), `exact` fields score 1/0 null-safely, weights are
+  *     caller-frozen and must sum to 1. NULL fields score 0 toward
+  *     the match (fail-closed: a missing field never supports a
+  *     merge).
+  *   - [[link]]: pairs at/above the threshold feed the C6 connected
+  *     components (DedupClusters — one keyed join+agg per round,
+  *     checkpointed lineage), every record returns labeled
+  *     (entity_id, keep) with the min-id representative keeping (the
+  *     repo keeper convention).
+  *
+  * Scale: the corpus pays one narrow projection per blocking key +
+  * the blocked self-join (bounded by maxBlockSize² per block);
+  * scoring touches candidates only; CC is edge-bounded. Nothing
+  * all-pairs, nothing driver-sized.
+  */
+object RecordLinkage {
+
+  /** How one field contributes to the match score. */
+  sealed trait FieldSim {
+    def colName: String; def weight: Double
+    /** Similarity in [0,1] for one candidate pair; NULL-safe (a null
+      * on either side contributes 0 — fail closed). */
+    private[operators] def sim(a: Column, b: Column): Column
+  }
+  /** Normalized edit similarity: 1 − levenshtein/max(len). */
+  final case class Fuzzy(colName: String, weight: Double) extends FieldSim {
+    private[operators] def sim(a: Column, b: Column): Column =
+      when(a.isNull || b.isNull, 0.0).otherwise(
+        lit(1.0) - levenshtein(a, b) /
+          greatest(length(a), length(b)).cast("double"))
+  }
+  /** Null-safe exact match: 1 when equal (both non-null), else 0. */
+  final case class Exact(colName: String, weight: Double) extends FieldSim {
+    private[operators] def sim(a: Column, b: Column): Column =
+      when(a.isNull || b.isNull, 0.0)
+        .otherwise(when(a === b, 1.0).otherwise(0.0))
+  }
+
+  /** Candidate pairs under one or more blocking keys: (id_a, id_b)
+    * with id_a < id_b, deduped across keys. Every blocking key value
+    * with more than `maxBlockSize` records fails loudly. */
+  def candidatePairs(records: DataFrame, id: String,
+      blockingKeys: Seq[Column], maxBlockSize: Int = 1000): DataFrame = {
+    require(blockingKeys.nonEmpty, "at least one blocking key")
+    require(maxBlockSize > 1, s"maxBlockSize $maxBlockSize")
+    val perKey = blockingKeys.zipWithIndex.map { case (k, i) =>
+      val keyed = records.select(col(id).as("_id"), k.as("_blk"))
+        .filter(col("_blk").isNotNull)
+      // the raise_error must sit ON the key's data flow — as a dropped
+      // side column Catalyst would prune it and the guard would vanish
+      val guarded = keyed
+        .withColumn("_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("_blk"))))
+        .select(col("_id"),
+          when(col("_n") > maxBlockSize,
+            raise_error(concat(lit(s"blocking key #$i value "),
+              col("_blk").cast("string"),
+              lit(s" exceeds maxBlockSize $maxBlockSize — refine the key"))))
+            .otherwise(col("_blk")).as("_blk"))
+      guarded.as("a").join(guarded.as("b"),
+          col("a._blk") === col("b._blk") && col("a._id") < col("b._id"))
+        .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+    }
+    perKey.reduce(_ unionByName _).distinct()
+  }
+
+  /** Weighted field-similarity score for each candidate pair:
+    * (id_a, id_b, score). Weights must sum to 1 (±1e-9). */
+  def scorePairs(records: DataFrame, pairs: DataFrame, id: String,
+      fields: Seq[FieldSim]): DataFrame = {
+    require(fields.nonEmpty, "at least one field")
+    require(math.abs(fields.map(_.weight).sum - 1.0) < 1e-9,
+      s"weights must sum to 1: ${fields.map(_.weight)}")
+    require(fields.forall(_.weight > 0), "weights must be positive")
+    val cols = col(id).as("_id") +: fields.map(f => col(f.colName))
+    val a = records.select(cols: _*).as("ra")
+    val b = records.select(cols: _*).as("rb")
+    val score = fields.map(f =>
+      f.sim(col(s"ra.${f.colName}"), col(s"rb.${f.colName}")) * f.weight)
+      .reduce(_ + _)
+    pairs
+      .join(a, col("id_a") === col("ra._id"))
+      .join(b, col("id_b") === col("rb._id"))
+      .select(col("id_a"), col("id_b"), score.as("score"))
+  }
+
+  /** The full pipeline: block → score → threshold → connected
+    * components. Every record returns (id, entity_id, keep): linked
+    * records share the min-member entity_id, the min-id member keeps
+    * (the repo keeper convention); singletons are their own entity. */
+  def link(records: DataFrame, id: String, blockingKeys: Seq[Column],
+      fields: Seq[FieldSim], threshold: Double,
+      maxBlockSize: Int = 1000): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold $threshold")
+    val pairs = scorePairs(records,
+        candidatePairs(records, id, blockingKeys, maxBlockSize), id, fields)
+      .filter(col("score") >= threshold)
+    val comps = DedupClusters.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("_cid"), col("comp"))
+    records.select(col(id))
+      .join(comps, col(id) === col("_cid"), "left")
+      .select(col(id), coalesce(col("comp"), col(id)).as("entity_id"))
+      .withColumn("keep", col(id) === col("entity_id"))
+  }
+
+  // ---- gated harness entry -------------------------------------------------
+
+  /** Gated entry (`record_link`): the whole pipeline against ground
+    * truth on a derived dirty roster — customers get synthetic
+    * distinctive names (`cust_<key>_<md5-prefix>`: unrelated names
+    * differ across the hash suffix, so edit similarity separates
+    * cleanly), every 10th record gains a duplicate with one
+    * substituted character and a shifted id; blocking on nation,
+    * score = 0.75·name-similarity + 0.25·exact(segment), threshold
+    * 0.9 (binary-exact weights; levenshtein and lengths are exact
+    * integers, so the score arithmetic is the same IEEE sequence in
+    * both engines). DuckDB re-derives blocking, edit similarity, the
+    * threshold, and the transitive closure (recursive CTE — the
+    * dedup_clusters precedent). */
+  def recordLink(spark: SparkSession, d: String): DataFrame = {
+    val base = graft.Tables.load(spark, d, "customer")
+      .select(col("c_custkey").as("id"),
+        concat(lit("cust_"), col("c_custkey"), lit("_"),
+          substring(md5(col("c_custkey").cast("string")), 1, 6)).as("name"),
+        col("c_nationkey").as("block"), col("c_mktsegment").as("seg"))
+    val dupes = base.filter(col("id") % 10 === 0)
+      .select((col("id") + 100000L).as("id"),
+        concat(lit("kust_"), expr("substring(name, 6)")).as("name"),
+        col("block"), col("seg"))
+    val records = base.unionByName(dupes)
+    link(records, "id", Seq(col("block")),
+      Seq(Fuzzy("name", 0.75), Exact("seg", 0.25)), threshold = 0.9)
+  }
+
+  val recordLinkSql: String =
+    """WITH RECURSIVE base AS (
+      |  SELECT c_custkey AS id,
+      |    'cust_' || c_custkey || '_' ||
+      |      substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6) AS name,
+      |    c_nationkey AS block, c_mktsegment AS seg
+      |  FROM customer),
+      |records AS (
+      |  SELECT * FROM base
+      |  UNION ALL
+      |  SELECT id + 100000, 'kust_' || substr(name, 6), block, seg
+      |  FROM base WHERE id % 10 = 0),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |    0.75 * (1.0 - CAST(levenshtein(a.name, b.name) AS DOUBLE) /
+      |      greatest(len(a.name), len(b.name))) +
+      |    0.25 * (CASE WHEN a.seg = b.seg THEN 1.0 ELSE 0.0 END) AS score
+      |  FROM records a JOIN records b
+      |    ON a.block = b.block AND a.id < b.id),
+      |edges AS (
+      |  SELECT id_a AS s, id_b AS d FROM pairs WHERE score >= 0.9
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM pairs WHERE score >= 0.9),
+      |walk(id, comp) AS (
+      |  SELECT DISTINCT s, s FROM edges
+      |  UNION
+      |  SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.id),
+      |cc AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id)
+      |SELECT r.id, COALESCE(cc.comp, r.id) AS entity_id,
+      |  r.id = COALESCE(cc.comp, r.id) AS keep
+      |FROM records r LEFT JOIN cc ON r.id = cc.id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "record_link" -> recordLink _)
+
+  val oracles: Map[String, String] = Map(
+    "record_link" -> recordLinkSql)
+}

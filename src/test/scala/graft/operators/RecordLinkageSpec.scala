@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** G27 record linkage: blocking semantics (multi-key union, loud block
+  * cap, null keys), exact score arithmetic with fail-closed nulls, the
+  * transitive-closure property, and the derived-roster gate shape. */
+class RecordLinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("candidatePairs: multi-key union dedup, null keys out, loud block cap") {
+    val recs = Seq(
+      (1L, "z1", "p1"), (2L, "z1", "p2"), (3L, "z2", "p2"),
+      (4L, null.asInstanceOf[String], "p3"), (5L, null.asInstanceOf[String], "p3")
+    ).toDF("id", "zip", "phone")
+    val pairs = RecordLinkage.candidatePairs(recs, "id",
+        Seq(col("zip"), col("phone")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // zip: (1,2); phone: (2,3), (4,5); null zips never pair on zip
+    assert(pairs === Set((1L, 2L), (2L, 3L), (4L, 5L)))
+
+    // a pair matching BOTH keys appears once
+    val both = Seq((1L, "z", "p"), (2L, "z", "p")).toDF("id", "zip", "phone")
+    assert(RecordLinkage.candidatePairs(both, "id",
+      Seq(col("zip"), col("phone"))).count() === 1)
+
+    // a degenerate block fails loudly instead of going quadratic
+    val degenerate = (1L to 50L).map(i => (i, "same")).toDF("id", "zip")
+    val e = intercept[Exception] {
+      RecordLinkage.candidatePairs(degenerate, "id", Seq(col("zip")),
+        maxBlockSize = 10).collect() }
+    assert(e.getMessage.contains("maxBlockSize") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxBlockSize")))
+  }
+
+  test("scorePairs: exact fuzzy/exact arithmetic, nulls fail closed, weight guard") {
+    val recs = Seq(
+      (1L, "abcd", Some("X")), (2L, "abcx", Some("X")),
+      (3L, "abcd", Option.empty[String])).toDF("id", "name", "seg")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val scores = RecordLinkage.scorePairs(recs, pairs, "id",
+        Seq(RecordLinkage.Fuzzy("name", 0.5), RecordLinkage.Exact("seg", 0.5)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // (1,2): lev 1 over len 4 -> 0.75 fuzzy; seg equal -> 0.5 + 0.375
+    assert(scores((1L, 2L)) === 0.5 * 0.75 + 0.5 * 1.0)
+    // (1,3): identical names, but the null seg contributes 0 (fail closed)
+    assert(scores((1L, 3L)) === 0.5 * 1.0)
+    intercept[IllegalArgumentException] {
+      RecordLinkage.scorePairs(recs, pairs, "id",
+        Seq(RecordLinkage.Fuzzy("name", 0.9))) } // weights must sum to 1
+  }
+
+  test("link: transitive closure merges chains, min-id keeps, singletons stand") {
+    // A~B and B~C are each within edit 1; A~C is at edit 2 and alone
+    // would miss the threshold — CC must still merge all three
+    val recs = Seq(
+      (10L, "linkaa", "s"), (11L, "linkab", "s"), (12L, "linkbb", "s"),
+      (99L, "other0", "s")).toDF("id", "name", "seg")
+    val out = RecordLinkage.link(recs, "id", Seq(col("seg")),
+        Seq(RecordLinkage.Fuzzy("name", 1.0)), threshold = 0.8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // lev(linkaa, linkab)=1 -> 5/6 >= .8; lev(linkab, linkbb)=1;
+    // lev(linkaa, linkbb)=2 -> 4/6 < .8; lev(other0, link**)>=4
+    assert(out(10L) === ((10L, true)))
+    assert(out(11L) === ((10L, false)) && out(12L) === ((10L, false)),
+      s"chain must merge transitively: $out")
+    assert(out(99L) === ((99L, true)), "singleton is its own entity")
+  }
+
+  test("derived roster: every planted duplicate links to exactly its source") {
+    val out = RecordLinkage.recordLink(spark, sf).cache()
+    val base = Tables.load(spark, sf, "customer").select("c_custkey")
+    assert(out.count() === base.count() + base.filter(col("c_custkey") % 10 === 0).count())
+    // every planted dupe (id >= 100000) resolves to an entity led by a
+    // base record, and its source is in the same entity
+    val dupes = out.filter(col("id") >= 100000L)
+      .select(col("id"), col("entity_id"))
+      .collect()
+    assert(dupes.nonEmpty)
+    val entityOf = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    dupes.foreach { r =>
+      val src = r.getLong(0) - 100000L
+      assert(r.getLong(1) === entityOf(src),
+        s"dupe ${r.getLong(0)} not linked to source $src")
+    }
+    // keepers are exactly the entity leaders
+    assert(out.filter(col("keep") =!= (col("id") === col("entity_id")))
+      .count() === 0)
+  }
+}
