@@ -27,4 +27,19 @@ object Sources {
   /** Partitioned parquet sink — the value-store layout. */
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** ORC with a pinned schema — the second columnar format Spark ships
+    * a native vectorized reader for (predicate pushdown and column
+    * pruning hold exactly as on parquet; the plan-shape spec asserts
+    * PushedFilters on the ORC scan). Interop surface for warehouses
+    * that standardized on ORC (classic Hive estates). */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** Partitioned ORC sink — the value-store layout on the ORC format. */
+  def writeOrcPartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).orc(path)
 }

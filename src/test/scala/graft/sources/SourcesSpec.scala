@@ -35,6 +35,26 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || one.count() > 0)
   }
 
+  test("orc round trip is exact; filters push to the ORC scan; partitions prune") {
+    val cust = Tables.customer(spark, sf)
+    val dir = s"${tmp()}/cust_orc"
+    Sources.writeOrc(cust, dir)
+    val back = Sources.orc(spark, dir, cust.schema)
+    assert(back.except(cust).count() === 0 && cust.except(back).count() === 0)
+    // predicate pushdown reaches the ORC scan exactly as on parquet
+    val filtered = back.filter(col("c_custkey") === 42L)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("c_custkey"), plan)
+    assert(filtered.count() === 1)
+    // partitioned ORC sink prunes like the parquet layout
+    val ev = Tables.events(spark, sf)
+    val pdir = s"${tmp()}/ev_orc"
+    Sources.writeOrcPartitioned(ev, pdir, Seq("event_type"))
+    val one = spark.read.orc(pdir).filter(col("event_type") === "click")
+    assert(one.count() === ev.filter(col("event_type") === "click").count())
+    assert(one.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
   test("vec_dot is callable from SQL after registration") {
     org.apache.spark.sql.graft.VecFunctions.register(spark)
     Tables.embeddings(spark, sf).createOrReplaceTempView("emb")
