@@ -132,6 +132,94 @@ object RecordLinkage {
       .withColumn("keep", col(id) === col("entity_id"))
   }
 
+  /** The two frames a delta linkage produces. */
+  final case class DeltaLink(assignments: DataFrame, mergeCandidates: DataFrame)
+
+  /** O(delta) linkage against FROZEN entities — the repo's frozen-index
+    * convention (C9 boilerplate index, C10 bloom membership) applied to
+    * linkage: `entities` is a previously-linked roster (record fields +
+    * `entity_id`), `delta` is the new arrivals. Delta records link INTO
+    * existing entities (the frozen label wins even when a delta id is
+    * smaller — labels never move under a delta, by contract) or form
+    * new entities among themselves (min delta id); every candidate pair
+    * touches ≥ 1 delta record, so old-old pairs never re-verify (the
+    * G17 economics). A delta record bridging TWO frozen entities does
+    * NOT relabel them — the bridge surfaces in `mergeCandidates`
+    * ((entity_id, merged_into) rows) and the delta members take the
+    * smallest bridged entity; the periodic full [[link]] is the rebuild
+    * that actually merges (exactly the frozen-index stream semantics:
+    * within-delta-only evidence never mutates the frozen side).
+    * `assignments`: (id, entity_id, is_new_entity, bridged). */
+  def linkAgainst(entities: DataFrame, delta: DataFrame, id: String,
+      blockingKeys: Seq[Column], fields: Seq[FieldSim], threshold: Double,
+      maxBlockSize: Int = 1000): DeltaLink = {
+    require(threshold > 0 && threshold <= 1, s"threshold $threshold")
+    // the union keeps ALL record columns (blocking keys are arbitrary
+    // caller expressions over them); delta rides with a null entity_id
+    val newR = delta.withColumn("entity_id", lit(null).cast("long"))
+    val union = newR.unionByName(
+      entities.select(newR.columns.map(col): _*))
+    // candidate pairs restricted to those touching >= 1 delta record:
+    // block the DELTA side only, join against the union's blocked
+    // projection (the union side is a read-only pruned scan — the
+    // IncrementalDedup "what still scans" note)
+    val pairs = blockingKeys.zipWithIndex.map { case (k, i) =>
+      val uKeyed = union.select(col(id).as("_uid"), k.as("_blk"),
+          col("entity_id").as("_uent"))
+        .filter(col("_blk").isNotNull)
+      val guarded = uKeyed
+        .withColumn("_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("_blk"))))
+        .select(col("_uid"), col("_uent"),
+          when(col("_n") > maxBlockSize,
+            raise_error(concat(lit(s"blocking key #$i value "),
+              col("_blk").cast("string"),
+              lit(s" exceeds maxBlockSize $maxBlockSize — refine the key"))))
+            .otherwise(col("_blk")).as("_blk"))
+      val dSide = guarded.filter(col("_uent").isNull)
+        .select(col("_uid").as("_did"), col("_blk"))
+      dSide.join(guarded, Seq("_blk"))
+        .filter(col("_did") =!= col("_uid"))
+        .select(least(col("_did"), col("_uid")).as("id_a"),
+          greatest(col("_did"), col("_uid")).as("id_b"))
+    }.reduce(_ unionByName _).distinct()
+    val matched = scorePairs(union, pairs, id, fields)
+      .filter(col("score") >= threshold)
+      .select("id_a", "id_b")
+
+    // component edges: matched pairs, with OLD records standing in for
+    // their (frozen) entity label — components then span delta ids and
+    // frozen entity ids in the one shared id space
+    val ent = union.filter(col("entity_id").isNotNull)
+      .select(col(id).as("_rid"), col("entity_id").as("_ent"))
+    def toEntity(c: String) = coalesce(col("_ent"), col(c))
+    val edges = matched
+      .join(ent.withColumnRenamed("_rid", "id_a"), Seq("id_a"), "left")
+      .select(toEntity("id_a").as("e_a"), col("id_b"))
+      .join(ent.withColumnRenamed("_rid", "id_b"), Seq("id_b"), "left")
+      .select(col("e_a"), toEntity("id_b").as("e_b"))
+      .filter(col("e_a") =!= col("e_b"))
+    val comps = DedupClusters.connectedComponents(edges, "e_a", "e_b")
+      .select(col("id").as("_node"), col("comp"))
+    // per component: the frozen-entity members decide the label
+    val entityNodes = comps.join(
+        ent.select(col("_ent").as("_node")).distinct(), Seq("_node"))
+    val compEnt = entityNodes.groupBy("comp")
+      .agg(min(col("_node")).as("_min_ent"),
+        count(lit(1)).as("_n_ent"))
+    val assignments = delta.select(col(id))
+      .join(comps, col(id) === col("_node"), "left")
+      .join(compEnt, Seq("comp"), "left")
+      .select(col(id),
+        coalesce(col("_min_ent"), col("comp"), col(id)).as("entity_id"),
+        (col("_min_ent").isNull).as("is_new_entity"),
+        coalesce(col("_n_ent") > 1, lit(false)).as("bridged"))
+    val mergeCandidates = entityNodes.join(compEnt, Seq("comp"))
+      .filter(col("_n_ent") > 1 && col("_node") =!= col("_min_ent"))
+      .select(col("_node").as("entity_id"), col("_min_ent").as("merged_into"))
+    DeltaLink(assignments, mergeCandidates)
+  }
+
   // ---- gated harness entry -------------------------------------------------
 
   /** Gated entry (`record_link`): the whole pipeline against ground

@@ -68,6 +68,59 @@ class RecordLinkageSpec extends SparkSpec {
     assert(out(99L) === ((99L, true)), "singleton is its own entity")
   }
 
+  test("linkAgainst: frozen labels win, delta-only entities form, no old-old pairs") {
+    // frozen roster: entity 5 = {5, 6}; entity 20 = {20}; 30 and 31 are
+    // IDENTICAL records in different frozen entities — a delta refresh
+    // must never re-verify that old-old pair
+    val entities = Seq(
+      (5L, "frozenaa", "s", 5L), (6L, "frozenab", "s", 5L),
+      (20L, "loneword", "s", 20L),
+      (30L, "samesame", "s", 30L), (31L, "samesame", "s", 31L)
+    ).toDF("id", "name", "seg", "entity_id")
+    val delta = Seq(
+      (1L, "frozenac", "s"),   // matches entity 5's members; 1 < 5!
+      (40L, "newpairx", "s"), (41L, "newpairy", "s"), // delta-delta entity
+      (50L, "isolated", "s")   // singleton
+    ).toDF("id", "name", "seg")
+    val out = RecordLinkage.linkAgainst(entities, delta, "id",
+      Seq(col("seg")), Seq(RecordLinkage.Fuzzy("name", 1.0)), threshold = 0.8)
+    val a = out.assignments.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+      .toMap
+    // the frozen label wins even though the delta id is smaller — a full
+    // re-link would canonicalize to min id 1; the delta form must not
+    assert(a(1L) === ((5L, false, false)), s"frozen label must win: $a")
+    assert(a(40L)._1 === 40L && a(40L)._2 === true)
+    assert(a(41L)._1 === 40L, "delta-delta pair shares the min delta id")
+    assert(a(50L) === ((50L, true, false)))
+    // identical old records in different entities stayed put: no merges
+    assert(out.mergeCandidates.count() === 0,
+      "old-old evidence must never surface from a delta refresh")
+  }
+
+  test("linkAgainst: a bridging delta reports merges without relabeling") {
+    val entities = Seq(
+      (5L, "bridgeaa", "s", 5L), (9L, "bridgeab", "s", 9L)
+    ).toDF("id", "name", "seg", "entity_id")
+    val delta = Seq((100L, "bridgeaa", "s")).toDF("id", "name", "seg")
+    val out = RecordLinkage.linkAgainst(entities, delta, "id",
+      Seq(col("seg")), Seq(RecordLinkage.Fuzzy("name", 1.0)), threshold = 0.8)
+    val a = out.assignments.collect().head
+    assert(a.getLong(1) === 5L && a.getBoolean(3), "bridged delta takes min entity")
+    val m = out.mergeCandidates.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m === Set((9L, 5L)), "the bridge is reported, not applied")
+
+    // the rebuild (full link over everything) realizes the merge: the
+    // delta form and the rebuild agree on the PARTITION of records
+    val all = entities.drop("entity_id").unionByName(delta)
+    val rebuilt = RecordLinkage.link(all, "id", Seq(col("seg")),
+        Seq(RecordLinkage.Fuzzy("name", 1.0)), threshold = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rebuilt(5L) === rebuilt(9L) && rebuilt(9L) === rebuilt(100L),
+      "rebuild merges what the delta form reported")
+  }
+
   test("derived roster: every planted duplicate links to exactly its source") {
     val out = RecordLinkage.recordLink(spark, sf).cache()
     val base = Tables.load(spark, sf, "customer").select("c_custkey")
