@@ -60,6 +60,18 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(statuses === Set("added", "removed", "changed", "unchanged"))
   }
 
+  test("plan shape: the full-outer join reuses the side aggregates' partitioning") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val cur = docs.filter(col("doc_id") % 2 === 0)
+    val d = SnapshotDiff.diff(docs, cur, "doc_id")
+    d.write.format("noop").mode("overwrite").save()
+    val plan = d.queryExecution.executedPlan.toString
+    // one hash exchange per side, zero for the join — the provable
+    // minimum plus the dup guard (scaladoc claim, pinned here)
+    val n = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+    assert(n === 2, s"expected exactly 2 exchanges, saw $n:\n$plan")
+  }
+
   test("diffSummary: counts per status and the churn fraction over cur") {
     val d = Seq((1L, "unchanged"), (2L, "unchanged"), (3L, "changed"),
       (4L, "added"), (5L, "removed")).toDF("id", "status")
