@@ -111,6 +111,13 @@ object DriftMonitor {
       .select(col("bin"), col("lo"), col("hi"), col("ref_n"), col("cur_n"))
   }
 
+  /** Exact category counts: (category, n) — the categorical sibling of
+    * [[histogram]] and the frozen-reference form the streaming monitor
+    * compares windows against. NULL categories count under a NULL key. */
+  def categoricalHistogram(df: DataFrame, catCol: String): DataFrame =
+    df.select(col(catCol).cast("string").as("category"))
+      .groupBy("category").agg(count(lit(1)).as("n"))
+
   /** Per-category comparison: (category, ref_n, cur_n, status) with
     * status ∈ novel (unseen in ref) / vanished (gone from cur) /
     * common. NULL categories count as a real category (null-safe
@@ -119,8 +126,7 @@ object DriftMonitor {
   def categoricalDrift(ref: DataFrame, cur: DataFrame,
       catCol: String): DataFrame = {
     def h(df: DataFrame, n: String) =
-      df.select(col(catCol).cast("string").as("category"))
-        .groupBy("category").agg(count(lit(1)).as(n))
+      categoricalHistogram(df, catCol).withColumnRenamed("n", n)
     val rh = h(ref, "ref_n").as("r")
     val ch = h(cur, "cur_n").as("c")
     rh.join(ch, col("r.category") <=> col("c.category"), "full_outer")

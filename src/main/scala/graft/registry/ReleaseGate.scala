@@ -41,14 +41,17 @@ import org.apache.spark.sql.functions._
   */
 object ReleaseGate {
 
-  /** The measured evidence, pass or fail. `psi` is None when no drift
-    * bound was requested (or the column had no comparable data). */
+  /** The measured evidence, pass or fail. `psi`/`catPsi`/`novelFrac`
+    * are None when the corresponding bound was not requested (or the
+    * column had no comparable data — which itself fails closed). */
   final case class Audit(
       nOld: Long, nCur: Long,
       added: Long, removed: Long, changed: Long, unchanged: Long,
       churnFrac: Double, removedFrac: Double,
       expectationViolations: Map[String, Long],
       psi: Option[Double],
+      catPsi: Option[Double],
+      novelFrac: Option[Double],
       failures: List[String]) {
     def publishable: Boolean = failures.isEmpty
   }
@@ -62,9 +65,11 @@ object ReleaseGate {
       maxChurnFrac: Double = 0.2, maxRemovedFrac: Double = 0.05,
       rules: Seq[Expectations.Rule] = Nil,
       driftOn: Option[String] = None, maxPsi: Double = 0.25,
-      driftBins: Int = 10, byHash: Boolean = false): Audit = {
-    require(maxChurnFrac >= 0 && maxRemovedFrac >= 0 && maxPsi >= 0,
-      "bounds must be non-negative")
+      driftBins: Int = 10, byHash: Boolean = false,
+      catDriftOn: Option[String] = None, maxCatPsi: Double = 0.25,
+      maxNovelFrac: Double = 1.0): Audit = {
+    require(maxChurnFrac >= 0 && maxRemovedFrac >= 0 && maxPsi >= 0 &&
+      maxCatPsi >= 0 && maxNovelFrac >= 0, "bounds must be non-negative")
 
     val statuses = SnapshotDiff.diff(old, cur, key, compare, byHash)
       .groupBy("status").agg(count(lit(1)).as("n"))
@@ -96,6 +101,30 @@ object ReleaseGate {
       }.toOption.flatten
     }
 
+    // categorical bound: PSI over the category mix, plus the fraction
+    // of cur rows carrying a category the old snapshot never saw — the
+    // schema-drift-in-data signal a binned PSI can understate when the
+    // novel mass spreads over many small categories
+    val catScores = catDriftOn.map { c =>
+      scala.util.Try {
+        val cmp = DriftMonitor.categoricalDrift(old, cur, c)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val s = DriftMonitor.driftSummary(cmp).collect().headOption
+          val psiC = s.flatMap(r => Option(r.getAs[java.lang.Double]("psi")))
+            .map(_.doubleValue)
+          val agg = cmp.agg(
+            sum(when(col("status") === "novel", col("cur_n"))).as("_nov"),
+            sum(col("cur_n")).as("_nc")).collect().head
+          val novel =
+            if (agg.isNullAt(1) || agg.getLong(1) == 0L) None
+            else Some(Option(agg.get(0)).fold(0.0)(_ =>
+              agg.getLong(0).toDouble / agg.getLong(1)))
+          (psiC, novel)
+        } finally cmp.unpersist()
+      }.toOption.getOrElse((None, None))
+    }
+
     val failures = List(
       (if (nCur == 0)
         Some(s"candidate snapshot is empty (old had $nOld keys)") else None),
@@ -114,10 +143,26 @@ object ReleaseGate {
           List(s"drift bound on '${driftOn.get}' could not be scored " +
             "(no comparable non-null data) — fail closed")
         case _ => Nil
+      }) ++
+      (catScores match {
+        case Some((None, _)) =>
+          List(s"categorical drift bound on '${catDriftOn.get}' could not " +
+            "be scored (an empty side) — fail closed")
+        case Some((Some(p), nov)) =>
+          (if (p > maxCatPsi)
+            List(f"categorical psi $p%.4f on '${catDriftOn.get}' exceeds max $maxCatPsi%.4f")
+          else Nil) ++
+          (nov match {
+            case Some(nf) if nf > maxNovelFrac =>
+              List(f"novel-category mass $nf%.4f on '${catDriftOn.get}' exceeds max $maxNovelFrac%.4f")
+            case _ => Nil
+          })
+        case None => Nil
       })
 
     Audit(nOld, nCur, added, removed, changed, unchanged,
       churnFrac, removedFrac, report.violations,
-      psi.flatten, failures)
+      psi.flatten, catScores.flatMap(_._1), catScores.flatMap(_._2),
+      failures)
   }
 }

@@ -62,22 +62,53 @@ object StreamingDriftMonitor {
       .select(col("_w.start").as("window_start"),
         col("_w.end").as("window_end"), col("bin"), col("cur_n"))
 
+  /** CATEGORICAL twin of [[windowedHistogram]]: per-window exact counts
+    * of a category column (language mix of a crawl stream, event-type
+    * mix of a feed) — same watermark/append semantics, the key is the
+    * category itself instead of a numeric bin. NULL categories count
+    * under a NULL key (the G22 convention: a null-rate shift is drift). */
+  def windowedCategoricalHistogram(events: DataFrame, tsCol: String,
+      catCol: String, windowDuration: String = "1 hour",
+      delayThreshold: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, delayThreshold)
+      .groupBy(window(col(tsCol), windowDuration).as("_w"),
+        col(catCol).cast("string").as("category"))
+      .agg(count(lit(1)).as("cur_n"))
+      .select(col("_w.start").as("window_start"),
+        col("_w.end").as("window_end"), col("category"), col("cur_n"))
+
   /** Align per-window counts against the frozen reference histogram
-    * ((bin, n) — [[DriftMonitor.histogram]] output): one row per
-    * (window, bin in either side), zero-filled. Batch-side: the frames
-    * here are windows-per-batch × bins — bounded, never stream-sized. */
-  def compareWindows(winHist: DataFrame, refHist: DataFrame): DataFrame = {
-    val wins = winHist.select("window_start", "window_end").distinct()
+    * ((keyCol, n) — [[DriftMonitor.histogram]] output for numeric bins,
+    * a grouped count for categories): one row per (window, key in
+    * either side), zero-filled; null-safe on the key (a NULL category
+    * aligns with the reference's NULL row). Batch-side: the frames here
+    * are windows-per-batch × keys — bounded, never stream-sized. */
+  def compareWindows(winHist: DataFrame, refHist: DataFrame,
+      keyCol: String = "bin"): DataFrame = {
+    // every left-side column re-aliased: the left derives from winHist
+    // itself, and unaliased names would make the self-join ambiguous
+    val wins = winHist
+      .select(col("window_start").as("_ws"), col("window_end").as("_we"))
+      .distinct()
     val ref = wins.crossJoin(
-      refHist.select(col("bin"), col("n").as("ref_n")))
-    ref.join(winHist, Seq("window_start", "window_end", "bin"), "full_outer")
-      .na.fill(0L, Seq("ref_n", "cur_n"))
+      refHist.select(col(keyCol).as("_rk"), col("n").as("_rn")))
+    ref.join(winHist,
+        col("_ws") === col("window_start") && col("_we") === col("window_end") &&
+          col("_rk") <=> col(keyCol), "full_outer")
+      .select(
+        coalesce(col("_ws"), col("window_start")).as("window_start"),
+        coalesce(col("_we"), col("window_end")).as("window_end"),
+        coalesce(col("_rk"), col(keyCol)).as(keyCol),
+        coalesce(col("_rn"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
   }
 
   /** One summary row per window: (window_start, window_end, n_ref,
     * n_cur, n_bins, psi, kl, tvd, chi2) — THE batch scoring, shared. */
-  def windowSummaries(winHist: DataFrame, refHist: DataFrame): DataFrame =
-    DriftMonitor.driftSummary(compareWindows(winHist, refHist),
+  def windowSummaries(winHist: DataFrame, refHist: DataFrame,
+      keyCol: String = "bin"): DataFrame =
+    DriftMonitor.driftSummary(compareWindows(winHist, refHist, keyCol),
       by = Seq("window_start", "window_end"))
 
   /** The serving composition: score each closed window as it emits and
@@ -94,5 +125,19 @@ object StreamingDriftMonitor {
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) sink(windowSummaries(batch, refHist))
+      }
+
+  /** Categorical serving composition: closed windows of the category
+    * mix scored against a frozen reference count frame ((category, n)
+    * — [[DriftMonitor.categoricalHistogram]] output). */
+  def monitorCategorical(events: DataFrame, tsCol: String, catCol: String,
+      refHist: DataFrame, windowDuration: String = "1 hour",
+      delayThreshold: String = "10 minutes")(
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    windowedCategoricalHistogram(events, tsCol, catCol, windowDuration,
+        delayThreshold)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) sink(windowSummaries(batch, refHist, "category"))
       }
 }

@@ -85,6 +85,35 @@ class ReleaseGateSpec extends SparkSpec {
       b.failures.exists(_.contains("could not be scored")), b.failures.toString)
   }
 
+  test("categorical bound: novel-category surge blocked, matching mix passes") {
+    def roster(cats: Seq[String]) = cats.zipWithIndex
+      .map { case (c, i) => (i.toLong, "t", c) }.toDF("id", "text", "cat")
+    val old = roster(Seq("a", "a", "a", "b", "b"))
+    val same = roster(Seq("a", "a", "a", "b", "b"))
+    val ok = ReleaseGate.audit(old, same, "id", compare = Seq("text"),
+      maxChurnFrac = 1.0, catDriftOn = Some("cat"),
+      maxCatPsi = 0.25, maxNovelFrac = 0.1)
+    assert(ok.publishable, ok.failures.mkString("; "))
+    assert(ok.catPsi === Some(0.0) && ok.novelFrac === Some(0.0))
+
+    // 40% of cur rows carry a category old never saw
+    val surged = roster(Seq("a", "a", "z", "z", "b"))
+    val bad = ReleaseGate.audit(old, surged, "id", compare = Seq("text"),
+      maxChurnFrac = 1.0, catDriftOn = Some("cat"),
+      maxCatPsi = 10.0, maxNovelFrac = 0.1) // psi bound slack: isolate novel
+    assert(!bad.publishable)
+    assert(bad.failures.exists(_.contains("novel-category mass")),
+      bad.failures.toString)
+    assert(bad.novelFrac === Some(0.4))
+
+    // an empty cur side fails the categorical bound closed too
+    val empty = roster(Seq())
+    val closed = ReleaseGate.audit(old, empty, "id", compare = Seq("text"),
+      catDriftOn = Some("cat"))
+    assert(closed.failures.exists(_.contains("categorical drift bound")) ||
+      closed.failures.exists(_.contains("empty")), closed.failures.toString)
+  }
+
   test("real corpus: a 5%-edit refresh publishes, a broken extractor is caught") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"),
       length(col("text")).cast("double").as("len"))

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
 case class DEv(ts: Timestamp, value: Double)
+case class LEv(ts: Timestamp, lang: String)
 
 /** G23 streaming drift: stateful windowed histograms in append mode,
   * per-window scores ≡ the batch operator on the same rows, window
@@ -125,6 +126,42 @@ class StreamingDriftMonitorSpec extends SparkSpec {
         (t("2024-01-01 10:00:00"), 1, 1L),
         (t("2024-01-01 10:00:00"), 2, 1L)))
     } finally q.stop()
+  }
+
+  test("categorical windows: mix shift detected, null-safe category alignment") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // reference mix: mostly 'en' with some 'de' and a NULL slice
+    val ref = DriftMonitor.categoricalHistogram(
+      (Seq.fill(8)(Some("en")) ++ Seq.fill(3)(Some("de")) ++
+        Seq.fill(1)(Option.empty[String])).toDF("lang"), "lang").cache()
+
+    val w1 = Seq.fill(8)("en") ++ Seq.fill(3)("de") ++ Seq(null) // ref-like
+    val w2 = Seq.fill(10)("fr") ++ Seq.fill(2)("en")             // novel mix
+    val collected = collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val mem = MemoryStream[LEv]
+    val q = StreamingDriftMonitor.monitorCategorical(
+        mem.toDS().toDF(), "ts", "lang", ref,
+        windowDuration = "10 minutes", delayThreshold = "1 minute") { df =>
+      collected ++= df.collect()
+    }.queryName("drift_cat_mon").start()
+    try {
+      mem.addData(w1.map(LEv(t("2024-01-01 10:02:00"), _)) ++
+        w2.map(LEv(t("2024-01-01 10:14:00"), _)): _*)
+      q.processAllAvailable()
+      mem.addData(LEv(t("2024-01-02 10:00:00"), "en"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val byWin = collected.map(r =>
+      r.getAs[Timestamp]("window_start") ->
+        (r.getAs[Long]("n_cur"), r.getAs[Double]("psi"))).toMap
+    assert(byWin.keySet === Set(t("2024-01-01 10:00:00"), t("2024-01-01 10:10:00")))
+    val (n1, psi1) = byWin(t("2024-01-01 10:00:00"))
+    val (n2, psi2) = byWin(t("2024-01-01 10:10:00"))
+    assert(n1 === 12L && n2 === 12L)
+    assert(psi1 === 0.0, s"identical mix incl. the NULL slice scores exact zero: $psi1")
+    assert(psi2 > 1.0, s"novel-dominated window must alarm: $psi2")
   }
 
   test("a reference bin the window never hit still scores (zero-filled)") {
