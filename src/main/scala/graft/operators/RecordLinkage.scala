@@ -167,11 +167,16 @@ object RecordLinkage {
       val uKeyed = union.select(col(id).as("_uid"), k.as("_blk"),
           col("entity_id").as("_uent"))
         .filter(col("_blk").isNotNull)
+      // the cap guards only blocks a DELTA record touches: an oversized
+      // frozen-only block produces zero pairs here (no delta side), and
+      // failing the whole refresh for it would make the delta form
+      // unusable exactly on the rosters that most need periodic rebuilds
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_blk"))
       val guarded = uKeyed
-        .withColumn("_n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("_blk"))))
+        .withColumn("_n", count(lit(1)).over(w))
+        .withColumn("_nd", count(when(col("_uent").isNull, 1)).over(w))
         .select(col("_uid"), col("_uent"),
-          when(col("_n") > maxBlockSize,
+          when(col("_n") > maxBlockSize && col("_nd") > 0,
             raise_error(concat(lit(s"blocking key #$i value "),
               col("_blk").cast("string"),
               lit(s" exceeds maxBlockSize $maxBlockSize — refine the key"))))

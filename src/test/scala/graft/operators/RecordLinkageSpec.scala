@@ -98,6 +98,26 @@ class RecordLinkageSpec extends SparkSpec {
       "old-old evidence must never surface from a delta refresh")
   }
 
+  test("linkAgainst: the block cap fires only on delta-touched blocks") {
+    // 30 frozen records share one block — oversized, but the delta
+    // never touches it, so the refresh must still succeed
+    val entities = ((1L to 30L).map(i => (i, s"name$i", "big", i)) :+
+      ((100L, "target", "small", 100L))).toDF("id", "name", "seg", "entity_id")
+    val delta = Seq((200L, "target", "small")).toDF("id", "name", "seg")
+    val out = RecordLinkage.linkAgainst(entities, delta, "id",
+      Seq(col("seg")), Seq(RecordLinkage.Fuzzy("name", 1.0)),
+      threshold = 0.8, maxBlockSize = 10)
+    assert(out.assignments.collect().head.getLong(1) === 100L)
+    // ...but a delta landing IN the oversized block fails loudly
+    val deltaHot = Seq((201L, "name1", "big")).toDF("id", "name", "seg")
+    val e = intercept[Exception] {
+      RecordLinkage.linkAgainst(entities, deltaHot, "id",
+        Seq(col("seg")), Seq(RecordLinkage.Fuzzy("name", 1.0)),
+        threshold = 0.8, maxBlockSize = 10).assignments.collect() }
+    assert(e.getMessage.contains("maxBlockSize") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxBlockSize")))
+  }
+
   test("linkAgainst: a bridging delta reports merges without relabeling") {
     val entities = Seq(
       (5L, "bridgeaa", "s", 5L), (9L, "bridgeab", "s", 9L)
