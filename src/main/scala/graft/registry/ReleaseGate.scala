@@ -25,6 +25,11 @@ import org.apache.spark.sql.functions._
   *     a named numeric column against the OLD snapshot under frozen
   *     edges — a refresh can be row-wise plausible and still move the
   *     distribution a training consumer depends on.
+  *   - CATEGORICAL bound (optional): PSI over a category column's mix
+  *     plus a NOVEL-CATEGORY mass bound — the fraction of candidate
+  *     rows whose category the published snapshot never saw, the
+  *     schema-drift signal a single PSI understates when novel mass
+  *     spreads over many small categories.
   *
   * The verdict is fail-closed and EVIDENCE-CARRYING: `audit` returns
   * every reason that failed (never just the first — re-running a 100 TB
