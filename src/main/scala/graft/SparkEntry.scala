@@ -21,7 +21,8 @@ object SparkEntry {
       GopherRepetition.queries ++ C4Filters.queries ++ TextNorm.queries ++
       PerplexityBuckets.queries ++ Bm25.queries ++ TextRepair.queries ++
       ClusterOps.queries ++ DriftMonitor.queries ++ SnapshotDiff.queries ++
-      RobustStats.queries ++ SkewOps.queries ++ RecordLinkage.queries
+      RobustStats.queries ++ SkewOps.queries ++ RecordLinkage.queries ++
+      graft.sources.FileStatsIndex.queries
 
   /** Queries deliberately WITHOUT an oracle entry — the driver records
     * its weaker rows-only check for these. Membership requires a
@@ -44,5 +45,6 @@ object SparkEntry {
       GopherRepetition.oracles ++ C4Filters.oracles ++ TextNorm.oracles ++
       PerplexityBuckets.oracles ++ Bm25.oracles ++ TextRepair.oracles ++
       ClusterOps.oracles ++ DriftMonitor.oracles ++ SnapshotDiff.oracles ++
-      RobustStats.oracles ++ SkewOps.oracles ++ RecordLinkage.oracles
+      RobustStats.oracles ++ SkewOps.oracles ++ RecordLinkage.oracles ++
+      graft.sources.FileStatsIndex.oracles
 }

@@ -965,6 +965,55 @@ object Stress {
       val mb = avi.length.toLong * clips / (1 << 20)
       println(f"STRESS video_decode                 $dt%8.2f s   clips=$clips bytes=${mb}MiB")
     }
+    // G28 + Z-order: lay the blown-up lineitem out z-ordered on
+    // (l_partkey, l_extendedprice), hoist footer stats into the file
+    // index, then run the same selective 2-D box aggregate via the full
+    // scan and via the pruned file list — the measured gap is what
+    // planning-time skipping buys BEFORE the scan is even scheduled
+    // (row-group skipping inside surviving files is on top of this)
+    scenario("zorder_skip") {
+      import graft.sources.{FileStatsIndex, Layout}
+      import graft.sources.FileStatsIndex._
+      val zdir = s"$dir/lineitem_z.parquet"
+      if (!new java.io.File(zdir).exists()) {
+        val t0 = System.nanoTime()
+        Layout.writeZOrdered(Tables.lineitem(spark, dir), zdir,
+          numFiles = 256, zCols = Seq("l_partkey", "l_extendedprice"))
+        println(f"STRESS zorder_write                 ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      val t1 = System.nanoTime()
+      val stats = FileStatsIndex.build(spark, zdir,
+        Seq("l_partkey", "l_extendedprice"))
+      val nFiles = stats.select("file").distinct().count()
+      println(f"STRESS zorder_index_build           ${(System.nanoTime() - t1) / 1e9}%8.2f s   files=$nFiles")
+      val bounds = Seq(
+        LongBound("l_partkey", Some(1000L), Some(3000L)),
+        DoubleBound("l_extendedprice", None, Some(5000.0)))
+      val pred = col("l_partkey").between(1000L, 3000L) &&
+        col("l_extendedprice") <= 5000.0
+      def agg(df: DataFrame) = df.filter(pred)
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"))
+      // three rungs: naive layout (no skipping anywhere), z layout full
+      // scan (parquet's OWN row-group skipping — the z sort makes every
+      // footer's stats tight, so the reader prunes row groups without
+      // our index), z layout + file index (file-level skipping BEFORE
+      // scheduling — on local NVMe the residual vs rung 2 is scheduling
+      // overhead only; on an object store rung 2 still opens every file)
+      val t2 = System.nanoTime()
+      val naive = agg(Tables.lineitem(spark, dir)).collect().toSeq
+      val dtNaive = (System.nanoTime() - t2) / 1e9
+      val t2b = System.nanoTime()
+      val full = agg(spark.read.parquet(zdir)).collect().toSeq
+      val dtFull = (System.nanoTime() - t2b) / 1e9
+      val kept = FileStatsIndex.pruneFiles(stats, bounds).count()
+      val t3 = System.nanoTime()
+      val pruned = agg(FileStatsIndex.readPruned(spark, zdir, stats, bounds))
+        .collect().toSeq
+      val dtPruned = (System.nanoTime() - t3) / 1e9
+      require(full == pruned && naive == pruned,
+        s"skipping changed results: $naive / $full vs $pruned")
+      println(f"STRESS zorder_skip                  $dtPruned%8.2f s   naive=$dtNaive%.2f s zfull=$dtFull%.2f s kept=$kept/$nFiles")
+    }
     spark.stop()
   }
 }

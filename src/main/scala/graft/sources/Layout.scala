@@ -37,6 +37,99 @@ object Layout {
     else w).parquet(path)
   }
 
+  /** Z-ORDER layout — multi-column data skipping (the Delta
+    * `OPTIMIZE ZORDER BY` capability, parquet-native). A linear sort
+    * gives the LEADING column narrow per-file ranges and leaves every
+    * other column spanning the whole domain, so only leading-column
+    * predicates skip. Interleaving the bits of each column's quantile
+    * bucket (Morton order) and range-sorting on that interleaved value
+    * makes every file a small HYPERCUBE of the z-columns' joint
+    * domain: with F files, each column's per-file range shrinks to
+    * roughly (1/F)^(1/|zCols|) of its domain — EVERY z-column prunes,
+    * at the price of none pruning as tightly as a dedicated
+    * single-column sort (ZOrderSpec measures both sides of that trade
+    * with [[FileStatsIndex]]).
+    *
+    * Bucketing is QUANTILE-based (approxQuantile cuts, sample-sized
+    * driver state: (2^bitsPerCol − 1) × |zCols| doubles) so skewed
+    * columns still spread evenly over buckets — the same sampled
+    * range-id scheme Delta's implementation uses. The z value is
+    * computed by a scalar UDF: deliberate — this is a WRITE-SIDE
+    * one-pass layout operation, not a query hot path (§4a preference
+    * order; a codegen expression would save nothing measurable against
+    * the shuffle+sort+write that dominates). Nulls bucket to 0 (they
+    * carry no range information; [[FileStatsIndex]] tracks them via
+    * null counts instead). Numeric z-columns only — a string column's
+    * order can ride a numeric surrogate (e.g. unix timestamps, ids) or
+    * stay a hive partition key upstream.
+    */
+  def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
+                    zCols: Seq[String], bitsPerCol: Int = 8,
+                    relErr: Double = 1e-3,
+                    maxRecordsPerFile: Long = 0L): Unit = {
+    import org.apache.spark.sql.functions.{array, coalesce, col, lit, udf}
+    require(zCols.nonEmpty && zCols.size <= 4,
+      s"1..4 z-columns (got ${zCols.size}); beyond 4 the per-column bit " +
+        "budget stops buying locality — partition coarser keys instead")
+    require(bitsPerCol >= 1 && bitsPerCol * zCols.size <= 62,
+      s"bitsPerCol $bitsPerCol x ${zCols.size} cols must fit a long")
+    val buckets = 1 << bitsPerCol
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val proj = df.select(zCols.map(c => col(c).cast("double").as(c)): _*)
+    // DEDUPLICATED cuts, rescaled over the full bit range: a dominant
+    // atom (90% of a column equal to one value) makes most quantile
+    // cuts identical; counting raw cuts would park that atom at a HIGH
+    // bucket index and compress the whole tail into the few indices
+    // above it — the tail's bits then differ from the atom's only in
+    // low positions and z-range file splits stop separating them
+    // (measured: the skew scenario prunes 0/8 files without this).
+    // Distinct cuts give every distinct quantile step one index;
+    // scaling index i to i*(B-1)/d spreads those indices back across
+    // the bit positions the interleave reads. Uniform columns are
+    // unchanged (d = B-1 → identity scale).
+    val cuts: Array[Array[Double]] =
+      proj.na.drop().stat.approxQuantile(zCols.toArray, probs, relErr)
+        .map(_.distinct.sorted)
+    val bCuts = df.sparkSession.sparkContext.broadcast(cuts)
+    val nBits = bitsPerCol
+    val zUdf = udf { (vs: Seq[Double]) =>
+      val cs = bCuts.value
+      val maxB = (1 << nBits) - 1
+      var z = 0L
+      var bit = nBits - 1
+      while (bit >= 0) {
+        var c = 0
+        while (c < vs.length) {
+          // bucket = count of distinct cuts <= v, rescaled to [0, B-1];
+          // nulls arrive as -Inf via the coalesce below -> bucket 0.
+          val cut = cs(c)
+          val v = vs(c)
+          var lo = 0; var hi = cut.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (cut(mid) <= v) lo = mid + 1 else hi = mid
+          }
+          val b = if (cut.length == 0) 0
+                  else ((lo.toLong * maxB) / cut.length).toInt
+          z = (z << 1) | ((b >> bit) & 1)
+          c += 1
+        }
+        bit -= 1
+      }
+      z
+    }
+    val zin = array(zCols.map(c =>
+      coalesce(col(c).cast("double"), lit(Double.NegativeInfinity))): _*)
+    val w = df.withColumn("__graft_z", zUdf(zin))
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+      .write.mode("overwrite")
+    (if (maxRecordsPerFile > 0)
+      w.option("maxRecordsPerFile", maxRecordsPerFile)
+    else w).parquet(path)
+  }
+
   /** Rows the parquet reader actually produced for `df`'s scan(s) during
     * the last action — row groups pruned by footer stats never count.
     * Diagnostic for layout tuning (used by LayoutSpec). */

@@ -1,0 +1,158 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sources.FileStatsIndex._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class FileStatsIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-fsi").toString
+
+  /** 4 range-disjoint files on id, plus typed columns: v double, s
+    * string (zero-padded so lexical order == numeric order), alln a
+    * column that is entirely null. */
+  private lazy val dir: String = {
+    val d = tmp()
+    val df = spark.range(0, 4000).toDF("id")
+      .withColumn("v", col("id").cast("double") / 10.0)
+      .withColumn("s", format_string("s%06d", col("id")))
+      .withColumn("alln", lit(null).cast("double"))
+    Layout.writeRangeSorted(df, d, numFiles = 4, sortCols = Seq("id"))
+    d
+  }
+  private lazy val stats: DataFrame =
+    build(spark, dir, Seq("id", "v", "s", "alln"))
+
+  private def fullRead = spark.read.parquet(dir)
+
+  test("index shape: one row per visible file x indexed column") {
+    val files = listDataFiles(spark, dir)
+    assert(files.size == 4, s"expected 4 data files, got $files")
+    assert(stats.count() == files.size * 4L)
+    // footer row counts sum to the table row count
+    val rows = stats.filter($"column" === "id")
+      .agg(sum("rows")).as[Long].head()
+    assert(rows == 4000L)
+    // _SUCCESS / _stats_index style names never appear
+    assert(!files.exists(f => new java.io.File(f).getName.startsWith("_")))
+  }
+
+  test("long-bound pruning keeps exactly the overlapping range files") {
+    // ids 0..3999 over 4 range-disjoint files => [1000,1999] is 1 file
+    // (2 if a boundary file straddles the cut)
+    val kept = pruneFiles(stats,
+      Seq(LongBound("id", Some(1200), Some(1800)))).collect()
+    assert(kept.length >= 1 && kept.length <= 2,
+      s"range-sorted layout should prune to the slice, kept ${kept.length}")
+    val pruned = readPruned(spark, dir, stats,
+      Seq(LongBound("id", Some(1200), Some(1800))))
+      .filter($"id".between(1200, 1800))
+    val full = fullRead.filter($"id".between(1200, 1800))
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq ==
+      full.select("id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("string bounds prune on UTF8 footer stats") {
+    val b = Seq(StringBound("s", Some("s001200"), Some("s001800")))
+    val kept = pruneFiles(stats, b).collect()
+    assert(kept.length <= 2, s"kept ${kept.length}")
+    val pruned = readPruned(spark, dir, stats, b)
+      .filter($"s" >= "s001200" && $"s" <= "s001800")
+    assert(pruned.count() == 601)
+  }
+
+  test("provably all-null column drops every file under a range bound") {
+    val b = Seq(DoubleBound("alln", Some(0.0), None))
+    assert(pruneFiles(stats, b).count() == 0)
+    val pruned = readPruned(spark, dir, stats, b)
+    // zero survivors -> empty frame with the FULL directory schema
+    assert(pruned.schema == fullRead.schema)
+    assert(pruned.count() == 0)
+    // and that equals the real filter's result (null >= 0.0 is never true)
+    assert(fullRead.filter($"alln" >= 0.0).count() == 0)
+  }
+
+  test("bounds on unindexed columns and type mismatches fail open") {
+    // no stats rows for "nope" -> every file kept
+    assert(pruneFiles(stats,
+      Seq(LongBound("nope", Some(0), Some(1)))).count() == 4)
+    // long bound against the double column's stats rows -> kept
+    assert(pruneFiles(stats,
+      Seq(LongBound("v", Some(999999), None))).count() == 4)
+  }
+
+  test("conjunction prunes with each bound independently") {
+    val b = Seq(
+      LongBound("id", Some(100), Some(300)),
+      DoubleBound("v", Some(350.0), None)) // v=id/10 -> disjoint conjuncts
+    // each conjunct alone keeps >=1 file; together the id-slice file
+    // fails the v bound and everything else fails the id bound
+    assert(pruneFiles(stats, b).count() == 0)
+    assert(fullRead.filter($"id".between(100, 300) && $"v" >= 350.0)
+      .count() == 0)
+  }
+
+  test("randomized bounds: pruned-read-then-filter == full-read-then-filter") {
+    val rnd = new scala.util.Random(11)
+    (1 to 25).foreach { _ =>
+      val a = rnd.nextInt(5000) - 500
+      val w = rnd.nextInt(1500)
+      val bounds = Seq(LongBound("id", Some(a.toLong), Some((a + w).toLong)))
+      val p = readPruned(spark, dir, stats, bounds)
+        .filter($"id".between(a, a + w))
+        .select("id").as[Long].collect().sorted.toSeq
+      val f = fullRead.filter($"id".between(a, a + w))
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(p == f, s"mismatch for [$a, ${a + w}]")
+    }
+  }
+
+  test("save/load round-trips under the data directory invisibly") {
+    saveIndex(stats, dir)
+    val back = loadIndex(spark, dir)
+    assert(back.orderBy("file", "column").collect().toSeq ==
+      stats.orderBy("file", "column").collect().toSeq)
+    // the manifest does not pollute discovery of the data dir
+    assert(fullRead.count() == 4000)
+    assert(listDataFiles(spark, dir).size == 4)
+  }
+
+  test("refresh footer-scans only new files and matches a fresh build") {
+    val d = tmp()
+    val df1 = spark.range(0, 1000).toDF("id")
+      .withColumn("v", col("id").cast("double"))
+    Layout.writeRangeSorted(df1, d, numFiles = 2, sortCols = Seq("id"))
+    val prior = build(spark, d, Seq("id", "v"))
+    // append a new range-disjoint file (separate write, append mode)
+    spark.range(1000, 1500).toDF("id")
+      .withColumn("v", col("id").cast("double"))
+      .coalesce(1).write.mode("append").parquet(d)
+    val refreshed = refresh(spark, d, Seq("id", "v"), prior)
+    val fresh = build(spark, d, Seq("id", "v"))
+    assert(refreshed.orderBy("file", "column").collect().toSeq ==
+      fresh.orderBy("file", "column").collect().toSeq)
+    // prior rows were KEPT (same file set minus nothing), not rebuilt:
+    // the refreshed frame contains prior's rows verbatim
+    val priorRows = prior.collect().toSet
+    assert(priorRows.subsetOf(refreshed.collect().toSet))
+    // and pruning over the refreshed index sees the new range
+    val kept = pruneFiles(refreshed,
+      Seq(LongBound("id", Some(1200), None))).collect()
+    assert(kept.length == 1)
+  }
+
+  test("gated skip_scan matches the direct filtered aggregate") {
+    val viaIndex = skipScan(spark, sf).collect().toSeq
+    val direct = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter($"l_quantity" >= 45.0)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"))
+      .orderBy("l_returnflag").collect().toSeq
+    assert(viaIndex == direct)
+  }
+}

@@ -1,0 +1,118 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sources.FileStatsIndex._
+import org.apache.spark.sql.functions._
+
+/** Z-order layout vs linear sort, measured through the file-stats
+  * index: the linear layout prunes only on its leading column; the
+  * z-ordered layout prunes on BOTH columns (less tightly on each —
+  * the documented trade). */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-zorder").toString
+
+  // 2-D uniform grid: x and y independent, 200x200
+  private lazy val grid = {
+    val n = 200
+    spark.range(0, n.toLong * n).select(
+      (col("id") / n).cast("long").as("x"),
+      (col("id") % n).cast("long").as("y"),
+      col("id").as("payload"))
+  }
+
+  // 64 files: z-range boundaries come from the range partitioner's
+  // SAMPLE, so files misalign with exact bit-prefix hypercube cells by
+  // up to ~2x; enough files keeps that slack small vs the pruning win.
+  private lazy val (linDir, zDir, linStats, zStats) = {
+    val l = tmp(); val z = tmp()
+    Layout.writeRangeSorted(grid, l, numFiles = 64, sortCols = Seq("x"))
+    Layout.writeZOrdered(grid, z, numFiles = 64, zCols = Seq("x", "y"))
+    (l, z,
+      build(spark, l, Seq("x", "y")),
+      build(spark, z, Seq("x", "y")))
+  }
+
+  test("z-ordered layout preserves content exactly") {
+    val a = spark.read.parquet(zDir).select("x", "y", "payload")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val b = grid.select("x", "y", "payload")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  test("trailing-column predicate prunes on z-order, not on linear sort") {
+    // y in a 10% band: linear-by-x layout has every file spanning all y
+    val b = Seq(LongBound("y", Some(90L), Some(110L)))
+    val keptLin = pruneFiles(linStats, b).count()
+    val keptZ = pruneFiles(zStats, b).count()
+    assert(keptLin == 64L,
+      s"linear layout cannot prune on the trailing column, kept $keptLin")
+    assert(keptZ <= 40L,
+      s"z-order should prune most files on a 10% y-band, kept $keptZ")
+    // correctness on the pruned read
+    val pz = readPruned(spark, zDir, zStats, b)
+      .filter($"y".between(90, 110)).count()
+    assert(pz == grid.filter($"y".between(90, 110)).count())
+  }
+
+  test("leading-column predicate prunes on both; linear is tighter") {
+    val b = Seq(LongBound("x", Some(90L), Some(110L)))
+    val keptLin = pruneFiles(linStats, b).count()
+    val keptZ = pruneFiles(zStats, b).count()
+    assert(keptLin <= 12L, s"dedicated sort should be tightest: $keptLin")
+    assert(keptZ <= 40L, s"z-order should still prune on x: $keptZ")
+    assert(keptLin <= keptZ,
+      "the documented trade: linear sort at least as tight on its own column")
+  }
+
+  test("2-D box predicate prunes multiplicatively on z-order") {
+    val b = Seq(
+      LongBound("x", Some(40L), Some(60L)),
+      LongBound("y", Some(140L), Some(160L)))
+    val keptZ = pruneFiles(zStats, b).count()
+    assert(keptZ <= 24L, s"a 10%x10% box should touch few z-files: $keptZ")
+    val got = readPruned(spark, zDir, zStats, b)
+      .filter($"x".between(40, 60) && $"y".between(140, 160))
+      .agg(count(lit(1)), sum("payload")).as[(Long, Long)].head()
+    val want = grid
+      .filter($"x".between(40, 60) && $"y".between(140, 160))
+      .agg(count(lit(1)), sum("payload")).as[(Long, Long)].head()
+    assert(got == want)
+  }
+
+  test("skewed column still spreads over buckets (quantile cuts)") {
+    // x heavily skewed: 90% of rows at x=0, rest uniform
+    val skew = spark.range(0, 20000).select(
+      when(col("id") % 10 =!= 0L, 0L)
+        .otherwise(col("id")).as("x"),
+      (col("id") % 100).as("y"), col("id").as("payload"))
+    val d = tmp()
+    Layout.writeZOrdered(skew, d, numFiles = 8, zCols = Seq("x", "y"))
+    val st = build(spark, d, Seq("x", "y"))
+    // a predicate on the non-skewed tail of x must still prune
+    val kept = pruneFiles(st, Seq(LongBound("x", Some(15000L), None))).count()
+    assert(kept <= 4L, s"skew must not collapse pruning entirely: $kept")
+    // content preserved
+    assert(spark.read.parquet(d).count() == 20000)
+  }
+
+  test("nulls bucket low and never change results") {
+    val withNulls = spark.range(0, 5000).select(
+      when(col("id") % 7 === 0L, lit(null).cast("long"))
+        .otherwise(col("id")).as("x"),
+      (col("id") % 50).as("y"), col("id").as("payload"))
+    val d = tmp()
+    Layout.writeZOrdered(withNulls, d, numFiles = 4, zCols = Seq("x", "y"))
+    val back = spark.read.parquet(d)
+    assert(back.count() == 5000)
+    assert(back.filter($"x".isNull).count() ==
+      withNulls.filter($"x".isNull).count())
+    val st = build(spark, d, Seq("x"))
+    val b = Seq(LongBound("x", Some(4000L), None))
+    val got = readPruned(spark, d, st, b).filter($"x" >= 4000L).count()
+    assert(got == withNulls.filter($"x" >= 4000L).count())
+  }
+}
