@@ -965,6 +965,35 @@ object Stress {
       val mb = avi.length.toLong * clips / (1 << 20)
       println(f"STRESS video_decode                 $dt%8.2f s   clips=$clips bytes=${mb}MiB")
     }
+    // G29 staged curation: the 3-stage chain over the blown-up corpus,
+    // fresh (every stage computed + committed) then resumed (every
+    // stage reused off its marker) — the measured gap is what
+    // checkpoint-resume saves when a 100 TB pipeline dies at stage N
+    scenario("curation_run") {
+      import graft.operators.CurationRun
+      import graft.operators.CurationRun.Stage
+      val wd = s"$dir/curation_run_wd"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wd))
+      val docs = Tables.documents(spark, dir)
+      val stages = Seq(
+        Stage("len_gate", _.filter(length(col("text")) >= 200)),
+        Stage("quality_gate", df => df.join(
+          QualityOps.qualityFlags(df).filter(col("pass")).select("doc_id"),
+          Seq("doc_id"), "left_semi")),
+        Stage("exact_dedup", _.withColumn("text_hash", md5(col("text")))
+          .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+            .Window.partitionBy("text_hash").orderBy("doc_id")))
+          .filter(col("rn") === 1).drop("rn", "text_hash")))
+      val t0 = System.nanoTime()
+      val (_, r1) = CurationRun.run(spark, docs, stages, wd)
+      val fresh = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val (_, r2) = CurationRun.run(spark, docs, stages, wd)
+      val resumed = (System.nanoTime() - t1) / 1e9
+      require(r2.forall(_.reused), "resume must reuse every stage")
+      println(f"STRESS curation_run                 $fresh%8.2f s   resume=$resumed%.2f s stages=${r1.map(s => s"${s.stage}:${s.rowsOut}").mkString(",")}")
+    }
+
     // G28 + Z-order: lay the blown-up lineitem out z-ordered on
     // (l_partkey, l_extendedprice), hoist footer stats into the file
     // index, then run the same selective 2-D box aggregate via the full

@@ -1,0 +1,106 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class CurationRunSpec extends SparkSpec {
+  import spark.implicits._
+  import CurationRun.{Stage, StageReport}
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-crun").toString
+
+  // invocation counters: resume must SKIP the fn, not just re-read
+  private val calls = new AtomicInteger(0)
+  private def counted(name: String)(fn: DataFrame => DataFrame) =
+    Stage(name, df => { calls.incrementAndGet(); fn(df) })
+
+  private def docs = Tables.documents(spark, sf)
+    .select("doc_id", "text", "lang", "n_chars")
+
+  private def stages = Seq(
+    counted("drop_short")(_.filter(col("n_chars") >= 50)),
+    counted("en_only")(_.filter(col("lang") === "en")),
+    counted("strip_text")(_.drop("text")))
+
+  test("fresh run computes every stage, lineage adds up, result matches " +
+    "the direct composition") {
+    val wd = tmp()
+    calls.set(0)
+    val (out, reps) = CurationRun.run(spark, docs, stages, wd)
+    assert(calls.get() == 3)
+    assert(reps.map(_.reused) == Seq(false, false, false))
+    // chained lineage: each stage's rowsIn is the previous rowsOut
+    assert(reps(1).rowsIn == reps(0).rowsOut)
+    assert(reps(2).rowsIn == reps(1).rowsOut)
+    assert(reps(2).rowsOut == out.count())
+    val direct = docs.filter(col("n_chars") >= 50)
+      .filter(col("lang") === "en").drop("text")
+    assert(out.orderBy("doc_id").collect().toSeq ==
+      direct.orderBy("doc_id").collect().toSeq)
+    assert(reps(0).rowsIn == docs.count())
+    // manifest written and mentions every stage
+    val m = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$wd/manifest.json")), "UTF-8")
+    stages.foreach(s => assert(m.contains(s""""stage":"${s.name}"""")))
+  }
+
+  test("re-run reuses every committed stage without invoking any fn") {
+    val wd = tmp()
+    CurationRun.run(spark, docs, stages, wd)
+    calls.set(0)
+    val (out, reps) = CurationRun.run(spark, docs, stages, wd)
+    assert(calls.get() == 0, "resume must not re-run committed stages")
+    assert(reps.forall(_.reused))
+    assert(out.columns.toSeq == Seq("doc_id", "lang", "n_chars"))
+  }
+
+  test("a crashed (uncommitted) stage recomputes, and so does everything " +
+    "downstream — a reused output never sits on a recomputed input") {
+    val wd = tmp()
+    CurationRun.run(spark, docs, stages, wd)
+    // simulate a crash between stage 1's data write and its commit:
+    // delete the marker, leave the parquet
+    val meta = new java.io.File(s"$wd/stage_1_en_only/_meta")
+    assert(meta.exists()); assert(meta.delete())
+    calls.set(0)
+    val (_, reps) = CurationRun.run(spark, docs, stages, wd)
+    assert(reps.map(_.reused) == Seq(true, false, false))
+    assert(calls.get() == 2)
+  }
+
+  test("a renamed stage recomputes from there on (fresh directory), " +
+    "never reuses the old identity") {
+    val wd = tmp()
+    CurationRun.run(spark, docs, stages, wd)
+    calls.set(0)
+    val renamed = stages.updated(1,
+      counted("en_only_v2")(_.filter(col("lang") === "en")))
+    val (out, reps) = CurationRun.run(spark, docs, renamed, wd)
+    assert(reps.map(_.reused) == Seq(true, false, false))
+    assert(calls.get() == 2)
+    assert(new java.io.File(s"$wd/stage_1_en_only_v2/_meta").exists())
+    assert(out.count() > 0)
+  }
+
+  test("stage name validation and duplicate names refuse") {
+    intercept[IllegalArgumentException](Stage("../evil", identity))
+    intercept[IllegalArgumentException](Stage("", identity))
+    val wd = tmp()
+    intercept[IllegalArgumentException] {
+      CurationRun.run(spark, docs,
+        Seq(Stage("a", identity), Stage("a", identity)), wd)
+    }
+  }
+
+  test("dropped accounting: rowsIn - rowsOut per stage") {
+    val wd = tmp()
+    val (_, reps) = CurationRun.run(spark, docs, stages, wd)
+    val total = docs.count()
+    val kept = reps.last.rowsOut
+    assert(reps.map(_.dropped).sum == total - kept)
+  }
+}

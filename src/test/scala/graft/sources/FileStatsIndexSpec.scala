@@ -47,9 +47,13 @@ class FileStatsIndexSpec extends SparkSpec {
       Seq(LongBound("id", Some(1200), Some(1800)))).collect()
     assert(kept.length >= 1 && kept.length <= 2,
       s"range-sorted layout should prune to the slice, kept ${kept.length}")
-    val pruned = readPruned(spark, dir, stats,
+    val prunedRead = readPruned(spark, dir, stats,
       Seq(LongBound("id", Some(1200), Some(1800))))
-      .filter($"id".between(1200, 1800))
+    // the SCAN itself lists only the surviving files — the skip is in
+    // the plan, not just the row counts
+    assert(prunedRead.inputFiles.map(f => f.split('/').last).sorted.toSeq ==
+      kept.map(_.getString(0).split('/').last).sorted.toSeq)
+    val pruned = prunedRead.filter($"id".between(1200, 1800))
     val full = fullRead.filter($"id".between(1200, 1800))
     assert(pruned.select("id").as[Long].collect().sorted.toSeq ==
       full.select("id").as[Long].collect().sorted.toSeq)
@@ -142,6 +146,31 @@ class FileStatsIndexSpec extends SparkSpec {
     val kept = pruneFiles(refreshed,
       Seq(LongBound("id", Some(1200), None))).collect()
     assert(kept.length == 1)
+  }
+
+  test("multi-row-group files aggregate min/max/nulls across blocks") {
+    val d = tmp()
+    spark.range(0, 200000).toDF("id")
+      .withColumn("v", col("id").cast("double"))
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", 64 * 1024) // force many row groups
+      .parquet(d)
+    val files = listDataFiles(spark, d)
+    assert(files.size == 1)
+    // confirm the file really has multiple row groups
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(files.head),
+        new org.apache.hadoop.conf.Configuration()))
+    val nBlocks = try reader.getFooter.getBlocks.size finally reader.close()
+    assert(nBlocks > 1, s"expected multiple row groups, got $nBlocks")
+    val st = build(spark, d, Seq("id", "v"))
+    val r = st.filter($"column" === "id").collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("rows") == 200000L)
+    assert(r.head.getAs[Long]("lmin") == 0L)
+    assert(r.head.getAs[Long]("lmax") == 199999L)
+    assert(r.head.getAs[Long]("nulls") == 0L)
   }
 
   test("gated skip_scan matches the direct filtered aggregate") {
