@@ -965,6 +965,16 @@ object Stress {
       val mb = avi.length.toLong * clips / (1 << 20)
       println(f"STRESS video_decode                 $dt%8.2f s   clips=$clips bytes=${mb}MiB")
     }
+    // E39 similarity-ordered packing: cluster-bounded greedy chains
+    // over the blown-up embeddings — the quadratic is per-cluster and
+    // the cluster count scales out, so wall-clock tracks n·k, not n²
+    scenario("context_order") {
+      val vecs = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      time("context_order")(
+        graft.operators.ContextOrder.order(vecs))
+    }
+
     // G29 staged curation: the 3-stage chain over the blown-up corpus,
     // fresh (every stage computed + committed) then resumed (every
     // stage reused off its marker) — the measured gap is what
