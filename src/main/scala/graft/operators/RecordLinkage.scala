@@ -90,6 +90,15 @@ object RecordLinkage {
           col("a._blk") === col("b._blk") && col("a._id") < col("b._id"))
         .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
     }
+    // the distinct is semantically needed only across keys (single-key
+    // pairs are unique by construction), but it is kept UNCONDITIONALLY
+    // as the rebalancing exchange: the self-join output is partitioned
+    // by the block key — few, skewed values by the nature of blocking —
+    // and the distinct redistributes pairs by (id_a, id_b) so the
+    // per-pair field scoring downstream parallelizes over all cores.
+    // Measured on the sf0.1 gate (25 nation blocks): skipping it for
+    // the single-key case "saved" the shuffle and DOUBLED the operator
+    // (7.6 s → 13.0 s) — ~25 hot tasks ran every levenshtein.
     perKey.reduce(_ unionByName _).distinct()
   }
 
@@ -163,7 +172,7 @@ object RecordLinkage {
     // block the DELTA side only, join against the union's blocked
     // projection (the union side is a read-only pruned scan — the
     // IncrementalDedup "what still scans" note)
-    val pairs = blockingKeys.zipWithIndex.map { case (k, i) =>
+    val perKeyPairs = blockingKeys.zipWithIndex.map { case (k, i) =>
       val uKeyed = union.select(col(id).as("_uid"), k.as("_blk"),
           col("entity_id").as("_uent"))
         .filter(col("_blk").isNotNull)
@@ -187,7 +196,11 @@ object RecordLinkage {
         .filter(col("_did") =!= col("_uid"))
         .select(least(col("_did"), col("_uid")).as("id_a"),
           greatest(col("_did"), col("_uid")).as("id_b"))
-    }.reduce(_ unionByName _).distinct()
+    }
+    // delta-delta pairs surface TWICE per key here (once from each
+    // side's delta row), so unlike candidatePairs the single-key path
+    // still needs the dedup
+    val pairs = perKeyPairs.reduce(_ unionByName _).distinct()
     val matched = scorePairs(union, pairs, id, fields)
       .filter(col("score") >= threshold)
       .select("id_a", "id_b")

@@ -87,6 +87,32 @@ class ContextOrderSpec extends SparkSpec {
         ex.getCause.getMessage.contains("maxClusterSize"))
   }
 
+  test("composition: pack on ctx_order puts topic-mates in the same " +
+    "sequences") {
+    val df = blobs(40)
+    val ord = ContextOrder.orderWithCentroids(df, cents)
+    // payload = [id+100, id+1000] (offset clear of eodId=1/padId=0);
+    // 3 ids per doc with eod, seqLen 12 -> 4 docs per sequence
+    val encoded = df.select(col("id"),
+        array(col("id") + 100L, col("id") + 1000L).as("ids"))
+      .join(ord.select("id", "ctx_order"), Seq("id"))
+    val packed = PackWhole.packSequencesWhole(
+      encoded.select(col("ctx_order"), col("ids")),
+      seqLen = 12, idCol = "ctx_order")
+    // reconstruct each sequence's doc ids from the payload marker
+    // tokens and check topic purity: at most the single boundary
+    // sequence between the two contiguous topic blocks may mix
+    val bySeq = packed.select(col("seq_id"), col("ids"))
+      .as[(Long, Seq[Long])].collect()
+    assert(bySeq.length > 2, "should produce several sequences")
+    val mixedSeqs = bySeq.count { case (_, toks) =>
+      toks.filter(t => t >= 100L && t < 140L).map(t => (t - 100) % 2)
+        .distinct.size > 1
+    }
+    assert(mixedSeqs <= 1,
+      s"at most the boundary sequence may mix topics, got $mixedSeqs")
+  }
+
   test("trained-centroid path runs on the real embeddings table") {
     val vecs = Tables.embeddings(spark, sf)
       .select(col("vec_id").as("id"), col("embedding"))
