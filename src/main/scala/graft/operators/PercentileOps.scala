@@ -167,4 +167,59 @@ object PercentileOps {
     }
     resolved.toMap
   }
+
+  /** A31 (gated `feat_quantile_bin`): exact quantile BINNING — the
+    * classic feature-store bucketize transform (quartile tiers of
+    * customer spend here; the A8/A9 scaling family's ordinal sibling).
+    * Cuts come from [[percentileDisc]] (bounded memory at any table
+    * size — the whole point of using the B11 machinery rather than
+    * buffering the spend distribution), values are exact integer
+    * cents, and the bucket rule is "first cut ≥ value, ties LOW":
+    * percentile cuts are actual data values, so the ≤ comparisons are
+    * integer-exact cross-engine (DuckDB's quantile_disc convention
+    * matches percentileDisc — probed for E30's perp_buckets). NOT
+    * ntile: ntile splits ties across buckets by row order, which no
+    * cross-engine gate can pin. */
+  def featQuantileBin(spark: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val spend = graft.Tables.orders(spark, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(graft.functions.Exact.cents(col("o_totalprice")))
+        .as("spend_cents"))
+    val cuts = percentileDisc(
+      spend.withColumn("_one", lit("all")), "_one", "spend_cents",
+      Seq(0.25, 0.5, 0.75))
+    val (q1, q2, q3) =
+      (cuts(("all", 0.25)), cuts(("all", 0.5)), cuts(("all", 0.75)))
+    spend.select(col("o_custkey"), col("spend_cents"),
+        when(col("spend_cents") <= q1, 1)
+          .when(col("spend_cents") <= q2, 2)
+          .when(col("spend_cents") <= q3, 3)
+          .otherwise(4).as("bucket"))
+      .orderBy("o_custkey")
+  }
+
+  val featQuantileBinSql: String =
+    """WITH s AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS spend_cents
+      |  FROM orders GROUP BY o_custkey),
+      |c AS (
+      |  SELECT quantile_disc(spend_cents, 0.25) AS q1,
+      |    quantile_disc(spend_cents, 0.5) AS q2,
+      |    quantile_disc(spend_cents, 0.75) AS q3
+      |  FROM s)
+      |SELECT s.o_custkey, s.spend_cents,
+      |  CASE WHEN s.spend_cents <= c.q1 THEN 1
+      |       WHEN s.spend_cents <= c.q2 THEN 2
+      |       WHEN s.spend_cents <= c.q3 THEN 3
+      |       ELSE 4 END AS bucket
+      |FROM s, c ORDER BY s.o_custkey""".stripMargin
+
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    Map("feat_quantile_bin" -> featQuantileBin _)
+
+  val oracles: Map[String, String] =
+    Map("feat_quantile_bin" -> featQuantileBinSql)
 }

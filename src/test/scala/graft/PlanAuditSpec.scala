@@ -250,4 +250,25 @@ class PlanAuditSpec extends SparkSpec {
       s"no partial aggregate below the shuffle:\n$p")
     assert(!p.contains("Window"), p)
   }
+
+  test("skip_scan's pruned read still pushes the predicate into the scan") {
+    // file-level skipping is a SUPERSET plan-time prune; the real
+    // predicate must still reach the surviving files' row groups —
+    // explicit-file-list reads must not lose pushdown
+    val p = plan("skip_scan")
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(l_quantity,45.0)"),
+      s"predicate not pushed into the pruned scan:\n$p")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_returnflag:string>"),
+      s"unpruned read schema:\n$p")
+  }
+
+  test("feat_quantile_bin never globally sorts or buffers the spend frame") {
+    // cuts come from the count-banded percentileDisc jobs (separate
+    // actions); the RESULT plan is one keyed aggregate + a projection —
+    // no percentile_disc buffering aggregate, no Window
+    val p = plan("feat_quantile_bin")
+    assert(!p.contains("percentile_disc"), p)
+    assert(!p.contains("Window"), p)
+  }
 }
