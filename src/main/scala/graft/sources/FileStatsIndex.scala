@@ -318,6 +318,19 @@ object FileStatsIndex {
     }
   }
 
+  /** The O(delta)-IO composition for the incremental operators
+    * (G14/G17/G18 refresh on `idCol > hwm`): on an append-organized
+    * layout (ids correlate with arrival, so old files' id ranges sit
+    * entirely below the high-water mark) this reads ONLY the files
+    * that can contain new rows — the refresh's compute is already
+    * O(delta); this makes its IO O(delta) too. Returns the delta
+    * frame with the real `idCol > hwm` filter applied (pruning is the
+    * superset; the filter is the semantics). */
+  def readSince(spark: SparkSession, dir: String, stats: DataFrame,
+      idCol: String, hwm: Long): DataFrame =
+    readPruned(spark, dir, stats, Seq(LongBound(idCol, Some(hwm + 1), None)))
+      .filter(col(idCol) > hwm)
+
   /** Oracle-gated skip-scan: plan via the footer index (build is a
     * footer-only pass over the canonical table), prune on a selective
     * quantity bound, then apply the REAL predicate and aggregate. The

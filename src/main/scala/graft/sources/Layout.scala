@@ -26,7 +26,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row}
 object Layout {
   def writeRangeSorted(df: DataFrame, path: String, numFiles: Int,
                        sortCols: Seq[String],
-                       maxRecordsPerFile: Long = 0L): Unit = {
+                       maxRecordsPerFile: Long = 0L,
+                       statsCols: Seq[String] = Seq.empty): Unit = {
     import org.apache.spark.sql.functions.col
     val cols = sortCols.map(col)
     val w = df.repartitionByRange(numFiles, cols: _*)
@@ -35,7 +36,21 @@ object Layout {
     (if (maxRecordsPerFile > 0)
       w.option("maxRecordsPerFile", maxRecordsPerFile)
     else w).parquet(path)
+    writeStats(df, path, statsCols)
   }
+
+  /** Layout-time manifest write (the Delta convention: stats are
+    * recorded AT commit, not by a later crawl): non-empty `statsCols`
+    * makes the write also build + save the [[FileStatsIndex]] for the
+    * just-written files — one footer-only pass over data whose footers
+    * the OS cache still holds. */
+  private def writeStats(df: DataFrame, path: String,
+      statsCols: Seq[String]): Unit =
+    if (statsCols.nonEmpty) {
+      val spark = df.sparkSession
+      FileStatsIndex.saveIndex(
+        FileStatsIndex.build(spark, path, statsCols), path)
+    }
 
   /** Z-ORDER layout — multi-column data skipping (the Delta
     * `OPTIMIZE ZORDER BY` capability, parquet-native). A linear sort
@@ -66,7 +81,8 @@ object Layout {
   def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
                     zCols: Seq[String], bitsPerCol: Int = 8,
                     relErr: Double = 1e-3,
-                    maxRecordsPerFile: Long = 0L): Unit = {
+                    maxRecordsPerFile: Long = 0L,
+                    statsCols: Seq[String] = Seq.empty): Unit = {
     import org.apache.spark.sql.functions.{array, coalesce, col, lit, udf}
     require(zCols.nonEmpty && zCols.size <= 4,
       s"1..4 z-columns (got ${zCols.size}); beyond 4 the per-column bit " +
@@ -128,6 +144,7 @@ object Layout {
     (if (maxRecordsPerFile > 0)
       w.option("maxRecordsPerFile", maxRecordsPerFile)
     else w).parquet(path)
+    writeStats(df, path, statsCols)
   }
 
   /** Rows the parquet reader actually produced for `df`'s scan(s) during

@@ -148,6 +148,40 @@ class FileStatsIndexSpec extends SparkSpec {
     assert(kept.length == 1)
   }
 
+  test("readSince touches only files past the high-water mark (O(delta) IO)") {
+    val d = tmp()
+    Layout.writeRangeSorted(
+      spark.range(0, 2000).toDF("doc_id"), d, numFiles = 4,
+      sortCols = Seq("doc_id"))
+    val prior = build(spark, d, Seq("doc_id"))
+    spark.range(2000, 2600).toDF("doc_id")
+      .coalesce(1).write.mode("append").parquet(d)
+    val stats = refresh(spark, d, Seq("doc_id"), prior)
+    val delta = readSince(spark, d, stats, "doc_id", hwm = 1999L)
+    // the scan lists ONLY the appended file — the refresh's IO is the
+    // delta, not a rescan-and-filter of the whole corpus
+    assert(delta.inputFiles.length == 1,
+      s"expected 1 delta file, scanned ${delta.inputFiles.toSeq}")
+    assert(delta.select("doc_id").as[Long].collect().sorted.toSeq ==
+      (2000L until 2600L).toSeq)
+  }
+
+  test("layout-time statsCols write a loadable, pruning manifest") {
+    val d = tmp()
+    Layout.writeRangeSorted(
+      spark.range(0, 4000).toDF("id")
+        .withColumn("v", col("id").cast("double")),
+      d, numFiles = 4, sortCols = Seq("id"), statsCols = Seq("id", "v"))
+    val idx = loadIndex(spark, d)
+    assert(idx.count() == 8) // 4 files x 2 cols
+    assert(pruneFiles(idx,
+      Seq(LongBound("id", Some(100), Some(200)))).count() <= 2)
+    // and the manifest matches a fresh crawl exactly
+    assert(idx.orderBy("file", "column").collect().toSeq ==
+      build(spark, d, Seq("id", "v")).orderBy("file", "column")
+        .collect().toSeq)
+  }
+
   test("multi-row-group files aggregate min/max/nulls across blocks") {
     val d = tmp()
     spark.range(0, 200000).toDF("id")
