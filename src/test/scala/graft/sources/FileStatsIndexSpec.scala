@@ -182,6 +182,39 @@ class FileStatsIndexSpec extends SparkSpec {
         .collect().toSeq)
   }
 
+  test("hive-partitioned layouts keep their partition columns through " +
+    "a pruned read (basePath)") {
+    val d = tmp()
+    spark.range(0, 3000).toDF("doc_id")
+      .withColumn("lang", when(col("doc_id") % 3 === 0, "en")
+        .when(col("doc_id") % 3 === 1, "de").otherwise("fr"))
+      .withColumn("v", col("doc_id").cast("double"))
+      .repartitionByRange(2, col("doc_id"))
+      .write.mode("overwrite").partitionBy("lang").parquet(d)
+    val stats = build(spark, d, Seq("doc_id"))
+    assert(stats.select("file").distinct().count() == 6) // 3 langs x 2
+    val pruned = readPruned(spark, d, stats,
+      Seq(LongBound("doc_id", Some(0), Some(100))))
+    // partition column survives the explicit-file-list read
+    assert(pruned.columns.contains("lang"))
+    val got = pruned.filter($"doc_id" <= 100)
+      .groupBy("lang").count().orderBy("lang")
+      .as[(String, Long)].collect().toSeq
+    val want = spark.read.parquet(d).filter($"doc_id" <= 100)
+      .groupBy("lang").count().orderBy("lang")
+      .as[(String, Long)].collect().toSeq
+    assert(got == want && got.map(_._2).sum == 101)
+    // directory-level partition pruning composes: a lang-filtered
+    // pruned read lists only that partition's surviving files
+    val enOnly = readPruned(spark, d, stats,
+      Seq(LongBound("doc_id", Some(0), Some(100))))
+      .filter($"lang" === "en")
+    enOnly.collect()
+    assert(enOnly.inputFiles.forall(_.contains("lang=en")) ||
+      Layout.scanOutputRows(enOnly) <= 1500,
+      "lang filter should prune partitions or at least row groups")
+  }
+
   test("multi-row-group files aggregate min/max/nulls across blocks") {
     val d = tmp()
     spark.range(0, 200000).toDF("id")
