@@ -90,7 +90,14 @@ object CurationRun {
           reports += StageReport(st.name, kv("rows_in").toLong,
             kv("rows_out").toLong, kv("wall_ms").toLong / 1e3,
             reused = true)
-          cur = spark.read.parquet(s"$dir/data")
+          cur = kv.get("schema") match {
+            case Some(j) => readStage(spark, dir,
+              org.apache.spark.sql.types.DataType.fromJson(j)
+                .asInstanceOf[org.apache.spark.sql.types.StructType])
+            // marker from a pre-schema version: infer (non-empty dirs
+            // only existed then)
+            case None => spark.read.parquet(s"$dir/data")
+          }
           rowsIn = kv("rows_out").toLong
         case None =>
           prefixIntact = false
@@ -98,14 +105,18 @@ object CurationRun {
           if (rowsIn < 0) rowsIn = cur.count()
           val out = st.fn(cur)
           out.write.mode("overwrite").parquet(s"$dir/data")
-          val result = spark.read.parquet(s"$dir/data")
+          val result = readStage(spark, dir, out.schema)
           val rowsOut = result.count()
           val wall = (System.nanoTime() - t0) / 1e9
-          // marker LAST — it IS the commit (ModelStore convention)
+          // marker LAST — it IS the commit (ModelStore convention).
+          // The schema rides the marker so an ALL-ROWS-DROPPED stage
+          // (a legitimate gate outcome) stays readable on resume: an
+          // empty parquet directory has no inferable schema of its own.
           ModelStore.writeMeta(spark, dir, Seq(
             "kind" -> "curation_stage", "stage" -> st.name,
             "index" -> i.toString, "rows_in" -> rowsIn.toString,
             "rows_out" -> rowsOut.toString,
+            "schema" -> out.schema.json,
             // integer millis: locale-proof to write and parse back
             "wall_ms" -> math.round(wall * 1000).toString))
           reports += StageReport(st.name, rowsIn, rowsOut, wall,
@@ -117,6 +128,21 @@ object CurationRun {
     writeManifest(spark, workDir, reports.toSeq)
     (cur, reports.toSeq)
   }
+
+  /** Read a stage's data dir, tolerating the zero-row case: a stage
+    * that drops everything writes only a _SUCCESS marker, which parquet
+    * cannot infer a schema from — the committed schema fills in. */
+  private def readStage(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    try {
+      val df = spark.read.schema(schema).parquet(s"$dir/data")
+      df.queryExecution.analyzed // force resolution now, not downstream
+      df
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
 
   private def metaExists(spark: SparkSession, dir: String): Boolean = {
     val p = ModelStore.metaPath(dir)

@@ -228,12 +228,15 @@ object FileStatsIndex {
     * on the current directory contents (spec-pinned). */
   def refresh(spark: SparkSession, dir: String, cols: Seq[String],
       prior: DataFrame): DataFrame = {
+    import spark.implicits._
     val current = listDataFiles(spark, dir)
     val known = prior.select("file").distinct()
       .collect().map(_.getString(0)).toSet
     val added = current.filterNot(known)
-    val currentSet = current.toSet
-    val kept = prior.filter(col("file").isin(currentSet.toSeq: _*))
+    // semi-join, not an isin literal list: a 10^5-file manifest would
+    // otherwise inline 10^5 string literals into the plan
+    val currentDf = current.toDF("file")
+    val kept = prior.join(broadcast(currentDf), Seq("file"), "left_semi")
     kept.unionByName(buildForFiles(spark, added, cols))
   }
 

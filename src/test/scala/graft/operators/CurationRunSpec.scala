@@ -96,6 +96,23 @@ class CurationRunSpec extends SparkSpec {
     }
   }
 
+  test("a stage that drops every row keeps the chain alive, and resume " +
+    "reuses the empty checkpoint") {
+    val wd = tmp()
+    val all = Seq(
+      Stage("gate_all", _.filter(lit(false))), // legitimate gate outcome
+      Stage("after", _.withColumn("tag", lit(1))))
+    val (out, reps) = CurationRun.run(spark, docs, all, wd)
+    assert(reps.map(_.rowsOut) == Seq(0L, 0L))
+    assert(out.count() == 0)
+    assert(out.columns.contains("tag")) // schema flowed through empty
+    // resume: both stages reused off markers, empty schema restored
+    calls.set(0)
+    val (out2, reps2) = CurationRun.run(spark, docs, all, wd)
+    assert(reps2.forall(_.reused) && calls.get() == 0)
+    assert(out2.count() == 0 && out2.columns.contains("tag"))
+  }
+
   test("dropped accounting: rowsIn - rowsOut per stage") {
     val wd = tmp()
     val (_, reps) = CurationRun.run(spark, docs, stages, wd)
