@@ -85,7 +85,18 @@ object ContextOrder {
     val rankDf = spark.createDataFrame(rankOf.toSeq)
       .toDF("cluster_id", "cluster_rank")
 
+    // a null embedding assigns to a null cluster (the argmax fold
+    // propagates null) and would NPE inside the path UDF with an
+    // opaque message — fail loudly at the seam instead, on the column
+    // the path consumes
     val assigned = ClusterOps.assignCentroids(vecs, centroids, id, embCol)
+      .withColumn("cluster_id",
+        when(col("cluster_id").isNull, raise_error(concat(
+          lit("ContextOrder: null embedding for "), lit(id), lit("="),
+          col(id).cast("string"),
+          lit(" — an unordered doc cannot ride a similarity chain; " +
+            "filter or impute upstream"))))
+          .otherwise(col("cluster_id")))
 
     // loud cluster-size guard ON the grouped flow (the G27 lesson: a
     // side-column guard can be pruned; this one gates the same

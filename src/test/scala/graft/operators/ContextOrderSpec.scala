@@ -87,6 +87,18 @@ class ContextOrderSpec extends SparkSpec {
         ex.getCause.getMessage.contains("maxClusterSize"))
   }
 
+  test("null embedding fails loudly at the seam, not as a UDF NPE") {
+    val df = blobs(10).unionByName(
+      Seq((99L, null.asInstanceOf[Seq[Float]])).toDF("id", "embedding"))
+    val ex = intercept[Exception] {
+      ContextOrder.orderWithCentroids(df, cents).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("null embedding")), msgs(ex).toString)
+  }
+
   test("composition: pack on ctx_order puts topic-mates in the same " +
     "sequences") {
     val df = blobs(40)
