@@ -66,6 +66,18 @@ object FileStatsIndex {
   final case class StringBound(column: String, lo: Option[String],
       hi: Option[String]) extends ColumnBound
 
+  /** Timestamp bound — parquet stores TIMESTAMP as INT64 micros, so a
+    * time-range predicate is a [[LongBound]] in epoch microseconds;
+    * this spares every caller the unit conversion (and the silent
+    * nothing-prunes bug of passing epoch MILLIS). */
+  def tsBound(column: String, lo: Option[java.time.Instant],
+      hi: Option[java.time.Instant]): LongBound = {
+    def micros(i: java.time.Instant): Long =
+      math.addExact(math.multiplyExact(i.getEpochSecond, 1000000L),
+        i.getNano / 1000L)
+    LongBound(column, lo.map(micros), hi.map(micros))
+  }
+
   val statsSchema: StructType = StructType(Seq(
     StructField("file", StringType, nullable = false),
     StructField("rows", LongType, nullable = false),

@@ -240,6 +240,25 @@ class FileStatsIndexSpec extends SparkSpec {
     assert(r.head.getAs[Long]("nulls") == 0L)
   }
 
+  test("tsBound prunes timestamp columns in epoch micros") {
+    val d = tmp()
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_shipdate")
+    Layout.writeRangeSorted(li, d, numFiles = 4,
+      sortCols = Seq("l_shipdate"))
+    val stats = build(spark, d, Seq("l_shipdate"))
+    val lo = java.time.Instant.parse("1996-01-01T00:00:00Z")
+    val hi = java.time.Instant.parse("1996-03-31T23:59:59Z")
+    val b = Seq(tsBound("l_shipdate", Some(lo), Some(hi)))
+    val kept = pruneFiles(stats, b).count()
+    assert(kept < 4, s"a quarter-long band should prune: kept $kept/4")
+    val pred = $"l_shipdate".between(
+      "1996-01-01 00:00:00", "1996-03-31 23:59:59")
+    val got = readPruned(spark, d, stats, b).filter(pred).count()
+    val want = spark.read.parquet(d).filter(pred).count()
+    assert(got == want && got > 0)
+  }
+
   test("gated skip_scan matches the direct filtered aggregate") {
     val viaIndex = skipScan(spark, sf).collect().toSeq
     val direct = spark.read.parquet(s"$sf/lineitem.parquet")
