@@ -166,6 +166,44 @@ class FileStatsIndexSpec extends SparkSpec {
       (2000L until 2600L).toSeq)
   }
 
+  test("readSince feeds the G17 incremental refresh: O(delta) compute " +
+    "AND O(delta) IO, same state as a full-frame twin") {
+    import graft.operators.IncrementalDedup
+    import graft.registry.Incremental
+    def mkDocs(lo: Long, hi: Long) = spark.range(lo, hi).toDF("doc_id")
+      .withColumn("text", when(col("doc_id") % 10 === 0,
+        lit("the shared duplicate body of common text here"))
+        .otherwise(concat(lit("unique body number "),
+          col("doc_id").cast("string"), lit(" with filler words enough"))))
+    val corpus = tmp()
+    Layout.writeRangeSorted(mkDocs(0, 400), corpus, numFiles = 2,
+      sortCols = Seq("doc_id"), statsCols = Seq("doc_id"))
+    val stateDelta = tmp() + "/state"
+    val stateFull = tmp() + "/state"
+    // initial load: both twins see the whole corpus
+    val first = spark.read.parquet(corpus)
+    assert(IncrementalDedup.refresh(spark, first, stateDelta) == 400L)
+    assert(IncrementalDedup.refresh(spark, first, stateFull) == 400L)
+    // append; refresh the manifest; delta twin reads via the index
+    mkDocs(400, 500).coalesce(1).write.mode("append").parquet(corpus)
+    val stats = refresh(spark, corpus, Seq("doc_id"),
+      loadIndex(spark, corpus))
+    val wm = Incremental.watermark(spark, stateDelta)
+    assert(wm == 399L)
+    val delta = readSince(spark, corpus, stats, "doc_id", wm)
+    assert(delta.inputFiles.length == 1,
+      s"delta read must touch only the appended file: ${delta.inputFiles.toSeq}")
+    assert(IncrementalDedup.refresh(spark, delta, stateDelta) == 100L)
+    // full twin re-reads the whole directory (the IO the index saves)
+    assert(IncrementalDedup.refresh(spark,
+      spark.read.parquet(corpus), stateFull) == 100L)
+    val a = IncrementalDedup.assignments(spark, stateDelta)
+      .orderBy("doc_id").collect().toSeq
+    val b = IncrementalDedup.assignments(spark, stateFull)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b, "delta-fed and full-fed states must agree")
+  }
+
   test("layout-time statsCols write a loadable, pruning manifest") {
     val d = tmp()
     Layout.writeRangeSorted(
