@@ -147,6 +147,81 @@ object Layout {
     writeStats(df, path, statsCols)
   }
 
+  /** In-place `OPTIMIZE ZORDER BY` — rewrite a live table directory
+    * into the z-ordered layout under the repo's temp-verify-swap
+    * protocol (ParquetValueStore.optimize's convention, adapted to a
+    * table ROOT that cannot itself be renamed because the co-located
+    * `_stats_index` manifest lives beside the data):
+    *
+    *   1. write the z-ordered copy to `dir/.optimize_tmp` (dot-prefix:
+    *      invisible to parquet discovery, so readers never see it);
+    *   2. VERIFY the rewrite's row count against the original — abort
+    *      before anything destructive on mismatch, original untouched;
+    *   3. delete the original data files, move the new files in
+    *      (UUID part names cannot collide), refresh the manifest.
+    *
+    * Step 3 is the documented NON-TRANSACTIONAL window (the same gap
+    * the value-store format concedes; Delta's log is what closes it):
+    * a reader planning between delete and move sees a partial table.
+    * Crash recovery is guarded, not guessed: a leftover `.optimize_tmp`
+    * alongside an EMPTY table (the crash-between window) REFUSES with
+    * recovery instructions instead of re-running over zero rows and
+    * committing an empty rewrite; a stale tmp beside intact data is
+    * garbage from an earlier crash and is replaced (the precedent's
+    * "crashed prior attempt" rule). Run it in a quiet window, like any
+    * log-less OPTIMIZE. Returns (filesBefore, filesAfter). */
+  def optimizeZOrdered(spark: org.apache.spark.sql.SparkSession,
+      dir: String, numFiles: Int, zCols: Seq[String],
+      bitsPerCol: Int = 8, relErr: Double = 1e-3,
+      maxRecordsPerFile: Long = 0L,
+      statsCols: Seq[String] = Seq.empty): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$dir/.optimize_tmp")
+    val before = FileStatsIndex.listDataFiles(spark, dir)
+    if (hfs.exists(tmp)) {
+      require(before.nonEmpty,
+        s"$dir has a leftover .optimize_tmp and NO visible data files — " +
+          "a prior optimize crashed between delete and move; move " +
+          s"$tmp/*.parquet into $dir and delete $tmp before retrying")
+      hfs.delete(tmp, true) // stale garbage beside intact data
+    }
+    require(before.nonEmpty, s"nothing to optimize at $dir")
+    // a manifest describing the files about to be deleted must be
+    // rebuilt even when the caller passes no statsCols — its indexed
+    // column set carries over
+    val idxPath = new Path(s"$dir/_stats_index")
+    val colsToIndex =
+      if (statsCols.nonEmpty) statsCols
+      else if (hfs.exists(idxPath))
+        FileStatsIndex.loadIndex(spark, dir).select("column").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+      else Seq.empty
+    val df = spark.read.parquet(dir)
+    val nBefore = df.count()
+    writeZOrdered(df, tmp.toString, numFiles, zCols, bitsPerCol, relErr,
+      maxRecordsPerFile)
+    val nAfter = spark.read.parquet(tmp.toString).count()
+    require(nAfter == nBefore,
+      s"optimize rewrote $nAfter rows where the table holds $nBefore — " +
+        "aborting before the swap, original untouched")
+    // the non-transactional window (see scaladoc)
+    before.foreach(f => hfs.delete(new Path(f), false))
+    hfs.listStatus(tmp).filter(s => s.isFile &&
+        s.getPath.getName.endsWith(".parquet"))
+      .foreach { s =>
+        require(hfs.rename(s.getPath, new Path(root, s.getPath.getName)),
+          s"rename ${s.getPath} into $dir failed mid-swap — remaining " +
+            s"files are in $tmp; move them manually")
+      }
+    hfs.delete(tmp, true)
+    if (colsToIndex.nonEmpty)
+      FileStatsIndex.saveIndex(
+        FileStatsIndex.build(spark, dir, colsToIndex), dir)
+    (before.size, FileStatsIndex.listDataFiles(spark, dir).size)
+  }
+
   /** Rows the parquet reader actually produced for `df`'s scan(s) during
     * the last action — row groups pruned by footer stats never count.
     * Diagnostic for layout tuning (used by LayoutSpec). */

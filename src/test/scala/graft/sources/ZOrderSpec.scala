@@ -99,6 +99,53 @@ class ZOrderSpec extends SparkSpec {
     assert(spark.read.parquet(d).count() == 20000)
   }
 
+  test("in-place optimize rewrites a live dir z-ordered, refreshes the " +
+    "manifest, preserves content exactly") {
+    val d = tmp()
+    // shuffled initial layout WITH a manifest (to be made stale)
+    grid.repartition(10).write.mode("overwrite").parquet(d)
+    saveIndex(build(spark, d, Seq("x", "y")), d)
+    val beforeSet = grid.select("x", "y", "payload")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val (nb, na) = Layout.optimizeZOrdered(spark, d, numFiles = 64,
+      zCols = Seq("x", "y"))
+    assert(nb == 10 && na == 64, s"($nb, $na)")
+    assert(spark.read.parquet(d).select("x", "y", "payload")
+      .as[(Long, Long, Long)].collect().sorted.toSeq == beforeSet)
+    // the manifest was rebuilt over the NEW files (stale one replaced)
+    // with the carried-over column set, and it prunes now
+    val idx = loadIndex(spark, d)
+    val files = listDataFiles(spark, d).toSet
+    assert(idx.select("file").distinct().collect()
+      .map(_.getString(0)).toSet == files)
+    assert(pruneFiles(idx,
+      Seq(LongBound("y", Some(90L), Some(110L)))).count() <= 40L)
+    assert(!new java.io.File(s"$d/.optimize_tmp").exists())
+  }
+
+  test("crashed optimize (tmp present, table empty) refuses with recovery " +
+    "instructions; stale tmp beside intact data is replaced") {
+    val d = tmp()
+    grid.limit(1000).write.mode("overwrite").parquet(d)
+    // stale tmp beside INTACT data: replaced, optimize proceeds
+    new java.io.File(s"$d/.optimize_tmp").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$d/.optimize_tmp/junk.txt"), "stale")
+    val (nb, na) = Layout.optimizeZOrdered(spark, d, numFiles = 2,
+      zCols = Seq("x", "y"))
+    assert(na == 2 && spark.read.parquet(d).count() == 1000)
+    // the crash-between window: tmp holds the data, table is empty
+    val d2 = tmp()
+    grid.limit(100).coalesce(1).write.mode("overwrite")
+      .parquet(s"$d2/.optimize_tmp")
+    new java.io.File(d2).mkdirs()
+    val ex = intercept[IllegalArgumentException] {
+      Layout.optimizeZOrdered(spark, d2, numFiles = 2, zCols = Seq("x"))
+    }
+    assert(ex.getMessage.contains("crashed between delete and move"),
+      ex.getMessage)
+  }
+
   test("nulls bucket low and never change results") {
     val withNulls = spark.range(0, 5000).select(
       when(col("id") % 7 === 0L, lit(null).cast("long"))
