@@ -74,9 +74,12 @@ object Layout {
     * order; a codegen expression would save nothing measurable against
     * the shuffle+sort+write that dominates). Nulls bucket to 0 (they
     * carry no range information; [[FileStatsIndex]] tracks them via
-    * null counts instead). Numeric z-columns only — a string column's
-    * order can ride a numeric surrogate (e.g. unix timestamps, ids) or
-    * stay a hive partition key upstream.
+    * null counts instead). STRING z-columns bucket by SAMPLED rank
+    * cuts (approxQuantile has no string form; a seeded sample's
+    * order statistics stand in — the classic range-partitioner move,
+    * and exact quantiles would buy nothing: bucketing is a locality
+    * heuristic, and pruning correctness lives entirely in the footer
+    * stats, never in the cut choice).
     */
   def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
                     zCols: Seq[String], bitsPerCol: Int = 8,
@@ -90,8 +93,10 @@ object Layout {
     require(bitsPerCol >= 1 && bitsPerCol * zCols.size <= 62,
       s"bitsPerCol $bitsPerCol x ${zCols.size} cols must fit a long")
     val buckets = 1 << bitsPerCol
+    val maxB = buckets - 1
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val proj = df.select(zCols.map(c => col(c).cast("double").as(c)): _*)
+    val isStr = zCols.map(c =>
+      df.schema(c).dataType == org.apache.spark.sql.types.StringType)
     // DEDUPLICATED cuts, rescaled over the full bit range: a dominant
     // atom (90% of a column equal to one value) makes most quantile
     // cuts identical; counting raw cuts would park that atom at a HIGH
@@ -102,40 +107,78 @@ object Layout {
     // Distinct cuts give every distinct quantile step one index;
     // scaling index i to i*(B-1)/d spreads those indices back across
     // the bit positions the interleave reads. Uniform columns are
-    // unchanged (d = B-1 → identity scale).
-    val cuts: Array[Array[Double]] =
-      proj.na.drop().stat.approxQuantile(zCols.toArray, probs, relErr)
-        .map(_.distinct.sorted)
-    val bCuts = df.sparkSession.sparkContext.broadcast(cuts)
+    // unchanged (d = B-1 → identity scale). Shared by the numeric and
+    // string paths — only the cut SOURCE differs.
+    def scaledBucket(countLE: Int, nCuts: Int): Int =
+      if (nCuts == 0) 0 else ((countLE.toLong * maxB) / nCuts).toInt
+    val numericCols = zCols.filter(c => !isStr(zCols.indexOf(c)))
+    val numericCuts: Map[String, Array[Double]] =
+      if (numericCols.isEmpty) Map.empty
+      else numericCols.zip(
+        df.select(numericCols.map(c => col(c).cast("double").as(c)): _*)
+          .na.drop().stat
+          .approxQuantile(numericCols.toArray, probs, relErr)
+          .map(_.distinct.sorted)).toMap
+    // string cuts: order statistics of a seeded sample (bounded driver
+    // state: <= 64*buckets strings per column)
+    lazy val nRows = df.count()
+    val stringCuts: Map[String, Array[String]] = zCols.zip(isStr)
+      .collect { case (c, true) =>
+        val target = math.max(10000, 64 * buckets)
+        val fraction = math.min(1.0,
+          target.toDouble / math.max(1L, nRows).toDouble)
+        val sampled = df.select(col(c)).na.drop()
+          .sample(withReplacement = false, fraction, seed = 42L)
+          .collect().map(_.getString(0)).sorted
+        val cuts =
+          if (sampled.length < 2) Array.empty[String]
+          else (1 until buckets).map(i =>
+            sampled(math.min(sampled.length - 1,
+              i * sampled.length / buckets))).distinct.sorted.toArray
+        c -> cuts
+      }.toMap
+    // per-column bucket COLUMNS (typed UDF each), then one interleave
+    def bucketNum(cuts: Array[Double]) = udf { v: Double =>
+      var lo = 0; var hi = cuts.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cuts(mid) <= v) lo = mid + 1 else hi = mid
+      }
+      scaledBucket(lo, cuts.length)
+    }
+    def bucketStr(cuts: Array[String]) = udf { v: String =>
+      if (v == null) 0
+      else {
+        var lo = 0; var hi = cuts.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (cuts(mid) <= v) lo = mid + 1 else hi = mid
+        }
+        scaledBucket(lo, cuts.length)
+      }
+    }
+    val bucketCols = zCols.zip(isStr).map {
+      case (c, true) => bucketStr(stringCuts(c))(col(c))
+      case (c, false) =>
+        // nulls -> -Inf -> bucket 0 (below every cut)
+        bucketNum(numericCuts(c))(
+          coalesce(col(c).cast("double"), lit(Double.NegativeInfinity)))
+    }
     val nBits = bitsPerCol
-    val zUdf = udf { (vs: Seq[Double]) =>
-      val cs = bCuts.value
-      val maxB = (1 << nBits) - 1
+    val zUdf = udf { (bs: Seq[Int]) =>
       var z = 0L
       var bit = nBits - 1
       while (bit >= 0) {
         var c = 0
-        while (c < vs.length) {
-          // bucket = count of distinct cuts <= v, rescaled to [0, B-1];
-          // nulls arrive as -Inf via the coalesce below -> bucket 0.
-          val cut = cs(c)
-          val v = vs(c)
-          var lo = 0; var hi = cut.length
-          while (lo < hi) {
-            val mid = (lo + hi) >>> 1
-            if (cut(mid) <= v) lo = mid + 1 else hi = mid
-          }
-          val b = if (cut.length == 0) 0
-                  else ((lo.toLong * maxB) / cut.length).toInt
-          z = (z << 1) | ((b >> bit) & 1)
+        while (c < bs.length) {
+          z = (z << 1) | ((bs(c) >> bit) & 1)
           c += 1
         }
         bit -= 1
       }
       z
     }
-    val zin = array(zCols.map(c =>
-      coalesce(col(c).cast("double"), lit(Double.NegativeInfinity))): _*)
+    val zin = array(bucketCols: _*)
     val w = df.withColumn("__graft_z", zUdf(zin))
       .repartitionByRange(numFiles, col("__graft_z"))
       .sortWithinPartitions("__graft_z")

@@ -99,6 +99,30 @@ class ZOrderSpec extends SparkSpec {
     assert(spark.read.parquet(d).count() == 20000)
   }
 
+  test("string z-columns bucket by sampled rank cuts and prune via the " +
+    "footer string stats") {
+    // numeric x plus a string key whose lexical order is meaningful
+    val df = spark.range(0, 20000).select(
+      (col("id") % 200).as("x"),
+      format_string("key%05d", col("id") % 500).as("s"),
+      col("id").as("payload"))
+    val d = tmp()
+    Layout.writeZOrdered(df, d, numFiles = 64, zCols = Seq("x", "s"))
+    assert(spark.read.parquet(d).count() == 20000)
+    val st = build(spark, d, Seq("x", "s"))
+    // a 10% lexical band on the STRING column prunes most files
+    val b = Seq(StringBound("s", Some("key00100"), Some("key00150")))
+    val kept = pruneFiles(st, b).count()
+    assert(kept <= 40, s"string band should prune on the z layout: $kept/64")
+    // correctness: pruned read + real predicate == direct filter
+    val got = readPruned(spark, d, st, b)
+      .filter($"s" >= "key00100" && $"s" <= "key00150")
+      .agg(count(lit(1)), sum("payload")).as[(Long, Long)].head()
+    val want = df.filter($"s" >= "key00100" && $"s" <= "key00150")
+      .agg(count(lit(1)), sum("payload")).as[(Long, Long)].head()
+    assert(got == want)
+  }
+
   test("in-place optimize rewrites a live dir z-ordered, refreshes the " +
     "manifest, preserves content exactly") {
     val d = tmp()
