@@ -1052,6 +1052,15 @@ object Stress {
       require(full == pruned && naive == pruned,
         s"skipping changed results: $naive / $full vs $pruned")
       println(f"STRESS zorder_skip                  $dtPruned%8.2f s   naive=$dtNaive%.2f s zfull=$dtFull%.2f s kept=$kept/$nFiles")
+      // in-place OPTIMIZE on the live dir (idempotent re-z-order):
+      // read + rewrite + verify-count + swap + manifest rebuild — the
+      // full maintenance op at 30M rows
+      val t4 = System.nanoTime()
+      val (ob, oa) = Layout.optimizeZOrdered(spark, zdir, numFiles = 256,
+        zCols = Seq("l_partkey", "l_extendedprice"),
+        statsCols = Seq("l_partkey", "l_extendedprice"))
+      val dtOpt = (System.nanoTime() - t4) / 1e9
+      println(f"STRESS zorder_optimize              $dtOpt%8.2f s   files=$ob->$oa")
     }
     spark.stop()
   }

@@ -255,7 +255,18 @@ object FileStatsIndex {
   /** Persist the index under `dir/_stats_index` — the underscore
     * prefix keeps it invisible to parquet discovery of `dir` itself
     * (the `_SUCCESS` convention), so the manifest lives WITH the data
-    * it describes. */
+    * it describes.
+    *
+    * Honesty note (the parquet-native caveat class, same as the
+    * value-store swap window): `overwrite` deletes then writes, so a
+    * reader planning against the manifest mid-save sees a partial or
+    * missing index. The failure mode is SAFE-side only if the reader
+    * falls back to a full scan on a missing manifest — pruning against
+    * a PARTIAL manifest is fail-open per file (absent rows keep files)
+    * but a file whose rows landed while its siblings' did not still
+    * prunes correctly, because rows are per-file facts, not
+    * cross-file ones. Refresh in a quiet window regardless; Delta's
+    * log is what would close this gap, as everywhere else. */
   def saveIndex(stats: DataFrame, dir: String): Unit =
     stats.write.mode("overwrite").parquet(s"$dir/_stats_index")
 

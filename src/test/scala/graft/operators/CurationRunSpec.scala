@@ -113,6 +113,30 @@ class CurationRunSpec extends SparkSpec {
     assert(out2.count() == 0 && out2.columns.contains("tag"))
   }
 
+  test("write-audit-publish composition: the staged run is the WRITE, " +
+    "ReleaseGate is the AUDIT, the caller publishes only on pass") {
+    import graft.registry.ReleaseGate
+    val wd = tmp()
+    // the published snapshot: a prior curation of the same corpus
+    val (published, _) = CurationRun.run(spark, docs, stages, tmp())
+    // candidate refresh: same stages, slightly different gate (a few
+    // more docs survive) — healthy churn
+    val relaxed = Seq(
+      counted("drop_short")(_.filter(col("n_chars") >= 45)),
+      counted("en_only")(_.filter(col("lang") === "en")),
+      counted("strip_text")(_.drop("text")))
+    val (candidate, _) = CurationRun.run(spark, docs, relaxed, wd)
+    val healthy = ReleaseGate.audit(published, candidate, "doc_id",
+      compare = Seq("lang", "n_chars"), maxChurnFrac = 0.3)
+    assert(healthy.publishable, healthy.failures.toString)
+    // broken refresh: the extractor-dropped-everything incident — the
+    // staged run still COMMITS (it is the write-aside), the gate blocks
+    val broken = Seq(Stage("gate_all", _.filter(lit(false))))
+    val (emptyCand, _) = CurationRun.run(spark, docs, broken, tmp())
+    val blocked = ReleaseGate.audit(published, emptyCand, "doc_id")
+    assert(!blocked.publishable)
+  }
+
   test("dropped accounting: rowsIn - rowsOut per stage") {
     val wd = tmp()
     val (_, reps) = CurationRun.run(spark, docs, stages, wd)
