@@ -104,15 +104,18 @@ object MixtureOptimizer {
       prior: Option[DataFrame] = None, eta: Double = 1.0,
       smoothing: Double = 1e-3, maxSources: Int = 100000): DataFrame = {
     require(rounds.nonEmpty, "at least one round of measured losses")
-    val first = collectKeyed(rounds.head, "excess_loss", "excess losses",
-      maxSources)
     var cur: Seq[(String, Double)] = prior match {
       case Some(df) =>
         val p = collectKeyed(df, "weight", "prior weights", maxSources)
         require(p.forall(_._2 > 0), "non-positive prior weights")
         val tot = p.map(_._2).sum
         p.map { case (s, w) => (s, w / tot) }
-      case None => first.map { case (s, _) => (s, 1.0 / first.size) }
+      case None =>
+        // uniform over the first round's domain set (collected only on
+        // this path — a supplied prior already carries the domains)
+        val first = collectKeyed(rounds.head, "excess_loss",
+          "excess losses", maxSources)
+        first.map { case (s, _) => (s, 1.0 / first.size) }
     }
     val acc = scala.collection.mutable.LinkedHashMap[String, Double]()
     cur.foreach { case (s, _) => acc(s) = 0.0 }
