@@ -344,6 +344,27 @@ object FileStatsIndex {
     }
   }
 
+  /** Pruning-effectiveness report for a bound set — ONE row:
+    * (files_total, files_kept, rows_total, rows_kept_bound), where
+    * rows_kept_bound sums the kept files' row counts (an UPPER bound
+    * on matching rows — skipping is file-granular). This is the
+    * number that decides whether a layout is earning its sort: a
+    * selective predicate with rows_kept_bound ≈ rows_total says the
+    * files all span the predicate's range — re-layout
+    * ([[Layout.writeRangeSorted]]/[[Layout.writeZOrdered]]) before
+    * blaming the index. Manifest-sized arithmetic, no data touched. */
+  def explainPrune(stats: DataFrame, bounds: Seq[ColumnBound]): DataFrame = {
+    val perFile = stats.groupBy("file").agg(max("rows").as("rows"))
+    val kept = pruneFiles(stats, bounds)
+      .withColumn("_kept", lit(true))
+    perFile.join(kept, Seq("file"), "left")
+      .agg(count(lit(1)).as("files_total"),
+        count(col("_kept")).as("files_kept"),
+        sum("rows").as("rows_total"),
+        coalesce(sum(when(col("_kept"), col("rows"))), lit(0L))
+          .as("rows_kept_bound"))
+  }
+
   /** The O(delta)-IO composition for the incremental operators
     * (G14/G17/G18 refresh on `idCol > hwm`): on an append-organized
     * layout (ids correlate with arrival, so old files' id ranges sit

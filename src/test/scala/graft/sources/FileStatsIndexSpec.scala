@@ -278,6 +278,23 @@ class FileStatsIndexSpec extends SparkSpec {
     assert(r.head.getAs[Long]("nulls") == 0L)
   }
 
+  test("explainPrune reports files/rows kept vs total") {
+    val r = explainPrune(stats,
+      Seq(LongBound("id", Some(1200), Some(1800))))
+      .as[(Long, Long, Long, Long)].head()
+    assert(r._1 == 4 && r._2 >= 1 && r._2 <= 2)
+    assert(r._3 == 4000L)
+    // the kept files' rows bound the matching rows from above
+    assert(r._4 >= 601L && r._4 <= 2000L, r.toString)
+    // nothing prunes -> bound equals total; everything prunes -> 0
+    val all = explainPrune(stats, Seq(LongBound("nope", Some(0), None)))
+      .as[(Long, Long, Long, Long)].head()
+    assert(all._2 == 4 && all._4 == 4000L)
+    val none = explainPrune(stats, Seq(DoubleBound("alln", Some(0.0), None)))
+      .as[(Long, Long, Long, Long)].head()
+    assert(none._2 == 0 && none._4 == 0L)
+  }
+
   test("tsBound prunes timestamp columns in epoch micros") {
     val d = tmp()
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
