@@ -257,19 +257,33 @@ object FileStatsIndex {
     * (the `_SUCCESS` convention), so the manifest lives WITH the data
     * it describes.
     *
-    * Honesty note (the parquet-native caveat class, same as the
-    * value-store swap window): `overwrite` deletes then writes, so a
-    * reader planning against the manifest mid-save sees a partial or
-    * missing index. The failure mode is SAFE-side only if the reader
-    * falls back to a full scan on a missing manifest — pruning against
-    * a PARTIAL manifest is fail-open per file (absent rows keep files)
-    * but a file whose rows landed while its siblings' did not still
-    * prunes correctly, because rows are per-file facts, not
-    * cross-file ones. Refresh in a quiet window regardless; Delta's
-    * log is what would close this gap, as everywhere else. */
-  def saveIndex(stats: DataFrame, dir: String): Unit =
-    stats.write.mode("overwrite").parquet(s"$dir/_stats_index")
+    * Written to a temp dir first, then delete+rename: a LAZY `stats`
+    * frame derived from [[loadIndex]] (the refresh cycle) still READS
+    * the old manifest while the new one is being written — a naive
+    * in-place overwrite would delete the files its own input plan is
+    * reading. The swap also shrinks the reader-visible gap to the
+    * delete+rename instant (the parquet-native caveat class, same as
+    * the value-store swap window): a reader planning exactly then sees
+    * a missing manifest and must fall back to a full scan — safe-side;
+    * a PARTIAL manifest is also safe (rows are per-file facts and
+    * absent rows fail open). Delta's log is what would close the gap,
+    * as everywhere else. */
+  def saveIndex(stats: DataFrame, dir: String): Unit = {
+    val spark = stats.sparkSession
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$dir/_stats_index_tmp")
+    val dst = new Path(s"$dir/_stats_index")
+    stats.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(dst, true)
+    require(fs.rename(tmp, dst),
+      s"rename $tmp -> $dst failed — the fresh manifest is in $tmp")
+  }
 
+  /** Load the co-located manifest. LAZY, like any read — load fresh
+    * per query and never hold the returned plan across a
+    * [[saveIndex]] commit: the swap replaces the files a stale plan
+    * lists (StreamingIndexedSinkSpec demonstrates the failure). */
   def loadIndex(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(statsSchema).parquet(s"$dir/_stats_index")
 
