@@ -101,6 +101,19 @@ object CurationRun {
           rowsIn = kv("rows_out").toLong
         case None =>
           prefixIntact = false
+          // DECERTIFY before recompute: a committed stage recomputing
+          // because an upstream stage broke the prefix still has its
+          // stale `_meta` marker on disk. Overwriting `$dir/data` under
+          // that marker would let a crash mid-recompute leave new or
+          // partial data certified by the OLD marker — which the next
+          // run's checks would happily reuse. Deleting the marker FIRST
+          // restores the invariant the protocol rests on: a crash
+          // anywhere inside recompute leaves an uncommitted directory.
+          if (metaExists(spark, dir)) {
+            val p = ModelStore.metaPath(dir)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(p, false)
+          }
           val t0 = System.nanoTime()
           if (rowsIn < 0) rowsIn = cur.count()
           val out = st.fn(cur)

@@ -207,13 +207,23 @@ object FileStatsIndex {
               dmin = ms.min; dmax = xs.max
             case PrimitiveTypeName.BINARY if isUtf8 =>
               ptag = "string"
-              val ms = withVals.map(_.genericGetMin
-                .asInstanceOf[org.apache.parquet.io.api.Binary]
-                .toStringUsingUTF8)
-              val xs = withVals.map(_.genericGetMax
-                .asInstanceOf[org.apache.parquet.io.api.Binary]
-                .toStringUsingUTF8)
-              smin = ms.min; smax = xs.max
+              // Cross-row-group aggregation must use parquet's own
+              // UNSIGNED LEXICOGRAPHIC binary comparator (the order the
+              // footer stats were computed in, and the order Spark's
+              // UTF8String comparisons use in rowKeep). Scala's default
+              // String ordering is UTF-16 code-unit order, which
+              // DIVERGES for supplementary-plane vs [U+E000,U+FFFF]
+              // characters — aggregating with it can record an smin/smax
+              // inside the true range and prune a matching file,
+              // breaking the never-a-subset contract.
+              import org.apache.parquet.io.api.Binary
+              val cmp = withVals.head.comparator()
+                .asInstanceOf[java.util.Comparator[Binary]]
+              val byteOrd = Ordering.comparatorToOrdering(cmp)
+              val ms = withVals.map(_.genericGetMin.asInstanceOf[Binary])
+              val xs = withVals.map(_.genericGetMax.asInstanceOf[Binary])
+              smin = ms.min(byteOrd).toStringUsingUTF8
+              smax = xs.max(byteOrd).toStringUsingUTF8
             case _ => ptag = "other"
           }
           else ptn match {
@@ -252,40 +262,88 @@ object FileStatsIndex {
     kept.unionByName(buildForFiles(spark, added, cols))
   }
 
-  /** Persist the index under `dir/_stats_index` — the underscore
-    * prefix keeps it invisible to parquet discovery of `dir` itself
-    * (the `_SUCCESS` convention), so the manifest lives WITH the data
-    * it describes.
+  private def ptrPath(dir: String) = new Path(s"$dir/_stats_index_ptr")
+  private def genPath(dir: String, g: Long) =
+    new Path(s"$dir/_stats_index_g$g")
+
+  /** Persist the index beside the data it describes (underscore
+    * prefixes keep every piece invisible to parquet discovery of `dir`
+    * itself — the `_SUCCESS` convention).
     *
-    * Written to a temp dir first, then delete+rename: a LAZY `stats`
-    * frame derived from [[loadIndex]] (the refresh cycle) still READS
-    * the old manifest while the new one is being written — a naive
-    * in-place overwrite would delete the files its own input plan is
-    * reading. The swap also shrinks the reader-visible gap to the
-    * delete+rename instant (the parquet-native caveat class, same as
-    * the value-store swap window): a reader planning exactly then sees
-    * a missing manifest and must fall back to a full scan — safe-side;
-    * a PARTIAL manifest is also safe (rows are per-file facts and
-    * absent rows fail open). Delta's log is what would close the gap,
-    * as everywhere else. */
+    * GENERATION + POINTER commit (the ModelStore/IvfIndex convention):
+    * the parquet rows go to a fresh `_stats_index_g{N}` directory, then
+    * a one-line `_stats_index_ptr` file naming that directory is
+    * swapped in via FileContext rename-with-OVERWRITE — atomic on
+    * HDFS/local, so there is NO instant where a reader sees a deleted
+    * manifest (a directory cannot be atomically replaced while
+    * non-empty, which is why the pointer exists). The previous
+    * generation is RETAINED (keep-two): a lazy plan from [[loadIndex]]
+    * that predates the commit still reads its pinned generation's
+    * files; only generations older than the previous are deleted. A
+    * crash before the pointer swap leaves an orphan `_g{N}` directory
+    * that the next save supersedes and the next-next save garbage-
+    * collects — never a window with no live manifest. */
   def saveIndex(stats: DataFrame, dir: String): Unit = {
     val spark = stats.sparkSession
-    val fs = new Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(s"$dir/_stats_index_tmp")
-    val dst = new Path(s"$dir/_stats_index")
-    stats.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(dst, true)
-    require(fs.rename(tmp, dst),
-      s"rename $tmp -> $dst failed — the fresh manifest is in $tmp")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val hfs = root.getFileSystem(conf)
+    val gens: Seq[Long] =
+      if (!hfs.exists(root)) Seq.empty
+      else hfs.listStatus(root).map(_.getPath.getName)
+        .collect { case n if n.startsWith("_stats_index_g") =>
+          n.stripPrefix("_stats_index_g") }
+        .collect { case s if s.forall(_.isDigit) && s.nonEmpty => s.toLong }
+        .toSeq.sorted
+    val next = gens.lastOption.fold(0L)(_ + 1L)
+    val gdir = genPath(dir, next)
+    stats.write.mode("overwrite").parquet(gdir.toString)
+    // atomic pointer swap (file-level OVERWRITE rename)
+    val tmp = new Path(s"$dir/_stats_index_ptr.tmp")
+    val out = hfs.create(tmp, true)
+    try out.write(gdir.getName.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      hfs.getUri, conf)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(ptrPath(dir)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // keep-two retention: current + previous survive; older GC'd,
+    // including any legacy single-dir `_stats_index`
+    gens.dropRight(1).foreach(g => hfs.delete(genPath(dir, g), true))
+    hfs.delete(new Path(s"$dir/_stats_index"), true)
   }
 
   /** Load the co-located manifest. LAZY, like any read — load fresh
-    * per query and never hold the returned plan across a
-    * [[saveIndex]] commit: the swap replaces the files a stale plan
-    * lists (StreamingIndexedSinkSpec demonstrates the failure). */
-  def loadIndex(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(statsSchema).parquet(s"$dir/_stats_index")
+    * per query (the pointer is re-read each call; a held plan keeps
+    * its pinned generation, which keep-two retention protects for one
+    * more save). A table with NO manifest returns an EMPTY stats frame
+    * — [[readPruned]] treats every data file as manifest-unlisted and
+    * keeps it, i.e. the documented full-scan fallback, instead of the
+    * old PATH_NOT_FOUND throw. Reads the legacy single-dir
+    * `_stats_index` layout when no pointer exists yet. */
+  def loadIndex(spark: SparkSession, dir: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hfs = new Path(dir).getFileSystem(conf)
+    val ptr = ptrPath(dir)
+    val legacy = new Path(s"$dir/_stats_index")
+    if (hfs.exists(ptr)) {
+      val in = hfs.open(ptr)
+      val name = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      spark.read.schema(statsSchema).parquet(s"$dir/$name")
+    } else if (hfs.exists(legacy))
+      spark.read.schema(statsSchema).parquet(legacy.toString)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], statsSchema)
+  }
+
+  /** True when `dir` has a committed manifest (pointer or legacy). */
+  def indexExists(spark: SparkSession, dir: String): Boolean = {
+    val hfs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.exists(ptrPath(dir)) || hfs.exists(new Path(s"$dir/_stats_index"))
+  }
 
   /** Per-stats-row keep verdict for one bound — `true` unless this row
     * PROVES its file cannot satisfy the bound. Rows for other columns
@@ -339,10 +397,23 @@ object FileStatsIndex {
     * a partitioned layout. The returned frame is the PRUNED SUPERSET;
     * apply the real predicate on top (pruning never substitutes for
     * the filter). Zero survivors → an empty frame with the full
-    * directory's schema. */
+    * directory's schema.
+    *
+    * Data files ABSENT from the manifest fail OPEN: they are read
+    * unconditionally. A manifest lagging the table (concurrent append,
+    * a crash before the stats refresh, or no manifest at all — the
+    * empty [[loadIndex]] fallback) therefore under-PRUNES, never
+    * under-READS: pruned-read-then-filter stays ≡
+    * full-read-then-filter regardless of manifest freshness. The
+    * per-file listing this costs is manifest-maintenance hygiene, not
+    * data IO. */
   def readPruned(spark: SparkSession, dir: String, stats: DataFrame,
       bounds: Seq[ColumnBound]): DataFrame = {
-    val files = pruneFiles(stats, bounds).collect().map(_.getString(0))
+    val listed = stats.select("file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val unlisted = listDataFiles(spark, dir).filterNot(listed)
+    val files = (pruneFiles(stats, bounds).collect().map(_.getString(0))
+      ++ unlisted).distinct
     if (files.isEmpty) {
       val schema = spark.read.parquet(dir).schema
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)

@@ -206,38 +206,83 @@ object Layout {
     * Step 3 is the documented NON-TRANSACTIONAL window (the same gap
     * the value-store format concedes; Delta's log is what closes it):
     * a reader planning between delete and move sees a partial table.
-    * Crash recovery is guarded, not guessed: a leftover `.optimize_tmp`
-    * alongside an EMPTY table (the crash-between window) REFUSES with
-    * recovery instructions instead of re-running over zero rows and
-    * committing an empty rewrite; a stale tmp beside intact data is
-    * garbage from an earlier crash and is replaced (the precedent's
-    * "crashed prior attempt" rule). Run it in a quiet window, like any
-    * log-less OPTIMIZE. Returns (filesBefore, filesAfter). */
+    * Crash recovery is DETERMINISTIC, not guessed: immediately before
+    * the destructive phase a `_optimize_swap` SENTINEL is written
+    * recording the verified row count and the exact original file
+    * names. On entry, a present sentinel means a prior attempt crashed
+    * INSIDE the swap — the tmp dir plus the already-renamed-in files
+    * together still hold the complete new copy, so recovery replays
+    * the swap idempotently: delete any surviving ORIGINAL (named in
+    * the sentinel), move everything left in tmp in, verify the visible
+    * row count equals the sentinel's, and only then clear the
+    * sentinel. A row-count mismatch REFUSES with the sentinel kept
+    * (manual recovery, nothing further deleted). Without a sentinel, a
+    * leftover tmp is pre-swap garbage (crash before anything was
+    * deleted) and is safely replaced. This closes the r11 hazard where
+    * a crash after ONE delete left `before.nonEmpty` true and a retry
+    * deleted the tmp — the only complete copy. Run it in a quiet
+    * window, like any log-less OPTIMIZE. Returns
+    * (filesBefore, filesAfter). */
   def optimizeZOrdered(spark: org.apache.spark.sql.SparkSession,
       dir: String, numFiles: Int, zCols: Seq[String],
       bitsPerCol: Int = 8, relErr: Double = 1e-3,
       maxRecordsPerFile: Long = 0L,
       statsCols: Seq[String] = Seq.empty): (Int, Int) = {
     import org.apache.hadoop.fs.Path
+    import java.nio.charset.StandardCharsets.UTF_8
     val root = new Path(dir)
     val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(s"$dir/.optimize_tmp")
-    val before = FileStatsIndex.listDataFiles(spark, dir)
-    if (hfs.exists(tmp)) {
-      require(before.nonEmpty,
+    val sentinel = new Path(s"$dir/_optimize_swap")
+
+    def renameTmpFilesIn(): Unit =
+      hfs.listStatus(tmp).filter(s => s.isFile &&
+          s.getPath.getName.endsWith(".parquet"))
+        .foreach { s =>
+          require(hfs.rename(s.getPath, new Path(root, s.getPath.getName)),
+            s"rename ${s.getPath} into $dir failed mid-swap — the swap " +
+              s"sentinel $sentinel is still in place; retrying resumes it")
+        }
+
+    if (hfs.exists(sentinel)) {
+      // a prior attempt crashed inside the swap — replay it
+      val in = hfs.open(sentinel)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toVector finally in.close()
+      val expected = lines.head.toLong
+      val originals = lines.tail.toSet
+      FileStatsIndex.listDataFiles(spark, dir)
+        .filter(f => originals(new Path(f).getName))
+        .foreach(f => hfs.delete(new Path(f), false))
+      if (hfs.exists(tmp)) renameTmpFilesIn()
+      val recovered = spark.read.parquet(dir).count()
+      require(recovered == expected,
+        s"optimize swap recovery found $recovered rows where the " +
+          s"sentinel records $expected — sentinel kept at $sentinel, " +
+          "nothing further touched; recover manually before retrying")
+      hfs.delete(tmp, true)
+      hfs.delete(sentinel, false)
+    } else if (hfs.exists(tmp)) {
+      // No sentinel: under this protocol the destructive phase never
+      // started, so tmp is pre-swap garbage. EXCEPT the legacy
+      // (pre-sentinel) crash signature — tmp beside an EMPTY table —
+      // which refuses rather than delete the only complete copy.
+      require(FileStatsIndex.listDataFiles(spark, dir).nonEmpty,
         s"$dir has a leftover .optimize_tmp and NO visible data files — " +
-          "a prior optimize crashed between delete and move; move " +
-          s"$tmp/*.parquet into $dir and delete $tmp before retrying")
-      hfs.delete(tmp, true) // stale garbage beside intact data
+          "a prior (pre-sentinel) optimize crashed between delete and " +
+          s"move; move $tmp/*.parquet into $dir and delete $tmp before " +
+          "retrying")
+      hfs.delete(tmp, true)
     }
+
+    val before = FileStatsIndex.listDataFiles(spark, dir)
     require(before.nonEmpty, s"nothing to optimize at $dir")
     // a manifest describing the files about to be deleted must be
     // rebuilt even when the caller passes no statsCols — its indexed
     // column set carries over
-    val idxPath = new Path(s"$dir/_stats_index")
     val colsToIndex =
       if (statsCols.nonEmpty) statsCols
-      else if (hfs.exists(idxPath))
+      else if (FileStatsIndex.indexExists(spark, dir))
         FileStatsIndex.loadIndex(spark, dir).select("column").distinct()
           .collect().map(_.getString(0)).toSeq.sorted
       else Seq.empty
@@ -249,16 +294,15 @@ object Layout {
     require(nAfter == nBefore,
       s"optimize rewrote $nAfter rows where the table holds $nBefore — " +
         "aborting before the swap, original untouched")
-    // the non-transactional window (see scaladoc)
+    // arm the sentinel, THEN enter the non-transactional window
+    val out = hfs.create(sentinel, true)
+    try out.write((nBefore.toString +: before.map(new Path(_).getName))
+      .mkString("", "\n", "\n").getBytes(UTF_8))
+    finally out.close()
     before.foreach(f => hfs.delete(new Path(f), false))
-    hfs.listStatus(tmp).filter(s => s.isFile &&
-        s.getPath.getName.endsWith(".parquet"))
-      .foreach { s =>
-        require(hfs.rename(s.getPath, new Path(root, s.getPath.getName)),
-          s"rename ${s.getPath} into $dir failed mid-swap — remaining " +
-            s"files are in $tmp; move them manually")
-      }
+    renameTmpFilesIn()
     hfs.delete(tmp, true)
+    hfs.delete(sentinel, false)
     if (colsToIndex.nonEmpty)
       FileStatsIndex.saveIndex(
         FileStatsIndex.build(spark, dir, colsToIndex), dir)

@@ -72,6 +72,31 @@ class CurationRunSpec extends SparkSpec {
     assert(calls.get() == 2)
   }
 
+  test("a recomputing committed stage is DECERTIFIED first: a crash " +
+    "mid-recompute leaves no stale marker certifying new data") {
+    val wd = tmp()
+    CurationRun.run(spark, docs, stages, wd)
+    // break the prefix at stage 0 so the committed stage 1 must
+    // recompute, and make stage 1's fn crash DURING that recompute
+    assert(new java.io.File(s"$wd/stage_0_drop_short/_meta").delete())
+    val boom = stages.updated(1, Stage("en_only",
+      (_: DataFrame) => throw new RuntimeException("mid-recompute crash")))
+    intercept[RuntimeException] {
+      CurationRun.run(spark, docs, boom, wd)
+    }
+    // the OLD marker must be gone — the stale certificate was the r11
+    // hazard: new/partial data under an old marker gets silently reused
+    assert(!new java.io.File(s"$wd/stage_1_en_only/_meta").exists(),
+      "stale _meta must be deleted before a recompute starts")
+    // the next honest run reuses stage 0 (the crashed run re-committed
+    // it before dying) and recomputes 1 and 2 — never half-reads the
+    // decertified directory
+    calls.set(0)
+    val (_, reps) = CurationRun.run(spark, docs, stages, wd)
+    assert(reps.map(_.reused) == Seq(true, false, false))
+    assert(calls.get() == 2)
+  }
+
   test("a renamed stage recomputes from there on (fresh directory), " +
     "never reuses the old identity") {
     val wd = tmp()

@@ -314,6 +314,111 @@ class FileStatsIndexSpec extends SparkSpec {
     assert(got == want && got > 0)
   }
 
+  test("cross-row-group string stats aggregate in UTF-8 BYTE order, not " +
+    "UTF-16 code-unit order") {
+    // U+E000 (UTF-8 EE 80 80) vs U+10000 (UTF-8 F0 90 80 80, UTF-16
+    // surrogate pair D800 DC00): byte order says E000 < 10000, UTF-16
+    // code-unit order says 10000 < E000. Lay the file out so one row
+    // group's min is U+E000 and another's is U+10000 — a UTF-16
+    // aggregation records smin=U+10000 (byte-GREATER than the true
+    // min), which can prune a file containing a matching row.
+    val d = tmp()
+    val low = "\uE000"; val pad = "\uE001"
+    val high = "\uD800\uDC00" // U+10000
+    spark.range(0, 200000).select(
+      when(col("id") === 0L, lit(low))
+        .when(col("id") >= 170000L, lit(high))
+        .otherwise(lit(pad)).as("s"))
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", 64 * 1024)
+      .parquet(d)
+    // sanity: the layout really produced a pure-`high` trailing group
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(listDataFiles(spark, d).head),
+        new org.apache.hadoop.conf.Configuration()))
+    val nBlocks = try reader.getFooter.getBlocks.size finally reader.close()
+    assert(nBlocks > 2, s"need several row groups, got $nBlocks")
+    val st = build(spark, d, Seq("s")).filter($"column" === "s").collect()
+    assert(st.length == 1)
+    assert(st.head.getAs[String]("smin") == low,
+      "smin must be the UTF-8 byte-order minimum")
+    assert(st.head.getAs[String]("smax") == high,
+      "smax must be the UTF-8 byte-order maximum")
+    // the contract the ordering protects: a bound matching only the
+    // supplementary-plane rows must keep the file
+    val stats = build(spark, d, Seq("s"))
+    assert(pruneFiles(stats,
+      Seq(StringBound("s", Some(high), None))).count() == 1L)
+    assert(pruneFiles(stats,
+      Seq(StringBound("s", None, Some(low)))).count() == 1L)
+  }
+
+  test("data files absent from the manifest fail OPEN in readPruned") {
+    val d = tmp()
+    spark.range(0, 1000).toDF("id")
+      .coalesce(1).write.mode("overwrite").parquet(d)
+    val st = build(spark, d, Seq("id"))
+    // concurrent append the manifest has not seen
+    val extra = tmp()
+    spark.range(5000, 5100).toDF("id")
+      .coalesce(1).write.mode("overwrite").parquet(extra)
+    val hfs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = new java.io.File(extra).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(hfs.rename(
+      new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+      new org.apache.hadoop.fs.Path(d, "appended-" + part.getName)))
+    // a bound excluding every MANIFESTED file still reads the
+    // unlisted appendee: pruning under-prunes, never under-reads
+    val got = readPruned(spark, d, st,
+      Seq(LongBound("id", Some(5000L), None)))
+      .filter($"id" >= 5000L).count()
+    assert(got == 100L, s"unlisted file must be read unconditionally: $got")
+    // and a fresh manifest prunes it again as normal
+    val st2 = build(spark, d, Seq("id"))
+    assert(readPruned(spark, d, st2,
+      Seq(LongBound("id", Some(5000L), None))).inputFiles.length == 1)
+  }
+
+  test("loadIndex on a manifest-less table returns the empty-stats " +
+    "full-scan fallback") {
+    val d = tmp()
+    spark.range(0, 500).toDF("id")
+      .coalesce(2).write.mode("overwrite").parquet(d)
+    assert(!indexExists(spark, d))
+    val st = loadIndex(spark, d)
+    assert(st.count() == 0L)
+    // empty manifest -> every file is unlisted -> full scan
+    val got = readPruned(spark, d, st,
+      Seq(LongBound("id", Some(0L), Some(10L))))
+    assert(got.count() == 500L)
+  }
+
+  test("saveIndex commits via generation + atomic pointer: a plan held " +
+    "across one save still reads; keep-two retention GCs older") {
+    val d = tmp()
+    spark.range(0, 100).toDF("id")
+      .coalesce(1).write.mode("overwrite").parquet(d)
+    def gens(): Seq[String] = new java.io.File(d).listFiles()
+      .map(_.getName).filter(_.startsWith("_stats_index_g")).sorted.toSeq
+    saveIndex(build(spark, d, Seq("id")), d)
+    assert(indexExists(spark, d))
+    assert(gens() == Seq("_stats_index_g0"))
+    val held = loadIndex(spark, d) // lazy plan pinned to g0
+    saveIndex(build(spark, d, Seq("id")), d)
+    assert(gens() == Seq("_stats_index_g0", "_stats_index_g1"))
+    // the pre-save plan still executes: its generation survived
+    assert(held.count() == 1L)
+    saveIndex(build(spark, d, Seq("id")), d)
+    assert(gens() == Seq("_stats_index_g1", "_stats_index_g2"))
+    // pointer follows the newest generation
+    assert(loadIndex(spark, d).count() == 1L)
+    // no legacy single-dir manifest is ever left behind
+    assert(!new java.io.File(s"$d/_stats_index").exists())
+  }
+
   test("gated skip_scan matches the direct filtered aggregate") {
     val viaIndex = skipScan(spark, sf).collect().toSeq
     val direct = spark.read.parquet(s"$sf/lineitem.parquet")

@@ -170,6 +170,63 @@ class ZOrderSpec extends SparkSpec {
       ex.getMessage)
   }
 
+  test("mid-swap crash (sentinel armed, partial delete + partial rename) " +
+    "recovers deterministically — no row lost") {
+    import org.apache.hadoop.fs.Path
+    val d = tmp()
+    val data = grid.limit(1000)
+    data.repartition(4).write.mode("overwrite").parquet(d)
+    val want = data.select("x", "y", "payload")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    // reconstruct the exact crash state: verified tmp copy + armed
+    // sentinel + the destructive phase interrupted mid-flight
+    val originals = listDataFiles(spark, d)
+    Layout.writeZOrdered(spark.read.parquet(d), s"$d/.optimize_tmp",
+      numFiles = 2, zCols = Seq("x"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$d/_optimize_swap"),
+      ("1000" +: originals.map(f => new Path(f).getName))
+        .mkString("", "\n", "\n"))
+    // crash after TWO originals deleted and ONE new file renamed in —
+    // the r11 hazard state where `before.nonEmpty` was still true
+    val hfs = new Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    originals.take(2).foreach(f => hfs.delete(new Path(f), false))
+    val tmpParquet = new java.io.File(s"$d/.optimize_tmp").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(hfs.rename(new Path(tmpParquet.getAbsolutePath),
+      new Path(d, tmpParquet.getName)))
+    // the retry must replay the swap, not delete the only full copy
+    val (_, na) = Layout.optimizeZOrdered(spark, d, numFiles = 2,
+      zCols = Seq("x"))
+    assert(na == 2)
+    assert(spark.read.parquet(d).select("x", "y", "payload")
+      .as[(Long, Long, Long)].collect().sorted.toSeq == want)
+    assert(!new java.io.File(s"$d/_optimize_swap").exists())
+    assert(!new java.io.File(s"$d/.optimize_tmp").exists())
+  }
+
+  test("swap recovery refuses on a row-count mismatch and keeps the " +
+    "sentinel for manual recovery") {
+    import org.apache.hadoop.fs.Path
+    val d = tmp()
+    grid.limit(500).repartition(2).write.mode("overwrite").parquet(d)
+    val originals = listDataFiles(spark, d)
+    Layout.writeZOrdered(spark.read.parquet(d), s"$d/.optimize_tmp",
+      numFiles = 2, zCols = Seq("x"))
+    // sentinel promises MORE rows than the tmp copy holds (a corrupted
+    // crash state): recovery must refuse, not certify a short table
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$d/_optimize_swap"),
+      ("9999" +: originals.map(f => new Path(f).getName))
+        .mkString("", "\n", "\n"))
+    val ex = intercept[IllegalArgumentException] {
+      Layout.optimizeZOrdered(spark, d, numFiles = 2, zCols = Seq("x"))
+    }
+    assert(ex.getMessage.contains("sentinel"), ex.getMessage)
+    assert(new java.io.File(s"$d/_optimize_swap").exists())
+  }
+
   test("nulls bucket low and never change results") {
     val withNulls = spark.range(0, 5000).select(
       when(col("id") % 7 === 0L, lit(null).cast("long"))
