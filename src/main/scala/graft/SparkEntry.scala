@@ -22,7 +22,8 @@ object SparkEntry {
       PerplexityBuckets.queries ++ Bm25.queries ++ TextRepair.queries ++
       ClusterOps.queries ++ DriftMonitor.queries ++ SnapshotDiff.queries ++
       RobustStats.queries ++ SkewOps.queries ++ RecordLinkage.queries ++
-      graft.sources.FileStatsIndex.queries ++ PercentileOps.queries
+      graft.sources.FileStatsIndex.queries ++ PercentileOps.queries ++
+      Merge.queries
 
   /** Queries deliberately WITHOUT an oracle entry — the driver records
     * its weaker rows-only check for these. Membership requires a
@@ -46,5 +47,6 @@ object SparkEntry {
       PerplexityBuckets.oracles ++ Bm25.oracles ++ TextRepair.oracles ++
       ClusterOps.oracles ++ DriftMonitor.oracles ++ SnapshotDiff.oracles ++
       RobustStats.oracles ++ SkewOps.oracles ++ RecordLinkage.oracles ++
-      graft.sources.FileStatsIndex.oracles ++ PercentileOps.oracles
+      graft.sources.FileStatsIndex.oracles ++ PercentileOps.oracles ++
+      Merge.oracles
 }

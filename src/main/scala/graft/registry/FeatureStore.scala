@@ -260,6 +260,44 @@ final class FeatureStore(spark: SparkSession, storePath: String,
     Right(r)
   }
 
+  /** Delta-`MERGE INTO`-shaped correction of one version: `updates`
+    * rows ((entity_id, value) — the computeVersion result shape)
+    * REPLACE the stored rows for their entities and INSERT where the
+    * entity is new; every other row of the version survives. The
+    * backfill-correction / late-data verb the append-only store could
+    * not express before: fixing ten entities no longer means computing
+    * a whole new version. Routes through the [[ValueStoreFormat]]
+    * seam (`merge` ≡ Delta `MERGE INTO` once a transactional format
+    * slots in); the parquet format commits it as a new partition
+    * GENERATION with keep-two retention, so concurrent readers never
+    * see a missing or half-merged partition. `computed_at` on merged
+    * rows is the merge time — latest-wins serving semantics see the
+    * correction as the freshest write, which it is. */
+  def mergeVersion(feature: String, version: String,
+      updates: DataFrame): Either[List[String], Long] = {
+    val fd = features.getOrElse(feature,
+      return Left(List(s"Feature '$feature' not found")))
+    if (!versions.contains((feature, version)))
+      return Left(List(s"Version '$version' of feature '$feature' not found"))
+    val cols = updates.columns
+    if (!cols.contains("entity_id") || cols.length != 2)
+      return Left(List("Merge updates must be (entity_id, value) columns"))
+    val valueCol = cols.filter(_ != "entity_id").head
+    val numeric = fd.featureType == "numeric"
+    val rows = updates
+      .select(col("entity_id").cast("string"),
+        (if (numeric) col(valueCol).cast("double")
+         else lit(null).cast("double")).as("value"),
+        (if (numeric) lit(null).cast("string")
+         else col(valueCol).cast("string")).as("value_str"),
+        lit(new java.sql.Timestamp(clock())).as("computed_at"),
+        lit(feature).as("feature_name"), lit(version).as("version"))
+    val n = rows.count()
+    format.merge(rows)
+    invalidateCache()
+    Right(n)
+  }
+
   private def store: DataFrame = format.read()
 
   /** Latest ACTIVE version per (entity, feature) — reference main.py:269's

@@ -1,6 +1,6 @@
 package graft.registry
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,25 +12,25 @@ import org.apache.spark.sql.functions._
   * format) slots in: each method maps 1:1 onto a Delta operation —
   * `append` → an ACID transactional append, `read` → a snapshot read,
   * `dropPartition` → `DELETE WHERE` + `VACUUM`, `optimize` →
-  * `OPTIMIZE` (small-file compaction). The r11 dependency probe found
-  * NO delta-spark artifact in the zero-egress mirror (recorded in
-  * SURVEY §5), so the shipped implementations are parquet-native with
-  * the same operation shapes; a `DeltaValueStore` implementing this
-  * trait is the drop-in once the dependency exists, and would retire
-  * the two documented parquet caveats for free (the S3A create-new
-  * lock, and [[ParquetValueStore.optimize]]'s non-transactional swap
-  * window).
+  * `OPTIMIZE` (small-file compaction), `merge` → `MERGE INTO` (the
+  * upsert/CDC-apply verb). The r11 dependency probe found NO
+  * delta-spark artifact in the zero-egress mirror (recorded in SURVEY
+  * §5), so the shipped implementations are parquet-native with the
+  * same operation shapes; a `DeltaValueStore` implementing this trait
+  * is the drop-in once the dependency exists.
   *
   * Contract notes shared by all implementations:
   *  - rows are the store's long format (entity_id, value, value_str,
   *    computed_at, feature_name, version), partitioned by
   *    (feature_name, version); each partition is written by EXACTLY ONE
   *    append ([[FeatureStore.computeVersion]] rejects duplicate
-  *    versions), so `optimize` compacts within one write's files, never
-  *    merges concurrent writers.
+  *    versions), so partition rewrites (`optimize`, `merge`) never
+  *    merge concurrent writers.
   *  - `read` returns a lazy frame whose plan prunes on the partition
   *    columns (PartitionFilters — the scale property the store's
   *    serving paths rely on).
+  *  - one (feature_name, version, entity_id) row per partition —
+  *    `merge` is keyed on entity_id under that contract.
   */
 trait ValueStoreFormat {
 
@@ -50,66 +50,232 @@ trait ValueStoreFormat {
     * already compact. */
   def optimize(feature: String, version: String,
       targetFiles: Int = 1): (Int, Int)
+
+  /** Delta-`MERGE INTO`-shaped upsert: `updates` rows (the store's
+    * long format, possibly spanning several (feature_name, version)
+    * partitions) REPLACE existing rows with the same entity_id in
+    * their partition and INSERT where the entity is new; untouched
+    * rows survive. A partition named by `updates` that does not exist
+    * yet is created (insert-only merge). The backfill-correction /
+    * late-data verb — the one lakehouse operation an append-only
+    * store cannot express. */
+  def merge(updates: DataFrame): Unit
 }
 
-/** Plain partitioned-parquet value store — the default format.
+/** Plain partitioned-parquet value store — the default format, with
+  * GENERATION-PINNED partition rewrites.
   *
-  * `optimize` rewrites a partition's files through a dot-prefixed temp
-  * directory (invisible to parquet discovery), verifies the row count
-  * on the files just written, then swaps delete+rename. The swap is
-  * the one NON-TRANSACTIONAL window of this format (a reader planning
-  * file listing in exactly that window can miss the partition) — run
-  * it in maintenance windows; this is precisely what Delta's OPTIMIZE
-  * does transactionally, and the caveat travels with the format, not
-  * the store. */
+  * Layout: a partition directory holds its initial append's files
+  * (generation 0, plain `part-*` names) or a rewrite's files
+  * (`g{N}-*` prefix), plus a one-line `_gen` pointer naming the
+  * CURRENT generation (absent → 0). Every rewrite (`optimize`,
+  * `merge`) writes the new generation's files ALONGSIDE the old ones,
+  * verifies them, and commits by atomically swapping the pointer
+  * (file-level FileContext rename-with-OVERWRITE — the repo's commit
+  * convention), then garbage-collects every generation except the new
+  * one and its predecessor. KEEP-TWO retention means a reader that
+  * planned against the previous generation keeps reading files that
+  * still exist for one full rewrite cycle — the D7/G17 contract,
+  * closing the r11 delete+rename race where a reader planning inside
+  * the swap window saw a missing partition. A crash before the
+  * pointer swap leaves invisible orphan files that the next rewrite's
+  * GC removes; there is NO window where the partition is absent or
+  * doubled.
+  *
+  * `read()` resolves each partition's current generation at PLAN time
+  * (a driver-side listing — the same file-listing cost parquet
+  * discovery pays) and hands Spark the explicit file list with
+  * `basePath`, so partition columns and PartitionFilters pruning
+  * behave exactly as directory discovery. [[readAsOf]] pins an older
+  * retained generation — the time-travel read. */
 final class ParquetValueStore(spark: SparkSession, path: String)
     extends ValueStoreFormat {
 
-  private def hfs = new Path(path)
-    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def hconf = spark.sparkContext.hadoopConfiguration
+  private def hfs = new Path(path).getFileSystem(hconf)
 
   private def partDir(feature: String, version: String) =
     new Path(s"$path/feature_name=$feature/version=$version")
+
+  private val GenFile = "_gen"
+  private val GenName = "^g(\\d+)-".r
+
+  private def fileGen(name: String): Long =
+    GenName.findFirstMatchIn(name).map(_.group(1).toLong).getOrElse(0L)
+
+  /** Current generation of a partition (pointer file; absent → 0). */
+  def currentGeneration(feature: String, version: String): Long = {
+    val p = new Path(partDir(feature, version), GenFile)
+    if (!hfs.exists(p)) 0L
+    else {
+      val in = hfs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def dataFiles(dir: Path): Seq[Path] =
+    if (!hfs.exists(dir)) Seq.empty
+    else hfs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") &&
+        !p.getName.startsWith("_") && !p.getName.startsWith("."))
+
+  private def genFiles(dir: Path, gen: Long): Seq[Path] =
+    dataFiles(dir).filter(p => fileGen(p.getName) == gen)
 
   override def append(rows: DataFrame): Unit =
     rows.write.mode("append").partitionBy("feature_name", "version")
       .parquet(path)
 
-  override def read(): DataFrame = spark.read.parquet(path)
+  /** All partitions' CURRENT-generation files (see class doc). No
+    * partitions yet → fall through to plain discovery so the empty /
+    * missing-path behavior matches `spark.read.parquet(path)`. */
+  override def read(): DataFrame = {
+    val files = listCurrentFiles()
+    if (files.isEmpty) spark.read.parquet(path)
+    else spark.read.option("basePath", path)
+      .parquet(files.map(_.toString): _*)
+  }
+
+  private def partitionDirs(): Seq[Path] = {
+    val root = new Path(path)
+    if (!hfs.exists(root)) Seq.empty
+    else for {
+      f <- hfs.listStatus(root).toSeq
+      if f.isDirectory && f.getPath.getName.startsWith("feature_name=")
+      v <- hfs.listStatus(f.getPath).toSeq
+      if v.isDirectory && v.getPath.getName.startsWith("version=")
+    } yield v.getPath
+  }
+
+  private def listCurrentFiles(): Seq[Path] =
+    partitionDirs().flatMap { d =>
+      val gp = new Path(d, GenFile)
+      val gen =
+        if (!hfs.exists(gp)) 0L
+        else {
+          val in = hfs.open(gp)
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim.toLong
+          finally in.close()
+        }
+      genFiles(d, gen)
+    }
+
+  /** Time-travel read of ONE partition at a pinned generation (must
+    * still be retained — keep-two holds the current and previous).
+    * Partition columns ride along via basePath, as in [[read]]. */
+  def readAsOf(feature: String, version: String, gen: Long): DataFrame = {
+    val dir = partDir(feature, version)
+    val files = genFiles(dir, gen)
+    require(files.nonEmpty,
+      s"generation $gen of ($feature, $version) has no files — retained " +
+        s"generations hold only the current and previous (keep-two)")
+    spark.read.option("basePath", path).parquet(files.map(_.toString): _*)
+  }
 
   override def dropPartition(feature: String, version: String): Unit = {
     val dir = partDir(feature, version)
     if (hfs.exists(dir)) hfs.delete(dir, true)
   }
 
-  private def dataFiles(dir: Path): Seq[Path] =
-    hfs.listStatus(dir).toSeq.map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet") &&
-        !p.getName.startsWith("_") && !p.getName.startsWith("."))
+  /** The shared rewrite protocol (see class doc): compute the new
+    * partition content from the current generation's rows, write it
+    * beside the data, verify `expect` on the rewrite, commit with the
+    * pointer swap, GC all but (new, previous). Returns the new
+    * generation's file list. */
+  private def rewrite(feature: String, version: String,
+      make: DataFrame => DataFrame,
+      expect: (DataFrame, DataFrame) => Unit): Seq[Path] = {
+    val dir = partDir(feature, version)
+    require(hfs.exists(dir), s"no partition ($feature, $version) at $path")
+    val curGen = currentGeneration(feature, version)
+    val curFiles = genFiles(dir, curGen)
+    require(curFiles.nonEmpty,
+      s"partition ($feature, $version) generation $curGen has no files")
+    val cur = spark.read.parquet(curFiles.map(_.toString): _*)
+    val tmp = new Path(s"$path/.rewrite-$feature-$version-tmp")
+    if (hfs.exists(tmp)) hfs.delete(tmp, true) // crashed pre-commit attempt
+    val out = make(cur)
+    out.write.mode("overwrite").parquet(tmp.toString)
+    val written = spark.read.parquet(tmp.toString)
+    expect(cur, written) // verify BEFORE anything becomes visible
+    // next generation: above every existing file's tag, so a crashed
+    // attempt's orphans can never collide with the new commit
+    val nextGen = (dataFiles(dir).map(p => fileGen(p.getName)) :+ curGen)
+      .max + 1L
+    hfs.listStatus(tmp).filter(s => s.isFile &&
+        s.getPath.getName.endsWith(".parquet"))
+      .foreach { s =>
+        require(hfs.rename(s.getPath,
+          new Path(dir, s"g$nextGen-${s.getPath.getName}")),
+          s"rename ${s.getPath} into $dir failed — commit not reached, " +
+            "current generation untouched")
+      }
+    hfs.delete(tmp, true)
+    // COMMIT: atomic pointer swap
+    val ptrTmp = new Path(dir, s"$GenFile.tmp")
+    val o = hfs.create(ptrTmp, true)
+    try o.write(nextGen.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally o.close()
+    val fc = FileContext.getFileContext(hfs.getUri, hconf)
+    fc.rename(fc.makeQualified(ptrTmp),
+      fc.makeQualified(new Path(dir, GenFile)), Options.Rename.OVERWRITE)
+    // keep-two GC: everything but the new and the just-superseded gen
+    dataFiles(dir)
+      .filter { p =>
+        val g = fileGen(p.getName); g != nextGen && g != curGen }
+      .foreach(p => hfs.delete(p, false))
+    genFiles(dir, nextGen)
+  }
 
   override def optimize(feature: String, version: String,
       targetFiles: Int = 1): (Int, Int) = {
     require(targetFiles >= 1, s"targetFiles $targetFiles must be >= 1")
     val dir = partDir(feature, version)
     require(hfs.exists(dir), s"no partition ($feature, $version) at $path")
-    val before = dataFiles(dir)
+    val before = genFiles(dir, currentGeneration(feature, version))
     if (before.length <= targetFiles) return (before.length, before.length)
-    val tmp = new Path(s"$path/.optimize-$feature-$version-tmp")
-    if (hfs.exists(tmp)) hfs.delete(tmp, true) // crashed prior attempt
-    val part = spark.read.parquet(dir.toString)
-    val nBefore = part.count()
-    part.repartition(targetFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
-    val nAfter = spark.read.parquet(tmp.toString).count()
-    require(nAfter == nBefore,
-      s"compaction rewrote $nAfter rows where the partition holds " +
-        s"$nBefore — aborting before the swap, original untouched")
-    // the non-transactional window: delete + rename (see class doc)
-    hfs.delete(dir, true)
-    require(hfs.rename(tmp, dir),
-      s"rename $tmp -> $dir failed after the delete — partition data is " +
-        s"in $tmp; rename it back manually")
-    (before.length, dataFiles(dir).length)
+    val after = rewrite(feature, version,
+      cur => cur.repartition(targetFiles),
+      (cur, written) => {
+        val (nb, na) = (cur.count(), written.count())
+        require(na == nb,
+          s"compaction rewrote $na rows where the partition holds $nb — " +
+            "aborting before the commit, current generation untouched")
+      })
+    (before.length, after.length)
+  }
+
+  override def merge(updates: DataFrame): Unit = {
+    val parts = updates.select("feature_name", "version").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    parts.foreach { case (f, v) =>
+      // partition values live in directory names, not files
+      val slice = updates
+        .filter(col("feature_name") === f && col("version") === v)
+        .drop("feature_name", "version")
+      if (!hfs.exists(partDir(f, v))) {
+        // insert-only merge into a partition that does not exist yet
+        append(slice.withColumn("feature_name", lit(f))
+          .withColumn("version", lit(v)))
+      } else {
+        // expected row count: |target| + |updates not matching| —
+        // re-derived on the written files before the commit
+        rewrite(f, v,
+          cur => graft.operators.Merge.upsert(cur, slice, "entity_id"),
+          (cur, written) => {
+            val inserted = slice.join(cur.select("entity_id"),
+              Seq("entity_id"), "left_anti").count()
+            val want = cur.count() + inserted
+            val got = written.count()
+            require(got == want,
+              s"merge of ($f, $v) wrote $got rows, expected $want — " +
+                "aborting before the commit, current generation untouched")
+          })
+      }
+    }
   }
 }
 
@@ -129,7 +295,17 @@ final class ParquetValueStore(spark: SparkSession, path: String)
   * rather than rewriting (a rewrite would have to reproduce the exact
   * bucket-file layout to keep serving shuffle-free — all cost, no
   * files saved). This is the same design point as Delta's
-  * optimized-write feature. */
+  * optimized-write feature.
+  *
+  * `merge` must preserve the bucket layout, so it re-APPENDS the
+  * merged partition through the bucketed writer: stage the merged
+  * rows to a dot-prefixed temp (the durable copy), VERIFY them, drop
+  * the partition, append from the stage, clear the stage. The drop →
+  * append gap is this format's non-transactional window; recovery is
+  * deterministic — a leftover stage beside a MISSING partition is a
+  * crashed merge's complete output and is replayed on the next merge
+  * touching that partition, a stage beside an INTACT partition is
+  * pre-drop garbage and is discarded. */
 final class BucketedParquetValueStore(spark: SparkSession, path: String,
     buckets: Int, table: String) extends ValueStoreFormat {
 
@@ -184,5 +360,56 @@ final class BucketedParquetValueStore(spark: SparkSession, path: String,
     }
     // born compact by the optimized write (class doc); nothing to do
     (n, n)
+  }
+
+  private def stageDir(feature: String, version: String) =
+    new Path(s"$path/.merge-$feature-$version-stage")
+
+  override def merge(updates: DataFrame): Unit = {
+    ensureTable()
+    val parts = updates.select("feature_name", "version").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    parts.foreach { case (f, v) =>
+      val dir = new Path(s"$path/feature_name=$f/version=$v")
+      val stage = stageDir(f, v)
+      if (hfs.exists(stage)) {
+        if (!hfs.exists(dir)) {
+          // crashed prior merge: the stage is the complete merged
+          // partition — replay the publish before merging anew
+          appendStage(f, v)
+        } else hfs.delete(stage, true) // pre-drop garbage
+      }
+      val slice = updates
+        .filter(col("feature_name") === f && col("version") === v)
+        .drop("feature_name", "version")
+      if (!hfs.exists(dir)) {
+        append(slice.withColumn("feature_name", lit(f))
+          .withColumn("version", lit(v)))
+      } else {
+        val cur = spark.table(table)
+          .filter(col("feature_name") === f && col("version") === v)
+          .drop("feature_name", "version")
+        val merged = graft.operators.Merge.upsert(cur, slice, "entity_id")
+        merged.write.mode("overwrite").parquet(stage.toString)
+        val inserted = slice.join(cur.select("entity_id"),
+          Seq("entity_id"), "left_anti").count()
+        val want = cur.count() + inserted
+        val got = spark.read.parquet(stage.toString).count()
+        require(got == want,
+          s"merge of ($f, $v) staged $got rows, expected $want — " +
+            "aborting before the drop, partition untouched")
+        // the non-transactional window (class doc): drop then publish
+        dropPartition(f, v)
+        appendStage(f, v)
+      }
+    }
+  }
+
+  /** Publish a verified stage: bucketed append, then clear it. */
+  private def appendStage(f: String, v: String): Unit = {
+    val stage = stageDir(f, v)
+    append(spark.read.parquet(stage.toString)
+      .withColumn("feature_name", lit(f)).withColumn("version", lit(v)))
+    hfs.delete(stage, true)
   }
 }

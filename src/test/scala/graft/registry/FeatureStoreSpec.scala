@@ -252,6 +252,8 @@ class FeatureStoreSpec extends SparkSpec {
         calls += s"drop:$f/$v"; inner.dropPartition(f, v) }
       def optimize(f: String, v: String, t: Int): (Int, Int) = {
         calls += s"optimize:$f/$v"; inner.optimize(f, v, t) }
+      def merge(updates: org.apache.spark.sql.DataFrame): Unit = {
+        calls += "merge"; inner.merge(updates) }
     }
     val fs = new FeatureStore(spark, s"$dir/values", () => now,
       valueFormat = Some(counted))
@@ -262,10 +264,14 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fs.computeVersion("total_spend", "v1").isRight)
     assert(fs.featureVectors().count() > 0)
     assert(fs.optimizeVersion("total_spend", "v1").isRight)
+    import spark.implicits._
+    assert(fs.mergeVersion("total_spend", "v1",
+      Seq(("42", 1.0)).toDF("entity_id", "value")).isRight)
     fs.archive("total_spend", "v1")
     assert(fs.purgeArchived() === Seq(("total_spend", "v1")))
     assert(calls.contains("append") && calls.contains("read") &&
       calls.contains("optimize:total_spend/v1") &&
+      calls.contains("merge") &&
       calls.contains("drop:total_spend/v1"),
       s"every physical operation must route through the seam, saw $calls")
   }
