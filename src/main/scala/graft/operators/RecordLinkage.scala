@@ -122,16 +122,101 @@ object RecordLinkage {
       .select(col("id_a"), col("id_b"), score.as("score"))
   }
 
-  /** The full pipeline: block → score → threshold → connected
-    * components. Every record returns (id, entity_id, keep): linked
-    * records share the min-member entity_id, the min-id member keeps
-    * (the repo keeper convention); singletons are their own entity. */
-  def link(records: DataFrame, id: String, blockingKeys: Seq[Column],
-      fields: Seq[FieldSim], threshold: Double,
-      maxBlockSize: Int = 1000): DataFrame = {
+  /** SORTED-NEIGHBORHOOD candidate pairs — the standard recall rescue
+    * when no clean blocking key exists (a typo'd zip code silently
+    * exiles a true duplicate from its exact block; a SORT mostly keeps
+    * near-identical records adjacent). Records are globally ordered by
+    * `sortKey` and every two records within `window` positions become a
+    * candidate pair: O(n·window) pairs by construction — the window IS
+    * the block cap, so no degenerate-key failure mode exists (ties
+    * beyond the window are the scheme's documented recall limit; run a
+    * second pass with a different sort key, exactly like multi-pass
+    * blocking).
+    *
+    * Scale: one range-partitioned sort (the repo's no-single-partition-
+    * window rule — ranks come from the classic zipWithIndex two-pass,
+    * never a global `Window.orderBy`), then each record lands in TWO
+    * rank buckets of width `window` so every within-window pair shares
+    * ≥ 1 bucket; the bucket self-join is bounded by 2·window rows per
+    * bucket. */
+  def sortedNeighborhoodPairs(records: DataFrame, id: String,
+      sortKey: Column, window: Int): DataFrame = {
+    require(window >= 2 && window <= 100000,
+      s"window $window must be in [2, 100000] — pairs are O(n*window)")
+    val spark = records.sparkSession
+    val keyed = records.select(col(id).as("_id"), sortKey.as("_sk"))
+      .filter(col("_sk").isNotNull)
+    val npart = math.max(1, spark.sparkContext.defaultParallelism)
+    val sorted = keyed.repartitionByRange(npart, col("_sk"), col("_id"))
+      .sortWithinPartitions("_sk", "_id")
+    val ranked = spark.createDataFrame(
+      sorted.select("_id").rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row(r.get(0), i) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_id",
+          keyed.schema("_id").dataType),
+        org.apache.spark.sql.types.StructField("_rank",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val w = window.toLong
+    val e = ranked.select(col("_id"), col("_rank"),
+      explode(array((col("_rank") / w).cast("long"),
+        (col("_rank") / w).cast("long") + 1L)).as("_bkt"))
+    e.as("a").join(e.as("b"),
+        col("a._bkt") === col("b._bkt") &&
+          col("a._rank") < col("b._rank") &&
+          col("b._rank") - col("a._rank") < w)
+      .select(least(col("a._id"), col("b._id")).as("id_a"),
+        greatest(col("a._id"), col("b._id")).as("id_b"))
+      .distinct()
+  }
+
+  /** Q-GRAM candidate pairs — fuzzy blocking on a single dirty field:
+    * two records become candidates when they share ANY character
+    * q-gram of `field` (lowercased), so a one-character typo (which
+    * breaks at most q grams) still leaves the duplicate discoverable
+    * through every other gram. The opposite trade from exact blocking:
+    * near-perfect recall on typo'd keys, more candidates to score.
+    *
+    * Frequent grams are the degenerate blocks here ("er " appears in
+    * half the roster). `dfCap` drops grams shared by more than that
+    * many records from BLOCKING only (the NgramDedup df-capped-blocking
+    * discipline: verification stays exact in scorePairs, so dropping a
+    * frequent gram can only cost candidate recall for pairs whose
+    * EVERY shared gram is frequent — not the typo'd-duplicate shape).
+    * The df cap IS this scheme's block cap — every surviving block is
+    * ≤ dfCap records by construction, so unlike exact blocking there is
+    * no degenerate-key crash mode to guard loudly. */
+  def qgramPairs(records: DataFrame, id: String, field: String,
+      q: Int = 3, dfCap: Int = 500): DataFrame = {
+    require(q >= 2 && q <= 8, s"q $q must be in [2, 8]")
+    require(dfCap >= 2, s"dfCap $dfCap must be >= 2")
+    val grams = records
+      .select(col(id).as("_id"), lower(col(field)).as("_s"))
+      .filter(col("_s").isNotNull && length(col("_s")) >= q)
+      .select(col("_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, length(_s) - ${q - 1}), " +
+          s"i -> substring(_s, i, $q))"))).as("_blk"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_blk"))
+    val kept = grams
+      .withColumn("_n", count(lit(1)).over(w))
+      .filter(col("_n") <= dfCap) // df-capped blocking (see scaladoc)
+      .select(col("_id"), col("_blk"))
+    kept.as("a").join(kept.as("b"),
+        col("a._blk") === col("b._blk") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+  }
+
+  /** Score → threshold → connected components over caller-supplied
+    * candidate pairs — the composition point for every blocking
+    * scheme ([[candidatePairs]], [[sortedNeighborhoodPairs]],
+    * [[qgramPairs]], or their union for multi-pass blocking). Every
+    * record returns (id, entity_id, keep) under the min-id keeper
+    * convention. */
+  def linkWithPairs(records: DataFrame, id: String, candidates: DataFrame,
+      fields: Seq[FieldSim], threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold $threshold")
-    val pairs = scorePairs(records,
-        candidatePairs(records, id, blockingKeys, maxBlockSize), id, fields)
+    val pairs = scorePairs(records, candidates, id, fields)
       .filter(col("score") >= threshold)
     val comps = DedupClusters.connectedComponents(pairs, "id_a", "id_b")
       .select(col("id").as("_cid"), col("comp"))
@@ -140,6 +225,17 @@ object RecordLinkage {
       .select(col(id), coalesce(col("comp"), col(id)).as("entity_id"))
       .withColumn("keep", col(id) === col("entity_id"))
   }
+
+  /** The full pipeline: block → score → threshold → connected
+    * components. Every record returns (id, entity_id, keep): linked
+    * records share the min-member entity_id, the min-id member keeps
+    * (the repo keeper convention); singletons are their own entity. */
+  def link(records: DataFrame, id: String, blockingKeys: Seq[Column],
+      fields: Seq[FieldSim], threshold: Double,
+      maxBlockSize: Int = 1000): DataFrame =
+    linkWithPairs(records, id,
+      candidatePairs(records, id, blockingKeys, maxBlockSize), fields,
+      threshold)
 
   /** The two frames a delta linkage produces. */
   final case class DeltaLink(assignments: DataFrame, mergeCandidates: DataFrame)
