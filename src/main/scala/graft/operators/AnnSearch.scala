@@ -29,12 +29,25 @@ object AnnSearch {
     * few bytes per cell instead of the embedding arrays. */
   def sketchCells(vecs: DataFrame, id: String, dims: Int,
       tables: Int, planesPerTable: Int): DataFrame = {
+    // Codegen-size discipline: each table's plane matrix rides the plan
+    // as ONE typedLit object reference (generated code indexes
+    // `references[]`), never as tables×planes×dims inline constants —
+    // the r11 sizing (24 tables × 15 planes × 64 dims ≈ 23k literals)
+    // pushed the generated projection past the JVM's 64 KB method limit
+    // and the whole stage fell back to interpreted execution. The
+    // bucket is assembled by a runtime fold over planes (descending, so
+    // acc·2 + bit reproduces Σ bit_p·2^p exactly): generated code is
+    // O(tables), independent of planes and dims, and the per-row
+    // arithmetic (one vecDot per plane, one shifted add) is unchanged.
     val cells = (0 until tables).map { t =>
-      val bucket = (0 until planesPerTable).map { p =>
-        val signs = array((0 until dims).map(i => lit(planeSign(t, p, i))): _*)
-        when(VecDot.vecDot(col("embedding"), signs) > 0, shiftleft(lit(1L), p))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
+      val planesLit = typedLit((0 until planesPerTable).map(p =>
+        (0 until dims).map(i => planeSign(t, p, i))))
+      val bucket = aggregate(
+        sequence(lit(planesPerTable - 1), lit(0), lit(-1)),
+        lit(0L),
+        (acc, p) => acc * 2 + when(
+          VecDot.vecDot(col("embedding"),
+            element_at(planesLit, p + 1)) > 0, lit(1L)).otherwise(lit(0L)))
       struct(lit(t).as("table_idx"), bucket.as("bucket"))
     }
     vecs.select(col(id), explode(array(cells: _*)).as("cell"))

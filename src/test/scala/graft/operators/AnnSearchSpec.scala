@@ -41,4 +41,56 @@ class AnnSearchSpec extends SparkSpec {
       .agg(sum(col("count") * col("count"))).first().getLong(0)
     assert(cands < n * n / 2, s"bucketed comparisons $cands must prune ${n * n}")
   }
+
+  test("sketch codegen survives the r11 pathological sizing (24x15x64) " +
+    "without the 64 KB whole-stage fallback; buckets pinned to the " +
+    "plane convention") {
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.{LogEvent, Logger => CoreLogger}
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    val dims = 64; val tables = 24; val planes = 15
+    // all-ones vector: each plane's dot is an exact small integer
+    // (#pos - #neg signs), so the float/double sign agrees exactly and
+    // the expected buckets are reproducible driver-side
+    import spark.implicits._
+    val v = Seq.fill(dims)(1.0f)
+    val df = Seq((1L, v)).toDF("vec_id", "embedding")
+    // replicate the plane convention (pins it: a silent change to the
+    // seeded-sign rule would re-bucket every stored sketch)
+    def sign(t: Int, p: Int, i: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$t:$p:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2 == 0) 1
+      else -1
+    }
+    val want = (0 until tables).map { t =>
+      (t, (0 until planes).map { p =>
+        val dot = (0 until dims).map(i => sign(t, p, i)).sum
+        if (dot > 0) 1L << p else 0L
+      }.sum)
+    }.toMap
+    val captured = collection.mutable.ArrayBuffer.empty[String]
+    val appender = new AbstractAppender("graft-codegen-capture", null,
+        null, false, org.apache.logging.log4j.core.config.Property
+          .EMPTY_ARRAY) {
+      override def append(e: LogEvent): Unit =
+        captured.synchronized {
+          captured += e.getMessage.getFormattedMessage }
+    }
+    appender.start()
+    val root = LogManager.getRootLogger.asInstanceOf[CoreLogger]
+    root.addAppender(appender)
+    val got =
+      try AnnSearch.sketchCells(df, "vec_id", dims, tables, planes)
+        .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+      finally { root.removeAppender(appender); appender.stop() }
+    assert(got == want, s"bucket convention moved: ${got.toSeq.sorted}")
+    val fallback = captured.filter(m =>
+      m.contains("grows beyond 64 KB") ||
+        m.contains("too long generated codes") ||
+        m.contains("hugeMethodLimit") ||
+        m.contains("Whole-stage codegen disabled"))
+    assert(fallback.isEmpty, fallback.mkString("\n"))
+  }
 }
