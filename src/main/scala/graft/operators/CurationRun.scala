@@ -138,7 +138,8 @@ object CurationRun {
           rowsIn = rowsOut
       }
     }
-    writeManifest(spark, workDir, reports.toSeq)
+    writeManifest(spark, workDir, reports.toSeq,
+      stages.zipWithIndex.map { case (st, i) => s"stage_${i}_${st.name}" })
     (cur, reports.toSeq)
   }
 
@@ -162,19 +163,177 @@ object CurationRun {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Human/tool-readable run report (an OUTPUT, not a commit point —
-    * the per-stage `_meta` markers carry the resume state). */
+  /** Human/tool-readable run report AND the GC's liveness reference
+    * (see [[gc]]) — committed atomically (temp + rename-with-overwrite)
+    * so a crash mid-write can never leave a truncated manifest that a
+    * later GC would misread as "nothing is live". The per-stage `_meta`
+    * markers still carry the RESUME state; the manifest records which
+    * directories the LAST run touched. */
   private def writeManifest(spark: SparkSession, workDir: String,
-      reports: Seq[StageReport]): Unit = {
-    val body = reports.map { r =>
-      s"""{"stage":"${r.stage}","rows_in":${r.rowsIn},""" +
+      reports: Seq[StageReport], dirs: Seq[String]): Unit = {
+    val body = reports.zip(dirs).map { case (r, d) =>
+      s"""{"stage":"${r.stage}","dir":"$d","rows_in":${r.rowsIn},""" +
         s""""rows_out":${r.rowsOut},"dropped":${r.dropped},""" +
         s""""wall_ms":${math.round(r.wallSec * 1000)},"reused":${r.reused}}"""
     }.mkString("[\n  ", ",\n  ", "\n]\n")
     val p = new Path(s"$workDir/manifest.json")
+    val tmp = new Path(s"$workDir/manifest.json.tmp")
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = f.create(p, true)
+    val out = f.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(p),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  // ---- DAG execution (r11 directive 8) --------------------------------------
+
+  /** One DAG stage: named inputs instead of a single upstream. `deps`
+    * name either entries of the run's `inputs` map or other stages;
+    * `fn` receives exactly those frames keyed by dep name. Identity
+    * for resume is (name, sorted deps) — changing either lands in a
+    * fresh/invalidated directory; changing the IMPLEMENTATION under an
+    * unchanged name is invisible, bump the name (the linear contract). */
+  final case class DagStage(name: String, deps: Seq[String],
+      fn: Map[String, DataFrame] => DataFrame) {
+    require(name.matches("[A-Za-z0-9_\\-]{1,64}"),
+      s"stage name '$name' must be [A-Za-z0-9_-]{1,64}")
+    require(deps.nonEmpty, s"stage '$name' needs at least one dep")
+    require(deps.distinct.size == deps.size,
+      s"stage '$name' lists a duplicate dep")
+  }
+
+  private def dagDir(workDir: String, name: String): String =
+    s"$workDir/dag_$name"
+
+  /** Run (or resume) a DAG of stages over named `inputs`. Fan-in and
+    * fan-out are first-class: a diamond (A → B, A → C, {B,C} → D)
+    * recomputes only the invalidated cone — B's crash leaves A
+    * committed, and the re-run reuses A, recomputes B, reuses C (its
+    * own deps intact), recomputes D (it sits on a recomputed input).
+    * The reuse rule generalizes the linear longest-committed-prefix:
+    * a stage reuses iff its marker matches (name + deps) AND every dep
+    * stage was itself reused — a reused output never sits on a
+    * recomputed input. Inputs are the run's roots and count as intact
+    * (the same trust the linear form places in `input`). Returns every
+    * stage's frame by name plus the lineage reports in topological
+    * order. */
+  def runDag(spark: SparkSession, inputs: Map[String, DataFrame],
+      stages: Seq[DagStage], workDir: String)
+      : (Map[String, DataFrame], Seq[StageReport]) = {
+    require(stages.nonEmpty, "at least one stage")
+    require(stages.map(_.name).distinct.size == stages.size,
+      "duplicate stage names")
+    val stageNames = stages.map(_.name).toSet
+    require(inputs.keySet.intersect(stageNames).isEmpty,
+      s"stage names shadow inputs: ${inputs.keySet.intersect(stageNames)}")
+    stages.foreach(s => s.deps.foreach(d =>
+      require(inputs.contains(d) || stageNames(d),
+        s"stage '${s.name}' depends on unknown '$d'")))
+    // Kahn topological order; cycles refuse loudly
+    val byName = stages.map(s => s.name -> s).toMap
+    val order = scala.collection.mutable.ArrayBuffer.empty[DagStage]
+    val done = scala.collection.mutable.Set.empty[String] ++ inputs.keySet
+    var remaining = stages
+    while (remaining.nonEmpty) {
+      val (ready, blocked) = remaining.partition(_.deps.forall(done))
+      require(ready.nonEmpty,
+        s"dependency cycle among: ${blocked.map(_.name).mkString(", ")}")
+      ready.foreach { s => order += s; done += s.name }
+      remaining = blocked
+    }
+    val frames =
+      scala.collection.mutable.Map.empty[String, DataFrame] ++ inputs
+    // inputs are intact roots
+    val reused =
+      scala.collection.mutable.Set.empty[String] ++ inputs.keySet
+    val reports = scala.collection.mutable.ArrayBuffer.empty[StageReport]
+    order.foreach { st =>
+      val dir = dagDir(workDir, st.name)
+      val depKey = st.deps.sorted.mkString(",")
+      val committed =
+        if (st.deps.forall(reused) && metaExists(spark, dir)) {
+          val kv = ModelStore.readMeta(spark, dir, "curation dag stage")
+          if (kv.getOrElse("kind", "?") == "curation_dag_stage" &&
+              kv.getOrElse("stage", "?") == st.name &&
+              kv.getOrElse("deps", "?") == depKey) Some(kv)
+          else None // deps changed: stale identity, recompute
+        } else None
+      committed match {
+        case Some(kv) =>
+          reports += StageReport(st.name, kv("rows_in").toLong,
+            kv("rows_out").toLong, kv("wall_ms").toLong / 1e3,
+            reused = true)
+          frames(st.name) = readStage(spark, dir,
+            org.apache.spark.sql.types.DataType.fromJson(kv("schema"))
+              .asInstanceOf[org.apache.spark.sql.types.StructType])
+          reused += st.name
+        case None =>
+          // decertify BEFORE recompute (the linear-path invariant)
+          if (metaExists(spark, dir)) {
+            val p = ModelStore.metaPath(dir)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(p, false)
+          }
+          val t0 = System.nanoTime()
+          val depFrames = st.deps.map(d => d -> frames(d)).toMap
+          val rowsIn = depFrames.valuesIterator.map(_.count()).sum
+          val out = st.fn(depFrames)
+          out.write.mode("overwrite").parquet(s"$dir/data")
+          val result = readStage(spark, dir, out.schema)
+          val rowsOut = result.count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          ModelStore.writeMeta(spark, dir, Seq(
+            "kind" -> "curation_dag_stage", "stage" -> st.name,
+            "deps" -> depKey, "rows_in" -> rowsIn.toString,
+            "rows_out" -> rowsOut.toString, "schema" -> out.schema.json,
+            "wall_ms" -> math.round(wall * 1000).toString))
+          reports += StageReport(st.name, rowsIn, rowsOut, wall,
+            reused = false)
+          frames(st.name) = result
+      }
+    }
+    writeManifest(spark, workDir, reports.toSeq,
+      order.map(s => s"dag_${s.name}").toSeq)
+    ((frames -- inputs.keySet).toMap, reports.toSeq)
+  }
+
+  // ---- checkpoint GC ---------------------------------------------------------
+
+  /** Delete superseded stage directories: every `stage_*` / `dag_*`
+    * directory under `workDir` that the LIVE manifest (the last
+    * completed run's, written atomically) does not reference. Renamed
+    * or removed stages leave orphan checkpoints forever otherwise —
+    * the retention gap G29 shipped with. Refuses without a readable
+    * manifest (no liveness reference → nothing is provably dead) and
+    * never touches a directory the manifest names, committed or not.
+    * Returns the deleted directory names. */
+  def gc(spark: SparkSession, workDir: String): Seq[String] = {
+    val root = new Path(workDir)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mp = new Path(s"$workDir/manifest.json")
+    require(f.exists(mp),
+      s"no manifest.json at $workDir — run the pipeline before gc " +
+        "(the manifest is the liveness reference)")
+    val in = f.open(mp)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    // live dirs: the "dir" fields of the manifest (written by this
+    // object). Legacy manifests (pre-"dir") refuse: their entries name
+    // stages but not directories, and guessing is how GC eats data.
+    val dirRe = """"dir":"([^"]+)"""".r
+    val live = dirRe.findAllMatchIn(text).map(_.group(1)).toSet
+    require(live.nonEmpty,
+      s"manifest at $workDir carries no dir entries (legacy or " +
+        "truncated) — re-run the pipeline to refresh it before gc")
+    val victims = f.listStatus(root).toSeq
+      .filter(s => s.isDirectory &&
+        (s.getPath.getName.startsWith("stage_") ||
+          s.getPath.getName.startsWith("dag_")) &&
+        !live(s.getPath.getName))
+    victims.foreach(s => f.delete(s.getPath, true))
+    victims.map(_.getPath.getName)
   }
 }

@@ -162,6 +162,126 @@ class CurationRunSpec extends SparkSpec {
     assert(!blocked.publishable)
   }
 
+  // ---- DAG execution + GC (r11 directive 8) --------------------------------
+
+  import CurationRun.DagStage
+
+  private def countedDag(name: String, deps: Seq[String])(
+      fn: Map[String, DataFrame] => DataFrame) =
+    DagStage(name, deps, m => { calls.incrementAndGet(); fn(m) })
+
+  /** diamond: docs → a → (b, c) → d (fan-out then fan-in) */
+  private def diamond = Seq(
+    countedDag("a", Seq("docs"))(m =>
+      m("docs").filter(col("n_chars") >= 50)),
+    countedDag("b", Seq("a"))(m => m("a").filter(col("lang") === "en")),
+    countedDag("c", Seq("a"))(m => m("a").filter(col("lang") =!= "en")),
+    countedDag("d", Seq("b", "c"))(m =>
+      m("b").unionByName(m("c")).drop("text")))
+
+  test("diamond DAG: fresh run computes all, full re-run reuses all, " +
+    "result matches the direct composition") {
+    val wd = tmp()
+    calls.set(0)
+    val (frames, reps) = CurationRun.runDag(spark,
+      Map("docs" -> docs), diamond, wd)
+    assert(calls.get() == 4)
+    assert(reps.map(_.reused) == Seq(false, false, false, false))
+    val direct = docs.filter(col("n_chars") >= 50).drop("text")
+    assert(frames("d").orderBy("doc_id").collect().toSeq ==
+      direct.select(frames("d").columns.map(col): _*)
+        .orderBy("doc_id").collect().toSeq)
+    calls.set(0)
+    val (_, reps2) = CurationRun.runDag(spark,
+      Map("docs" -> docs), diamond, wd)
+    assert(calls.get() == 0)
+    assert(reps2.forall(_.reused))
+  }
+
+  test("diamond resume: invalidating one branch recomputes exactly its " +
+    "cone — the sibling branch reuses") {
+    val wd = tmp()
+    CurationRun.runDag(spark, Map("docs" -> docs), diamond, wd)
+    // crash b (marker gone, data stays): the recompute cone is {b, d};
+    // a and c sit outside it
+    assert(new java.io.File(s"$wd/dag_b/_meta").delete())
+    calls.set(0)
+    val (_, reps) = CurationRun.runDag(spark,
+      Map("docs" -> docs), diamond, wd)
+    val byName = reps.map(r => r.stage -> r.reused).toMap
+    assert(byName == Map("a" -> true, "b" -> false, "c" -> true,
+      "d" -> false), byName.toString)
+    assert(calls.get() == 2)
+  }
+
+  test("a dep-list change invalidates the stage even with a marker " +
+    "present (identity is name + deps)") {
+    val wd = tmp()
+    CurationRun.runDag(spark, Map("docs" -> docs), diamond, wd)
+    // d now reads only b
+    val redone = diamond.updated(3,
+      countedDag("d", Seq("b"))(m => m("b").drop("text")))
+    calls.set(0)
+    val (_, reps) = CurationRun.runDag(spark,
+      Map("docs" -> docs), redone, wd)
+    val reusedByName = reps.map(r => r.stage -> r.reused).toMap
+    assert(!reusedByName("d"))
+    assert(calls.get() == 1)
+  }
+
+  test("dag validation: cycles, unknown deps, shadowed inputs refuse") {
+    val wd = tmp()
+    intercept[IllegalArgumentException] {
+      CurationRun.runDag(spark, Map("docs" -> docs), Seq(
+        DagStage("x", Seq("y"), m => m("y")),
+        DagStage("y", Seq("x"), m => m("x"))), wd)
+    }
+    intercept[IllegalArgumentException] {
+      CurationRun.runDag(spark, Map("docs" -> docs),
+        Seq(DagStage("x", Seq("nope"), m => m("nope"))), wd)
+    }
+    intercept[IllegalArgumentException] {
+      CurationRun.runDag(spark, Map("docs" -> docs),
+        Seq(DagStage("docs", Seq("docs"), m => m("docs"))), wd)
+    }
+  }
+
+  test("gc deletes superseded stage dirs, never a dir the live manifest " +
+    "references, and refuses without a manifest") {
+    val wd = tmp()
+    intercept[IllegalArgumentException](CurationRun.gc(spark, wd + "/x"))
+    CurationRun.run(spark, docs, stages, wd)
+    // a rename supersedes stage_1_en_only; the re-run's manifest is live
+    val renamed = stages.updated(1,
+      counted("en_only_v2")(_.filter(col("lang") === "en")))
+    CurationRun.run(spark, docs, renamed, wd)
+    assert(new java.io.File(s"$wd/stage_1_en_only").exists())
+    val deleted = CurationRun.gc(spark, wd)
+    assert(deleted == Seq("stage_1_en_only"), deleted.toString)
+    assert(!new java.io.File(s"$wd/stage_1_en_only").exists())
+    // every live dir survived and the pipeline still resumes for free
+    calls.set(0)
+    val (_, reps) = CurationRun.run(spark, docs, renamed, wd)
+    assert(reps.forall(_.reused) && calls.get() == 0)
+    // idempotent: nothing left to collect
+    assert(CurationRun.gc(spark, wd).isEmpty)
+  }
+
+  test("gc across forms: a dag manifest protects dag dirs; linear " +
+    "leftovers in the same workDir are collected") {
+    val wd = tmp()
+    CurationRun.run(spark, docs, stages, wd) // linear run first
+    CurationRun.runDag(spark, Map("docs" -> docs), diamond, wd)
+    // the dag manifest is now live; the linear dirs are superseded
+    val deleted = CurationRun.gc(spark, wd).sorted
+    assert(deleted == Seq("stage_0_drop_short", "stage_1_en_only",
+      "stage_2_strip_text"), deleted.toString)
+    calls.set(0)
+    val (_, reps) = CurationRun.runDag(spark,
+      Map("docs" -> docs), diamond, wd)
+    assert(reps.forall(_.reused) && calls.get() == 0)
+  }
+
   test("dropped accounting: rowsIn - rowsOut per stage") {
     val wd = tmp()
     val (_, reps) = CurationRun.run(spark, docs, stages, wd)
