@@ -166,9 +166,39 @@ object Merge {
       |SELECT t.doc_id, t.text, t.lang FROM t
       |WHERE t.doc_id NOT IN (SELECT doc_id FROM u)""".stripMargin
 
+  /** Gated entry (`change_set`): the CDC-feed rule against ground
+    * truth — the snap_diff snapshots (every status occurs), exact
+    * comparison mode so DuckDB re-derives the feed with its own full
+    * outer join: upserts carry cur's row, deletes carry the key with a
+    * NULL payload, unchanged keys are absent. */
+  def changeSetGate(spark: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, d).select("doc_id", "text")
+    val old = docs.filter(col("doc_id") % 7 =!= 2)
+    val cur = docs.filter(col("doc_id") % 7 =!= 1)
+      .withColumn("text", when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+    changeSet(old, cur, "doc_id").withColumnRenamed("_op", "op")
+  }
+
+  val changeSetSql: String =
+    """WITH old AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 2),
+      |cur AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 1)
+      |SELECT coalesce(old.doc_id, cur.doc_id) AS doc_id,
+      |  cur.text AS text,
+      |  CASE WHEN cur.doc_id IS NULL THEN 'delete' ELSE 'upsert' END AS op
+      |FROM old FULL OUTER JOIN cur ON old.doc_id = cur.doc_id
+      |WHERE cur.doc_id IS NULL OR old.doc_id IS NULL
+      |   OR old.text IS DISTINCT FROM cur.text""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "merge_upsert" -> mergeUpsert _)
+    "merge_upsert" -> mergeUpsert _,
+    "change_set" -> changeSetGate _)
 
   val oracles: Map[String, String] = Map(
-    "merge_upsert" -> mergeUpsertSql)
+    "merge_upsert" -> mergeUpsertSql,
+    "change_set" -> changeSetSql)
 }

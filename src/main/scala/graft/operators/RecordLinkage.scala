@@ -395,9 +395,75 @@ object RecordLinkage {
       |  r.id = COALESCE(cc.comp, r.id) AS keep
       |FROM records r LEFT JOIN cc ON r.id = cc.id""".stripMargin
 
+  /** The gate roster (shared by the blocking gates): base customers
+    * with synthetic distinctive names + the shifted-id typo'd dupes —
+    * the record_link fixture without the linkage tail. */
+  private def gateRoster(spark: SparkSession, d: String): DataFrame = {
+    val base = graft.Tables.load(spark, d, "customer")
+      .select(col("c_custkey").as("id"),
+        concat(lit("cust_"), col("c_custkey"), lit("_"),
+          substring(md5(col("c_custkey").cast("string")), 1, 6)).as("name"))
+    base.unionByName(base.filter(col("id") % 10 === 0)
+      .select((col("id") + 100000L).as("id"),
+        concat(lit("kust_"), expr("substring(name, 6)")).as("name")))
+  }
+
+  private val gateRosterSql: String =
+    """base AS (
+      |  SELECT c_custkey AS id,
+      |    'cust_' || c_custkey || '_' ||
+      |      substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6) AS name
+      |  FROM customer),
+      |records AS (
+      |  SELECT * FROM base
+      |  UNION ALL
+      |  SELECT id + 100000, 'kust_' || substr(name, 6) FROM base
+      |  WHERE id % 10 = 0)""".stripMargin
+
+  /** Gated entry (`qgram_pairs`): df-capped 4-gram blocking on the
+    * dirty roster — exact counting on both engines (gram extraction,
+    * the df cap, the id_a < id_b pair rule are all integer/string
+    * exact). */
+  def qgramPairsGate(spark: SparkSession, d: String): DataFrame =
+    qgramPairs(gateRoster(spark, d), "id", "name", q = 4, dfCap = 50)
+
+  val qgramPairsSql: String =
+    s"""WITH $gateRosterSql,
+      |g AS (
+      |  SELECT id, unnest(list_distinct(list_transform(
+      |    range(1, len(lower(name)) - 2), i -> substr(lower(name), i, 4))))
+      |    AS gram
+      |  FROM records WHERE len(name) >= 4),
+      |keep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 50),
+      |gk AS (SELECT g.id, g.gram FROM g JOIN keep USING (gram))
+      |SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |FROM gk a JOIN gk b ON a.gram = b.gram AND a.id < b.id""".stripMargin
+
+  /** Gated entry (`sorted_pairs`): sorted-neighborhood blocking on the
+    * same roster — the global (name, id) order and the window-of-8
+    * pair rule are exactly re-derivable via row_number in DuckDB. */
+  def sortedPairsGate(spark: SparkSession, d: String): DataFrame =
+    sortedNeighborhoodPairs(gateRoster(spark, d), "id", col("name"),
+      window = 8)
+
+  val sortedPairsSql: String =
+    s"""WITH $gateRosterSql,
+      |r AS (
+      |  SELECT id, row_number() OVER (ORDER BY name, id) - 1 AS rnk
+      |  FROM records),
+      |p AS (
+      |  SELECT a.id AS x, b.id AS y FROM r a JOIN r b
+      |  ON b.rnk > a.rnk AND b.rnk - a.rnk < 8)
+      |SELECT DISTINCT least(x, y) AS id_a, greatest(x, y) AS id_b
+      |FROM p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "record_link" -> recordLink _)
+    "record_link" -> recordLink _,
+    "qgram_pairs" -> qgramPairsGate _,
+    "sorted_pairs" -> sortedPairsGate _)
 
   val oracles: Map[String, String] = Map(
-    "record_link" -> recordLinkSql)
+    "record_link" -> recordLinkSql,
+    "qgram_pairs" -> qgramPairsSql,
+    "sorted_pairs" -> sortedPairsSql)
 }
