@@ -227,7 +227,49 @@ object Layout {
       dir: String, numFiles: Int, zCols: Seq[String],
       bitsPerCol: Int = 8, relErr: Double = 1e-3,
       maxRecordsPerFile: Long = 0L,
+      statsCols: Seq[String] = Seq.empty): (Int, Int) =
+    rewriteInPlace(spark, dir, statsCols, (df, tmpDir) =>
+      writeZOrdered(df, tmpDir, numFiles, zCols, bitsPerCol, relErr,
+        maxRecordsPerFile))
+
+  /** In-place `OPTIMIZE` — plain small-file compaction (Delta OPTIMIZE
+    * without ZORDER): bin-pack a live table directory's files to
+    * ~`targetFileBytes` each, under the SAME sentinel-guarded
+    * temp-verify-swap protocol as [[optimizeZOrdered]] (one shared
+    * implementation; the only difference is the rewrite itself).
+    * Row ORDER within files is not preserved (repartition is a
+    * shuffle) — use [[optimizeZOrdered]] or a re-sort when the layout
+    * carries skipping value. No-op (returns (n, n)) when the file
+    * count is already at or below the packed target — an OPTIMIZE
+    * that always rewrites turns maintenance into churn. Sizing is by
+    * CURRENT on-disk bytes, so compression ratios carry over
+    * approximately; the target is a packing hint, not a guarantee. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
       statsCols: Seq[String] = Seq.empty): (Int, Int) = {
+    require(targetFileBytes >= 1024 * 1024,
+      s"targetFileBytes $targetFileBytes below 1 MiB is file churn")
+    import org.apache.hadoop.fs.Path
+    val hfs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = FileStatsIndex.listDataFiles(spark, dir)
+    val totalBytes = files
+      .map(f => hfs.getFileStatus(new Path(f)).getLen).sum
+    val target = math.max(1,
+      math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    if (files.size <= target) return (files.size, files.size)
+    rewriteInPlace(spark, dir, statsCols,
+      (df, tmpDir) => df.repartition(target)
+        .write.mode("overwrite").parquet(tmpDir))
+  }
+
+  /** The shared in-place rewrite protocol (scaladoc at
+    * [[optimizeZOrdered]]): sentinel-guarded recovery, verify before
+    * anything destructive, swap, manifest rebuild. `writeTmp` writes
+    * the rewritten table to the given tmp path. */
+  private def rewriteInPlace(spark: org.apache.spark.sql.SparkSession,
+      dir: String, statsCols: Seq[String],
+      writeTmp: (DataFrame, String) => Unit): (Int, Int) = {
     import org.apache.hadoop.fs.Path
     import java.nio.charset.StandardCharsets.UTF_8
     val root = new Path(dir)
@@ -288,8 +330,7 @@ object Layout {
       else Seq.empty
     val df = spark.read.parquet(dir)
     val nBefore = df.count()
-    writeZOrdered(df, tmp.toString, numFiles, zCols, bitsPerCol, relErr,
-      maxRecordsPerFile)
+    writeTmp(df, tmp.toString)
     val nAfter = spark.read.parquet(tmp.toString).count()
     require(nAfter == nBefore,
       s"optimize rewrote $nAfter rows where the table holds $nBefore — " +

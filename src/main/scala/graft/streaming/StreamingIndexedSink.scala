@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
@@ -42,12 +41,10 @@ object StreamingIndexedSink {
       statsCols: Seq[String]): Unit = {
     batch.write.mode("append").parquet(dir)
     val spark = batch.sparkSession
-    val idxPath = new Path(s"$dir/_stats_index")
-    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val prior =
-      if (fs.exists(idxPath)) FileStatsIndex.loadIndex(spark, dir)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], FileStatsIndex.statsSchema)
+    // loadIndex resolves the r12 generation-pointer layout (and the
+    // legacy dir, and returns the empty frame on a fresh table), so
+    // the prior manifest's rows carry over and refresh stays O(batch)
+    val prior = FileStatsIndex.loadIndex(spark, dir)
     FileStatsIndex.saveIndex(
       FileStatsIndex.refresh(spark, dir, statsCols, prior), dir)
   }

@@ -7,6 +7,36 @@ class LayoutSpec extends SparkSpec {
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("graft-layout").toString
 
+  test("compact bin-packs a fragmented table under the shared sentinel " +
+    "protocol; content exact; already-compact tables no-op") {
+    import spark.implicits._
+    val d = tmp()
+    val df = spark.range(0, 20000).toDF("id")
+      .withColumn("v", col("id").cast("double"))
+    df.repartition(64).write.mode("overwrite").parquet(d) // fragmented
+    FileStatsIndex.saveIndex(
+      FileStatsIndex.build(spark, d, Seq("id")), d)
+    val want = df.as[(Long, Double)].collect().sorted.toSeq
+    val bytes = FileStatsIndex.listDataFiles(spark, d)
+      .map(f => new java.io.File(f.stripPrefix("file:")).length()).sum
+    // target half the table per file -> exactly 2 packed files
+    val (nb, na) = Layout.compact(spark, d,
+      targetFileBytes = math.max(1024 * 1024, bytes / 2 + 1))
+    assert(nb == 64 && na <= 3, s"($nb, $na)")
+    assert(spark.read.parquet(d).as[(Long, Double)]
+      .collect().sorted.toSeq == want)
+    // manifest rebuilt over the new files (carried column set)
+    val idx = FileStatsIndex.loadIndex(spark, d)
+    assert(idx.select("file").distinct().collect().map(_.getString(0))
+      .toSet == FileStatsIndex.listDataFiles(spark, d).toSet)
+    // second compact: already at/below the packed target -> no-op
+    val (nb2, na2) = Layout.compact(spark, d,
+      targetFileBytes = 128L * 1024 * 1024)
+    assert(nb2 == na2 && na2 == na)
+    assert(!new java.io.File(s"$d/.optimize_tmp").exists())
+    assert(!new java.io.File(s"$d/_optimize_swap").exists())
+  }
+
   test("range-sorted layout skips row groups a shuffled layout must read") {
     val docs = Tables.documents(spark, sf).select("doc_id", "n_chars", "lang")
     val total = docs.count()
