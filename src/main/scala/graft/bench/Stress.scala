@@ -1062,6 +1062,73 @@ object Stress {
       val dtOpt = (System.nanoTime() - t4) / 1e9
       println(f"STRESS zorder_optimize              $dtOpt%8.2f s   files=$ob->$oa")
     }
+    // r12 MERGE at scale: one 7.5M-entity partition (blown-up order
+    // keys), merge 1% corrections — the full generation-commit rewrite
+    // (read current gen, anti-join, write, verify, pointer swap, GC)
+    scenario("merge_scale") {
+      val vs = s"$dir/merge-store"
+      val vsDir = new java.io.File(vs)
+      if (vsDir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+        rm(vsDir)
+      }
+      val store = new graft.registry.ParquetValueStore(spark, vs)
+      val base = Tables.orders(spark, dir)
+        .select(col("o_orderkey").cast("string").as("entity_id"),
+          col("o_totalprice").as("value"))
+      val rows = base.select(col("entity_id"), col("value"),
+        lit(null).cast("string").as("value_str"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+          .as("computed_at"),
+        lit("spend").as("feature_name"), lit("v1").as("version"))
+      store.append(rows)
+      val n = store.read().count()
+      val updates = rows.filter(xxhash64(col("entity_id")) % 100 === 0)
+        .withColumn("value", -col("value"))
+      val nUpd = updates.count()
+      val t0 = System.nanoTime()
+      store.merge(updates)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val after = store.read()
+      val merged = after
+        .agg(count(lit(1)), count(when(col("value") < 0, 1))).head()
+      require(merged.getLong(0) == n && merged.getLong(1) == nUpd,
+        s"merge changed cardinality: $merged vs ($n, $nUpd)")
+      println(f"STRESS merge_scale                  $dt%8.2f s   " +
+        s"rows=$n updated=$nUpd gen=${store.currentGeneration("spend", "v1")}")
+    }
+
+    // r12 recall-rescue blocking at scale: a 8.25M-record dirty roster
+    // (7.5M + 10% typo'd dupes). Sorted-neighborhood = global sort +
+    // zipWithIndex + bucketed window join (O(n*w) pairs); q-gram =
+    // explode + df-cap + per-gram self-join
+    scenario("blocking_scale") {
+      // 16-hex-char distinctive names; dupes flip a LATE character so
+      // sort adjacency and >= 1 shared q-gram both survive the typo.
+      // q=8 per the corpus-sized-q rule (qgramPairs scaladoc): q=6 at
+      // this scale measured 820M candidates / 256 s — the documented
+      // degenerate regime
+      val base = Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("id"),
+          substring(md5(col("o_orderkey").cast("string")), 1, 16)
+            .as("name"))
+      val dupes = base.filter(col("id") % 10 === 0)
+        .select((col("id") + 1000000000L).as("id"),
+          concat(expr("substring(name, 1, 15)"), lit("x")).as("name"))
+      val records = base.unionByName(dupes)
+      val t0 = System.nanoTime()
+      val sn = RecordLinkage.sortedNeighborhoodPairs(
+        records, "id", col("name"), window = 8).count()
+      val dt0 = (System.nanoTime() - t0) / 1e9
+      println(f"STRESS blocking_sortedneigh         $dt0%8.2f s   pairs=$sn")
+      val t1 = System.nanoTime()
+      val qg = RecordLinkage.qgramPairs(records, "id", "name",
+        q = 8, dfCap = 100).count()
+      val dt1 = (System.nanoTime() - t1) / 1e9
+      println(f"STRESS blocking_qgram               $dt1%8.2f s   pairs=$qg")
+    }
+
     spark.stop()
   }
 }

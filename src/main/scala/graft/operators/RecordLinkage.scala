@@ -185,7 +185,16 @@ object RecordLinkage {
     * EVERY shared gram is frequent — not the typo'd-duplicate shape).
     * The df cap IS this scheme's block cap — every surviving block is
     * ≤ dfCap records by construction, so unlike exact blocking there is
-    * no degenerate-key crash mode to guard loudly. */
+    * no degenerate-key crash mode to guard loudly.
+    *
+    * SIZE q WITH THE CORPUS (the embedContamination planes rule, same
+    * arithmetic): the gram space is alphabet^q buckets, and candidate
+    * volume is Σ df²/2 over surviving grams — when corpus growth pushes
+    * typical dfs toward the cap, pairs grow quadratically in df. 50×
+    * measured: q=6 over an 8.25M-record roster produced 820M candidates
+    * (256 s); q=8 keeps dfs near 1 and candidates near the true-pair
+    * count. A one-character typo breaks at most q grams, so raising q
+    * on fields longer than ~2q costs no planted-duplicate recall. */
   def qgramPairs(records: DataFrame, id: String, field: String,
       q: Int = 3, dfCap: Int = 500): DataFrame = {
     require(q >= 2 && q <= 8, s"q $q must be in [2, 8]")
