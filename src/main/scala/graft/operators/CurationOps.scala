@@ -401,12 +401,65 @@ object CurationOps {
       |  CAST(COUNT(DISTINCT tok) AS DOUBLE)/COUNT(*) AS ttr
       |FROM toks GROUP BY source ORDER BY source""".stripMargin
 
+  /** Greedy token-budget selection — "fill a T-token training budget
+    * with the best-quality documents": order by (score DESC, id ASC —
+    * pinned tie rule) and keep the maximal prefix whose token total
+    * fits `budgetTokens`. The greedy-by-score rule is the published
+    * budget-selection convention (quality-classifier thresholding with
+    * a budget is exactly this, stated as a selection instead of a
+    * threshold search); the prefix sum is distributed
+    * ([[RankOps.exclusivePrefixSum]]: range repartition + per-partition
+    * offsets — never a single-partition window). Every row returns
+    * with its pre-selection running total `cum_before` and `keep` —
+    * fail-visible, the caller filters. A doc that would straddle the
+    * budget boundary is EXCLUDED (keep = cum_before + tokens ≤ budget):
+    * the budget is a ceiling, not a target to overshoot. */
+  def selectByBudget(docs: DataFrame, budgetTokens: Long, scoreCol: String,
+      tokCol: String, idCol: String = "doc_id",
+      numPartitions: Int = 32): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens $budgetTokens")
+    RankOps.exclusivePrefixSum(docs, tokCol, "cum_before", numPartitions,
+        col(scoreCol).desc, col(idCol))
+      .withColumn("keep",
+        col("cum_before") + col(tokCol) <= budgetTokens)
+  }
+
+  /** Gated entry (`budget_select`): the greedy rule against ground
+    * truth — deterministic integer score ((doc_id·37) mod 1000),
+    * whitespace token counts, a fixed budget; DuckDB re-derives the
+    * ordered running total with a window. */
+  def budgetSelect(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        ((col("doc_id") * 37) % 1000).as("score"),
+        size(filter(split(col("text"), "\\s+"), t => t =!= lit("")))
+          .cast("long").as("n_tok"))
+    selectByBudget(docs, budgetTokens = 20000L, "score", "n_tok")
+      .select("doc_id", "score", "n_tok", "cum_before", "keep")
+  }
+
+  val budgetSelectSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, (doc_id * 37) % 1000 AS score,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, score, n_tok,
+      |    CAST(COALESCE(sum(n_tok) OVER (ORDER BY score DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cum_before
+      |  FROM t)
+      |SELECT doc_id, score, n_tok, cum_before,
+      |  cum_before + n_tok <= 20000 AS keep
+      |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_rare_ratio" -> textRareRatio _,
     "sample_weighted" -> sampleWeighted _,
     "sample_mixture" -> sampleMixture _,
     "sample_fixed_k" -> sampleFixedKQuery _,
     "vocab_stats" -> vocabStats _,
+    "budget_select" -> budgetSelect _,
     "emb_norm_stats" -> embNormStats _)
 
   val oracles: Map[String, String] = Map(
@@ -415,5 +468,6 @@ object CurationOps {
     "sample_mixture" -> sampleMixtureSql,
     "sample_fixed_k" -> sampleFixedKSql,
     "vocab_stats" -> vocabStatsSql,
+    "budget_select" -> budgetSelectSql,
     "emb_norm_stats" -> embNormStatsSql)
 }

@@ -96,9 +96,74 @@ object DedupClusters {
       |FROM documents LEFT JOIN cc ON doc_id = cc.id
       |ORDER BY doc_id""".stripMargin
 
+  /** Keeper selection by SCORE — the Dolma convention applied at the
+    * cluster grain: the repo's default keeper is the min-id member
+    * (deterministic, content-blind); when a quality score exists, the
+    * cluster should keep its BEST member instead (longest / highest-
+    * classifier-score — dropping the good copy of a near-dup pair
+    * because its id is larger throws away curation signal for free).
+    * One map-side-combinable aggregate over (group, id, score): per
+    * group, the argmax-score member with ties to the MIN id (the
+    * max-struct convention: (score, −id) under MAX makes the smaller
+    * id win ties). Returns (groupCol, keep_id, best_score, n_members).
+    * NULL scores lose to any non-null score (a member nobody could
+    * score never represents a cluster over one somebody could) and
+    * tie-break by min id when the whole group is unscored. */
+  def keepBest(assigned: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String): DataFrame =
+    assigned
+      .select(col(groupCol), col(idCol).cast("long").as("_id"),
+        col(scoreCol).cast("double").as("_s"))
+      .groupBy(col(groupCol))
+      .agg(max(struct(col("_s").as("s"), (-col("_id")).as("negid")))
+          .as("_w"),
+        count(lit(1)).as("n_members"))
+      .select(col(groupCol), (-col("_w.negid")).as("keep_id"),
+        col("_w.s").as("best_score"), col("n_members"))
+
+  /** Gated entry (`dedup_keep_best`): keep-best over exact duplicate
+    * groups derived from the corpus — every doc plus an identical-text
+    * twin at doc_id+100000 collapses under md5(text), and a
+    * deterministic integer score ((doc_id·31) mod 100) differs between
+    * the twins, so the argmax is non-trivial in every group (score
+    * functions in a real pipeline differ across copies through
+    * metadata — source, fetch time — even when text is byte-equal).
+    * DuckDB re-derives the keeper with a row_number window. */
+  def dedupKeepBest(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select("doc_id", "text")
+    val corpus = docs.unionByName(docs.select(
+      (col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val assigned = corpus.select(md5(col("text")).as("group_key"),
+      col("doc_id"), ((col("doc_id") * 31) % 100).as("score"))
+    keepBest(assigned, "group_key", "doc_id", "score")
+      .select(col("group_key"), col("keep_id"),
+        col("best_score").cast("long").as("best_score"), col("n_members"))
+  }
+
+  val dedupKeepBestSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents),
+      |assigned AS (
+      |  SELECT md5(text) AS group_key, doc_id,
+      |    (doc_id * 31) % 100 AS score
+      |  FROM corpus),
+      |ranked AS (
+      |  SELECT group_key, doc_id, score,
+      |    row_number() OVER (PARTITION BY group_key
+      |      ORDER BY score DESC, doc_id ASC) AS rn,
+      |    count(*) OVER (PARTITION BY group_key) AS n_members
+      |  FROM assigned)
+      |SELECT group_key, doc_id AS keep_id, score AS best_score,
+      |  CAST(n_members AS BIGINT) AS n_members
+      |FROM ranked WHERE rn = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_clusters" -> dedupClusters _)
+    "dedup_clusters" -> dedupClusters _,
+    "dedup_keep_best" -> dedupKeepBest _)
 
   val oracles: Map[String, String] = Map(
-    "dedup_clusters" -> dedupClustersSql)
+    "dedup_clusters" -> dedupClustersSql,
+    "dedup_keep_best" -> dedupKeepBestSql)
 }

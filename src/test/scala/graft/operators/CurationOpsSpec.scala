@@ -278,4 +278,36 @@ class CurationOpsSpec extends SparkSpec {
     // growth never promotes a previously-rejected old document
     assert(unionSample.filter(_ < 200).subsetOf(oldSample))
   }
+
+  test("selectByBudget: greedy by (score desc, id asc), boundary doc " +
+    "excluded, running totals exact") {
+    val docs = Seq(
+      (1L, 10.0, 300L), (2L, 50.0, 400L), (3L, 50.0, 500L),
+      (4L, 90.0, 600L), (5L, 20.0, 100L))
+      .toDF("doc_id", "score", "n_tok")
+    // order: 4(600), 2(400 - tie 50 with 3, smaller id first), 3(500),
+    // 5(100), 1(300); budget 1200 keeps 4+2 (1000) and EXCLUDES 3
+    // (1000+500 > 1200) and everything after: PREFIX selection, not
+    // knapsack - once the running total passes the budget, later docs
+    // sit past it too
+    val out = CurationOps.selectByBudget(docs, 1200L, "score", "n_tok")
+      .select("doc_id", "cum_before", "keep")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(4L) == ((0L, true)))
+    assert(out(2L) == ((600L, true)))
+    assert(out(3L) == ((1000L, false)))
+    assert(out(5L) == ((1500L, false)))
+    assert(out(1L) == ((1600L, false)))
+  }
+
+  test("selectByBudget: a budget below the best doc keeps nothing; a " +
+    "budget covering everything keeps all") {
+    val docs = Seq((1L, 1.0, 50L), (2L, 2.0, 60L))
+      .toDF("doc_id", "score", "n_tok")
+    assert(CurationOps.selectByBudget(docs, 10L, "score", "n_tok")
+      .filter(col("keep")).count() == 0L)
+    assert(CurationOps.selectByBudget(docs, 1000L, "score", "n_tok")
+      .filter(col("keep")).count() == 2L)
+  }
 }

@@ -32,4 +32,21 @@ class DedupClustersSpec extends SparkSpec {
     val reps = clusters.filter(col("cluster_id") === col("doc_id")).count()
     assert(reps === clusters.select("cluster_id").distinct().count())
   }
+
+  test("keepBest: argmax score per group, ties to min id, null scores " +
+    "lose, all-null group falls back to min id") {
+    import spark.implicits._
+    val assigned = Seq(
+      ("g1", 1L, Some(5.0)), ("g1", 2L, Some(9.0)), ("g1", 3L, None),
+      ("g2", 10L, Some(7.0)), ("g2", 11L, Some(7.0)),
+      ("g3", 20L, None), ("g3", 21L, None))
+      .toDF("group_key", "doc_id", "score")
+    val out = DedupClusters.keepBest(assigned, "group_key", "doc_id", "score")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.getAs[java.lang.Double]("best_score")),
+          r.getLong(3)))).toMap
+    assert(out("g1") == ((2L, Some(9.0), 3L)))  // argmax beats null + lower
+    assert(out("g2") == ((10L, Some(7.0), 2L))) // tie -> min id
+    assert(out("g3") == ((20L, None, 2L)))      // all-null -> min id
+  }
 }
