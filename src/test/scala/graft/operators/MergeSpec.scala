@@ -114,6 +114,31 @@ class MergeSpec extends SparkSpec {
       direct.as[(Long, String, String)].collect().sorted.toSeq)
   }
 
+  test("randomized round-trip law: applyChanges(old, changeSet(old, cur)) " +
+    "== cur over 20 random keyed-table pairs") {
+    val rnd = new scala.util.Random(7)
+    (1 to 20).foreach { trial =>
+      // random keyed tables with overlapping key ranges, random nulls
+      def table(): DataFrame = {
+        val n = 1 + rnd.nextInt(40)
+        (1 to n).map { _ =>
+          val k = rnd.nextInt(30).toLong
+          val v = if (rnd.nextInt(5) == 0) null
+                  else rnd.alphanumeric.take(3).mkString
+          (k, v)
+        }.distinct.groupBy(_._1).map(_._2.head).toSeq // unique keys
+          .toDF("k", "v")
+      }
+      val old = table(); val cur = table()
+      val byHash = trial % 2 == 0
+      val got = Merge.applyChanges(old,
+          Merge.changeSet(old, cur, "k", byHash = byHash), "k")
+        .as[(Long, Option[String])].collect().sorted.toSeq
+      val want = cur.as[(Long, Option[String])].collect().sorted.toSeq
+      assert(got == want, s"trial $trial (byHash=$byHash) diverged")
+    }
+  }
+
   test("plan shape: upsert is one anti-join + union, no cartesian") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val plan = Merge.upsert(docs, docs.limit(10), "doc_id")
