@@ -57,14 +57,23 @@ object ReleaseGate {
       psi: Option[Double],
       catPsi: Option[Double],
       novelFrac: Option[Double],
-      failures: List[String]) {
+      failures: List[String],
+      embPsi: Option[Double] = None,
+      embShift: Option[Double] = None) {
     def publishable: Boolean = failures.isEmpty
   }
 
   /** Audit a candidate refresh against the published snapshot. Bounds
     * are inclusive (a churn exactly at the max passes — the bound is a
     * budget, not a strict envelope). `driftOn` names a numeric column
-    * to PSI-bound with edges frozen from the OLD snapshot. */
+    * to PSI-bound with edges frozen from the OLD snapshot. `embOn`
+    * names an embedding column (array<float>) to bound with the G32
+    * cluster-then-compare scores — centroids are k-means-trained on
+    * the OLD snapshot at audit time (the same freeze-from-old
+    * convention as the edges; a deployment with a long-lived baseline
+    * runs [[graft.operators.EmbeddingDrift]] against its durable
+    * reference directly), list-mass PSI bounded by `maxEmbPsi` and the
+    * mass-weighted centroid shift by `maxEmbShift`. */
   def audit(old: DataFrame, cur: DataFrame, key: String,
       compare: Seq[String] = Nil,
       maxChurnFrac: Double = 0.2, maxRemovedFrac: Double = 0.05,
@@ -72,9 +81,12 @@ object ReleaseGate {
       driftOn: Option[String] = None, maxPsi: Double = 0.25,
       driftBins: Int = 10, byHash: Boolean = false,
       catDriftOn: Option[String] = None, maxCatPsi: Double = 0.25,
-      maxNovelFrac: Double = 1.0): Audit = {
+      maxNovelFrac: Double = 1.0,
+      embOn: Option[String] = None, maxEmbPsi: Double = 0.25,
+      maxEmbShift: Double = 0.5, embNlist: Int = 16): Audit = {
     require(maxChurnFrac >= 0 && maxRemovedFrac >= 0 && maxPsi >= 0 &&
-      maxCatPsi >= 0 && maxNovelFrac >= 0, "bounds must be non-negative")
+      maxCatPsi >= 0 && maxNovelFrac >= 0 && maxEmbPsi >= 0 &&
+      maxEmbShift >= 0, "bounds must be non-negative")
 
     val statuses = SnapshotDiff.diff(old, cur, key, compare, byHash)
       .groupBy("status").agg(count(lit(1)).as("n"))
@@ -130,6 +142,24 @@ object ReleaseGate {
       }.toOption.getOrElse((None, None))
     }
 
+    // embedding bound (G32 composition): centroids frozen from OLD at
+    // audit time; an unscorable column fails closed like the others
+    val embScores: Option[(Option[Double], Option[Double])] = embOn.map { c =>
+      scala.util.Try {
+        val refV = old.select(col(key).as("id"), col(c).as("embedding"))
+          .filter(col("embedding").isNotNull)
+        val curV = cur.select(col(key).as("id"), col(c).as("embedding"))
+          .filter(col("embedding").isNotNull)
+        val cents = graft.operators.IvfSearch.train(refV, embNlist)
+        val s = graft.operators.EmbeddingDrift.score(refV, curV, cents)
+          .collect().headOption
+        (s.flatMap(r => Option(r.getAs[java.lang.Double]("psi")))
+           .map(_.doubleValue),
+         s.flatMap(r => Option(r.getAs[java.lang.Double]("wmean_shift")))
+           .map(_.doubleValue))
+      }.toOption.getOrElse((None, None))
+    }
+
     val failures = List(
       (if (nCur == 0)
         Some(s"candidate snapshot is empty (old had $nOld keys)") else None),
@@ -163,11 +193,29 @@ object ReleaseGate {
             case _ => Nil
           })
         case None => Nil
+      }) ++
+      (embScores match {
+        case Some((None, _)) =>
+          List(s"embedding drift bound on '${embOn.get}' could not be " +
+            "scored (no comparable vectors) — fail closed")
+        case Some((Some(p), sh)) =>
+          (if (p > maxEmbPsi)
+            List(f"embedding list-mass psi $p%.4f on '${embOn.get}' " +
+              f"exceeds max $maxEmbPsi%.4f")
+          else Nil) ++
+          (sh match {
+            case Some(s) if s > maxEmbShift =>
+              List(f"embedding centroid shift $s%.4f on '${embOn.get}' " +
+                f"exceeds max $maxEmbShift%.4f")
+            case _ => Nil
+          })
+        case None => Nil
       })
 
     Audit(nOld, nCur, added, removed, changed, unchanged,
       churnFrac, removedFrac, report.violations,
       psi.flatten, catScores.flatMap(_._1), catScores.flatMap(_._2),
-      failures)
+      failures,
+      embPsi = embScores.flatMap(_._1), embShift = embScores.flatMap(_._2))
   }
 }

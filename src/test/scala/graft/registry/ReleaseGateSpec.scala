@@ -132,4 +132,31 @@ class ReleaseGateSpec extends SparkSpec {
       compare = Seq("text"), maxRemovedFrac = 0.05)
     assert(!bad.publishable && bad.failures.exists(_.contains("removals")))
   }
+
+  test("embedding bound: an unmoved embedding column passes; a biased " +
+    "refresh blocks with the measured psi/shift; unscorable fails closed") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding"),
+        lit("t").as("text"))
+    val same = ReleaseGate.audit(emb, emb, "id", compare = Seq("text"),
+      embOn = Some("embedding"), embNlist = 8)
+    assert(same.publishable, same.failures.toString)
+    assert(same.embPsi.contains(0.0))
+    val biased = emb.withColumn("embedding",
+      expr("transform(embedding, x -> x + 0.5f)"))
+    val a = ReleaseGate.audit(emb, biased, "id", compare = Seq("text"),
+      maxChurnFrac = 1.0, // isolate the embedding bound
+      embOn = Some("embedding"), embNlist = 8,
+      maxEmbPsi = 0.25, maxEmbShift = 0.05)
+    assert(!a.publishable)
+    assert(a.failures.exists(_.contains("embedding")), a.failures.toString)
+    assert(a.embPsi.exists(_ > 0.25) || a.embShift.exists(_ > 0.05),
+      s"${a.embPsi} / ${a.embShift}")
+    // unscorable: a non-embedding column fails closed, never passes
+    val bad = ReleaseGate.audit(emb, emb, "id", compare = Seq("text"),
+      embOn = Some("text"), embNlist = 8)
+    assert(!bad.publishable)
+    assert(bad.failures.exists(_.contains("could not be scored")),
+      bad.failures.toString)
+  }
 }
