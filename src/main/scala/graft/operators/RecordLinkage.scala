@@ -343,6 +343,121 @@ object RecordLinkage {
     DeltaLink(assignments, mergeCandidates)
   }
 
+  // ---- survivorship (golden records) ---------------------------------------
+
+  /** How one field survives into the golden record. Every rule is a
+    * single COMBINABLE aggregate (map-side partial at any cluster
+    * size); NULLs never survive (a rule returns null only when the
+    * field is null across the whole entity); ties break to the
+    * LARGEST candidate under the field's natural order — the one
+    * deterministic rule a bare max-struct gives every type for free
+    * (a smallest-on-tie rule would need per-type negation tricks or a
+    * window; pinned and oracle-checked instead). */
+  sealed trait Survive { def colName: String }
+  /** Longest non-null string — the completeness heuristic (a fuller
+    * address/name beats a truncated one). */
+  final case class Longest(colName: String) extends Survive
+  /** Most frequent non-null value — majority vote across the entity's
+    * records. */
+  final case class Mode(colName: String) extends Survive
+  /** Maximum non-null value. */
+  final case class MaxOf(colName: String) extends Survive
+  /** Minimum non-null value. */
+  final case class MinOf(colName: String) extends Survive
+  /** Value carried by the entity's record with the greatest
+    * `orderCol` (recency wins — the freshest feed is the truth). */
+  final case class LatestBy(colName: String, orderCol: String) extends Survive
+
+  /** Survivorship: collapse linked records into one golden record per
+    * entity — the step after [[link]] that MDM pipelines actually ship
+    * downstream (linkage labels records; survivorship decides which
+    * field values the merged entity keeps). `assignments` is any
+    * (id → entity_id) frame ([[link]]/[[linkAgainst]] output, or a
+    * precomputed roster). Output: (entity_id, n_members, <one column
+    * per rule, keeping the field's name>), one row per entity.
+    *
+    * Scale: one keyed join (id → entity label) + one combinable
+    * aggregate for ALL non-Mode rules together; each [[Mode]] field
+    * adds its own (entity, value) count + max-struct pass joined back
+    * on entity_id — the count table is entity×distinct-value sized,
+    * and the joins are all on the same key, so AQE reuses the
+    * entity-keyed exchange. Nothing windows, nothing collects. */
+  def goldenRecords(records: DataFrame, id: String,
+      assignments: DataFrame, rules: Seq[Survive]): DataFrame = {
+    require(rules.nonEmpty, "at least one survivorship rule")
+    val names = rules.map(_.colName)
+    require(names.distinct.size == names.size,
+      s"one rule per field: $names")
+    val labeled = records.join(
+      assignments.select(col(id).as("_aid"), col("entity_id")),
+      col(id) === col("_aid"))
+    val (modes, simple) = rules.partition(_.isInstanceOf[Mode])
+    val simpleAggs = simple.map {
+      case Longest(c) =>
+        max(when(col(c).isNotNull, struct(length(col(c)).as("l"),
+          col(c).as("v")))).getField("v").as(c)
+      case MaxOf(c) => max(col(c)).as(c)
+      case MinOf(c) => min(col(c)).as(c)
+      case LatestBy(c, o) =>
+        max(when(col(c).isNotNull && col(o).isNotNull,
+          struct(col(o).as("o"), col(c).as("v")))).getField("v").as(c)
+      case r => throw new IllegalArgumentException(r.toString)
+    }
+    val base = labeled.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_members"), simpleAggs: _*)
+    modes.collect { case m: Mode => m.colName }.foldLeft(base) { (acc, c) =>
+      val counted = labeled.filter(col(c).isNotNull)
+        .groupBy(col("entity_id"), col(c)).agg(count(lit(1)).as("_n"))
+        .groupBy(col("entity_id"))
+        .agg(max(struct(col("_n"), col(c).as("v"))).getField("v").as(c))
+      acc.join(counted, Seq("entity_id"), "left")
+    }
+  }
+
+  /** Gated entry (`golden_records`): survivorship semantics against
+    * DuckDB's window re-derivation, on a pre-labeled roster (nation as
+    * the entity stand-in — the gate isolates the NEW aggregation
+    * semantics; the composition with [[link]]'s labels is spec'd on
+    * the planted-dupes fixture, where re-running the whole linkage
+    * would only re-pay the record_link gate's 7 s). Longest name,
+    * modal segment, max balance, member count — every tie broken to
+    * the largest value, both engines. */
+  def goldenRecordsGate(spark: SparkSession, d: String): DataFrame = {
+    val cust = graft.Tables.load(spark, d, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"),
+        col("c_nationkey"))
+    val assign = cust.select(col("id"), col("c_nationkey").as("entity_id"))
+    goldenRecords(cust.drop("c_nationkey"), "id", assign,
+      Seq(Longest("name"), Mode("seg"), MaxOf("bal")))
+      .orderBy(col("entity_id"))
+  }
+
+  val goldenRecordsSql: String =
+    """WITH r AS (
+      |  SELECT c_nationkey AS entity_id, c_name AS name,
+      |    c_mktsegment AS seg, c_acctbal AS bal
+      |  FROM customer),
+      |base AS (
+      |  SELECT entity_id, COUNT(*) AS n_members, MAX(bal) AS bal
+      |  FROM r GROUP BY entity_id),
+      |ln AS (
+      |  SELECT entity_id, name FROM (
+      |    SELECT entity_id, name, row_number() OVER (
+      |      PARTITION BY entity_id ORDER BY len(name) DESC, name DESC) AS rn
+      |    FROM r WHERE name IS NOT NULL) WHERE rn = 1),
+      |md AS (
+      |  SELECT entity_id, seg FROM (
+      |    SELECT entity_id, seg, row_number() OVER (
+      |      PARTITION BY entity_id ORDER BY n DESC, seg DESC) AS rn
+      |    FROM (SELECT entity_id, seg, COUNT(*) AS n FROM r
+      |          WHERE seg IS NOT NULL GROUP BY 1, 2)) WHERE rn = 1)
+      |SELECT b.entity_id, b.n_members, ln.name, md.seg, b.bal
+      |FROM base b
+      |JOIN ln ON ln.entity_id = b.entity_id
+      |JOIN md ON md.entity_id = b.entity_id
+      |ORDER BY b.entity_id""".stripMargin
+
   // ---- gated harness entry -------------------------------------------------
 
   /** Gated entry (`record_link`): the whole pipeline against ground
@@ -469,10 +584,12 @@ object RecordLinkage {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "record_link" -> recordLink _,
     "qgram_pairs" -> qgramPairsGate _,
-    "sorted_pairs" -> sortedPairsGate _)
+    "sorted_pairs" -> sortedPairsGate _,
+    "golden_records" -> goldenRecordsGate _)
 
   val oracles: Map[String, String] = Map(
     "record_link" -> recordLinkSql,
     "qgram_pairs" -> qgramPairsSql,
-    "sorted_pairs" -> sortedPairsSql)
+    "sorted_pairs" -> sortedPairsSql,
+    "golden_records" -> goldenRecordsSql)
 }

@@ -271,4 +271,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("percentile_disc"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("q8 broadcasts nation/region, never the lineitem fact; no cartesian") {
+    val p = plan("q8_market_share")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val broadcastSubtrees = p.split("BroadcastExchange").drop(1)
+    assert(!broadcastSubtrees.exists(_.split("\n").take(4).mkString.contains("lineitem")),
+      s"lineitem must not be broadcast:\n$p")
+    // the p_type and date predicates reach the scans
+    assert(p.contains("EqualTo(p_type,ECONOMY)") || p.contains("p_type"), p)
+  }
+
+  test("cohort_retention joins keyed on user (no cartesian, no window)") {
+    val p = plan("cohort_retention")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("golden_records mode pass pre-aggregates below its entity join") {
+    val p = plan("golden_records")
+    assert(!p.contains("Window"), "survivorship must stay combinable, " +
+      s"never a window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -161,4 +161,59 @@ class RecordLinkageSpec extends SparkSpec {
     assert(out.filter(col("keep") =!= (col("id") === col("entity_id")))
       .count() === 0)
   }
+
+  test("goldenRecords: rule semantics — longest/mode/max/min/latest, " +
+    "nulls never survive, ties break to the largest value") {
+    import RecordLinkage._
+    val recs = Seq(
+      // entity 1: longest name "ccccc"; mode seg "A" (2 vs 1);
+      // bal max 9.0 / min 1.0; latest (by ver) name is "bb"
+      (1L, "aaa", "A", 1.0, 10L), (2L, "bb", "A", 9.0, 30L),
+      (3L, "ccccc", "B", 5.0, 20L),
+      // entity 2: name ties at len 3 -> larger string "zzz"; seg ties
+      // 1-1 -> larger value "Y"; one null name ignored
+      (4L, "xxx", "X", 2.0, 1L), (5L, "zzz", "Y", 3.0, 2L),
+      (6L, null.asInstanceOf[String], null.asInstanceOf[String], 4.0, 3L),
+      // entity 3: all-null name survives as null
+      (7L, null.asInstanceOf[String], "Q", 7.0, 5L)
+    ).toDF("id", "name", "seg", "bal", "ver")
+    val assign = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L),
+      (5L, 20L), (6L, 20L), (7L, 30L)).toDF("id", "entity_id")
+    val g = goldenRecords(recs, "id", assign,
+        Seq(Longest("name"), Mode("seg"), MaxOf("bal"), MinOf("ver")))
+      .select("entity_id", "n_members", "name", "seg", "bal", "ver")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getString(3),
+          r.getDouble(4), r.getLong(5))).toMap
+    assert(g(10L) === ((3L, "ccccc", "A", 9.0, 10L)))
+    assert(g(20L) === ((3L, "zzz", "Y", 4.0, 1L)))
+    assert(g(30L)._2 === null) // all-null field -> null, never a crash
+    assert(g(30L)._3 === "Q")
+
+    val latest = goldenRecords(recs, "id", assign,
+        Seq(LatestBy("name", "ver")))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(latest(10L) === "bb")   // ver 30 carries "bb"
+    assert(latest(20L) === "zzz")  // null-name ver 3 row never wins
+    assert(latest(30L) === null)
+
+    intercept[IllegalArgumentException] {
+      goldenRecords(recs, "id", assign,
+        Seq(MaxOf("bal"), MinOf("bal"))) } // one rule per field
+  }
+
+  test("goldenRecords composes with link: the merged entity keeps the " +
+    "longest name across source and typo'd dupe") {
+    val recs = Seq(
+      (1L, "cust_alpha_long", "s"), (2L, "cust_alpha_lon", "s"),
+      (9L, "unrelated_zzzz", "s")).toDF("id", "name", "seg")
+    val assign = RecordLinkage.link(recs, "id", Seq(col("seg")),
+      Seq(RecordLinkage.Fuzzy("name", 1.0)), threshold = 0.9)
+    val g = RecordLinkage.goldenRecords(recs, "id", assign,
+        Seq(RecordLinkage.Longest("name")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(g(1L) === ((2L, "cust_alpha_long"))) // merged pair, longest kept
+    assert(g(9L) === ((1L, "unrelated_zzzz")))  // singleton passes through
+  }
 }
