@@ -23,7 +23,8 @@ object SparkEntry {
       ClusterOps.queries ++ DriftMonitor.queries ++ SnapshotDiff.queries ++
       RobustStats.queries ++ SkewOps.queries ++ RecordLinkage.queries ++
       graft.sources.FileStatsIndex.queries ++ PercentileOps.queries ++
-      Merge.queries ++ CohortOps.queries ++ TableProfile.queries
+      Merge.queries ++ CohortOps.queries ++ TableProfile.queries ++
+      AsOfJoin.queries
 
   /** Queries deliberately WITHOUT an oracle entry — the driver records
     * its weaker rows-only check for these. Membership requires a
@@ -48,5 +49,6 @@ object SparkEntry {
       ClusterOps.oracles ++ DriftMonitor.oracles ++ SnapshotDiff.oracles ++
       RobustStats.oracles ++ SkewOps.oracles ++ RecordLinkage.oracles ++
       graft.sources.FileStatsIndex.oracles ++ PercentileOps.oracles ++
-      Merge.oracles ++ CohortOps.oracles ++ TableProfile.oracles
+      Merge.oracles ++ CohortOps.oracles ++ TableProfile.oracles ++
+      AsOfJoin.oracles
 }

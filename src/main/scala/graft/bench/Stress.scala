@@ -1129,6 +1129,41 @@ object Stress {
       println(f"STRESS blocking_qgram               $dt1%8.2f s   pairs=$qg")
     }
 
+    scenario("golden_scale") {
+      // survivorship over the 50× order book: ~7.5M records collapsing
+      // onto the UNMULTIPLIED 150k-customer entity roster (~50 records
+      // per entity) — one label join + the combinable rule aggregate,
+      // plus one Mode pass; cardinality-verified against the roster
+      val records = Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("id"), col("o_custkey"),
+          col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"), col("o_orderdate").as("ts"))
+      val assign = records.select(col("id"),
+        col("o_custkey").as("entity_id"))
+      val t0 = System.nanoTime()
+      val g = RecordLinkage.goldenRecords(records.drop("o_custkey"), "id",
+        assign, Seq(RecordLinkage.Mode("status"),
+          RecordLinkage.Longest("prio"),
+          RecordLinkage.LatestBy("price", "ts")))
+      g.write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val n = g.count()
+      val entities = records.select(col("o_custkey")).distinct().count()
+      println(f"STRESS golden_scale                 $dt%8.2f s   rows=$n (entities=$entities)")
+      require(n == entities, s"golden rows $n != entities $entities")
+    }
+
+    scenario("table_profile_scale") {
+      // melt-shaped profiling of 4 mixed-type columns over the 50×
+      // fact: the honest #cols× volume through two keyed shuffles
+      // (~30M rows -> ~120M melted entries), exact distincts included
+      time("table_profile_scale") {
+        TableProfile.profile(Tables.lineitem(spark, dir),
+          Seq("l_quantity", "l_returnflag", "l_shipdate", "l_extendedprice"))
+      }
+    }
+
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -45,4 +45,42 @@ object AsOfJoin {
     carried.filter(col("_side") === 0 && valueCols.map(c => col(s"asof_$c").isNotNull).reduce(_ && _))
       .select(probeCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
   }
+
+  /** Gated entry (`asof_join`, r12 s3): the generic operator against
+    * DuckDB's LATERAL re-derivation — each view event picks up the
+    * value of the user's most recent purchase at or before it (the
+    * documented tie rule `ORDER BY ts DESC, seq DESC LIMIT 1` stated
+    * literally in the oracle; values pass through untouched, so the
+    * comparison is carry-exact, no arithmetic to pin). The A7
+    * feat_pit_join gate covers the feature-store composition; this
+    * gates the primitive itself. */
+  def asofJoinGate(spark: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(spark, d)
+    val probe = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val build = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("seq"),
+        col("value"))
+    asOf(probe, build, "user_id", "ts", "seq", Seq("value"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofJoinSql: String =
+    """WITH probe AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+      |build AS (
+      |  SELECT user_id, ts, event_id AS seq, value FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.ts, b.value AS asof_value
+      |FROM probe p JOIN LATERAL (
+      |  SELECT value FROM build b
+      |  WHERE b.user_id = p.user_id AND b.ts <= p.ts
+      |  ORDER BY b.ts DESC, b.seq DESC LIMIT 1) b ON TRUE
+      |ORDER BY p.event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join" -> asofJoinGate _)
+
+  val oracles: Map[String, String] = Map(
+    "asof_join" -> asofJoinSql)
 }
