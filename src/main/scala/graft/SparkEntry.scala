@@ -24,7 +24,7 @@ object SparkEntry {
       RobustStats.queries ++ SkewOps.queries ++ RecordLinkage.queries ++
       graft.sources.FileStatsIndex.queries ++ PercentileOps.queries ++
       Merge.queries ++ CohortOps.queries ++ TableProfile.queries ++
-      AsOfJoin.queries
+      AsOfJoin.queries ++ Privacy.queries
 
   /** Queries deliberately WITHOUT an oracle entry — the driver records
     * its weaker rows-only check for these. Membership requires a
@@ -50,5 +50,5 @@ object SparkEntry {
       RobustStats.oracles ++ SkewOps.oracles ++ RecordLinkage.oracles ++
       graft.sources.FileStatsIndex.oracles ++ PercentileOps.oracles ++
       Merge.oracles ++ CohortOps.oracles ++ TableProfile.oracles ++
-      AsOfJoin.oracles
+      AsOfJoin.oracles ++ Privacy.oracles
 }
