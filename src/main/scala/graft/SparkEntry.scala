@@ -24,7 +24,8 @@ object SparkEntry {
       RobustStats.queries ++ SkewOps.queries ++ RecordLinkage.queries ++
       graft.sources.FileStatsIndex.queries ++ PercentileOps.queries ++
       Merge.queries ++ CohortOps.queries ++ TableProfile.queries ++
-      AsOfJoin.queries ++ Privacy.queries
+      AsOfJoin.queries ++ Privacy.queries ++ BasketOps.queries ++
+      KeywordOps.queries ++ CorrelationOps.queries
 
   /** Queries deliberately WITHOUT an oracle entry — the driver records
     * its weaker rows-only check for these. Membership requires a
@@ -50,5 +51,6 @@ object SparkEntry {
       RobustStats.oracles ++ SkewOps.oracles ++ RecordLinkage.oracles ++
       graft.sources.FileStatsIndex.oracles ++ PercentileOps.oracles ++
       Merge.oracles ++ CohortOps.oracles ++ TableProfile.oracles ++
-      AsOfJoin.oracles ++ Privacy.oracles
+      AsOfJoin.oracles ++ Privacy.oracles ++ BasketOps.oracles ++
+      KeywordOps.oracles ++ CorrelationOps.oracles
 }

@@ -58,6 +58,27 @@ object Privacy {
     df.join(big, cond, "left_semi")
   }
 
+  /** l-diversity enforcement (the audit's `l_div` made a gate): keep
+    * only rows whose quasi-id group has ≥ k members AND ≥ l distinct
+    * non-null sensitive values. A k-anonymous group with a constant
+    * sensitive value still discloses it to anyone who can place a
+    * person in the group — k alone is not release-safe. Same two-
+    * shuffle shape as `suppress` (one combinable aggregate + one
+    * null-safe left-semi); null quasi tuples suppress like any group,
+    * and null sensitive values never count toward l. */
+  def enforceLDiversity(df: DataFrame, quasiIds: Seq[String],
+      sensitive: String, k: Long, l: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "at least one quasi-identifier")
+    require(k >= 1 && l >= 1, s"k $k / l $l")
+    val qs = quasiIds.map(col)
+    val ok = df.groupBy(qs: _*)
+      .agg(count(lit(1)).as("_n"),
+        count_distinct(col(sensitive)).as("_l"))
+      .filter(col("_n") >= k && col("_l") >= l).drop("_n", "_l")
+    val cond = quasiIds.map(c => df(c) <=> ok(c)).reduce(_ && _)
+    df.join(ok, cond, "left_semi")
+  }
+
   /** Deterministic pseudonymization: each named column is replaced by
     * lowercase hex SHA-256 of salt || string-image. One salt shared
     * across tables keeps foreign keys joinable on tokens; rotating the
@@ -111,11 +132,36 @@ object Privacy {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** Gated entry (`l_diversity`): enforcement over the roster at
+    * k=3, l=3 on (nation, segment) / acctbal — kept rows are exact
+    * set arithmetic both engines re-derive (the quasi keys are
+    * non-null here, so the oracle's plain-equality semi join matches
+    * the operator's null-safe one). */
+  def lDiversityGate(spark: SparkSession, d: String): DataFrame =
+    enforceLDiversity(graft.Tables.load(spark, d, "customer"),
+      Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 3, l = 3)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  val lDiversitySql: String =
+    """WITH ok AS (
+      |  SELECT c_nationkey, c_mktsegment FROM customer
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 3 AND COUNT(DISTINCT c_acctbal) >= 3)
+      |SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment, c.c_acctbal
+      |FROM customer c
+      |JOIN ok ON c.c_nationkey = ok.c_nationkey
+      |       AND c.c_mktsegment = ok.c_mktsegment
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_anonymity" -> kAnonymityGate _,
-    "pseudonymize" -> pseudonymizeGate _)
+    "pseudonymize" -> pseudonymizeGate _,
+    "l_diversity" -> lDiversityGate _)
 
   val oracles: Map[String, String] = Map(
     "k_anonymity" -> kAnonymitySql,
-    "pseudonymize" -> pseudonymizeSql)
+    "pseudonymize" -> pseudonymizeSql,
+    "l_diversity" -> lDiversitySql)
 }

@@ -74,6 +74,25 @@ class PrivacySpec extends SparkSpec {
     assert(plan.contains("LeftSemi"))
   }
 
+  test("enforceLDiversity: k alone keeps the constant-sensitive group, " +
+    "l suppresses it; null sensitive never counts toward l") {
+    // ("a","x") has n=3 but ONLY ONE distinct salary: passes k=2,
+    // fails l=2 — the leak k-anonymity cannot see
+    val kOnly = Privacy.suppress(fixture, Seq("city", "segment"), 2)
+      .select("id").as[Long].collect().sorted
+    assert(kOnly.contains(1L))
+    val kl = Privacy.enforceLDiversity(fixture, Seq("city", "segment"),
+      "salary", k = 2, l = 2)
+      .select("id").as[Long].collect().sorted
+    assert(kl === Array(4L, 5L)) // only ("b","y") has n>=2 AND l>=2
+    // l=1 degrades to plain k-anonymity EXCEPT all-null-sensitive
+    // groups (0 distinct values < 1): id 7's group is n=1 anyway
+    assert(Privacy.enforceLDiversity(fixture, Seq("city", "segment"),
+      "salary", 1, 1).count() === 6L) // id 7 excluded: l_div = 0
+    intercept[IllegalArgumentException] {
+      Privacy.enforceLDiversity(fixture, Seq("city"), "salary", 1, 0) }
+  }
+
   test("pseudonymize: deterministic SHA-256 tokens, joinability under " +
     "one salt, null stays null, rotation unlinks") {
     val a = Privacy.pseudonymize(fixture, Seq("city"), "s1")
