@@ -1164,6 +1164,66 @@ object Stress {
       }
     }
 
+    scenario("privacy_scale") {
+      // r12 s5: the privacy verbs over the 50× fact. suppress = two
+      // keyed shuffles (aggregate + null-safe left-semi) over ~7.5M
+      // orders on a (custkey%1000, priority) quasi tuple (~5k groups);
+      // pseudonymize = pure row-local codegen sha2 over 30M lineitems
+      val orders = Tables.orders(spark, dir)
+        .withColumn("cust_bucket", col("o_custkey") % 1000)
+      time("privacy_suppress") {
+        Privacy.suppress(orders, Seq("cust_bucket", "o_orderpriority"),
+          k = 100)
+      }
+      time("privacy_pseudonymize") {
+        Privacy.pseudonymize(Tables.lineitem(spark, dir),
+          Seq("l_orderkey", "l_partkey"), salt = "stress")
+      }
+    }
+
+    scenario("basket_scale") {
+      // r12 s5: co-occurrence over the 50× order book — baskets stay
+      // <= ~15 items at ANY corpus size (the per-basket quadratic is
+      // the bound, not the corpus), so pairs grow linearly with rows
+      time("copurchase") {
+        BasketOps.copurchasePairs(Tables.lineitem(spark, dir),
+          "l_orderkey", "l_partkey", minSupport = 2)
+      }
+    }
+
+    scenario("keyword_scale") {
+      // r12 s5: top-terms over 2.5M documents — explode + two keyed
+      // aggregates + the doc-partitioned window (WindowGroupLimit
+      // caps the per-doc sort at k)
+      time("doc_top_terms") {
+        KeywordOps.topTerms(Tables.documents(spark, dir),
+          "doc_id", "text", k = 3)
+      }
+    }
+
+    scenario("corr_scale") {
+      // r12 s5: 30M rows sits PAST the exact path's 2^53 bound
+      // (n²·var(qty) ≈ 1.9e17) — assert the designed loud refusal
+      // (silent rounding would be the bug), then time the double-sum
+      // scale path that carries from there
+      val units = Tables.lineitem(spark, dir).select(
+        floor(col("l_quantity") + 0.5).cast("long").as("qty"),
+        floor(col("l_discount") * 100 + 0.5).cast("long").as("disc_pct"),
+        floor(col("l_tax") * 100 + 0.5).cast("long").as("tax_pct"))
+      val cols = Seq("qty", "disc_pct", "tax_pct")
+      val refused = try {
+        CorrelationOps.corrMatrix(units, cols)
+          .write.format("noop").mode("overwrite").save(); false
+      } catch { case e: Throwable =>
+        def any(t: Throwable): Boolean = t != null &&
+          (Option(t.getMessage).exists(_.contains("2^53")) || any(t.getCause))
+        any(e)
+      }
+      require(refused, "corr_exact at 30M rows must refuse loudly")
+      println(f"STRESS corr_exact_refusal           ${0.0}%8.2f s   (loud 2^53 refusal as designed)")
+      time("corr_fast")(CorrelationOps.corrMatrixFast(units, cols))
+    }
+
     spark.stop()
   }
 }

@@ -27,10 +27,14 @@ import org.apache.spark.sql.functions._
   * hugeint cast double-rounds — so the operator REFUSES loudly rather
   * than hash-drift), then sqrt/multiply/divide are single IEEE ops,
   * bit-identical cross-engine. A zero-variance column yields NULL
-  * corr (pinned, not NaN). The guard binds roughly at
-  * n²·var(units) ≈ 2⁵³ — beyond that (≫10⁸ rows at cents-scale
-  * variance) use `corrMatrixFast`, the plain double-sum scale path
-  * whose ≤-ulps drift is spec-bounded against this exact form.
+  * corr (pinned, not NaN). The guard binds at n²·var(units) ≈ 2⁵³,
+  * i.e. n ≈ √(2⁵³/var) — about 6M rows for TPC-H-quantity-scale
+  * variance (var ≈ 200), smaller for cents-scale columns. Past it the
+  * operator REFUSES (stress-asserted at 50×: the refusal is loud,
+  * never a silent rounding) and the scale path is `corrMatrixFast`,
+  * plain double sums whose ≤-ulps drift is spec-bounded against this
+  * exact form at test SF — statistically irrelevant at the row counts
+  * where it engages, but not hash-reproducible, so it is not gated.
   */
 object CorrelationOps {
 

@@ -299,13 +299,23 @@ final class ParquetValueStore(spark: SparkSession, path: String)
   *
   * `merge` must preserve the bucket layout, so it re-APPENDS the
   * merged partition through the bucketed writer: stage the merged
-  * rows to a dot-prefixed temp (the durable copy), VERIFY them, drop
-  * the partition, append from the stage, clear the stage. The drop →
-  * append gap is this format's non-transactional window; recovery is
-  * deterministic — a leftover stage beside a MISSING partition is a
-  * crashed merge's complete output and is replayed on the next merge
-  * touching that partition, a stage beside an INTACT partition is
-  * pre-drop garbage and is discarded. */
+  * rows to a dot-prefixed temp (the durable copy), VERIFY them, ARM a
+  * `_publish_armed` sentinel inside the stage, drop the partition,
+  * append from the stage, clear the stage (sentinel included). The
+  * drop → append gap is this format's non-transactional window;
+  * recovery is deterministic BY THE SENTINEL, not by guessing from
+  * what is visible: an ARMED stage means the publish phase was
+  * entered, so the visible partition is suspect — a crash inside the
+  * bucketed append's job commit can leave a PARTIAL partition that
+  * looks intact — and the stage (the verified complete copy) is
+  * re-published idempotently. An UNARMED stage never reached the
+  * destructive phase: beside an intact partition it is pre-drop
+  * garbage and is discarded; beside a missing partition (a legacy /
+  * external-drop state) it is the only copy of anything and is
+  * replayed. Deciding "partial vs intact" from the partition itself
+  * (the pre-sentinel rule) would silently keep a partial publish —
+  * the Layout.optimizeZOrdered lesson from the r11 ADVICE, applied
+  * here before it bit. */
 final class BucketedParquetValueStore(spark: SparkSession, path: String,
     buckets: Int, table: String) extends ValueStoreFormat {
 
@@ -365,6 +375,8 @@ final class BucketedParquetValueStore(spark: SparkSession, path: String,
   private def stageDir(feature: String, version: String) =
     new Path(s"$path/.merge-$feature-$version-stage")
 
+  private def armedMarker(stage: Path) = new Path(stage, "_publish_armed")
+
   override def merge(updates: DataFrame): Unit = {
     ensureTable()
     val parts = updates.select("feature_name", "version").distinct()
@@ -373,11 +385,17 @@ final class BucketedParquetValueStore(spark: SparkSession, path: String,
       val dir = new Path(s"$path/feature_name=$f/version=$v")
       val stage = stageDir(f, v)
       if (hfs.exists(stage)) {
-        if (!hfs.exists(dir)) {
-          // crashed prior merge: the stage is the complete merged
-          // partition — replay the publish before merging anew
+        if (hfs.exists(armedMarker(stage))) {
+          // the publish phase was ENTERED: the visible partition may be
+          // a partial job commit that looks intact — the armed stage is
+          // the verified complete copy; re-publish it idempotently
+          dropPartition(f, v)
           appendStage(f, v)
-        } else hfs.delete(stage, true) // pre-drop garbage
+        } else if (!hfs.exists(dir)) {
+          // unarmed stage beside a missing partition (legacy /
+          // externally-dropped state): it is the only copy of anything
+          appendStage(f, v)
+        } else hfs.delete(stage, true) // unarmed + intact: pre-drop garbage
       }
       val slice = updates
         .filter(col("feature_name") === f && col("version") === v)
@@ -398,6 +416,9 @@ final class BucketedParquetValueStore(spark: SparkSession, path: String,
         require(got == want,
           s"merge of ($f, $v) staged $got rows, expected $want — " +
             "aborting before the drop, partition untouched")
+        // ARM the sentinel LAST before the destructive phase: from here
+        // a crash anywhere re-publishes the stage on the next merge
+        hfs.create(armedMarker(stage), true).close()
         // the non-transactional window (class doc): drop then publish
         dropPartition(f, v)
         appendStage(f, v)

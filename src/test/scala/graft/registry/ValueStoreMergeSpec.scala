@@ -172,6 +172,28 @@ class ValueStoreMergeSpec extends SparkSpec {
       s"stale stage must not leak: $got")
   }
 
+  test("bucketed merge crash recovery, ARMED stage: a partial publish " +
+    "that LOOKS intact is re-published from the stage, never trusted") {
+    val dir = tmp()
+    val table = "graft_vsm_armed_" + dir.split('/').last.takeRight(8)
+    val store = new BucketedParquetValueStore(spark, dir, 4, table)
+    store.append(longRows("f", "v1", "e1" -> 1.0, "e2" -> 2.0))
+    // crash state INSIDE the publish: the partition is visible but
+    // PARTIAL (here: the pre-merge content standing in for a torn job
+    // commit), and the armed stage holds the verified merged rows
+    longRows("f", "v1", "e1" -> 11.0, "e2" -> 2.0, "e3" -> 3.0)
+      .drop("feature_name", "version")
+      .write.mode("overwrite").parquet(s"$dir/.merge-f-v1-stage")
+    new java.io.File(s"$dir/.merge-f-v1-stage/_publish_armed")
+      .createNewFile()
+    // pre-sentinel rule would discard the stage ("beside intact data")
+    // and keep the partial partition; the sentinel forces re-publish
+    store.merge(longRows("f", "v1", "e4" -> 4.0))
+    assert(values(store.read(), "f", "v1") ==
+      Map("e1" -> 11.0, "e2" -> 2.0, "e3" -> 3.0, "e4" -> 4.0))
+    assert(!new java.io.File(s"$dir/.merge-f-v1-stage").exists())
+  }
+
   test("FeatureStore.mergeVersion: backfill-correct a served version " +
     "end-to-end; unknown feature/version refuse") {
     val dir = tmp()
