@@ -25,7 +25,8 @@ object SparkEntry {
       graft.sources.FileStatsIndex.queries ++ PercentileOps.queries ++
       Merge.queries ++ CohortOps.queries ++ TableProfile.queries ++
       AsOfJoin.queries ++ Privacy.queries ++ BasketOps.queries ++
-      KeywordOps.queries ++ CorrelationOps.queries
+      KeywordOps.queries ++ CorrelationOps.queries ++ Scd2.queries ++
+      RegressionOps.queries ++ IntegrityOps.queries ++ CorpusOverlap.queries
 
   /** Queries deliberately WITHOUT an oracle entry — the driver records
     * its weaker rows-only check for these. Membership requires a
@@ -52,5 +53,6 @@ object SparkEntry {
       graft.sources.FileStatsIndex.oracles ++ PercentileOps.oracles ++
       Merge.oracles ++ CohortOps.oracles ++ TableProfile.oracles ++
       AsOfJoin.oracles ++ Privacy.oracles ++ BasketOps.oracles ++
-      KeywordOps.oracles ++ CorrelationOps.oracles
+      KeywordOps.oracles ++ CorrelationOps.oracles ++ Scd2.oracles ++
+      RegressionOps.oracles ++ IntegrityOps.oracles ++ CorpusOverlap.oracles
 }

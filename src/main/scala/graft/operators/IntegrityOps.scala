@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** G38: referential-integrity audit — the Deequ-family check G35's
+  * single-table profile cannot see (reference scope: the feature
+  * store's entity_id → registry relation is exactly such a foreign
+  * key). For each declared child→parent relation it reports row and
+  * key orphan counts plus the NULL-key population, with SQL FK
+  * semantics pinned: a NULL child key satisfies the constraint (it is
+  * counted in `n_null`, never an orphan).
+  *
+  * Scale: the child is scanned ONCE per relation, projected to its key
+  * column and pre-aggregated to (key, row-count) BEFORE any join — the
+  * existence probe then joins distinct keys against distinct parent
+  * keys (broadcast when the parent is a dim), so no corpus-sized row
+  * ever rides the join. The verdict is ONE aggregation over the
+  * key-counts frame (n_child / orphan rows / orphan keys in the same
+  * pass — no second scan).
+  */
+object IntegrityOps {
+
+  /** One child→parent relation audit. Output (1 row):
+    * (relation, n_child, n_null, n_orphan_rows, n_orphan_keys). */
+  def fkAudit(relation: String, child: DataFrame, childKey: String,
+              parent: DataFrame, parentKey: String): DataFrame = {
+    val keyed = child.select(col(childKey).as("_k"))
+    val counts = keyed.filter(col("_k").isNotNull)
+      .groupBy(col("_k")).agg(count(lit(1)).as("_cnt"))
+    val present = parent.select(col(parentKey).as("_k")).distinct()
+      .withColumn("_present", lit(true))
+    val nulls = keyed.filter(col("_k").isNull)
+      .agg(count(lit(1)).as("n_null"))
+    counts.join(present, Seq("_k"), "left")
+      .agg(
+        coalesce(sum(col("_cnt")), lit(0L)).as("n_child"),
+        coalesce(sum(when(col("_present").isNull, col("_cnt"))), lit(0L))
+          .as("n_orphan_rows"),
+        count(when(col("_present").isNull, lit(1))).as("n_orphan_keys"))
+      .crossJoin(nulls) // 1-row × 1-row
+      .select(lit(relation).as("relation"), col("n_child"), col("n_null"),
+        col("n_orphan_rows"), col("n_orphan_keys"))
+  }
+
+  /** Multi-relation audit: one verdict row per relation. */
+  def fkAuditAll(relations: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    require(relations.nonEmpty, "no relations declared")
+    relations.map { case (n, c, ck, p, pk) => fkAudit(n, c, ck, p, pk) }
+      .reduce(_ unionByName _)
+  }
+
+  /** The violating child rows (full rows, for quarantine/repair) — the
+    * row-level companion to the audit; same NULL semantics. */
+  def orphans(child: DataFrame, childKey: String,
+              parent: DataFrame, parentKey: String): DataFrame =
+    child.filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey)).distinct(),
+        child(childKey) === parent(parentKey), "left_anti")
+
+  // ---------------------------------------------------------------- gate
+
+  /** Gate `fk_audit`: the testdata schema ships referentially CLEAN, so
+    * the gate audits one clean relation (lineitem→orders: all-zero
+    * verdict proves the no-false-positive side) and one DERIVED dirty
+    * relation — orders whose o_orderkey ≡ 0 (mod 97) get their custkey
+    * shifted out of range, planting a deterministic orphan population
+    * (the norm_clean derive-the-variation convention) — plus a
+    * planted-NULL lane pinning the NULL-is-not-an-orphan rule. */
+  def fkAuditGate(spark: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(spark, d)
+    val dirty = orders.select(
+      when(col("o_orderkey") % 97 === 0, col("o_custkey") + 10000000L)
+        .when(col("o_orderkey") % 101 === 0, lit(null).cast("long"))
+        .otherwise(col("o_custkey")).as("cust_fk"))
+    fkAuditAll(Seq(
+      ("lineitem.orderkey->orders",
+        Tables.lineitem(spark, d).select("l_orderkey"), "l_orderkey",
+        Tables.orders(spark, d).select("o_orderkey"), "o_orderkey"),
+      ("orders_dirty.custkey->customer",
+        dirty, "cust_fk",
+        Tables.customer(spark, d).select("c_custkey"), "c_custkey")))
+      .orderBy(col("relation"))
+  }
+
+  val fkAuditSql: String =
+    """WITH li AS (
+      |  SELECT CAST(COUNT(l_orderkey) AS BIGINT) AS n_child,
+      |    CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS n_null,
+      |    CAST(COALESCE(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 END), 0)
+      |      AS BIGINT) AS n_orphan_rows,
+      |    CAST(COUNT(DISTINCT CASE WHEN o.o_orderkey IS NULL
+      |      THEN l.l_orderkey END) AS BIGINT) AS n_orphan_keys
+      |  FROM lineitem l
+      |  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      |    ON l.l_orderkey = o.o_orderkey),
+      |dirty AS (
+      |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 10000000
+      |    WHEN o_orderkey % 101 = 0 THEN NULL
+      |    ELSE o_custkey END AS cust_fk
+      |  FROM orders),
+      |dc AS (
+      |  SELECT CAST(COUNT(cust_fk) AS BIGINT) AS n_child,
+      |    CAST(COUNT(*) - COUNT(cust_fk) AS BIGINT) AS n_null,
+      |    CAST(COALESCE(SUM(CASE WHEN c.c_custkey IS NULL
+      |      AND d.cust_fk IS NOT NULL THEN 1 END), 0) AS BIGINT)
+      |      AS n_orphan_rows,
+      |    CAST(COUNT(DISTINCT CASE WHEN c.c_custkey IS NULL
+      |      THEN d.cust_fk END) AS BIGINT) AS n_orphan_keys
+      |  FROM dirty d
+      |  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      |    ON d.cust_fk = c.c_custkey)
+      |SELECT 'lineitem.orderkey->orders' AS relation, n_child, n_null,
+      |  n_orphan_rows, n_orphan_keys FROM li
+      |UNION ALL
+      |SELECT 'orders_dirty.custkey->customer', n_child, n_null,
+      |  n_orphan_rows, n_orphan_keys FROM dc
+      |ORDER BY relation""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fk_audit" -> fkAuditGate _)
+
+  val oracles: Map[String, String] = Map(
+    "fk_audit" -> fkAuditSql)
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  // (key, attr, ts-micros, tie)
+  private def log(rows: (Int, String, Long, Int)*) =
+    rows.toSeq.toDF("k", "attr", "us", "tie")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+
+  private def hist(rows: (Int, String, Long, Int)*) =
+    Scd2.build(log(rows: _*), Seq("k"), Seq("attr"), "ts", Seq("tie"))
+
+  private def asTuples(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("k"), col("attr"), unix_micros(col("valid_from")),
+        unix_micros(col("valid_to")), col("is_current"))
+      .collect().map { r =>
+        (r.getInt(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))
+      }.toSet
+
+  test("build collapses no-op re-observations and assigns half-open intervals") {
+    val h = hist(
+      (1, "A", 10L, 1), (1, "A", 20L, 2), (1, "B", 30L, 3),
+      (1, "B", 40L, 4), (1, "A", 50L, 5),
+      (2, "X", 15L, 6))
+    assert(asTuples(h) === Set(
+      (1, "A", 10L, 30L, false),
+      (1, "B", 30L, 50L, false),
+      (1, "A", 50L, -1L, true),
+      (2, "X", 15L, -1L, true)))
+  }
+
+  test("collapse is null-safe: null attr is a state, not a wildcard") {
+    val df = Seq((1, Option("A"), 10L, 1), (1, Option.empty[String], 20L, 2),
+        (1, Option.empty[String], 30L, 3), (1, Option("A"), 40L, 4))
+      .toDF("k", "attr", "us", "tie")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val h = Scd2.build(df, Seq("k"), Seq("attr"), "ts", Seq("tie"))
+    val states = h.orderBy("valid_from").select("attr").collect().map(r =>
+      Option(r.getString(0)))
+    assert(states.toSeq === Seq(Some("A"), None, Some("A")))
+  }
+
+  test("timestamp collisions order by the tie column") {
+    val h = hist((1, "B", 10L, 2), (1, "A", 10L, 1))
+    val ordered = h.orderBy("valid_from", "tie")
+      .select("attr", "is_current").collect()
+    assert(ordered.map(_.getString(0)).toSeq === Seq("A", "B"))
+    assert(ordered.map(_.getBoolean(1)).toSeq === Seq(false, true))
+  }
+
+  test("asOf is half-open: exact change instant sees the NEW state") {
+    val h = hist((1, "A", 10L, 1), (1, "B", 30L, 2))
+    def at(us: Long) =
+      Scd2.asOf(h, timestamp_micros(lit(us))).select("attr")
+        .collect().map(_.getString(0)).toSeq
+    assert(at(9L) === Seq())
+    assert(at(10L) === Seq("A"))
+    assert(at(29L) === Seq("A"))
+    assert(at(30L) === Seq("B"))
+    assert(at(999L) === Seq("B"))
+  }
+
+  test("applyChanges == full rebuild, including late out-of-order deltas") {
+    val full = Seq(
+      (1, "A", 10L, 1), (1, "B", 30L, 3), (1, "A", 20L, 2), // 20 is "late"
+      (2, "X", 15L, 4), (2, "X", 25L, 5),
+      (3, "Q", 11L, 6))
+    val (base, delta) = (full.filterNot(r => Set(2, 5).contains(r._4)),
+      full.filter(r => Set(2, 5).contains(r._4)))
+    val applied = Scd2.applyChanges(hist(base: _*), log(delta: _*),
+      Seq("k"), Seq("attr"), "ts", Seq("tie"))
+    assert(asTuples(applied) === asTuples(hist(full: _*)))
+    // untouched key 3 must survive verbatim
+    assert(asTuples(applied).exists(_._1 == 3))
+  }
+
+  test("applyChanges law holds on cross-batch timestamp collisions") {
+    val full = Seq((1, "A", 10L, 2), (1, "B", 10L, 1), (1, "C", 10L, 3))
+    val (base, delta) = (full.filter(_._4 != 3), full.filter(_._4 == 3))
+    val applied = Scd2.applyChanges(hist(base: _*), log(delta: _*),
+      Seq("k"), Seq("attr"), "ts", Seq("tie"))
+    assert(asTuples(applied) === asTuples(hist(full: _*)))
+  }
+
+  test("applyChanges is replay-idempotent") {
+    val base = Seq((1, "A", 10L, 1), (1, "B", 30L, 2))
+    val delta = Seq((1, "C", 40L, 3))
+    val once = Scd2.applyChanges(hist(base: _*), log(delta: _*),
+      Seq("k"), Seq("attr"), "ts", Seq("tie"))
+    val twice = Scd2.applyChanges(once, log(delta: _*),
+      Seq("k"), Seq("attr"), "ts", Seq("tie"))
+    assert(asTuples(twice) === asTuples(once))
+  }
+
+  test("build refuses a column listed twice") {
+    val e = intercept[IllegalArgumentException] {
+      Scd2.build(log((1, "A", 10L, 1)), Seq("k"), Seq("k"), "ts", Nil)
+    }
+    assert(e.getMessage.contains("twice"))
+  }
+
+  test("gate runs on real events and matches the reference invariants") {
+    val g = Scd2.scd2BuildGate(spark, sf)
+    val rows = g.cache()
+    assert(rows.count() > 0)
+    // exactly one current row per user
+    val multiCurrent = rows.filter(col("is_current"))
+      .groupBy("user_id").count().filter(col("count") > 1).count()
+    assert(multiCurrent === 0)
+    // intervals chain: every non-current valid_to equals SOME valid_from
+    // of the same user (the lead construction guarantees it)
+    val ends = rows.filter(!col("is_current"))
+      .select(col("user_id"), col("valid_to").as("vf"))
+    val starts = rows.select(col("user_id"), col("valid_from").as("vf"))
+    assert(ends.except(starts).count() === 0)
+    rows.unpersist()
+    assert(Scd2.scd2AsOfGate(spark, sf).count() > 0)
+  }
+
+  test("plan: one key-partitioned window pass, never a global window") {
+    val plan = Scd2.scd2BuildGate(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global exchange in SCD2 plan:\n$plan")
+  }
+}
