@@ -26,7 +26,8 @@ object SparkEntry {
       Merge.queries ++ CohortOps.queries ++ TableProfile.queries ++
       AsOfJoin.queries ++ Privacy.queries ++ BasketOps.queries ++
       KeywordOps.queries ++ CorrelationOps.queries ++ Scd2.queries ++
-      RegressionOps.queries ++ IntegrityOps.queries ++ CorpusOverlap.queries
+      RegressionOps.queries ++ IntegrityOps.queries ++ CorpusOverlap.queries ++
+      TimeSeriesOps.queries ++ GraphOps.queries
 
   /** Queries deliberately WITHOUT an oracle entry — the driver records
     * its weaker rows-only check for these. Membership requires a
@@ -54,5 +55,6 @@ object SparkEntry {
       Merge.oracles ++ CohortOps.oracles ++ TableProfile.oracles ++
       AsOfJoin.oracles ++ Privacy.oracles ++ BasketOps.oracles ++
       KeywordOps.oracles ++ CorrelationOps.oracles ++ Scd2.oracles ++
-      RegressionOps.oracles ++ IntegrityOps.oracles ++ CorpusOverlap.oracles
+      RegressionOps.oracles ++ IntegrityOps.oracles ++ CorpusOverlap.oracles ++
+      TimeSeriesOps.oracles ++ GraphOps.oracles
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int) =
+    GraphOps.pagerank(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two-node cycle is the exact fixed point") {
+    // A↔B, outdeg 1 each: r = 0.15e9 + floor(0.85 * 1e9) = 1e9 forever
+    val got = ranks(Seq((1L, 2L), (2L, 1L)), iters = 3)
+    assert(got === Map(1L -> 1000000000L, 2L -> 1000000000L))
+  }
+
+  test("chain with a sink matches hand-folded integer arithmetic") {
+    // A -> B, B dangling
+    val i1 = ranks(Seq((1L, 2L)), 1)
+    assert(i1(1L) === 150000000L)
+    assert(i1(2L) === 150000000L + 850000000L)
+    val i2 = ranks(Seq((1L, 2L)), 2)
+    assert(i2(1L) === 150000000L)
+    assert(i2(2L) === 150000000L + (150000000L * 85) / 100)
+  }
+
+  test("hub of a star out-ranks the leaves; duplicate edges collapse") {
+    val leaves = (2L to 6L)
+    val edges = leaves.flatMap(l => Seq((1L, l), (l, 1L), (l, 1L)))
+    val got = ranks(edges, 3)
+    leaves.foreach(l => assert(got(1L) > got(l)))
+    // duplicate (l,1) edges must not double a leaf's contribution:
+    // with outdeg(leaf)=1 the hub gets 5 whole shares
+    val gotNoDup = ranks(leaves.flatMap(l => Seq((1L, l), (l, 1L))), 3)
+    assert(got === gotNoDup)
+  }
+
+  test("dangling mass evaporates: total rank is monotonically non-increasing") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)) // 4 is a sink
+    val totals = (1 to 3).map(i => ranks(edges, i).values.sum)
+    assert(totals === totals.sorted.reverse)
+    assert(totals.last < totals.head)
+  }
+
+  test("degrees counts both directions with zero-fill") {
+    val got = GraphOps.degrees(Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("s", "d"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map(1L -> ((2L, 0L)), 2L -> ((1L, 1L)), 3L -> ((0L, 2L))))
+  }
+
+  test("iteration bounds refuse loudly") {
+    intercept[IllegalArgumentException] {
+      GraphOps.pagerank(Seq((1L, 2L)).toDF("s", "d"), iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.pagerank(Seq((1L, 2L)).toDF("s", "d"), dampingPct = 100)
+    }
+  }
+
+  test("gate runs on the trade graph; suppliers and customers both present") {
+    val got = GraphOps.pagerankGate(spark, sf)
+    assert(got.filter(col("id") >= 1000000L).count() > 0)
+    assert(got.filter(col("id") < 1000000L).count() > 0)
+    assert(got.filter(col("rank") < 150000000L).count() === 0)
+  }
+
+  test("plan: iterations are keyed joins off checkpointed frames, no cartesian") {
+    val plan = GraphOps.pagerankGate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+}
