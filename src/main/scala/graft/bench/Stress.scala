@@ -1224,6 +1224,122 @@ object Stress {
       time("corr_fast")(CorrelationOps.corrMatrixFast(units, cols))
     }
 
+    scenario("scd2_scale") {
+      // r12 s6: Type-2 history over the 50× event stream — ~5M changes
+      // fold through ONE user-keyed window pass (the collapse lag and
+      // interval lead share the Exchange+Sort); then the O(delta)
+      // claim measured: applyChanges with a 10k-row delta must rebuild
+      // only the touched keys, not re-window 5M rows
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      time("scd2_build") {
+        Scd2.build(ev, Seq("user_id"), Seq("event_type"), "ts", Seq("event_id"))
+      }
+      val hist = Scd2.build(ev, Seq("user_id"), Seq("event_type"), "ts",
+        Seq("event_id")).localCheckpoint()
+      val delta = ev.filter(col("user_id") % 997 === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 400 DAYS"))
+        .limit(10000).localCheckpoint()
+      time("scd2_apply_delta") {
+        Scd2.applyChanges(hist, delta,
+          Seq("user_id"), Seq("event_type"), "ts", Seq("event_id"))
+      }
+    }
+
+    scenario("regression_scale") {
+      // r12 s6: 30M rows sits past the OLS exact path's 2^53 bound on
+      // dx ≈ n²·var(qty) — assert the designed loud refusal, then time
+      // the double-sum scale path. Welch stays EXACT at 50×: whole-unit
+      // event values keep n²·var ≈ 2.5e15 under the guard by design.
+      val li = Tables.lineitem(spark, dir).select(
+        col("l_returnflag").as("grp"),
+        floor(col("l_quantity") + 0.5).cast("long").as("x"),
+        floor(col("l_discount") * 100 + 0.5).cast("long").as("y"))
+      val refused = try {
+        RegressionOps.olsTrend(li, "grp", "x", "y")
+          .write.format("noop").mode("overwrite").save(); false
+      } catch { case e: Throwable =>
+        def any(t: Throwable): Boolean = t != null &&
+          (Option(t.getMessage).exists(_.contains("2^53")) || any(t.getCause))
+        any(e)
+      }
+      require(refused, "ols exact at 30M rows must refuse loudly")
+      println(f"STRESS ols_exact_refusal            ${0.0}%8.2f s   (loud 2^53 refusal as designed)")
+      time("regression_ols_fast")(RegressionOps.olsTrendFast(li, "grp", "x", "y"))
+      time("regression_welch_exact") {
+        RegressionOps.welchTTest(Tables.events(spark, dir).select(
+          col("event_type"), floor(col("value") + 0.5).cast("long").as("v")),
+          "event_type", "v")
+      }
+    }
+
+    scenario("fk_audit_scale") {
+      // r12 s6: referential audit of the 30M-row fact against the
+      // 7.5M-key parent — the child pre-aggregates to distinct keys
+      // BEFORE the existence join, so the join carries ~7.5M key rows,
+      // not 30M fact rows
+      time("fk_audit_50x") {
+        IntegrityOps.fkAudit("lineitem->orders",
+          Tables.lineitem(spark, dir).select("l_orderkey"), "l_orderkey",
+          Tables.orders(spark, dir).select("o_orderkey"), "o_orderkey")
+      }
+    }
+
+    scenario("corpus_overlap_scale") {
+      // r12 s6: exact pairwise containment across sources of 2.5M docs
+      // (the distinct (corpus, shingle) projection IS the cost), then
+      // the bottom-k sketch pair math — the piece that stays
+      // corpus-count-sized however large the corpora get
+      val docs = Tables.documents(spark, dir)
+      time("corpus_overlap_exact")(CorpusOverlap.exactOverlap(docs, "source", "text"))
+      time("corpus_overlap_sketch")(
+        CorpusOverlap.overlapSketch(docs, "source", "text", k = 1024))
+      val sk = CorpusOverlap.overlapSketch(docs, "source", "text", k = 1024)
+        .localCheckpoint()
+      time("corpus_overlap_est")(CorpusOverlap.estimateOverlap(sk, k = 1024))
+    }
+
+    scenario("ts_interp_scale") {
+      // r12 s6: the gap-fill verb at 50× — the corpus-sized part is the
+      // daily aggregation; the spine+windows run on the groups×days grid
+      time("ts_interp_50x") {
+        val daily = Tables.events(spark, dir)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+              .cast("long").as("day_idx"))
+          .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+          .filter(col("day_idx") % 3 =!= 1)
+        TimeSeriesOps.interpolateLinear(daily, "event_type", "day_idx", "cents")
+      }
+    }
+
+    scenario("pagerank_scale") {
+      // r12 s6: 3 exact iterations over the 50× trade graph — edge
+      // count grows toward cust×supp saturation (~30M directed edges),
+      // each iteration one edge-keyed join + one dst aggregation
+      val trade = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + 1000000L).as("supp"))
+        .distinct()
+      val edges = trade.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionByName(trade.select(col("supp").as("src"), col("cust").as("dst")))
+      time("pagerank_50x")(GraphOps.pagerank(edges, iters = 3))
+    }
+
+    scenario("compress_scale") {
+      // r12 s6: deflate 2.5M docs — row-local, rides the scan, the
+      // reused-Deflater-per-partition design point
+      time("compress_50x") {
+        CompressionSignal.score(
+          Tables.documents(spark, dir).select("doc_id", "text"), "text")
+          .select("doc_id", "n_bytes", "n_compressed", "compress_ratio")
+      }
+    }
+
     spark.stop()
   }
 }
