@@ -1330,6 +1330,44 @@ object Stress {
       time("pagerank_50x")(GraphOps.pagerank(edges, iters = 3))
     }
 
+    scenario("target_encode_scale") {
+      // r12 s6b: both supervised encodings over 7.5M orders — one
+      // corpus aggregation to a 5-category frame, broadcast join back,
+      // row-local LOO projection
+      time("target_encode_50x") {
+        TargetEncode.encode(Tables.orders(spark, dir).select(
+          col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents")),
+          "o_orderkey", "o_orderpriority", "cents", m = 20.0)
+      }
+      time("target_encode_woe_50x") {
+        TargetEncode.woe(Tables.orders(spark, dir).select(
+          col("o_orderpriority"), (col("o_orderstatus") === "F").as("ful")),
+          "o_orderpriority", "ful")
+      }
+    }
+
+    scenario("triangles_scale") {
+      // r12 s6b: the census at 50× NEEDS relative support — absolute
+      // support >= 2 saturates the co-purchase graph when every part
+      // appears mult× more often (avg degree ~10^3, wedges ~10^11);
+      // support >= mult keeps the edge semantics ("co-bought in >= 2
+      // base-corpus orders' worth of evidence") and the O(m^1.5) bound
+      // honest
+      val items = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = items.select(col("o"), col("p").as("pa"))
+        .join(items.select(col("o"), col("p").as("pb")), Seq("o"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2L * mult)
+        .select(col("pa"), col("pb"))
+        .localCheckpoint()
+      println(f"STRESS triangles_edges              ${0.0}%8.2f s   rows=${edges.count()} (support >= ${2 * mult})")
+      time("triangles_50x")(GraphOps.triangleCount(edges))
+    }
+
     scenario("compress_scale") {
       // r12 s6: deflate 2.5M docs — row-local, rides the scan, the
       // reused-Deflater-per-partition design point
