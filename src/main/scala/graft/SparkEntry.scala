@@ -27,7 +27,8 @@ object SparkEntry {
       AsOfJoin.queries ++ Privacy.queries ++ BasketOps.queries ++
       KeywordOps.queries ++ CorrelationOps.queries ++ Scd2.queries ++
       RegressionOps.queries ++ IntegrityOps.queries ++ CorpusOverlap.queries ++
-      TimeSeriesOps.queries ++ GraphOps.queries ++ TargetEncode.queries
+      TimeSeriesOps.queries ++ GraphOps.queries ++ TargetEncode.queries ++
+      FunnelOps.queries
 
   /** Queries deliberately WITHOUT an oracle entry — the driver records
     * its weaker rows-only check for these. Membership requires a
@@ -56,5 +57,6 @@ object SparkEntry {
       AsOfJoin.oracles ++ Privacy.oracles ++ BasketOps.oracles ++
       KeywordOps.oracles ++ CorrelationOps.oracles ++ Scd2.oracles ++
       RegressionOps.oracles ++ IntegrityOps.oracles ++ CorpusOverlap.oracles ++
-      TimeSeriesOps.oracles ++ GraphOps.oracles ++ TargetEncode.oracles
+      TimeSeriesOps.oracles ++ GraphOps.oracles ++ TargetEncode.oracles ++
+      FunnelOps.oracles
 }

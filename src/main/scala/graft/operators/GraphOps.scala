@@ -173,6 +173,38 @@ object GraphOps {
       |       FROM nodes n LEFT JOIN s3 s ON n.id = s.id)
       |SELECT id, rank FROM r3 ORDER BY id""".stripMargin
 
+  /** Bounded-hop BFS distances from a seed set — "what can this entity
+    * reach in ≤ k hops" (blast-radius / influence-neighborhood
+    * queries). Exact integer hop counts; a node reachable by several
+    * paths takes its MINIMUM distance (the frontier-union min — each
+    * round is one edge-keyed join + one min aggregation, the C6
+    * label-propagation shape with a hop counter instead of a label).
+    * Frontier trick: only nodes FIRST reached in round i−1 expand in
+    * round i (already-settled nodes re-derive nothing), so total join
+    * work is O(E · avg-eccentricity-within-k), not O(E·k). Output:
+    * (id, dist) for every node within k hops, seeds at dist 0. */
+  def khopDistances(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 30, s"k=$k out of [1,30]")
+    val Seq(s, t) = edges.columns.take(2).toSeq
+    val e = edges.select(col(s).cast("long").as("src"),
+      col(t).cast("long").as("dst")).distinct().localCheckpoint()
+    var settled = seeds.select(col(seeds.columns.head).cast("long").as("id"))
+      .distinct().withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = settled
+    var hop = 1
+    while (hop <= k && !frontier.isEmpty) {
+      val next = e.join(frontier.select(col("id").as("src")), Seq("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(settled.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("dist", lit(hop.toLong))
+        .localCheckpoint()
+      settled = settled.unionByName(next).localCheckpoint()
+      frontier = next
+      hop += 1
+    }
+    settled
+  }
+
   /** Gate `triangles`: triangle census of the co-purchase graph (parts
     * sharing an order, support ≥ 2 orders — the B29 edge definition;
     * baskets are ≤ ~7 items so pair generation is row-bounded). */
@@ -223,11 +255,55 @@ object GraphOps {
       |SELECT n_nodes, n_edges, n_wedges, n_triangles
       |FROM st CROSS JOIN ec CROSS JOIN tri""".stripMargin
 
+  /** Gate `khop`: 2-hop blast radius on the trade graph from the
+    * nation-0 suppliers — hop 1 = their customers, hop 2 = the OTHER
+    * suppliers those customers also buy from (supply-chain exposure). */
+  def khopGate(spark: SparkSession, d: String): DataFrame = {
+    val trade = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_suppkey") + 1000000L).as("supp"))
+      .distinct()
+    val edges = trade.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionByName(trade.select(col("supp").as("src"), col("cust").as("dst")))
+    val seeds = Tables.supplier(spark, d)
+      .filter(col("s_nationkey") === 0)
+      .select((col("s_suppkey") + 1000000L).as("id"))
+    khopDistances(edges, seeds, k = 2).orderBy(col("id"))
+  }
+
+  val khopSql: String =
+    """WITH trade AS (
+      |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 1000000 AS supp
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |e AS (
+      |  SELECT cust AS src, supp AS dst FROM trade
+      |  UNION ALL
+      |  SELECT supp AS src, cust AS dst FROM trade),
+      |d0 AS (
+      |  SELECT DISTINCT s_suppkey + 1000000 AS id FROM supplier
+      |  WHERE s_nationkey = 0),
+      |f1 AS (
+      |  SELECT DISTINCT e.dst AS id FROM e JOIN d0 ON e.src = d0.id
+      |  WHERE e.dst NOT IN (SELECT id FROM d0)),
+      |f2 AS (
+      |  SELECT DISTINCT e.dst AS id FROM e JOIN f1 ON e.src = f1.id
+      |  WHERE e.dst NOT IN (SELECT id FROM d0)
+      |    AND e.dst NOT IN (SELECT id FROM f1))
+      |SELECT id, CAST(0 AS BIGINT) AS dist FROM d0
+      |UNION ALL SELECT id, CAST(1 AS BIGINT) FROM f1
+      |UNION ALL SELECT id, CAST(2 AS BIGINT) FROM f2
+      |ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank" -> pagerankGate _,
-    "triangles" -> triangleGate _)
+    "triangles" -> triangleGate _,
+    "khop" -> khopGate _)
 
   val oracles: Map[String, String] = Map(
     "pagerank" -> pagerankSql,
-    "triangles" -> triangleSql)
+    "triangles" -> triangleSql,
+    "khop" -> khopSql)
 }

@@ -59,6 +59,25 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("khopDistances: min distance wins, frontier stops at k, seeds at 0") {
+    // 1 -> 2 -> 3 -> 4 and a shortcut 1 -> 3
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)).toDF("s", "d")
+    val seeds = Seq(1L).toDF("id")
+    val got = GraphOps.khopDistances(edges, seeds, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    val one = GraphOps.khopDistances(edges, seeds, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one === Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("khopDistances: empty frontier terminates early; disconnected stays out") {
+    val edges = Seq((1L, 2L), (8L, 9L)).toDF("s", "d")
+    val got = GraphOps.khopDistances(edges, Seq(1L).toDF("id"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L))
+  }
+
   test("gate runs on the trade graph; suppliers and customers both present") {
     val got = GraphOps.pagerankGate(spark, sf)
     assert(got.filter(col("id") >= 1000000L).count() > 0)
