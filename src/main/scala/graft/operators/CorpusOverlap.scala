@@ -50,7 +50,9 @@ object CorpusOverlap {
     * shingle counts, intersection size, both containments, Jaccard. */
   def exactOverlap(docs: DataFrame, corpusCol: String, textCol: String)
       : DataFrame = {
-    val sh = corpusShingles(docs, corpusCol, textCol)
+    // checkpointed: the distinct-shingle frame feeds both the sizes and
+    // the intersection cells — without it the corpus re-shingles twice
+    val sh = corpusShingles(docs, corpusCol, textCol).localCheckpoint()
     val sz = sh.groupBy(col("corpus")).agg(count(lit(1)).as("n"))
     val cells = sh.groupBy(col("h"))
       .agg(collect_set(col("corpus")).as("cs"))
@@ -75,7 +77,8 @@ object CorpusOverlap {
   def overlapSketch(docs: DataFrame, corpusCol: String, textCol: String,
                     k: Int = 1024): DataFrame = {
     require(k > 0, "k must be positive")
-    val sh = corpusShingles(docs, corpusCol, textCol)
+    // checkpointed: bottom-k and the distinct count share one pass
+    val sh = corpusShingles(docs, corpusCol, textCol).localCheckpoint()
     val w = Window.partitionBy(col("corpus")).orderBy(col("h"))
     sh.withColumn("_r", row_number().over(w))
       .filter(col("_r") <= k)

@@ -18,11 +18,11 @@ import org.apache.spark.sql.functions._
   * `steps_completed` counts the reached prefix; reached timestamps
   * stay, unreached are NULL.
   *
-  * Scale: k−1 rounds of (filter step-i events) ⋈ (reached frame) →
-  * per-user MIN — every round keys on the user column, so AQE reuses
-  * one user-keyed exchange lineage; no window, no per-user event list
-  * (hot users cost nothing beyond their rows), k is the QUERY's size,
-  * not the data's. The step filters push into the scan.
+  * Scale: the corpus is scanned ONCE — a pushed-down isin filter keeps
+  * only funnel-relevant events, and the k−1 step rounds run over that
+  * localCheckpointed slice (each a user-keyed join → per-user MIN; no
+  * window, no per-user event list, hot users cost only their rows; k
+  * is the QUERY's size, not the data's).
   */
 object FunnelOps {
 
@@ -36,6 +36,8 @@ object FunnelOps {
         s"single event run ambiguously): $steps")
     val ev = events.select(col(userCol).as("_u"), col(typeCol).as("_t"),
       col(tsCol).as("_ts"))
+      .filter(col("_t").isin(steps: _*))
+      .localCheckpoint()
     var reached = ev.filter(col("_t") === steps.head)
       .groupBy(col("_u")).agg(min(col("_ts")).as("t_1"))
     for (i <- 2 to steps.size) {

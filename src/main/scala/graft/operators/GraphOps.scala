@@ -40,8 +40,10 @@ object GraphOps {
     require(iters >= 1 && iters <= 50, s"iters=$iters out of [1,50]")
     require(dampingPct >= 1 && dampingPct <= 99, s"dampingPct=$dampingPct")
     val Seq(s, t) = edges.columns.take(2).toSeq
+    // checkpointed: degrees, the degree-join and the node set all read
+    // e — without it the caller's edge derivation re-runs three times
     val e = edges.select(col(s).cast("long").as("src"),
-      col(t).cast("long").as("dst")).distinct()
+      col(t).cast("long").as("dst")).distinct().localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val ed = e.join(deg, Seq("src")).localCheckpoint()
     val nodes = e.select(col("src").as("id"))

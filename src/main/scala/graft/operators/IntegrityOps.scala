@@ -26,20 +26,25 @@ object IntegrityOps {
     * (relation, n_child, n_null, n_orphan_rows, n_orphan_keys). */
   def fkAudit(relation: String, child: DataFrame, childKey: String,
               parent: DataFrame, parentKey: String): DataFrame = {
-    val keyed = child.select(col(childKey).as("_k"))
-    val counts = keyed.filter(col("_k").isNotNull)
+    // ONE child scan, ONE verdict aggregation: groupBy keeps NULL keys
+    // as their own group, the left join can never match it (NULL
+    // equals nothing), and the final aggregate splits null-group /
+    // orphan / present populations conditionally — no checkpoint, no
+    // second pass (a checkpointed split was measured SLOWER at 50×:
+    // materializing 7.5M grouped rows costs more than the aggregate)
+    val grouped = child.select(col(childKey).as("_k"))
       .groupBy(col("_k")).agg(count(lit(1)).as("_cnt"))
     val present = parent.select(col(parentKey).as("_k")).distinct()
       .withColumn("_present", lit(true))
-    val nulls = keyed.filter(col("_k").isNull)
-      .agg(count(lit(1)).as("n_null"))
-    counts.join(present, Seq("_k"), "left")
+    val orphan = col("_k").isNotNull && col("_present").isNull
+    grouped.join(present, Seq("_k"), "left")
       .agg(
-        coalesce(sum(col("_cnt")), lit(0L)).as("n_child"),
-        coalesce(sum(when(col("_present").isNull, col("_cnt"))), lit(0L))
-          .as("n_orphan_rows"),
-        count(when(col("_present").isNull, lit(1))).as("n_orphan_keys"))
-      .crossJoin(nulls) // 1-row × 1-row
+        coalesce(sum(when(col("_k").isNotNull, col("_cnt"))), lit(0L))
+          .as("n_child"),
+        coalesce(sum(when(col("_k").isNull, col("_cnt"))), lit(0L))
+          .as("n_null"),
+        coalesce(sum(when(orphan, col("_cnt"))), lit(0L)).as("n_orphan_rows"),
+        count(when(orphan, lit(1))).as("n_orphan_keys"))
       .select(lit(relation).as("relation"), col("n_child"), col("n_null"),
         col("n_orphan_rows"), col("n_orphan_keys"))
   }
