@@ -101,6 +101,32 @@ object ModelEval {
         .as("accuracy"))
   }
 
+  /** Reliability (calibration) bins: scores bucket into `bins`
+    * equal-width cells over [lo, hi) (clamped — out-of-range scores
+    * land in the edge bins, never dropped silently), each cell
+    * reporting population, positives, and the observed positive rate.
+    * Bin assignment and edges are pinned IEEE chains (floor of one
+    * multiply-divide), so the verdict is cross-engine exact. A scorer
+    * is calibrated when pos_rate tracks the bin midpoint — the check
+    * AUC cannot see (AUC is rank-only). */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: String,
+                  bins: Int, lo: Double, hi: Double): DataFrame = {
+    require(bins >= 2, s"bins=$bins")
+    require(lo < hi, s"empty range [$lo, $hi)")
+    val raw = floor((col(scoreCol) - lit(lo)) / lit(hi - lo) * lit(bins))
+    val bin = least(greatest(raw, lit(0.0)), lit((bins - 1).toDouble))
+      .cast("long")
+    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col(labelCol), lit(1))).as("n_pos"))
+      .select(col("bin"),
+        (lit(lo) + col("bin").cast("double") * lit(hi - lo) / lit(bins.toDouble))
+          .as("bin_lo"),
+        col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"))
+  }
+
   // ---------------------------------------------------------------- gates
 
   /** Gate `model_auc`: how well does quantity rank returned lineitems?
@@ -172,11 +198,39 @@ object ModelEval {
       |  CAST(tp + tn AS DOUBLE) / CAST(tp + fp + tn + fn AS DOUBLE) AS accuracy
       |FROM c""".stripMargin
 
+  /** Gate `model_calibration`: 10 reliability bins of the qty score
+    * over [0, 50) against the returned label. */
+  def calibrationGate(spark: SparkSession, d: String): DataFrame =
+    calibration(Tables.lineitem(spark, d).select(
+        floor(col("l_quantity") + 0.5).cast("double").as("qty"),
+        (col("l_returnflag") === "R").as("ret")),
+      "qty", "ret", bins = 10, lo = 0.0, hi = 50.0)
+      .orderBy(col("bin"))
+
+  val calibrationSql: String =
+    """WITH u AS (
+      |  SELECT floor(l_quantity + 0.5) AS s, (l_returnflag = 'R') AS y
+      |  FROM lineitem),
+      |b AS (
+      |  SELECT CAST(least(greatest(floor((s - 0.0) / 50.0 * 10), 0.0), 9.0)
+      |    AS BIGINT) AS bin, y
+      |  FROM u)
+      |SELECT bin,
+      |  0.0 + CAST(bin AS DOUBLE) * 50.0 / 10.0 AS bin_lo,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(CASE WHEN y THEN 1 END) AS BIGINT) AS n_pos,
+      |  CAST(COUNT(CASE WHEN y THEN 1 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS pos_rate
+      |FROM b GROUP BY bin
+      |ORDER BY bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "model_auc" -> aucGate _,
-    "model_confusion" -> confusionGate _)
+    "model_confusion" -> confusionGate _,
+    "model_calibration" -> calibrationGate _)
 
   val oracles: Map[String, String] = Map(
     "model_auc" -> aucSql,
-    "model_confusion" -> confusionSql)
+    "model_confusion" -> confusionSql,
+    "model_calibration" -> calibrationSql)
 }

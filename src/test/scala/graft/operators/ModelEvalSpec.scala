@@ -61,6 +61,21 @@ class ModelEvalSpec extends SparkSpec {
     assert(none.isNullAt(4) && none.getDouble(5) === 0.0)
   }
 
+  test("calibration bins: assignment, edge clamping, exact rates") {
+    val df = Seq((0.05, false), (0.05, true), (0.55, true), (0.55, true),
+      (-3.0, false), (9.9, true)).toDF("s", "y")
+    val got = ModelEval.calibration(df, "s", "y", bins = 10, lo = 0.0, hi = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got(0L) === ((0.0, 3L, 1L, 1.0 / 3))) // -3.0 clamps into bin 0
+    assert(got(5L) === ((0.5, 2L, 2L, 1.0)))
+    assert(got(9L) === ((0.9, 1L, 1L, 1.0)))     // 9.9 clamps into bin 9
+    assert(got.keySet === Set(0L, 5L, 9L))
+    intercept[IllegalArgumentException] {
+      ModelEval.calibration(df, "s", "y", bins = 1, lo = 0.0, hi = 1.0)
+    }
+  }
+
   test("gates run on real data; AUC sits in (0,1) with full coverage") {
     val r = ModelEval.aucGate(spark, sf).collect().head
     val total = graft.Tables.lineitem(spark, sf).count()
