@@ -75,12 +75,29 @@ object Scd2 {
   /** Incremental CDC apply: fold a delta of new change rows (same
     * schema as the original log) into an existing SCD2 table. Only
     * keys the delta touches are rebuilt — their existing versions are
-    * re-read AS change rows (`(key, attrs, ties, valid_from)` is
-    * exactly the collapsed log, and collapse preserves the state
-    * sequence) and re-built together with the delta, so
+    * re-read AS change rows (`(key, attrs, ties, valid_from)` is the
+    * collapsed log) and re-built together with the delta, so
     * out-of-order/late deltas land in the correct interval position
-    * rather than being appended blindly. Law (spec-pinned):
-    * `applyChanges(build(log), delta) == build(log ∪ delta)`. */
+    * rather than being appended blindly.
+    *
+    * Law (spec-pinned, randomized over pure-append splits):
+    * `applyChanges(build(log), delta) == build(log ∪ delta)` whenever
+    * no delta row sorts strictly INSIDE a collapsed same-state run of
+    * the original log. A randomized sweep found the one case outside
+    * that condition: the history is LOSSY for no-op re-observations
+    * (log `s2@4, s2@7` collapses to one version; a late `s1@6` then
+    * reconstructs `s2[4,6) s1[6,…)` — the dropped `s2@7` cannot be
+    * resurrected, where a full rebuild of the raw log would yield
+    * `s2[4,6) s1[6,7) s2[7,…)`). That is inherent to maintaining FROM
+    * the collapsed form: a re-observation carries information only
+    * against late data that later interleaves it. Callers whose
+    * sources emit late data inside re-observation runs must retain
+    * the raw change log and rebuild touched keys from it (`build` on
+    * the union IS that operation); the unconditional invariant that
+    * always holds is self-consistency:
+    * `applyChanges(h, d) == build(h.asLog ∪ d)`. The streaming twin
+    * is immune — it collapses only after the watermark certifies
+    * order ([[graft.streaming.StreamingScd2]]). */
   def applyChanges(existing: DataFrame, delta: DataFrame,
                    keyCols: Seq[String], attrCols: Seq[String],
                    tsCol: String, tieCols: Seq[String] = Nil): DataFrame = {
