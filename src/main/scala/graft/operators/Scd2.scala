@@ -114,6 +114,29 @@ object Scd2 {
     untouched.select(out: _*).unionByName(rebuilt.select(out: _*))
   }
 
+  /** The exact-everywhere maintenance verb: fold a delta against the
+    * RETAINED RAW change log (not the collapsed history), rebuilding
+    * only the delta-touched keys — the remedy for the lossy-collapse
+    * boundary documented at [[applyChanges]]. Law (unconditional,
+    * spec-pinned on applyChanges' own counterexample):
+    * `applyLog(log, delta) == build(log ∪ delta)`. Cost: O(touched
+    * keys' raw rows) instead of O(touched keys' versions) — the price
+    * of exactness under arbitrary lateness. */
+  def applyLog(rawLog: DataFrame, existing: DataFrame, delta: DataFrame,
+               keyCols: Seq[String], attrCols: Seq[String],
+               tsCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    val out = (keyCols ++ attrCols ++ tieCols).map(col) ++
+      Seq(col("valid_from"), col("valid_to"), col("is_current"))
+    val logCols = ((keyCols ++ attrCols ++ tieCols) :+ tsCol).map(col)
+    val touchedKeys = delta.select(keyCols.map(col): _*).distinct()
+    val untouched = existing.join(touchedKeys, keyCols, "left_anti")
+    val rebuilt = build(
+      rawLog.join(touchedKeys, keyCols, "left_semi").select(logCols: _*)
+        .unionByName(delta.select(logCols: _*)),
+      keyCols, attrCols, tsCol, tieCols)
+    untouched.select(out: _*).unionByName(rebuilt.select(out: _*))
+  }
+
   // ---------------------------------------------------------------- gates
 
   /** High-date sentinel for gate/export forms: open-ended NULL

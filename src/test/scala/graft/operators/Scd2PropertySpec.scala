@@ -74,6 +74,25 @@ class Scd2PropertySpec extends SparkSpec {
     }
   }
 
+  test("applyLog is exact on the lossy-collapse counterexample AND random splits") {
+    val base = Seq((1L, "s2", 4000L, 1L), (1L, "s2", 7000L, 2L))
+    val delta = Seq((1L, "s1", 6000L, 3L))
+    val applied = Scd2.applyLog(asDf(base), hist(base), asDf(delta),
+      Seq("k"), Seq("attr"), "ts", Seq("tie"))
+    assert(canon(applied) === canon(hist(base ++ delta)))
+    for (trial <- 1 to 10) {
+      val full = randomLog(nKeys = 4, nRows = 30)
+      val mask = full.map(_ => rnd.nextBoolean())
+      val b = full.zip(mask).collect { case (r, true) => r }
+      val d = full.zip(mask).collect { case (r, false) => r }
+      if (b.nonEmpty && d.nonEmpty) {
+        val got = Scd2.applyLog(asDf(b), hist(b), asDf(d),
+          Seq("k"), Seq("attr"), "ts", Seq("tie"))
+        assert(canon(got) === canon(hist(full)), s"trial $trial")
+      }
+    }
+  }
+
   test("the documented lossy-collapse case behaves exactly as stated") {
     // log s2@4, s2@7 collapses; late s1@6 cannot resurrect the dropped
     // re-observation — applyChanges yields s2[4,6) s1[6,∞) while a raw
