@@ -57,7 +57,9 @@ object FunnelOps {
   }
 
   /** Stage-level rollup: users reaching each step + conversion from
-    * the previous stage (single IEEE division — the A26 convention). */
+    * the previous stage (single IEEE division — the A26 convention;
+    * a zero-denominator stage pins NULL, the repo-wide convention,
+    * never the 0/0 NaN a raw division would produce). */
   def funnelSummary(trace: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k=$k")
     val counts = trace.agg(
@@ -66,7 +68,9 @@ object FunnelOps {
     val rows = (1 to k).map { i =>
       struct(lit(i).as("step"), col(s"n_$i").as("n_reached"),
         (if (i == 1) lit(1.0)
-         else col(s"n_$i").cast("double") / col(s"n_${i - 1}").cast("double"))
+         else when(col(s"n_${i - 1}") === 0, lit(null).cast("double"))
+           .otherwise(col(s"n_$i").cast("double") /
+             col(s"n_${i - 1}").cast("double")))
           .as("conv_from_prev"))
     }
     counts.select(explode(array(rows: _*)).as("_s")).select("_s.*")

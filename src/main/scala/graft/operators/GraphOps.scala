@@ -119,8 +119,11 @@ object GraphOps {
     val closing = o.select(col("src").as("v"), col("dst").as("w"))
     val tri = wedges.join(closing, Seq("v", "w"))
       .agg(count(lit(1)).as("n_triangles"))
+    // integer floor-div, NOT double /2-then-cast: the sum is even by
+    // construction so div is exact at any scale, where the double path
+    // would silently round past 2^53 (ANSI overflow past 2^63 is loud)
     val stats = deg.agg(count(lit(1)).as("n_nodes"),
-      (sum(expr("d * (d - 1)")) / 2).cast("long").as("n_wedges"))
+      expr("sum(d * (d - 1)) div 2").cast("long").as("n_wedges"))
       .crossJoin(und.agg(count(lit(1)).as("n_edges")))
     stats.crossJoin(tri) // 1-row × 1-row
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),

@@ -108,7 +108,10 @@ object ModelEval {
     * Bin assignment and edges are pinned IEEE chains (floor of one
     * multiply-divide), so the verdict is cross-engine exact. A scorer
     * is calibrated when pos_rate tracks the bin midpoint — the check
-    * AUC cannot see (AUC is rank-only). */
+    * AUC cannot see (AUC is rank-only). NaN scores are excluded like
+    * NULLs (a NaN would otherwise sail through the clamp — NaN
+    * compares greater than everything in Spark — and silently skew
+    * the TOP bin's pos_rate). */
   def calibration(df: DataFrame, scoreCol: String, labelCol: String,
                   bins: Int, lo: Double, hi: Double): DataFrame = {
     require(bins >= 2, s"bins=$bins")
@@ -116,7 +119,8 @@ object ModelEval {
     val raw = floor((col(scoreCol) - lit(lo)) / lit(hi - lo) * lit(bins))
     val bin = least(greatest(raw, lit(0.0)), lit((bins - 1).toDouble))
       .cast("long")
-    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+    df.filter(col(scoreCol).isNotNull && !isnan(col(scoreCol).cast("double")) &&
+        col(labelCol).isNotNull)
       .groupBy(bin.as("bin"))
       .agg(count(lit(1)).as("n"),
         count(when(col(labelCol), lit(1))).as("n_pos"))

@@ -49,6 +49,14 @@ object Scd2 {
     val all = keyCols ++ attrCols ++ tieCols :+ tsCol
     require(all.distinct.size == all.size,
       s"column listed twice across key/attr/tie/ts: $all")
+    // output/internal names would be silently overwritten by withColumn,
+    // corrupting the history with no error — refuse loudly instead
+    val reserved = Set("valid_from", "valid_to", "is_current", "_prev")
+    val clash = all.filter(reserved)
+    require(clash.isEmpty,
+      s"input columns collide with SCD2 output/internal names: $clash " +
+        "(rename them — build emits valid_from/valid_to/is_current and " +
+        "uses _prev internally)")
     val order = (col(tsCol) +: tieCols.map(col)).map(_.asc_nulls_first)
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
     val state = struct(attrCols.map(col): _*)

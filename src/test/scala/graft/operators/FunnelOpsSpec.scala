@@ -63,6 +63,16 @@ class FunnelOpsSpec extends SparkSpec {
     assert(sm(3) === ((1L, 0.5)))
   }
 
+  test("summary pins NULL (not NaN) conversion after a stage nobody reached") {
+    val df = Seq((1L, "a", t(1)), (2L, "a", t(2))).toDF("u", "ty", "ts")
+    val tr = FunnelOps.funnel(df, "u", "ty", "ts", Seq("a", "b", "c"))
+    val sm = FunnelOps.funnelSummary(tr, 3).orderBy(col("step")).collect()
+    assert(sm(1).getLong(1) === 0L)          // n_2 = 0
+    assert(sm(2).getLong(1) === 0L)          // n_3 = 0
+    assert(!sm(1).isNullAt(2) && sm(1).getDouble(2) === 0.0) // 0/2
+    assert(sm(2).isNullAt(2), "0/0 must pin NULL, not NaN")
+  }
+
   test("gate runs on real events; steps_completed is a monotone prefix count") {
     val g = FunnelOps.funnelGate(spark, sf).cache()
     assert(g.count() > 0)

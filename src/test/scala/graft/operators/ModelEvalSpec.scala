@@ -76,6 +76,16 @@ class ModelEvalSpec extends SparkSpec {
     }
   }
 
+  test("calibration excludes NaN scores instead of clamping them into the top bin") {
+    val df = Seq((0.95, true), (Double.NaN, false), (Double.NaN, false))
+      .toDF("s", "y")
+    val got = ModelEval.calibration(df, "s", "y", bins = 10, lo = 0.0, hi = 1.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(4))).toMap
+    // without the isnan filter the two NaNs would land in bin 9 and
+    // report pos_rate 1/3; they must simply not participate
+    assert(got === Map(9L -> ((1L, 1.0))))
+  }
+
   test("gates run on real data; AUC sits in (0,1) with full coverage") {
     val r = ModelEval.aucGate(spark, sf).collect().head
     val total = graft.Tables.lineitem(spark, sf).count()

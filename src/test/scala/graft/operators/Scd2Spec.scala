@@ -104,6 +104,19 @@ class Scd2Spec extends SparkSpec {
     assert(e.getMessage.contains("twice"))
   }
 
+  test("build refuses input columns that collide with its output/internal names") {
+    import spark.implicits._
+    // an attr named valid_to would be silently overwritten by withColumn,
+    // corrupting the history with no error — must refuse instead
+    for (bad <- Seq("valid_from", "valid_to", "is_current", "_prev")) {
+      val df = Seq((1, "A", 10L)).toDF("k", bad, "ts")
+      val e = intercept[IllegalArgumentException] {
+        Scd2.build(df, Seq("k"), Seq(bad), "ts", Nil)
+      }
+      assert(e.getMessage.contains("collide"), s"no loud refusal for $bad")
+    }
+  }
+
   test("gate runs on real events and matches the reference invariants") {
     val g = Scd2.scd2BuildGate(spark, sf)
     val rows = g.cache()
