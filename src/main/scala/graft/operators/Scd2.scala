@@ -233,11 +233,40 @@ object Scd2 {
       |  AND (h.valid_to IS NULL OR piv.p < h.valid_to)
       |ORDER BY h.user_id""".stripMargin
 
+  /** Gate `scd2_apply`: the unconditional CDC law certified
+    * cross-engine. The event log splits deterministically (xxhash64 of
+    * event_id, ~1/5 held back as a late delta) — at corpus size delta
+    * rows inevitably sort strictly INSIDE collapsed same-state runs of
+    * the retained log, the exact boundary where [[applyChanges]] is
+    * lossy (the spec'd counterexample; Scd2Spec asserts the gate input
+    * really does cross it) — and [[applyLog]] folds the delta against
+    * the retained RAW log. The oracle rebuilds from the WHOLE log:
+    * `applyLog(log, build(log), delta) == build(log ∪ delta)` is the
+    * law, so the SQL is scd2_build's full rebuild verbatim. */
+  def scd2ApplyGate(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val isDelta = pmod(xxhash64(col("event_id")), lit(5)) === 0
+    val rawLog = ev.filter(!isDelta)
+    val delta = ev.filter(isDelta)
+    val existing = build(rawLog,
+      Seq("user_id"), Seq("event_type"), "ts", Seq("event_id"))
+    applyLog(rawLog, existing, delta,
+      Seq("user_id"), Seq("event_type"), "ts", Seq("event_id"))
+      .drop("event_id")
+      .withColumn("valid_to",
+        coalesce(col("valid_to"), lit(EndOfTime).cast("timestamp")))
+      .orderBy(col("user_id").asc, col("valid_from").asc,
+        col("event_type").asc, col("valid_to").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd2_build" -> scd2BuildGate _,
-    "scd2_asof" -> scd2AsOfGate _)
+    "scd2_asof" -> scd2AsOfGate _,
+    "scd2_apply" -> scd2ApplyGate _)
 
   val oracles: Map[String, String] = Map(
     "scd2_build" -> scd2BuildSql,
-    "scd2_asof" -> scd2AsOfSql)
+    "scd2_asof" -> scd2AsOfSql,
+    "scd2_apply" -> scd2BuildSql)
 }

@@ -135,6 +135,31 @@ class Scd2Spec extends SparkSpec {
     assert(Scd2.scd2AsOfGate(spark, sf).count() > 0)
   }
 
+  test("scd2_apply gate: applyLog equals the full rebuild AND crosses the lossy boundary") {
+    import graft.Tables
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val isDelta = pmod(xxhash64(col("event_id")), lit(5)) === 0
+    val rawLog = ev.filter(!isDelta)
+    val delta = ev.filter(isDelta)
+    val keys = Seq("user_id"); val attrs = Seq("event_type")
+    val full = Scd2.build(ev, keys, attrs, "ts", Seq("event_id"))
+      .drop("event_id")
+    val existing = Scd2.build(rawLog, keys, attrs, "ts", Seq("event_id"))
+    val applied = Scd2.applyLog(rawLog, existing, delta,
+      keys, attrs, "ts", Seq("event_id")).drop("event_id")
+    // the law, Spark-side (the gate then certifies it cross-engine)
+    assert(applied.exceptAll(full).isEmpty && full.exceptAll(applied).isEmpty)
+    // the split must actually exercise applyChanges' lossy-collapse
+    // boundary: the collapsed fold of the SAME delta must differ, or
+    // the gate would be indistinguishable from a pure-append re-test
+    val collapsed = Scd2.applyChanges(existing, delta,
+      keys, attrs, "ts", Seq("event_id")).drop("event_id")
+    assert(!collapsed.exceptAll(full).isEmpty || !full.exceptAll(collapsed).isEmpty,
+      "hash split produced only boundary-safe deltas — gate no longer " +
+        "exercises the lossy-collapse case; change the split")
+  }
+
   test("plan: one key-partitioned window pass, never a global window") {
     val plan = Scd2.scd2BuildGate(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"),
