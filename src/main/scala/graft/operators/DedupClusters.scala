@@ -9,53 +9,93 @@ import org.apache.spark.sql.functions._
   * into connected components and keep one representative per cluster
   * (a↔b and b↔c must collapse to ONE kept doc, not two).
   *
-  * Connected components by iterative min-label propagation: every vertex
-  * starts labeled with its own id; each round, labels flow across edges
-  * and every vertex keeps the minimum label seen. Each round is one
-  * keyed join + one keyed aggregation — no driver-side graph, no
-  * single-partition structure — and converges in O(component diameter)
-  * rounds. Near-dup clusters are dense and shallow (diameter rarely > a
-  * few hops), so the loop terminates in a handful of rounds; lineage is
-  * truncated every round with localCheckpoint so plans stay flat. The
-  * same alternating-join structure is how GraphX/GraphFrames implement
-  * CC on billion-edge graphs.
+  * Connected components by alternating large-star/small-star edge
+  * contraction (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14): each round rewrites the edge set so every node
+  * hangs off the minimum node it can currently see, and the edge set
+  * provably converges to disjoint min-rooted stars in O(log n) rounds —
+  * INDEPENDENT of component diameter. Plain min-label propagation (the
+  * previous implementation) needs O(diameter) rounds, and a 100×-corpus
+  * chain of near-dups can exceed any fixed iteration cap; worse, it
+  * exits silently with WRONG labels when the cap hits. This version
+  * drops the diameter dependence entirely AND refuses loudly if the
+  * cap is ever reached. Each half-round is one keyed aggregation + one
+  * keyed join over the current edge set — no driver-side graph, no
+  * single-partition structure; lineage truncates through [[Anchor]]
+  * every round so plans stay flat ([[Anchor.Reliable]] for cluster
+  * runs where executor loss must not kill the iteration).
   */
 object DedupClusters {
 
   /** (id, comp) for every vertex appearing in `edges`; comp = min vertex
-    * id in the component. Undirected. */
+    * id in the component. Undirected.
+    *
+    * Refuses loudly (IllegalStateException) if the star contraction has
+    * not converged after `maxIter` rounds — with O(log n) convergence,
+    * 25 rounds covers > 10⁷-node components; hitting the cap means
+    * something is structurally wrong and silent mislabeling is never
+    * acceptable (these labels feed dedup keeper selection and entity
+    * resolution). */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 20): DataFrame = {
-    // materialize the edge list once — every propagation round joins
-    // against it, and without this each round would recompute the whole
-    // upstream pair pipeline (candidate generation, jaccard verify, ...)
-    val und = edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
-      .union(edges.select(col(dstCol).cast("long").as("s"), col(srcCol).cast("long").as("d")))
-      .localCheckpoint(true)
-    var labels = und.select(col("s").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+      maxIter: Int = 25, anchor: Anchor = Anchor.Local): DataFrame = {
+    require(maxIter >= 1, s"maxIter=$maxIter")
+    val raw = edges.select(col(srcCol).cast("long").as("x"),
+      col(dstCol).cast("long").as("y"))
+    // anchored once: the vertex set and the initial canonical edge set
+    // both re-read the caller's pair pipeline (candidate generation,
+    // jaccard verify, ...) — without this it would recompute per round
+    val verts = anchor(raw.select(col("x").as("id"))
+      .union(raw.select(col("y").as("id"))).distinct())
+    // canonical (a < b); self-loops carry no connectivity
+    var e = anchor(raw.filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct())
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // one keyed aggregation per round computes BOTH the new label and
-      // whether it changed: the vertex's own (self-tagged) label rides
-      // along as min(when(self)), so no next-vs-prev join is needed. The
-      // convergence flag is then a cheap scan of the already-checkpointed
-      // result — not a second join+count job per round.
-      val self = labels.select(col("id"), col("comp"), lit(true).as("_self"))
-      val msgs = und.join(labels, und("s") === labels("id"))
-        .select(col("d").as("id"), col("comp"), lit(false).as("_self"))
-      val next = self.union(msgs)
-        .groupBy(col("id"))
-        .agg(min(col("comp")).as("comp"),
-          (min(col("comp")) < min(when(col("_self"), col("comp")))).as("_chg"))
-        .localCheckpoint(true)
-      converged = next.filter(col("_chg")).limit(1).isEmpty
-      labels = next.select("id", "comp")
+      // large-star(u): connect every STRICTLY LARGER neighbor v of u to
+      // m = min(N(u) ∪ {u}). Every canonical edge (a,b) is processed at
+      // its smaller endpoint (b > a is in N(a)); m ≤ u < v keeps the
+      // output canonical as (m, v).
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("_mv"))
+        .select(col("u"), least(col("_mv"), col("u")).as("m"))
+      val ls = sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .distinct()
+      // small-star(u): orient edges large→small; connect every smaller
+      // neighbor (and u itself) to m = min of the smaller neighbors.
+      // Grouping the canonical form by b IS that orientation: m =
+      // min(a's) < b = u, so outputs (m, v≠m) and (m, u) stay canonical.
+      val minsS = ls.groupBy(col("b").as("u")).agg(min(col("a")).as("m"))
+      val ss = ls.join(minsS, ls("b") === minsS("u"))
+        .filter(col("a") =!= col("m"))
+        .select(col("m").as("a"), col("a").as("b"))
+        .union(minsS.select(col("m").as("a"), col("u").as("b")))
+        .distinct()
+      val next = anchor(ss)
+      // fixpoint test: two anti-join probes over anchored frames (same
+      // O(E) order as the round itself; both sets are distinct so
+      // except is an exact set compare)
+      converged = next.exceptAll(e).limit(1).isEmpty &&
+        e.exceptAll(next).limit(1).isEmpty
+      e = next
       iter += 1
     }
-    labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter " +
+          "large-star/small-star rounds — refusing to emit possibly " +
+          "wrong component labels (raise maxIter; O(log n) convergence " +
+          "makes 25 rounds cover >10^7-node components)")
+    // at the fixpoint the edge set is disjoint min-rooted stars: every
+    // non-root points straight at its component minimum
+    verts.join(e.select(col("b").as("id"), col("a").as("comp")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
   /** C6 query: every document labeled with its near-dup cluster id

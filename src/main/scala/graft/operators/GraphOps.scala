@@ -26,28 +26,33 @@ import org.apache.spark.sql.functions._
   * Scale: Pregel-as-joins, the DedupClusters discipline — per iteration
   * ONE edge-keyed join (ranks onto out-edges), one dst-keyed partial
   * aggregation, one nodes-sized left join; edges+degrees and the node
-  * set are localCheckpointed ONCE (eager — the SemDedup contract) and
-  * reused every iteration, ranks checkpoint per iteration so lineage
-  * stays flat. No step is ever all-pairs; iterations cost O(E) shuffle
-  * each, exactly GraphX's PageRank shape without leaving DataFrames.
+  * set are anchored ONCE (eager — the SemDedup contract) and reused
+  * every iteration, ranks anchor per iteration so lineage stays flat.
+  * The [[Anchor]] parameter picks the failure story: Local
+  * (executor-resident, the local-mode default) or Reliable(dir)
+  * (survives executor loss — what a 100 TB multi-iteration run on a
+  * real cluster must use; results are bit-identical, spec-pinned).
+  * No step is ever all-pairs; iterations cost O(E) shuffle each,
+  * exactly GraphX's PageRank shape without leaving DataFrames.
   */
 object GraphOps {
 
   /** Exact integer PageRank. `edges`: first two columns are (src, dst).
     * Returns (id, rank) with rank in `scale` units. */
   def pagerank(edges: DataFrame, iters: Int = 3, dampingPct: Int = 85,
-               scale: Long = 1000000000L): DataFrame = {
+               scale: Long = 1000000000L,
+               anchor: Anchor = Anchor.Local): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters=$iters out of [1,50]")
     require(dampingPct >= 1 && dampingPct <= 99, s"dampingPct=$dampingPct")
     val Seq(s, t) = edges.columns.take(2).toSeq
-    // checkpointed: degrees, the degree-join and the node set all read
+    // anchored: degrees, the degree-join and the node set all read
     // e — without it the caller's edge derivation re-runs three times
-    val e = edges.select(col(s).cast("long").as("src"),
-      col(t).cast("long").as("dst")).distinct().localCheckpoint()
+    val e = anchor(edges.select(col(s).cast("long").as("src"),
+      col(t).cast("long").as("dst")).distinct())
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val ed = e.join(deg, Seq("src")).localCheckpoint()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val ed = anchor(e.join(deg, Seq("src")))
+    val nodes = anchor(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
     val teleport = scale * (100L - dampingPct) / 100L
     // "pr" internally: `rank` inside expr() would parse as the window
     // function and demand an OVER clause
@@ -57,10 +62,9 @@ object GraphOps {
         .select(col("dst"),
           expr(s"(pr * $dampingPct) div (100 * outdeg)").as("m"))
         .groupBy(col("dst")).agg(sum(col("m")).as("m"))
-      r = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+      r = anchor(nodes.join(contrib, nodes("id") === contrib("dst"), "left")
         .select(col("id"), (lit(teleport) + coalesce(col("m"), lit(0L)))
-          .as("pr"))
-        .localCheckpoint()
+          .as("pr")))
     }
     r.select(col("id"), col("pr").as("rank"))
   }
@@ -188,22 +192,22 @@ object GraphOps {
     * round i (already-settled nodes re-derive nothing), so total join
     * work is O(E · avg-eccentricity-within-k), not O(E·k). Output:
     * (id, dist) for every node within k hops, seeds at dist 0. */
-  def khopDistances(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+  def khopDistances(edges: DataFrame, seeds: DataFrame, k: Int,
+      anchor: Anchor = Anchor.Local): DataFrame = {
     require(k >= 1 && k <= 30, s"k=$k out of [1,30]")
     val Seq(s, t) = edges.columns.take(2).toSeq
-    val e = edges.select(col(s).cast("long").as("src"),
-      col(t).cast("long").as("dst")).distinct().localCheckpoint()
-    var settled = seeds.select(col(seeds.columns.head).cast("long").as("id"))
-      .distinct().withColumn("dist", lit(0L)).localCheckpoint()
+    val e = anchor(edges.select(col(s).cast("long").as("src"),
+      col(t).cast("long").as("dst")).distinct())
+    var settled = anchor(seeds.select(col(seeds.columns.head).cast("long").as("id"))
+      .distinct().withColumn("dist", lit(0L)))
     var frontier = settled
     var hop = 1
     while (hop <= k && !frontier.isEmpty) {
-      val next = e.join(frontier.select(col("id").as("src")), Seq("src"))
+      val next = anchor(e.join(frontier.select(col("id").as("src")), Seq("src"))
         .select(col("dst").as("id")).distinct()
         .join(settled.select(col("id")), Seq("id"), "left_anti")
-        .withColumn("dist", lit(hop.toLong))
-        .localCheckpoint()
-      settled = settled.unionByName(next).localCheckpoint()
+        .withColumn("dist", lit(hop.toLong)))
+      settled = anchor(settled.unionByName(next))
       frontier = next
       hop += 1
     }

@@ -184,21 +184,22 @@ object IncrementalDedup {
   def refresh(spark: SparkSession, docs: DataFrame, statePath: String,
       idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.8, maxDf: Int = 1000,
-      compactEvery: Int = 8): Long = {
+      compactEvery: Int = 8, anchor: Anchor = Anchor.Local): Long = {
     BatchedState.acquireLock(spark, new Path(s"$statePath/_lock_refresh"),
       "IncrementalDedup refresh")
     try refreshLocked(spark, docs, statePath, idCol, textCol, threshold,
-      maxDf, compactEvery)
+      maxDf, compactEvery, anchor)
     finally BatchedState.releaseLock(spark, new Path(s"$statePath/_lock_refresh"))
   }
 
   private def refreshLocked(spark: SparkSession, docs: DataFrame,
       statePath: String, idCol: String, textCol: String, threshold: Double,
-      maxDf: Int, compactEvery: Int): Long = {
+      maxDf: Int, compactEvery: Int, anchor: Anchor): Long = {
+    import Anchor.AnchorOps
     val wm = Incremental.watermark(spark, statePath)
     val fresh = docs.filter(col(idCol) > wm)
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val hashedNew = fresh.withColumn("_h", md5(col("text"))).localCheckpoint(true)
+    val hashedNew = fresh.withColumn("_h", md5(col("text"))).anchored(anchor)
     val nFresh = hashedNew.count()
     if (nFresh == 0) return 0L
 
@@ -220,7 +221,7 @@ object IncrementalDedup {
       .select(col("doc_id"), col("rep"))
     val unknown = hashedNew.join(oldHashes, Seq("_h"), "left_anti")
     val newHashRep = unknown.groupBy(col("_h")).agg(min(col("doc_id")).as("rep"))
-      .localCheckpoint(true)
+      .anchored(anchor)
     val mappedNew = unknown.join(newHashRep, Seq("_h"))
       .select(col("doc_id"), col("text"), col("rep"))
 
@@ -231,9 +232,9 @@ object IncrementalDedup {
     // re-aggregation of the full (doc, shingle) index.
     val newShingled = shingle(
       mappedNew.filter(col("doc_id") === col("rep")), "doc_id", "text")
-      .localCheckpoint(true)
+      .anchored(anchor)
     val newCounts = newShingled.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("cnt")).localCheckpoint(true)
+      .agg(count(lit(1)).as("cnt")).anchored(anchor)
     val oldCounts = readDfCounts(spark, statePath, wm)
     val rare = oldCounts
       .join(newCounts.select("shingle"), Seq("shingle"), "left_semi")
@@ -253,7 +254,7 @@ object IncrementalDedup {
 
     // 3. exact verification over the union index, candidates only
     val pairs = MinHashLsh.verifiedPairs(unionShingled, "doc_id", candidates, threshold)
-      .select("id_a", "id_b").localCheckpoint(true)
+      .select("id_a", "id_b").anchored(anchor)
 
     // 4. delta-graph components: new pairs + (old rep -> current label)
     val involved = pairs.select(col("id_a").as("doc_id"))
@@ -261,7 +262,8 @@ object IncrementalDedup {
     val oldRepEdges = labelsFor(involved, "doc_id")
       .select(col("doc_id").as("id_a"), col("cluster_id").as("id_b"))
     val comps = DedupClusters.connectedComponents(
-      pairs.unionByName(oldRepEdges), "id_a", "id_b").localCheckpoint(true)
+      pairs.unionByName(oldRepEdges), "id_a", "id_b", anchor = anchor)
+      .anchored(anchor)
     val compOf = comps.select(col("id").as("cluster_id"), col("comp"))
 
     // old docs whose label actually changed (bridging merges) — the
@@ -277,7 +279,7 @@ object IncrementalDedup {
     val assignNewReps = mappedNew.filter(col("doc_id") === col("rep"))
       .join(comps, col("doc_id") === col("id"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
-      .localCheckpoint(true)
+      .anchored(anchor)
     // batch exact-dup members inherit their new representative's label
     val assignNewDups = mappedNew.filter(col("doc_id") =!= col("rep"))
       .join(assignNewReps.select(col("doc_id").as("rep"), col("cluster_id")), Seq("rep"))

@@ -121,18 +121,20 @@ object IncrementalEmbedDedup {
       idCol: String = "vec_id", dims: Int = 64, threshold: Double = 0.45,
       tables: Int = 24, planesPerTable: Int = 4,
       compactEvery: Int = 8, bucketWidth: Long = 1L << 20,
-      maxAttachBuckets: Int = 65536): Long = {
+      maxAttachBuckets: Int = 65536, anchor: Anchor = Anchor.Local): Long = {
     val lock = new org.apache.hadoop.fs.Path(s"$statePath/_lock_refresh")
     BatchedState.acquireLock(spark, lock, "IncrementalEmbedDedup refresh")
     try refreshLocked(spark, vecs, statePath, idCol, dims, threshold,
-      tables, planesPerTable, compactEvery, bucketWidth, maxAttachBuckets)
+      tables, planesPerTable, compactEvery, bucketWidth, maxAttachBuckets,
+      anchor)
     finally BatchedState.releaseLock(spark, lock)
   }
 
   private def refreshLocked(spark: SparkSession, vecs: DataFrame,
       statePath: String, idCol: String, dims: Int, threshold: Double,
       tables: Int, planesPerTable: Int, compactEvery: Int,
-      bucketWidth: Long, maxAttachBuckets: Int): Long = {
+      bucketWidth: Long, maxAttachBuckets: Int, anchor: Anchor): Long = {
+    import Anchor.AnchorOps
     val wm = Incremental.watermark(spark, statePath)
     val fresh = vecs.filter(col(idCol) > wm)
       .select(col(idCol).as("vec_id"), col("embedding"))
@@ -140,7 +142,7 @@ object IncrementalEmbedDedup {
     if (nFresh == 0) return 0L
 
     val newCells = AnnSearch.sketchCells(fresh, "vec_id", dims, tables, planesPerTable)
-      .localCheckpoint(true)
+      .anchored(anchor)
     val oldCells = BatchedState.readSnapshotted(spark, s"$statePath/cellsnap",
       s"$statePath/cells", cellsSchema, wm)
 
@@ -157,7 +159,7 @@ object IncrementalEmbedDedup {
       .select(least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"))
       .distinct()
-      .localCheckpoint(true)
+      .anchored(anchor)
 
     // old-side attach, pruned: the candidate ids are delta-bounded, so
     // the id_buckets they touch are driver metadata (distinct-collected,
@@ -188,7 +190,7 @@ object IncrementalEmbedDedup {
       .withColumn("cos", VecDot.cosine(col("ea"), col("na"), col("eb"), col("nb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
-      .localCheckpoint(true) // materialize before the state writes below
+      .anchored(anchor) // materialize before the state writes below
 
     // batch-keyed writes + watermark-last commit (BatchedState protocol);
     // first refresh snapshots (it IS the full index), then every

@@ -18,6 +18,55 @@ class DedupClustersSpec extends SparkSpec {
     assert(cc.size == 9)
   }
 
+  test("CC converges on a path graph far deeper than any fixed label-propagation cap") {
+    import spark.implicits._
+    // diameter 400: min-label propagation (the previous implementation)
+    // needs 400 rounds and would have exited its cap with silently
+    // WRONG labels; star contraction is O(log n) — well inside default
+    // maxIter — and must label the whole path with its minimum
+    val edges = (0L until 400L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = DedupClusters.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size === 401)
+    assert(cc.values.forall(_ == 0L), "path must collapse to component 0")
+  }
+
+  test("CC refuses loudly at the iteration cap instead of emitting wrong labels") {
+    import spark.implicits._
+    val edges = (0L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      DedupClusters.connectedComponents(edges, "a", "b", maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("CC handles self-loops, reversed duplicates, and empty input") {
+    import spark.implicits._
+    val edges = Seq((5L, 5L), (1L, 2L), (2L, 1L)).toDF("a", "b")
+    val cc = DedupClusters.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
+    val none = DedupClusters.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+    assert(none.isEmpty)
+  }
+
+  test("Anchor.Reliable yields bit-identical components to Anchor.Local") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_cc").toString
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 9L), (9L, 4L), (100L, 3L))
+      .toDF("a", "b")
+    val local = DedupClusters.connectedComponents(edges, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reliable = DedupClusters.connectedComponents(edges, "a", "b",
+      anchor = Anchor.Reliable(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(local === reliable)
+    // the reliable mode really did write checkpoint state to the dir
+    assert(new java.io.File(dir).listFiles != null &&
+      new java.io.File(dir).listFiles.nonEmpty)
+  }
+
   test("dedup clusters: every near-dup pair lands in one cluster") {
     val clusters = DedupClusters.dedupClusters(spark, sf).cache()
     assert(clusters.count() === Tables.documents(spark, sf).count())

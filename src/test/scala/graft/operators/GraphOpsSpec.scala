@@ -90,4 +90,25 @@ class GraphOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
   }
+
+  test("Anchor.Reliable pagerank and khop are bit-identical to Anchor.Local") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_pr").toString
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (9L, 3L))
+      .toDF("src", "dst")
+    val prLocal = GraphOps.pagerank(edges, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prRel = GraphOps.pagerank(edges, iters = 4,
+        anchor = Anchor.Reliable(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prLocal === prRel)
+    val seeds = Seq(1L).toDF("id")
+    val khLocal = GraphOps.khopDistances(edges, seeds, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val khRel = GraphOps.khopDistances(edges, seeds, k = 3,
+        anchor = Anchor.Reliable(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(khLocal === khRel)
+    // reliable mode really wrote iteration state to the directory
+    assert(new java.io.File(dir).listFiles.nonEmpty)
+  }
 }
