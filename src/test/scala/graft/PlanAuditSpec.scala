@@ -289,6 +289,53 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q2 broadcasts parts and region suppliers onto the derived supply relation") {
+    val p = plan("q2_min_cost")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val broadcastSubtrees = p.split("BroadcastExchange").drop(1)
+    assert(!broadcastSubtrees.exists(_.split("\n").take(4).mkString.contains("lineitem")),
+      s"lineitem must not be broadcast:\n$p")
+  }
+
+  test("q9 profit stays on long arithmetic with dims broadcast") {
+    val p = plan("q9_profit")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.toLowerCase.contains("decimal"),
+      s"profit must stay integer, decimal crept in:\n$p")
+    val broadcastSubtrees = p.split("BroadcastExchange").drop(1)
+    assert(!broadcastSubtrees.exists(_.split("\n").take(4).mkString.contains("lineitem")),
+      s"lineitem must not be broadcast:\n$p")
+  }
+
+  test("q11's only nested-loop is the 1-row global-total broadcast") {
+    val p = plan("q11_important")
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"unexpected nested-loop joins ($bnlj):\n$p")
+    // per-part value combines map-side below its shuffle
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    val partialIdx = p.lastIndexOf("HashAggregate")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"no partial aggregate below the value shuffle:\n$p")
+  }
+
+  test("q16 anti-joins the exclusion list and broadcasts both dims") {
+    val p = plan("q16_supplier_cnt")
+    assert(p.contains("LeftAnti"), s"expected anti join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q20's exists-chain plans as semi joins; facts never broadcast") {
+    val p = plan("q20_dominant")
+    assert(p.contains("LeftSemi"), s"expected semi joins for the chain:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val broadcastSubtrees = p.split("BroadcastExchange").drop(1)
+    assert(!broadcastSubtrees.exists(_.split("\n").take(4).mkString.contains("lineitem")),
+      s"lineitem must not be broadcast:\n$p")
+  }
+
   test("golden_records mode pass pre-aggregates below its entity join") {
     val p = plan("golden_records")
     assert(!p.contains("Window"), "survivorship must stay combinable, " +
