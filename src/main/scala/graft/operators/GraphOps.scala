@@ -69,6 +69,49 @@ object GraphOps {
     r.select(col("id"), col("pr").as("rank"))
   }
 
+  /** Personalized PageRank: random-walk-with-restart importance
+    * RELATIVE TO A SEED SET — the "related entities" ranking a global
+    * PageRank cannot answer (global rank scores hubness; PPR scores
+    * proximity to the seeds). Same exact integer convention as
+    * [[pagerank]]: seeds start at `scale` and receive the teleport
+    * mass every iteration; non-seeds start at 0 and receive only
+    * walked-in mass, so after k iterations exactly the ≤ k-hop
+    * out-neighborhood of the seeds is nonzero (the khop frontier law,
+    * spec-asserted). Seeds absent from the edge set still rank (they
+    * hold their own teleport mass) — the khop dist-0 convention.
+    * Dangling mass evaporates, matching [[pagerank]]. */
+  def personalizedPagerank(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 3, dampingPct: Int = 85, scale: Long = 1000000000L,
+      anchor: Anchor = Anchor.Local): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters=$iters out of [1,50]")
+    require(dampingPct >= 1 && dampingPct <= 99, s"dampingPct=$dampingPct")
+    val Seq(s, t) = edges.columns.take(2).toSeq
+    val e = anchor(edges.select(col(s).cast("long").as("src"),
+      col(t).cast("long").as("dst")).distinct())
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ed = anchor(e.join(deg, Seq("src")))
+    val sd = seeds.select(col(seeds.columns.head).cast("long").as("id"))
+      .distinct()
+    val nodes = anchor(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).union(sd).distinct()
+      .join(sd.withColumn("_s", lit(true)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_s"), lit(false)).as("is_seed")))
+    val teleport = scale * (100L - dampingPct) / 100L
+    var r = nodes.select(col("id"),
+      when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(r, ed("src") === r("id"))
+        .select(col("dst"),
+          expr(s"(pr * $dampingPct) div (100 * outdeg)").as("m"))
+        .groupBy(col("dst")).agg(sum(col("m")).as("m"))
+      r = anchor(nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(col("id"),
+          (when(col("is_seed"), lit(teleport)).otherwise(lit(0L)) +
+            coalesce(col("m"), lit(0L))).as("pr")))
+    }
+    r.select(col("id"), col("pr").as("rank"))
+  }
+
   /** In/out degree per node — the cheap companion statistic. */
   def degrees(edges: DataFrame): DataFrame = {
     val Seq(s, t) = edges.columns.take(2).toSeq
@@ -306,13 +349,79 @@ object GraphOps {
       |UNION ALL SELECT id, CAST(2 AS BIGINT) FROM f2
       |ORDER BY id""".stripMargin
 
+  /** Gate `ppr`: 3 exact restart-walk iterations on the trade graph,
+    * seeded at the suppliers of the smallest nation key PRESENT in the
+    * supplier table (data-derived, so the seed set is nonempty at any
+    * SF — sf0.001 has no nation-0 supplier) — "which customers and
+    * suppliers sit closest to this nation's supply base", the
+    * related-entities question B34's global rank cannot answer. */
+  def pprGate(spark: SparkSession, d: String): DataFrame = {
+    val trade = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_suppkey") + 1000000L).as("supp"))
+      .distinct()
+    val edges = trade.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionByName(trade.select(col("supp").as("src"), col("cust").as("dst")))
+    val sup = Tables.supplier(spark, d)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val minNat = sup.agg(min(col("s_nationkey")).as("_mn"))
+    val seeds = sup.crossJoin(broadcast(minNat)) // 1-row scalar
+      .filter(col("s_nationkey") === col("_mn"))
+      .select((col("s_suppkey") + 1000000L).as("id"))
+    personalizedPagerank(edges, seeds, iters = 3).orderBy(col("id"))
+  }
+
+  val pprSql: String =
+    """WITH trade AS (
+      |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 1000000 AS supp
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |edges AS (
+      |  SELECT cust AS src, supp AS dst FROM trade
+      |  UNION ALL
+      |  SELECT supp AS src, cust AS dst FROM trade),
+      |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+      |        FROM edges GROUP BY src),
+      |seeds AS (SELECT DISTINCT s_suppkey + 1000000 AS id FROM supplier
+      |          WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM supplier)),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges
+      |          UNION SELECT DISTINCT dst FROM edges
+      |          UNION SELECT id FROM seeds),
+      |r0 AS (SELECT n.id,
+      |         CAST(CASE WHEN n.id IN (SELECT id FROM seeds)
+      |           THEN 1000000000 ELSE 0 END AS BIGINT) AS rank
+      |       FROM nodes n),
+      |s1 AS (SELECT e.dst AS id, SUM((r.rank * 85) // (100 * d.outdeg)) AS m
+      |       FROM edges e JOIN r0 r ON e.src = r.id JOIN deg d ON d.src = e.src
+      |       GROUP BY e.dst),
+      |r1 AS (SELECT n.id, CAST(CASE WHEN n.id IN (SELECT id FROM seeds)
+      |         THEN 150000000 ELSE 0 END + COALESCE(s.m, 0) AS BIGINT) AS rank
+      |       FROM nodes n LEFT JOIN s1 s ON n.id = s.id),
+      |s2 AS (SELECT e.dst AS id, SUM((r.rank * 85) // (100 * d.outdeg)) AS m
+      |       FROM edges e JOIN r1 r ON e.src = r.id JOIN deg d ON d.src = e.src
+      |       GROUP BY e.dst),
+      |r2 AS (SELECT n.id, CAST(CASE WHEN n.id IN (SELECT id FROM seeds)
+      |         THEN 150000000 ELSE 0 END + COALESCE(s.m, 0) AS BIGINT) AS rank
+      |       FROM nodes n LEFT JOIN s2 s ON n.id = s.id),
+      |s3 AS (SELECT e.dst AS id, SUM((r.rank * 85) // (100 * d.outdeg)) AS m
+      |       FROM edges e JOIN r2 r ON e.src = r.id JOIN deg d ON d.src = e.src
+      |       GROUP BY e.dst),
+      |r3 AS (SELECT n.id, CAST(CASE WHEN n.id IN (SELECT id FROM seeds)
+      |         THEN 150000000 ELSE 0 END + COALESCE(s.m, 0) AS BIGINT) AS rank
+      |       FROM nodes n LEFT JOIN s3 s ON n.id = s.id)
+      |SELECT id, rank FROM r3 ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank" -> pagerankGate _,
     "triangles" -> triangleGate _,
-    "khop" -> khopGate _)
+    "khop" -> khopGate _,
+    "ppr" -> pprGate _)
 
   val oracles: Map[String, String] = Map(
     "pagerank" -> pagerankSql,
     "triangles" -> triangleSql,
-    "khop" -> khopSql)
+    "khop" -> khopSql,
+    "ppr" -> pprSql)
 }

@@ -91,6 +91,48 @@ class GraphOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
   }
 
+  test("personalized pagerank: hand-folded chain, restart mass only at seeds") {
+    // 1 -> 2 -> 3, seed {1}. teleport = 150e6, scale = 1e9.
+    // i1: r1 = 150e6; r2 = floor(1e9*85/100) = 850e6; r3 = 0
+    // i2: r1 = 150e6; r2 = floor(150e6*85/100) = 127.5e6;
+    //     r3 = floor(850e6*85/100) = 722.5e6
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val i1 = GraphOps.personalizedPagerank(edges, seeds, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(i1 === Map(1L -> 150000000L, 2L -> 850000000L, 3L -> 0L))
+    val i2 = GraphOps.personalizedPagerank(edges, seeds, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(i2 === Map(1L -> 150000000L, 2L -> 127500000L, 3L -> 722500000L))
+  }
+
+  test("ppr nonzero support after k iterations equals the <=k-hop out-neighborhood") {
+    // path 1..6, seed 1: after 3 iters only nodes within 3 hops hold mass
+    val edges = (1L to 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val got = GraphOps.personalizedPagerank(edges, seeds, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).forall(got(_) > 0L))
+    assert((5L to 6L).forall(got(_) === 0L))
+  }
+
+  test("ppr: a seed absent from the edge set still holds its teleport mass") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val seeds = Seq(99L).toDF("id")
+    val got = GraphOps.personalizedPagerank(edges, seeds, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(99L) === 150000000L)
+    assert(got(1L) === 0L && got(2L) === 0L)
+  }
+
+  test("ppr gate: seeds outrank everything; non-reachable nodes hold zero") {
+    val got = GraphOps.pprGate(spark, sf).cache()
+    assert(got.count() > 0)
+    // some mass flowed beyond the seeds, and zero-rank nodes exist
+    assert(got.filter(col("rank") > 0 && col("id") < 1000000L).count() > 0)
+    got.unpersist()
+  }
+
   test("Anchor.Reliable pagerank and khop are bit-identical to Anchor.Local") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_pr").toString
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (9L, 3L))
