@@ -495,4 +495,55 @@ class FeatureStoreSpec extends SparkSpec {
     ids.foreach(id => assert(fs.getVector(id).contains("total_spend")))
     assert(fs.cacheHits == ids.size && fs.cacheMisses == 0)
   }
+
+  test("publishOnlineView: one file per bucket, hash routing matches the " +
+    "driver-side bucketOf, point reads equal the serving path") {
+    val fs = freshStore()
+    fs.registerTable(ordersDef, Tables.orders(spark, sf))
+    fs.defineFeature(FeatureDef("total_spend", "orders", "numeric",
+      df => df.groupBy(col("o_custkey").as("entity_id"))
+        .agg(sum("o_totalprice").as("value"))))
+    fs.defineFeature(FeatureDef("order_cnt", "orders", "numeric",
+      df => df.groupBy(col("o_custkey").as("entity_id"))
+        .agg(count(lit(1)).cast("double").as("value"))))
+    assert(fs.computeVersion("total_spend", "v1").isRight)
+    assert(fs.computeVersion("order_cnt", "v1").isRight)
+
+    val out = java.nio.file.Files.createTempDirectory("graft-online").toString
+    val buckets = 8
+    val n = fs.publishOnlineView(s"$out/view", buckets)
+    assert(n === fs.featureVectors().count())
+
+    // READ-AMPLIFICATION PIN: every bucket directory holds EXACTLY ONE
+    // parquet file — a point lookup touches one file, full stop
+    val dirs = new java.io.File(s"$out/view").listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(dirs.nonEmpty && dirs.length <= buckets)
+    dirs.foreach { d =>
+      val files = d.listFiles.filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1,
+        s"${d.getName} holds ${files.length} files — read amp broken")
+    }
+
+    // routing: every row in bucket=N hashes to N under bucketOf
+    for (d <- dirs) {
+      val b = d.getName.stripPrefix("bucket=").toInt
+      val ids = spark.read.parquet(d.toString)
+        .select("entity_id").collect().map(_.getString(0))
+      assert(ids.nonEmpty)
+      ids.foreach(id => assert(FeatureStore.bucketOf(id, buckets) === b,
+        s"entity $id landed in bucket $b but hashes to " +
+          s"${FeatureStore.bucketOf(id, buckets)}"))
+    }
+
+    // point reads equal the store serving path, absent entity -> empty
+    val sample = fs.featureVectors().select("entity_id")
+      .limit(5).collect().map(_.getString(0))
+    sample.foreach { id =>
+      assert(FeatureStore.readOnlineVector(spark, s"$out/view", id)
+        === fs.getVector(id))
+    }
+    assert(FeatureStore.readOnlineVector(spark, s"$out/view",
+      "no_such_entity") === Map.empty)
+  }
 }
