@@ -9,93 +9,93 @@ import org.apache.spark.sql.functions._
   * into connected components and keep one representative per cluster
   * (a↔b and b↔c must collapse to ONE kept doc, not two).
   *
-  * Connected components by alternating large-star/small-star edge
-  * contraction (Kiveris et al., "Connected Components in MapReduce and
-  * Beyond", SoCC'14): each round rewrites the edge set so every node
-  * hangs off the minimum node it can currently see, and the edge set
-  * provably converges to disjoint min-rooted stars in O(log n) rounds —
-  * INDEPENDENT of component diameter. Plain min-label propagation (the
-  * previous implementation) needs O(diameter) rounds, and a 100×-corpus
-  * chain of near-dups can exceed any fixed iteration cap; worse, it
-  * exits silently with WRONG labels when the cap hits. This version
-  * drops the diameter dependence entirely AND refuses loudly if the
-  * cap is ever reached. Each half-round is one keyed aggregation + one
-  * keyed join over the current edge set — no driver-side graph, no
-  * single-partition structure; lineage truncates through [[Anchor]]
-  * every round so plans stay flat ([[Anchor.Reliable]] for cluster
-  * runs where executor loss must not kill the iteration).
+  * Connected components by min-label propagation WITH POINTER-DOUBLING
+  * (the classic shortcutting of Shiloach–Vishkin, the same device the
+  * MapReduce CC literature — Kiveris et al., SoCC'14 — exists to
+  * distribute): every vertex starts labeled with its own id; each
+  * round labels flow across edges and every vertex keeps the minimum
+  * seen (one edge-keyed join + one keyed aggregation), then labels
+  * compose with themselves (`comp ← comp(comp)`, one labels-sized
+  * join) so the distance a label has travelled DOUBLES per round.
+  * Convergence is O(log diameter) rounds — a 100×-corpus chain of
+  * near-dups converges in ~⌈log₂ d⌉ rounds where plain propagation
+  * (the pre-r13 implementation) needed d rounds and, worse, exited
+  * SILENTLY with wrong labels at its cap. This version drops the
+  * linear diameter dependence and refuses loudly if the cap is ever
+  * reached. Per round: one O(E) shuffle + one O(V) shuffle — no
+  * driver-side graph, no single-partition structure; lineage truncates
+  * through [[Anchor]] every round so plans stay flat
+  * ([[Anchor.Reliable]] for cluster runs where executor loss must not
+  * kill the iteration).
   */
 object DedupClusters {
 
   /** (id, comp) for every vertex appearing in `edges`; comp = min vertex
     * id in the component. Undirected.
     *
-    * Refuses loudly (IllegalStateException) if the star contraction has
-    * not converged after `maxIter` rounds — with O(log n) convergence,
-    * 25 rounds covers > 10⁷-node components; hitting the cap means
-    * something is structurally wrong and silent mislabeling is never
+    * Refuses loudly (IllegalStateException) if propagation has not
+    * converged after `maxIter` rounds — with pointer doubling, 25
+    * rounds covers components of diameter > 10⁷; hitting the cap means
+    * something is structurally wrong, and silent mislabeling is never
     * acceptable (these labels feed dedup keeper selection and entity
-    * resolution). */
+    * resolution).
+    *
+    * Correctness invariants (each round preserves them): labels only
+    * DECREASE; a label is always the id of a node in the same
+    * component; propagate-stability (no label changed by an edge pass)
+    * forces labels constant per component, and a constant component
+    * label can only be the component minimum. The shortcut step only
+    * composes labels, so it accelerates without affecting the
+    * fixpoint. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25, anchor: Anchor = Anchor.Local): DataFrame = {
     require(maxIter >= 1, s"maxIter=$maxIter")
-    val raw = edges.select(col(srcCol).cast("long").as("x"),
-      col(dstCol).cast("long").as("y"))
-    // anchored once: the vertex set and the initial canonical edge set
-    // both re-read the caller's pair pipeline (candidate generation,
-    // jaccard verify, ...) — without this it would recompute per round
-    val verts = anchor(raw.select(col("x").as("id"))
-      .union(raw.select(col("y").as("id"))).distinct())
-    // canonical (a < b); self-loops carry no connectivity
-    var e = anchor(raw.filter(col("x") =!= col("y"))
-      .select(least(col("x"), col("y")).as("a"),
-        greatest(col("x"), col("y")).as("b"))
-      .distinct())
+    // anchored once — every propagation round joins against the edge
+    // list, and without this each round would recompute the caller's
+    // whole pair pipeline (candidate generation, jaccard verify, ...)
+    val und = anchor(edges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .union(edges
+        .select(col(dstCol).cast("long").as("s"), col(srcCol).cast("long").as("d"))))
+    var labels = anchor(und.select(col("s").as("id")).distinct()
+      .withColumn("comp", col("id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // large-star(u): connect every STRICTLY LARGER neighbor v of u to
-      // m = min(N(u) ∪ {u}). Every canonical edge (a,b) is processed at
-      // its smaller endpoint (b > a is in N(a)); m ≤ u < v keeps the
-      // output canonical as (m, v).
-      val sym = e.select(col("a").as("u"), col("b").as("v"))
-        .union(e.select(col("b").as("u"), col("a").as("v")))
-      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("_mv"))
-        .select(col("u"), least(col("_mv"), col("u")).as("m"))
-      val ls = sym.join(mins, Seq("u"))
-        .filter(col("v") > col("u") && col("v") =!= col("m"))
-        .select(col("m").as("a"), col("v").as("b"))
-        .distinct()
-      // small-star(u): orient edges large→small; connect every smaller
-      // neighbor (and u itself) to m = min of the smaller neighbors.
-      // Grouping the canonical form by b IS that orientation: m =
-      // min(a's) < b = u, so outputs (m, v≠m) and (m, u) stay canonical.
-      val minsS = ls.groupBy(col("b").as("u")).agg(min(col("a")).as("m"))
-      val ss = ls.join(minsS, ls("b") === minsS("u"))
-        .filter(col("a") =!= col("m"))
-        .select(col("m").as("a"), col("a").as("b"))
-        .union(minsS.select(col("m").as("a"), col("u").as("b")))
-        .distinct()
-      val next = anchor(ss)
-      // fixpoint test: two anti-join probes over anchored frames (same
-      // O(E) order as the round itself; both sets are distinct so
-      // except is an exact set compare)
-      converged = next.exceptAll(e).limit(1).isEmpty &&
-        e.exceptAll(next).limit(1).isEmpty
-      e = next
+      // propagate: one keyed aggregation computes BOTH the new label
+      // and whether it changed — the vertex's own (self-tagged) label
+      // rides along as min(when(self)), so no next-vs-prev join is
+      // needed, and the convergence flag is a cheap scan of the
+      // already-anchored result, not a second join+count job.
+      val self = labels.select(col("id"), col("comp"), lit(true).as("_self"))
+      val msgs = und.join(labels, und("s") === labels("id"))
+        .select(col("d").as("id"), col("comp"), lit(false).as("_self"))
+      val next = anchor(self.union(msgs)
+        .groupBy(col("id"))
+        .agg(min(col("comp")).as("comp"),
+          (min(col("comp")) < min(when(col("_self"), col("comp")))).as("_chg")))
+      converged = next.filter(col("_chg")).limit(1).isEmpty
+      labels =
+        if (converged) next.select("id", "comp")
+        else {
+          // shortcut (pointer doubling): comp ← comp(comp). Every comp
+          // value is itself a labeled vertex (labels only ever take
+          // existing ids), so the inner join preserves all rows; the
+          // hop distance a label covers doubles each round.
+          val byId = next.select(col("id").as("_cid"), col("comp").as("_ccomp"))
+          anchor(next.select(col("id"), col("comp"))
+            .join(byId, col("comp") === col("_cid"))
+            .select(col("id"), col("_ccomp").as("comp")))
+        }
       iter += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter " +
-          "large-star/small-star rounds — refusing to emit possibly " +
-          "wrong component labels (raise maxIter; O(log n) convergence " +
-          "makes 25 rounds cover >10^7-node components)")
-    // at the fixpoint the edge set is disjoint min-rooted stars: every
-    // non-root points straight at its component minimum
-    verts.join(e.select(col("b").as("id"), col("a").as("comp")),
-        Seq("id"), "left")
-      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+          "propagate+shortcut rounds — refusing to emit possibly wrong " +
+          "component labels (raise maxIter; pointer doubling makes 25 " +
+          "rounds cover diameter > 10^7)")
+    labels
   }
 
   /** C6 query: every document labeled with its near-dup cluster id
