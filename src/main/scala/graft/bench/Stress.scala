@@ -1244,6 +1244,13 @@ object Stress {
         Scd2.applyChanges(hist, delta,
           Seq("user_id"), Seq("event_type"), "ts", Seq("event_id"))
       }
+      // r13: the exact-everywhere raw-log verb at the same delta — cost
+      // is O(touched keys' raw rows): the semi-join selects ~1/997 of
+      // the 50x log, never re-windows the corpus
+      time("scd2_apply_log") {
+        Scd2.applyLog(ev, hist, delta,
+          Seq("user_id"), Seq("event_type"), "ts", Seq("event_id"))
+      }
     }
 
     scenario("regression_scale") {
@@ -1328,6 +1335,23 @@ object Stress {
       val edges = trade.select(col("cust").as("src"), col("supp").as("dst"))
         .unionByName(trade.select(col("supp").as("src"), col("cust").as("dst")))
       time("pagerank_50x")(GraphOps.pagerank(edges, iters = 3))
+      // r13: seed-restart ranks on the same graph — identical per-round
+      // shape (edge join + dst agg), mass confined to the seeds' basin
+      val seeds = Tables.supplier(spark, dir)
+        .select((col("s_suppkey") + 1000000L).as("id")).limit(200)
+      time("pagerank_ppr_50x")(
+        GraphOps.personalizedPagerank(edges, seeds, iters = 3))
+    }
+
+    scenario("tpch_tail_scale") {
+      // r13: the derived-supply TPC-H tail at 50x — ps is the ONLY
+      // lineitem-sized shuffle (map-side combinable (part,supp) MIN);
+      // q9 then joins the 30M-row fact against it co-keyed; q20's
+      // two-level rollup derives per-part totals from the
+      // per-(part,supp) frame, never re-scanning the fact
+      time("tpch_tail_q2_50x")(ShapeQueries4.q2MinCost(spark, dir))
+      time("tpch_tail_q9_50x")(ShapeQueries4.q9Profit(spark, dir))
+      time("tpch_tail_q20_50x")(ShapeQueries4.q20Dominant(spark, dir))
     }
 
     scenario("target_encode_scale") {
