@@ -71,9 +71,10 @@ object TokenizerTrain {
     * `minCount` times (default 2 — merging a singleton pair buys
     * nothing). */
   def learnMerges(docs: DataFrame, numMerges: Int,
-      textCol: String = "text", minCount: Long = 2L): Seq[(String, String)] = {
+      textCol: String = "text", minCount: Long = 2L,
+      anchor: Anchor = Anchor.Local): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges $numMerges must be >= 0")
-    var words = wordCounts(docs, textCol).localCheckpoint(true)
+    var words = anchor(wordCounts(docs, textCol))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (!done && merges.length < numMerges) {
@@ -94,11 +95,10 @@ object TokenizerTrain {
         merges += ((a, b))
         // re-tokenize ONLY words containing the pair; the rest pass
         // through untouched — no join, a per-row conditional projection
-        words = words
+        words = anchor(words
           .withColumn("syms",
             when(hasPair(col("syms"), a, b), mergeExpr(col("syms"), a, b))
-              .otherwise(col("syms")))
-          .localCheckpoint(true)
+              .otherwise(col("syms"))))
       }
     }
     merges.toSeq
@@ -216,14 +216,13 @@ object TokenizerTrain {
     * fold's own intermediate depth (a 30k-projection plan would
     * overflow the analyzer long before pushdown mattered). */
   def tokenizeWords(docs: DataFrame, merges: Seq[(String, String)],
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text", anchor: Anchor = Anchor.Local): DataFrame =
     merges.zipWithIndex.foldLeft(wordCounts(docs, textCol)) {
       case (w, ((a, b), i)) =>
         val next = w.withColumn("syms",
           when(hasPair(col("syms"), a, b), mergeExpr(col("syms"), a, b))
             .otherwise(col("syms")))
-        if ((i + 1) % 8 == 0 || (i + 1) == merges.length)
-          next.localCheckpoint(true)
+        if ((i + 1) % 8 == 0 || (i + 1) == merges.length) anchor(next)
         else next
     }.select(col("word"), col("cnt"), col("syms").as("tokens"))
 
