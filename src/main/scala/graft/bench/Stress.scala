@@ -1341,6 +1341,23 @@ object Stress {
         .select((col("s_suppkey") + 1000000L).as("id")).limit(200)
       time("pagerank_ppr_50x")(
         GraphOps.personalizedPagerank(edges, seeds, iters = 3))
+      // r13: volume-weighted variant — same per-round shape plus the
+      // additive parallel-edge merge; weights = distinct-order counts
+      val wtrade = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + 1000000L).as("supp"), col("l_orderkey"))
+        .distinct()
+        .groupBy(col("cust"), col("supp")).agg(count(lit(1)).as("w"))
+      val wedges = wtrade
+        .select(col("cust").as("src"), col("supp").as("dst"), col("w"))
+        .unionByName(wtrade
+          .select(col("supp").as("src"), col("cust").as("dst"), col("w")))
+      time("pagerank_weighted_50x")(
+        GraphOps.pagerankWeighted(wedges, iters = 3))
     }
 
     scenario("tpch_tail_scale") {

@@ -112,6 +112,51 @@ object GraphOps {
     r.select(col("id"), col("pr").as("rank"))
   }
 
+  /** Weighted exact integer PageRank: edges carry a positive integer
+    * weight (trade volume, co-occurrence count) and a node's mass
+    * splits across out-edges PROPORTIONALLY to weight. Contribution
+    * chain, pinned: `t = (pr·d) div 100`, then `m = (t·w) div outw` —
+    * two floor divisions mirrored div-for-div in the oracle SQL.
+    * Uniform weights reduce EXACTLY to [[pagerank]] (floor-div
+    * composition: floor(floor(x/m)/n) = floor(x/(m·n)), so
+    * (t·1) div outdeg ≡ (pr·d) div (100·outdeg) — spec-asserted
+    * bitwise). Parallel (src,dst) duplicates merge ADDITIVELY before
+    * degrees (pinned; B34 collapses duplicates instead — a weighted
+    * edge list's multiplicity IS signal). Overflow headroom: t·w must
+    * stay under 2⁶³ — with default scale, t ≤ total-mass·0.85 ≤
+    * n·8.5e8, so per-edge weights up to ~10⁶ are safe at 10⁶ nodes;
+    * ANSI mode makes any breach loud, never silent. */
+  def pagerankWeighted(edges: DataFrame, iters: Int = 3,
+      dampingPct: Int = 85, scale: Long = 1000000000L,
+      anchor: Anchor = Anchor.Local): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters=$iters out of [1,50]")
+    require(dampingPct >= 1 && dampingPct <= 99, s"dampingPct=$dampingPct")
+    val Seq(s, t, w) = edges.columns.take(3).toSeq
+    val e = anchor(edges.select(col(s).cast("long").as("src"),
+        col(t).cast("long").as("dst"), col(w).cast("long").as("w"))
+      .withColumn("w", when(col("w") <= 0, raise_error(
+        concat(lit("pagerankWeighted: non-positive weight on edge "),
+          col("src").cast("string"), lit("->"), col("dst").cast("string"))))
+        .otherwise(col("w")))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")))
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val ed = anchor(e.join(outw, Seq("src")))
+    val nodes = anchor(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
+    val teleport = scale * (100L - dampingPct) / 100L
+    var r = nodes.withColumn("pr", lit(scale))
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(r, ed("src") === r("id"))
+        .select(col("dst"),
+          expr(s"(((pr * $dampingPct) div 100) * w) div outw").as("m"))
+        .groupBy(col("dst")).agg(sum(col("m")).as("m"))
+      r = anchor(nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(col("id"), (lit(teleport) + coalesce(col("m"), lit(0L)))
+          .as("pr")))
+    }
+    r.select(col("id"), col("pr").as("rank"))
+  }
+
   /** In/out degree per node — the cheap companion statistic. */
   def degrees(edges: DataFrame): DataFrame = {
     val Seq(s, t) = edges.columns.take(2).toSeq
@@ -413,15 +458,75 @@ object GraphOps {
       |       FROM nodes n LEFT JOIN s3 s ON n.id = s.id)
       |SELECT id, rank FROM r3 ORDER BY id""".stripMargin
 
+  /** Gate `pagerank_weighted`: 3 exact iterations over the trade graph
+    * with edge weight = the number of DISTINCT ORDERS connecting the
+    * customer and supplier — volume-weighted centrality, the question
+    * B34's unweighted rank flattens (a 100-order relationship counts
+    * like a 1-order one there). */
+  def pagerankWeightedGate(spark: SparkSession, d: String): DataFrame = {
+    val trade = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_suppkey") + 1000000L).as("supp"), col("l_orderkey"))
+      .distinct()
+      .groupBy(col("cust"), col("supp"))
+      .agg(count(lit(1)).as("w"))
+    val edges = trade.select(col("cust").as("src"), col("supp").as("dst"), col("w"))
+      .unionByName(trade.select(col("supp").as("src"), col("cust").as("dst"), col("w")))
+    pagerankWeighted(edges, iters = 3).orderBy(col("id"))
+  }
+
+  val pagerankWeightedSql: String =
+    """WITH trade AS (
+      |  SELECT cust, supp, CAST(COUNT(*) AS BIGINT) AS w FROM (
+      |    SELECT DISTINCT o.o_custkey AS cust,
+      |      l.l_suppkey + 1000000 AS supp, l.l_orderkey
+      |    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      |  GROUP BY cust, supp),
+      |edges AS (
+      |  SELECT cust AS src, supp AS dst, w FROM trade
+      |  UNION ALL
+      |  SELECT supp AS src, cust AS dst, w FROM trade),
+      |e AS (SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w
+      |      FROM edges GROUP BY src, dst),
+      |ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw
+      |       FROM e GROUP BY src),
+      |nodes AS (SELECT DISTINCT src AS id FROM e
+      |          UNION SELECT DISTINCT dst FROM e),
+      |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
+      |s1 AS (SELECT e.dst AS id,
+      |         SUM((((r.rank * 85) // 100) * e.w) // o.outw) AS m
+      |       FROM e JOIN r0 r ON e.src = r.id JOIN ow o ON o.src = e.src
+      |       GROUP BY e.dst),
+      |r1 AS (SELECT n.id, CAST(150000000 + COALESCE(s.m, 0) AS BIGINT) AS rank
+      |       FROM nodes n LEFT JOIN s1 s ON n.id = s.id),
+      |s2 AS (SELECT e.dst AS id,
+      |         SUM((((r.rank * 85) // 100) * e.w) // o.outw) AS m
+      |       FROM e JOIN r1 r ON e.src = r.id JOIN ow o ON o.src = e.src
+      |       GROUP BY e.dst),
+      |r2 AS (SELECT n.id, CAST(150000000 + COALESCE(s.m, 0) AS BIGINT) AS rank
+      |       FROM nodes n LEFT JOIN s2 s ON n.id = s.id),
+      |s3 AS (SELECT e.dst AS id,
+      |         SUM((((r.rank * 85) // 100) * e.w) // o.outw) AS m
+      |       FROM e JOIN r2 r ON e.src = r.id JOIN ow o ON o.src = e.src
+      |       GROUP BY e.dst),
+      |r3 AS (SELECT n.id, CAST(150000000 + COALESCE(s.m, 0) AS BIGINT) AS rank
+      |       FROM nodes n LEFT JOIN s3 s ON n.id = s.id)
+      |SELECT id, rank FROM r3 ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank" -> pagerankGate _,
     "triangles" -> triangleGate _,
     "khop" -> khopGate _,
-    "ppr" -> pprGate _)
+    "ppr" -> pprGate _,
+    "pagerank_weighted" -> pagerankWeightedGate _)
 
   val oracles: Map[String, String] = Map(
     "pagerank" -> pagerankSql,
     "triangles" -> triangleSql,
     "khop" -> khopSql,
-    "ppr" -> pprSql)
+    "ppr" -> pprSql,
+    "pagerank_weighted" -> pagerankWeightedSql)
 }

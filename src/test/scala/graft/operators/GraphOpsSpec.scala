@@ -133,6 +133,54 @@ class GraphOpsSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("weighted pagerank: mass splits by weight, hand-folded") {
+    // 1 ->(3) 2, 1 ->(1) 3: outw=4, teleport 150e6, t = 850e6
+    // i1: r2 = 150e6 + (850e6*3) div 4 = 150e6 + 637.5e6
+    //     r3 = 150e6 + (850e6*1) div 4 = 150e6 + 212.5e6
+    val got = GraphOps.pagerankWeighted(
+        Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w"), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 150000000L,
+      2L -> 787500000L, 3L -> 362500000L))
+  }
+
+  test("weighted pagerank with uniform weights is BITWISE the unweighted rank") {
+    // floor-div composition: ((pr*d) div 100 * 1) div outw == (pr*d) div (100*outw)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val edges = Seq.fill(40)((rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val un = GraphOps.pagerank(edges.toDF("src", "dst"), iters = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val wt = GraphOps.pagerankWeighted(
+          edges.map(e => (e._1, e._2, 1L)).toDF("src", "dst", "w"), iters = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(un === wt)
+    }
+  }
+
+  test("weighted pagerank merges parallel edges additively and refuses w <= 0") {
+    val merged = GraphOps.pagerankWeighted(
+        Seq((1L, 2L, 2L), (1L, 2L, 1L), (1L, 3L, 1L)).toDF("src", "dst", "w"),
+        iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = GraphOps.pagerankWeighted(
+        Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w"), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === direct)
+    val e = intercept[Exception] {
+      GraphOps.pagerankWeighted(
+        Seq((1L, 2L, 0L)).toDF("src", "dst", "w"), iters = 1).collect()
+    }
+    assert(e.getMessage.contains("non-positive weight"))
+  }
+
+  test("weighted gate: heavier trade relationships outrank (sanity on real data)") {
+    val got = GraphOps.pagerankWeightedGate(spark, sf)
+    assert(got.count() > 0)
+    assert(got.filter(col("rank") < 150000000L).count() === 0)
+  }
+
   test("Anchor.Reliable pagerank and khop are bit-identical to Anchor.Local") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_pr").toString
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (9L, 3L))
