@@ -500,6 +500,37 @@ final class FeatureStore(spark: SparkSession, storePath: String,
     spark.read.parquet(path).count()
   }
 
+  /** Generation-pinned publish — the refresh discipline README's
+    * serving topology describes, implemented: each call writes a FRESH
+    * `gen=<n>/` directory under `basePath` and only then atomically
+    * swaps the `_latest` pointer (create-temp-then-rename, the
+    * manifest convention), so a reader mid-refresh resolves either the
+    * complete old generation or the complete new one — never a
+    * half-written layout, and no transactional table format needed.
+    * Old generations stay on disk for in-flight readers;
+    * [[FeatureStore.pruneOnlineGenerations]] reclaims them. Returns
+    * the published generation path. */
+  def publishOnlineGeneration(basePath: String, buckets: Int = 64,
+      featureNames: Option[Seq[String]] = None,
+      version: Option[String] = None): String = {
+    val fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing = if (fs.exists(new Path(basePath)))
+      fs.listStatus(new Path(basePath)).map(_.getPath.getName)
+        .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toLong)
+    else Array.empty[Long]
+    val gen = if (existing.isEmpty) 0L else existing.max + 1L
+    val genName = s"gen=$gen"
+    publishOnlineView(s"$basePath/$genName", buckets, featureNames, version)
+    val tmp = new Path(basePath, s"._latest_tmp_$gen")
+    val out = fs.create(tmp, true)
+    out.write(genName.getBytes("UTF-8"))
+    out.close()
+    val ptr = new Path(basePath, "_latest")
+    fs.delete(ptr, false) // rename-over is not portable; delete+rename
+    require(fs.rename(tmp, ptr), s"pointer swap failed for $genName")
+    s"$basePath/$genName"
+  }
+
   // ---- durable version manifest ----------------------------------------
 
   private def manifestDir = new Path(s"$storePath/_versions")
@@ -609,6 +640,43 @@ object FeatureStore {
       .map(_.group(1).toInt)
       .getOrElse(throw new IllegalStateException(
         s"no bucket count in ${p}: $txt"))
+  }
+
+  /** Resolve the `_latest` generation pointer written by
+    * [[FeatureStore.publishOnlineGeneration]]. */
+  def resolveOnlineLatest(spark: SparkSession, basePath: String): String = {
+    val ptr = new Path(basePath, "_latest")
+    val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(ptr), s"no _latest pointer under $basePath — " +
+      "publishOnlineGeneration has never completed here")
+    val in = fs.open(ptr)
+    val gen = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+    require(gen.startsWith("gen="), s"corrupt _latest pointer: '$gen'")
+    s"$basePath/$gen"
+  }
+
+  /** Point lookup through the generation pointer — what a serving
+    * process calls per request (resolve once per refresh interval in
+    * practice; re-resolving per call is the always-fresh form). */
+  def readOnlineVectorLatest(spark: SparkSession, basePath: String,
+      entityId: String): Map[String, Any] =
+    readOnlineVector(spark, resolveOnlineLatest(spark, basePath), entityId)
+
+  /** Reclaim superseded generations, keeping the newest `keep` AND
+    * always the pointer target (an in-flight reader may hold any kept
+    * generation; `keep` bounds the window). Returns deleted dirs. */
+  def pruneOnlineGenerations(spark: SparkSession, basePath: String,
+      keep: Int = 2): Seq[String] = {
+    require(keep >= 1, s"keep=$keep")
+    val base = new Path(basePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current = new Path(resolveOnlineLatest(spark, basePath)).getName
+    val gens = fs.listStatus(base).map(_.getPath.getName)
+      .filter(_.startsWith("gen=")).sortBy(_.stripPrefix("gen=").toLong)
+    val doomed = gens.dropRight(keep).filterNot(_ == current)
+    doomed.foreach(g => fs.delete(new Path(base, g), true))
+    doomed.toSeq
   }
 
   /** Point lookup against a published online view: one bucket directory

@@ -546,4 +546,47 @@ class FeatureStoreSpec extends SparkSpec {
     assert(FeatureStore.readOnlineVector(spark, s"$out/view",
       "no_such_entity") === Map.empty)
   }
+
+  test("publishOnlineGeneration: pointer swap is all-or-nothing, prune keeps the target") {
+    val fs = freshStore()
+    fs.registerTable(ordersDef, Tables.orders(spark, sf))
+    fs.defineFeature(FeatureDef("total_spend", "orders", "numeric",
+      df => df.groupBy(col("o_custkey").as("entity_id"))
+        .agg(sum("o_totalprice").as("value"))))
+    fs.defineFeature(FeatureDef("order_cnt", "orders", "numeric",
+      df => df.groupBy(col("o_custkey").as("entity_id"))
+        .agg(count(lit(1)).cast("double").as("value"))))
+    assert(fs.computeVersion("total_spend", "v1").isRight)
+    assert(fs.computeVersion("order_cnt", "v1").isRight)
+
+    val base = java.nio.file.Files.createTempDirectory("graft-gens").toString
+    // no pointer before the first completed publish -> loud refusal
+    intercept[IllegalArgumentException] {
+      FeatureStore.resolveOnlineLatest(spark, base)
+    }
+    val g0 = fs.publishOnlineGeneration(base, buckets = 4,
+      featureNames = Some(Seq("total_spend")))
+    assert(g0.endsWith("gen=0"))
+    val id = fs.featureVectors().select("entity_id")
+      .limit(1).collect().head.getString(0)
+    val v0 = FeatureStore.readOnlineVectorLatest(spark, base, id)
+    assert(v0.keySet === Set("total_spend"))
+
+    // second generation with a different vector shape; the pointer must
+    // move and readers must see the NEW shape — the old dir stays for
+    // in-flight readers until pruned
+    val g1 = fs.publishOnlineGeneration(base, buckets = 4)
+    assert(g1.endsWith("gen=1"))
+    val v1 = FeatureStore.readOnlineVectorLatest(spark, base, id)
+    assert(v1.keySet === Set("total_spend", "order_cnt"))
+    assert(new java.io.File(g0).exists, "old generation reclaimed too early")
+
+    val g2 = fs.publishOnlineGeneration(base, buckets = 4)
+    val deleted = FeatureStore.pruneOnlineGenerations(spark, base, keep = 1)
+    assert(deleted === Seq("gen=0", "gen=1"))
+    assert(!new java.io.File(g0).exists && new java.io.File(g2).exists)
+    // the pointer target always survives pruning
+    assert(FeatureStore.resolveOnlineLatest(spark, base) === g2)
+    assert(FeatureStore.readOnlineVectorLatest(spark, base, id) === v1)
+  }
 }
