@@ -54,9 +54,16 @@ object Anchor {
     require(dir.nonEmpty, "Anchor.Reliable needs a checkpoint directory")
     def apply(df: DataFrame): DataFrame = {
       val sc = df.sparkSession.sparkContext
-      val want = dir.stripSuffix("/")
-      if (!sc.getCheckpointDir.exists(_.contains(want)))
-        sc.setCheckpointDir(want)
+      val want = new org.apache.hadoop.fs.Path(dir.stripSuffix("/"))
+      // Spark resolves setCheckpointDir(d) to d/<uuid>; reuse the set
+      // dir ONLY when its parent is exactly `dir` — a substring match
+      // could silently send checkpoints to a sibling directory whose
+      // later cleanup would delete live blocks mid-iteration
+      val alreadyOurs = sc.getCheckpointDir.exists { c =>
+        val parent = new org.apache.hadoop.fs.Path(c).getParent
+        parent != null && parent.toUri.getPath == want.toUri.getPath
+      }
+      if (!alreadyOurs) sc.setCheckpointDir(want.toString)
       df.checkpoint(eager = true)
     }
   }

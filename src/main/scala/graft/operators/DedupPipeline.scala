@@ -15,8 +15,8 @@ import org.apache.spark.sql.functions._
   *     ([[NgramDedup.scalablePairs]]: df-capped shingle blocking, exact
   *     Jaccard verification — never all-pairs).
   *  3. Connected components over the verified pairs
-  *     ([[DedupClusters.connectedComponents]]: alternating large-star/
-  *     small-star contraction, O(log n) rounds).
+  *     ([[DedupClusters.connectedComponents]]: min-label propagation
+  *     with pointer doubling, O(log diameter) rounds).
   *  4. One representative per cluster: the minimum doc id. Exact-group
   *     members inherit their representative's cluster, so `cluster_id`
   *     is the global minimum id of the merged exact+near cluster and

@@ -134,8 +134,8 @@ object GraphOps {
     val Seq(s, t, w) = edges.columns.take(3).toSeq
     val e = anchor(edges.select(col(s).cast("long").as("src"),
         col(t).cast("long").as("dst"), col(w).cast("long").as("w"))
-      .withColumn("w", when(col("w") <= 0, raise_error(
-        concat(lit("pagerankWeighted: non-positive weight on edge "),
+      .withColumn("w", when(col("w").isNull || col("w") <= 0, raise_error(
+        concat(lit("pagerankWeighted: null or non-positive weight on edge "),
           col("src").cast("string"), lit("->"), col("dst").cast("string"))))
         .otherwise(col("w")))
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")))

@@ -486,7 +486,14 @@ final class FeatureStore(spark: SparkSession, storePath: String,
       featureNames: Option[Seq[String]] = None,
       version: Option[String] = None): Long = {
     require(buckets >= 1 && buckets <= (1 << 20), s"buckets=$buckets")
-    featureVectors(featureNames, version)
+    val vecs = featureVectors(featureNames, version)
+    // a feature named "bucket" would be silently overwritten by the
+    // routing column and then STRIPPED by partitionBy — the Scd2
+    // reserved-name discipline applies here too
+    require(!vecs.columns.contains("bucket"),
+      "a feature named 'bucket' collides with the online view's " +
+        "routing column — rename the feature or exclude it")
+    vecs
       .withColumn("bucket",
         pmod(xxhash64(col("entity_id")), lit(buckets.toLong)))
       .repartition(buckets, col("bucket"))
@@ -497,6 +504,9 @@ final class FeatureStore(spark: SparkSession, storePath: String,
     val out = fs.create(meta, true)
     out.write(s"""{"buckets":$buckets}""".getBytes("UTF-8"))
     out.close()
+    // read-back count: verifies the written files are listable and
+    // parseable; count(*) over parquet reads footers/row-group counts
+    // only (empty ReadSchema), not the data pages
     spark.read.parquet(path).count()
   }
 
@@ -525,9 +535,15 @@ final class FeatureStore(spark: SparkSession, storePath: String,
     val out = fs.create(tmp, true)
     out.write(genName.getBytes("UTF-8"))
     out.close()
-    val ptr = new Path(basePath, "_latest")
-    fs.delete(ptr, false) // rename-over is not portable; delete+rename
-    require(fs.rename(tmp, ptr), s"pointer swap failed for $genName")
+    // ATOMIC swap: FileContext.rename(OVERWRITE) replaces the pointer
+    // in one FS operation — a delete-then-rename would leave a window
+    // with NO pointer (concurrent readers would spuriously fail, and a
+    // crash inside the window would strand them until the next publish)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(basePath).toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fc.makeQualified(tmp),
+      fc.makeQualified(new Path(basePath, "_latest")),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     s"$basePath/$genName"
   }
 
@@ -686,7 +702,13 @@ object FeatureStore {
   def readOnlineVector(spark: SparkSession, path: String,
       entityId: String): Map[String, Any] = {
     val b = bucketOf(entityId, onlineBuckets(spark, path))
-    spark.read.parquet(s"$path/bucket=$b")
+    val dir = new Path(s"$path/bucket=$b")
+    // partitionBy creates directories only for NON-EMPTY buckets: an
+    // entity hashing into a bucket no row landed in must read as
+    // absent, not crash the serving path with PATH_NOT_FOUND
+    val dfs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!dfs.exists(dir)) return Map.empty
+    spark.read.parquet(dir.toString)
       .filter(col("entity_id") === entityId)
       .collect().headOption
       .map(r => r.schema.fieldNames.filter(_ != "entity_id")

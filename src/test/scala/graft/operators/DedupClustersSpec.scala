@@ -20,10 +20,10 @@ class DedupClustersSpec extends SparkSpec {
 
   test("CC converges on a path graph far deeper than any fixed label-propagation cap") {
     import spark.implicits._
-    // diameter 400: min-label propagation (the previous implementation)
+    // diameter 400: plain min-label propagation (the pre-r13 form)
     // needs 400 rounds and would have exited its cap with silently
-    // WRONG labels; star contraction is O(log n) — well inside default
-    // maxIter — and must label the whole path with its minimum
+    // WRONG labels; pointer doubling is O(log d) — well inside the
+    // default maxIter — and must label the whole path with its minimum
     val edges = (0L until 400L).map(i => (i, i + 1)).toDF("a", "b")
     val cc = DedupClusters.connectedComponents(edges, "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -173,6 +173,14 @@ class GraphOpsSpec extends SparkSpec {
         Seq((1L, 2L, 0L)).toDF("src", "dst", "w"), iters = 1).collect()
     }
     assert(e.getMessage.contains("non-positive weight"))
+    // a NULL weight must refuse identically, not silently drop the edge
+    // (when(w <= 0) alone evaluates NULL on nulls and falls through)
+    val en = intercept[Exception] {
+      GraphOps.pagerankWeighted(
+        Seq((1L, 2L, Some(3L)), (1L, 3L, Option.empty[Long]))
+          .toDF("src", "dst", "w"), iters = 1).collect()
+    }
+    assert(en.getMessage.contains("weight"))
   }
 
   test("weighted gate: heavier trade relationships outrank (sanity on real data)") {

@@ -588,5 +588,46 @@ class FeatureStoreSpec extends SparkSpec {
     // the pointer target always survives pruning
     assert(FeatureStore.resolveOnlineLatest(spark, base) === g2)
     assert(FeatureStore.readOnlineVectorLatest(spark, base, id) === v1)
+    // the swap leaves no temp debris beside the pointer
+    val leftovers = new java.io.File(base).listFiles
+      .filter(_.getName.startsWith("._latest_tmp"))
+    assert(leftovers.isEmpty, s"temp pointer files leaked: ${leftovers.toSeq}")
+  }
+
+  test("online view: empty buckets read as absent, 'bucket' feature name refuses") {
+    val fs = freshStore()
+    fs.registerTable(ordersDef, Tables.orders(spark, sf))
+    fs.defineFeature(FeatureDef("total_spend", "orders", "numeric",
+      df => df.groupBy(col("o_custkey").as("entity_id"))
+        .agg(sum("o_totalprice").as("value"))))
+    assert(fs.computeVersion("total_spend", "v1").isRight)
+    val out = java.nio.file.Files.createTempDirectory("graft-sparse").toString
+    // buckets >> entities guarantees EMPTY buckets; a lookup hashing
+    // into one must return absent, never PATH_NOT_FOUND (partitionBy
+    // creates directories only for non-empty buckets)
+    val buckets = 4096
+    fs.publishOnlineView(s"$out/view", buckets)
+    val present = new java.io.File(s"$out/view").listFiles
+      .count(_.getName.startsWith("bucket="))
+    assert(present < buckets, "need at least one empty bucket for this test")
+    val probes = (0 until 500).map(i => s"ghost_$i")
+    val emptyBucketProbe = probes.find { p =>
+      !new java.io.File(
+        s"$out/view/bucket=${FeatureStore.bucketOf(p, buckets)}").exists
+    }
+    assert(emptyBucketProbe.isDefined)
+    assert(FeatureStore.readOnlineVector(spark, s"$out/view",
+      emptyBucketProbe.get) === Map.empty)
+
+    // a feature named 'bucket' would be overwritten by the routing
+    // column and stripped by partitionBy — must refuse at the door
+    fs.defineFeature(FeatureDef("bucket", "orders", "numeric",
+      df => df.groupBy(col("o_custkey").as("entity_id"))
+        .agg(count(lit(1)).cast("double").as("value"))))
+    assert(fs.computeVersion("bucket", "v1").isRight)
+    val e = intercept[IllegalArgumentException] {
+      fs.publishOnlineView(s"$out/view2", 8)
+    }
+    assert(e.getMessage.contains("bucket"))
   }
 }
