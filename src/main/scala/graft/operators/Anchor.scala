@@ -40,28 +40,45 @@ object Anchor {
     def apply(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
   }
 
-  /** Reliable-FS truncation: survives executor loss. `dir` must be a
-    * cluster-visible path (HDFS/S3/NFS); the SparkContext checkpoint
-    * dir is set on first use and reused while it still points inside
-    * `dir` (Spark appends a per-context UUID subdirectory). */
   /** Postfix form: `df.anchored(anchor)` — keeps call sites reading
     * like the `.localCheckpoint(true)` chains they replace. */
   implicit class AnchorOps(private val df: DataFrame) extends AnyVal {
     def anchored(a: Anchor): DataFrame = a(df)
   }
 
+  /** Reliable-FS truncation: survives executor loss. `dir` must be a
+    * cluster-visible path (HDFS/S3/NFS); the SparkContext checkpoint
+    * dir is set on first use and reused while it still points inside
+    * `dir` (Spark appends a per-context UUID subdirectory).
+    *
+    * Storage lifecycle: `df.checkpoint` writes per-anchor state that
+    * Spark reclaims ONLY when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (off by
+    * default) — without it, a long multi-iteration run accumulates one
+    * directory per anchored round for the life of the SparkContext.
+    * Set that conf on any cluster session that runs iterative
+    * operators under Reliable, or reclaim `dir` between jobs; the
+    * checkpoint data has no value once the job that wrote it ends. */
   final case class Reliable(dir: String) extends Anchor {
     require(dir.nonEmpty, "Anchor.Reliable needs a checkpoint directory")
     def apply(df: DataFrame): DataFrame = {
       val sc = df.sparkSession.sparkContext
       val want = new org.apache.hadoop.fs.Path(dir.stripSuffix("/"))
-      // Spark resolves setCheckpointDir(d) to d/<uuid>; reuse the set
-      // dir ONLY when its parent is exactly `dir` — a substring match
-      // could silently send checkpoints to a sibling directory whose
-      // later cleanup would delete live blocks mid-iteration
+      val wantFs = want.getFileSystem(sc.hadoopConfiguration)
+      // setCheckpointDir stores the FULLY-QUALIFIED d/<uuid> path, so
+      // compare fully-qualified URIs (scheme + authority + path), not
+      // just the path component: file:/ckpt vs hdfs://nn/ckpt share a
+      // path but are different filesystems, and treating one as the
+      // other sends checkpoints to the wrong FS — silently forfeiting
+      // the executor-loss durability this mode exists for. (Exact
+      // parent match, never substring: a sibling directory's cleanup
+      // must not be able to delete live blocks mid-iteration.)
+      val wantUri = wantFs.makeQualified(want).toUri
       val alreadyOurs = sc.getCheckpointDir.exists { c =>
         val parent = new org.apache.hadoop.fs.Path(c).getParent
-        parent != null && parent.toUri.getPath == want.toUri.getPath
+        parent != null &&
+          parent.getFileSystem(sc.hadoopConfiguration)
+            .makeQualified(parent).toUri == wantUri
       }
       if (!alreadyOurs) sc.setCheckpointDir(want.toString)
       df.checkpoint(eager = true)

@@ -518,33 +518,50 @@ final class FeatureStore(spark: SparkSession, storePath: String,
     * complete old generation or the complete new one — never a
     * half-written layout, and no transactional table format needed.
     * Old generations stay on disk for in-flight readers;
-    * [[FeatureStore.pruneOnlineGenerations]] reclaims them. Returns
-    * the published generation path. */
+    * [[FeatureStore.pruneOnlineGenerations]] reclaims them.
+    *
+    * Single-writer, enforced: publish holds the repo's atomic
+    * create-new lock (`_lock_publish`, the
+    * [[graft.operators.BatchedState.acquireLock]] convention) for the
+    * whole write+swap — without it two concurrent publishers both
+    * compute `max+1`, overwrite the SAME `gen=<n>/` directory, and
+    * whichever swaps `_latest` first exposes a generation the other is
+    * still rewriting, breaking the readers-see-complete-generations
+    * guarantee. The loser fails loudly before writing anything.
+    * Returns the published generation path. */
   def publishOnlineGeneration(basePath: String, buckets: Int = 64,
       featureNames: Option[Seq[String]] = None,
       version: Option[String] = None): String = {
-    val fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val existing = if (fs.exists(new Path(basePath)))
-      fs.listStatus(new Path(basePath)).map(_.getPath.getName)
-        .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toLong)
-    else Array.empty[Long]
-    val gen = if (existing.isEmpty) 0L else existing.max + 1L
-    val genName = s"gen=$gen"
-    publishOnlineView(s"$basePath/$genName", buckets, featureNames, version)
-    val tmp = new Path(basePath, s"._latest_tmp_$gen")
-    val out = fs.create(tmp, true)
-    out.write(genName.getBytes("UTF-8"))
-    out.close()
-    // ATOMIC swap: FileContext.rename(OVERWRITE) replaces the pointer
-    // in one FS operation — a delete-then-rename would leave a window
-    // with NO pointer (concurrent readers would spuriously fail, and a
-    // crash inside the window would strand them until the next publish)
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      new Path(basePath).toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(fc.makeQualified(tmp),
-      fc.makeQualified(new Path(basePath, "_latest")),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    s"$basePath/$genName"
+    val lock = new Path(basePath, "_lock_publish")
+    graft.operators.BatchedState.acquireLock(spark, lock, "online-generation publish")
+    try {
+      val fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // toLongOption: a stray gen=* entry with a non-numeric suffix
+      // (editor droppings, a half-typed manual copy) must not brick
+      // every future publish with a NumberFormatException
+      val existing = if (fs.exists(new Path(basePath)))
+        fs.listStatus(new Path(basePath)).map(_.getPath.getName)
+          .filter(_.startsWith("gen="))
+          .flatMap(_.stripPrefix("gen=").toLongOption)
+      else Array.empty[Long]
+      val gen = if (existing.isEmpty) 0L else existing.max + 1L
+      val genName = s"gen=$gen"
+      publishOnlineView(s"$basePath/$genName", buckets, featureNames, version)
+      val tmp = new Path(basePath, s"._latest_tmp_$gen")
+      val out = fs.create(tmp, true)
+      out.write(genName.getBytes("UTF-8"))
+      out.close()
+      // ATOMIC swap: FileContext.rename(OVERWRITE) replaces the pointer
+      // in one FS operation — a delete-then-rename would leave a window
+      // with NO pointer (concurrent readers would spuriously fail, and a
+      // crash inside the window would strand them until the next publish)
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        new Path(basePath).toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(fc.makeQualified(tmp),
+        fc.makeQualified(new Path(basePath, "_latest")),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      s"$basePath/$genName"
+    } finally graft.operators.BatchedState.releaseLock(spark, lock)
   }
 
   // ---- durable version manifest ----------------------------------------
@@ -680,16 +697,29 @@ object FeatureStore {
     readOnlineVector(spark, resolveOnlineLatest(spark, basePath), entityId)
 
   /** Reclaim superseded generations, keeping the newest `keep` AND
-    * always the pointer target (an in-flight reader may hold any kept
-    * generation; `keep` bounds the window). Returns deleted dirs. */
+    * always the pointer target. `keep` bounds the in-flight-reader
+    * window: a reader that resolved `_latest` holds its generation
+    * only until `keep` further publishes have landed, so `keep` must
+    * exceed the number of publishes that can occur within the longest
+    * reader's resolve-to-read span. With always-fresh resolution
+    * (re-resolve per lookup) the span is one point read and the
+    * default keep=2 is ample; `keep=1` is safe ONLY when no reader can
+    * overlap a publish+prune (it reclaims everything but the pointer
+    * target, including a generation resolved a moment earlier).
+    * Returns deleted dirs. */
   def pruneOnlineGenerations(spark: SparkSession, basePath: String,
       keep: Int = 2): Seq[String] = {
     require(keep >= 1, s"keep=$keep")
     val base = new Path(basePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val current = new Path(resolveOnlineLatest(spark, basePath)).getName
+    // toLongOption: never let a stray non-numeric gen=* entry turn
+    // routine reclamation into a NumberFormatException (and never
+    // delete such an entry either — it wasn't published by us)
     val gens = fs.listStatus(base).map(_.getPath.getName)
-      .filter(_.startsWith("gen=")).sortBy(_.stripPrefix("gen=").toLong)
+      .filter(_.startsWith("gen="))
+      .flatMap(n => n.stripPrefix("gen=").toLongOption.map(l => (l, n)))
+      .sortBy(_._1).map(_._2)
     val doomed = gens.dropRight(keep).filterNot(_ == current)
     doomed.foreach(g => fs.delete(new Path(base, g), true))
     doomed.toSeq

@@ -209,4 +209,26 @@ class GraphOpsSpec extends SparkSpec {
     // reliable mode really wrote iteration state to the directory
     assert(new java.io.File(dir).listFiles.nonEmpty)
   }
+
+  test("Anchor.Reliable checkpoint-dir reuse compares fully-qualified URIs") {
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_uri").toString
+    val df = Seq((1L, 2L)).toDF("src", "dst")
+    Anchor.Reliable(dir)(df).count()
+    val set1 = sc.getCheckpointDir.get
+    // Spark stores the FULLY-QUALIFIED d/<uuid> path; same dir spelled
+    // WITH its scheme must be recognized as already-ours (no re-set,
+    // the per-context uuid subdirectory is reused)
+    Anchor.Reliable(s"file:$dir")(df).count()
+    assert(sc.getCheckpointDir.get === set1,
+      "scheme-qualified spelling of the same dir was treated as foreign")
+    // a DIFFERENT directory must re-point the context, never be
+    // mistaken for ours on a path-prefix or same-path-other-fs match
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ckpt_uri2").toString
+    Anchor.Reliable(dir2)(df).count()
+    val set2 = sc.getCheckpointDir.get
+    assert(set2 !== set1)
+    assert(new org.apache.hadoop.fs.Path(set2).getParent.toUri.getPath
+      === new org.apache.hadoop.fs.Path(dir2).toUri.getPath)
+  }
 }

@@ -594,6 +594,44 @@ class FeatureStoreSpec extends SparkSpec {
     assert(leftovers.isEmpty, s"temp pointer files leaked: ${leftovers.toSeq}")
   }
 
+  test("publishOnlineGeneration: writer lock refuses a concurrent publish; stray gen dirs are inert") {
+    val fs = freshStore()
+    fs.registerTable(ordersDef, Tables.orders(spark, sf))
+    fs.defineFeature(FeatureDef("total_spend", "orders", "numeric",
+      df => df.groupBy(col("o_custkey").as("entity_id"))
+        .agg(sum("o_totalprice").as("value"))))
+    assert(fs.computeVersion("total_spend", "v1").isRight)
+    val base = java.nio.file.Files.createTempDirectory("graft-genlock").toString
+    fs.publishOnlineGeneration(base, buckets = 4)
+
+    // a holder of _lock_publish means a publish is in flight: the second
+    // publisher must fail loudly BEFORE writing anything (two publishers
+    // computing max+1 would overwrite the same gen dir)
+    val lock = new java.io.File(base, "_lock_publish")
+    assert(lock.createNewFile())
+    val before = new java.io.File(base).listFiles.map(_.getName).toSet
+    val ex = intercept[IllegalStateException] {
+      fs.publishOnlineGeneration(base, buckets = 4)
+    }
+    assert(ex.getMessage.contains("online-generation publish"))
+    assert(new java.io.File(base).listFiles.map(_.getName).toSet === before,
+      "losing publisher wrote data")
+    assert(lock.delete())
+
+    // a stray non-numeric gen=* entry (manual copy, editor dropping) must
+    // neither brick the next publish nor be deleted by prune
+    assert(new java.io.File(base, "gen=backup_manual").mkdir())
+    val g1 = fs.publishOnlineGeneration(base, buckets = 4)
+    assert(g1.endsWith("gen=1"))
+    fs.publishOnlineGeneration(base, buckets = 4)
+    val deleted = FeatureStore.pruneOnlineGenerations(spark, base, keep = 1)
+    assert(deleted === Seq("gen=0", "gen=1"))
+    assert(new java.io.File(base, "gen=backup_manual").exists,
+      "prune deleted a directory it did not publish")
+    assert(!new java.io.File(base, "_lock_publish").exists,
+      "publish leaked its writer lock")
+  }
+
   test("online view: empty buckets read as absent, 'bucket' feature name refuses") {
     val fs = freshStore()
     fs.registerTable(ordersDef, Tables.orders(spark, sf))
