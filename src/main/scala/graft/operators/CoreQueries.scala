@@ -230,13 +230,39 @@ object CoreQueries {
       |GROUP BY o_custkey
       |ORDER BY entity_id""".stripMargin
 
+  /** A3 computed through the SQL-AS-DATA path: the statement a user
+    * migrating from the reference would register as
+    * `computation_logic` (reference models.py:25-42, compute.py:37 —
+    * there `exec`'d against pandas; here handed to Catalyst via
+    * [[graft.registry.FeatureDef.applySql]]'s `__THIS__` temp-view
+    * substitution, so it predicate-pushes, prunes and codegens like
+    * the Column twin). Gated against the SAME DuckDB oracle as
+    * `feat_customer_stats`, certifying the string path hash-identical
+    * to the Column-expression twin end to end. */
+  val featSqlTextStmt: String =
+    """SELECT o_custkey AS entity_id,
+      | COUNT(*) AS order_cnt,
+      | CAST(SUM(floor(o_totalprice * 100 + 0.5)) AS DOUBLE)/100 AS total_spend,
+      | CAST(SUM(floor(o_totalprice * 100 + 0.5)) AS DOUBLE)/100/COUNT(*) AS avg_spend,
+      | MAX(o_totalprice) AS max_spend,
+      | MIN(o_totalprice) AS min_spend,
+      | MIN(o_orderdate) AS first_order,
+      | MAX(o_orderdate) AS last_order
+      |FROM __THIS__
+      |GROUP BY o_custkey
+      |ORDER BY entity_id""".stripMargin
+
+  def featSqlText(spark: SparkSession, d: String): DataFrame =
+    graft.registry.FeatureDef.applySql(Tables.orders(spark, d), featSqlTextStmt)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> q1Pricing _,
     "q3_topk" -> q3TopK _,
     "q5_region_revenue" -> q5RegionRevenue _,
     "q6_filter_agg" -> q6FilterAgg _,
     "q10_returns" -> q10Returns _,
-    "feat_customer_stats" -> featCustomerStats _)
+    "feat_customer_stats" -> featCustomerStats _,
+    "feat_sql_text" -> featSqlText _)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing" -> q1PricingSql,
@@ -244,5 +270,6 @@ object CoreQueries {
     "q5_region_revenue" -> q5RegionRevenueSql,
     "q6_filter_agg" -> q6FilterAggSql,
     "q10_returns" -> q10ReturnsSql,
-    "feat_customer_stats" -> featCustomerStatsSql)
+    "feat_customer_stats" -> featCustomerStatsSql,
+    "feat_sql_text" -> featCustomerStatsSql)
 }

@@ -298,6 +298,19 @@ class PlanAuditSpec extends SparkSpec {
       s"lineitem must not be broadcast:\n$p")
   }
 
+  test("q2's min-cost self-join reuses the supply exchange (one fact scan at runtime)") {
+    // `target` feeds both the per-part MIN and the equality join back;
+    // AQE's stage cache must dedup the identical ps shuffle subtree or
+    // the self-join silently doubles the lineitem scan. Runtime reuse is
+    // only visible in the POST-EXECUTION adaptive plan, so execute first.
+    val df = SparkEntry.queries("q2_min_cost")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("""ReusedExchange.*hashpartitioning\(l_partkey""".r
+        .findFirstIn(p).isDefined,
+      s"ps shuffle not reused — the q2 self-join is scanning lineitem twice:\n$p")
+  }
+
   test("q9 profit stays on long arithmetic with dims broadcast") {
     val p = plan("q9_profit")
     assert(!p.contains("CartesianProduct"), p)

@@ -32,6 +32,17 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("feat_sql_text: the SQL-as-data twin is row-identical to the Column-expression A3") {
+    // same columns, same dtypes, same values — a migrating user's
+    // computation_logic string must be indistinguishable from the
+    // closure-defined feature (both also gate against ONE DuckDB oracle)
+    val sqlTwin = SparkEntry.queries("feat_sql_text")(spark, sf)
+    val colTwin = SparkEntry.queries("feat_customer_stats")(spark, sf)
+    assert(sqlTwin.schema === colTwin.schema,
+      s"schemas diverged:\n${sqlTwin.schema}\n${colTwin.schema}")
+    assert(sqlTwin.collect().toSeq === colTwin.collect().toSeq)
+  }
+
   test("latest-version resolution picks max ts per (entity, feature)") {
     val latest = SparkEntry.queries("feat_latest_version")(spark, sf)
     val dups = latest.groupBy("entity_id", "feature_name").count()
