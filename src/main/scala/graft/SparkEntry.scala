@@ -16,7 +16,7 @@ object SparkEntry {
       ExtendedQueries.queries ++ TemporalOps.queries ++ CrossModal.queries ++
       PipelineOps.queries ++ DedupClusters.queries ++ Contamination.queries ++
       ShapeQueries.queries ++ ShapeQueries2.queries ++ ShapeQueries3.queries ++
-      ShapeQueries4.queries ++
+      ShapeQueries4.queries ++ SupplyMart.queries ++
       QualityOps.queries ++ CurationOps.queries ++ IntervalJoin.queries ++
       ChunkOps.queries ++ Splits.queries ++ UrlFilters.queries ++
       GopherRepetition.queries ++ C4Filters.queries ++ TextNorm.queries ++
@@ -47,7 +47,7 @@ object SparkEntry {
       ExtendedQueries.oracles ++ TemporalOps.oracles ++ CrossModal.oracles ++
       PipelineOps.oracles ++ DedupClusters.oracles ++ Contamination.oracles ++
       ShapeQueries.oracles ++ ShapeQueries2.oracles ++ ShapeQueries3.oracles ++
-      ShapeQueries4.oracles ++
+      ShapeQueries4.oracles ++ SupplyMart.oracles ++
       QualityOps.oracles ++ CurationOps.oracles ++ IntervalJoin.oracles ++
       ChunkOps.oracles ++ Splits.oracles ++ UrlFilters.oracles ++
       GopherRepetition.oracles ++ C4Filters.oracles ++ TextNorm.oracles ++

@@ -1360,6 +1360,69 @@ object Stress {
         GraphOps.pagerankWeighted(wedges, iters = 3))
     }
 
+    scenario("cc_giant_scale") {
+      // r14 directive 2: THE boilerplate pathology — ≥90% of all
+      // vertices collapse into ONE near-dup component, so the
+      // pointer-doubling shortcut join (comp ← comp(comp)) and the
+      // final rounds' propagation concentrate on a single comp key.
+      // 4M vertices: 3.6M in one giant tree (depth ~21, so several
+      // doubling rounds actually run), 400k in 200k two-node comps.
+      val v = 4000000L
+      val giantN = v * 9 / 10
+      val giant = spark.range(1L, giantN)
+        .select(col("id").as("a"), (col("id") / 2).cast("long").as("b"))
+      val rest = spark.range(giantN, v, 2)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      val ccEdges = giant.unionByName(rest).localCheckpoint()
+      val t0 = System.nanoTime()
+      val labels = DedupClusters.connectedComponents(ccEdges, "a", "b")
+        .localCheckpoint()
+      val n = labels.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"STRESS cc_giant_50x                 $dt%8.2f s   rows=$n")
+      val giantSize = labels.filter(col("comp") === 0L).count()
+      require(giantSize >= n * 9 / 10,
+        s"trial degenerate: giant=$giantSize of $n")
+      // A19 measurement the r13 verdict asked for: the concentration
+      // of the comp key the shortcut join hashes on at the final round
+      val prof = SkewOps.profileKey(labels, "comp", topK = 1).collect()(0)
+      println("STRESS cc_giant_profile             comp " +
+        s"top_key_n=${prof.getAs[Long]("key_n")} " +
+        s"n_rows=${prof.getAs[Long]("n_rows")} " +
+        s"n_keys=${prof.getAs[Long]("n_keys")} " +
+        f"max_over_mean=${prof.getAs[Double]("max_over_mean")}%.1f")
+    }
+
+    scenario("anchor_reliable_scale") {
+      // r14 directive 3: the reliable-FS checkpoint seam has only ever
+      // run in the bit-identity spec — run a full 50× pagerank under
+      // it and record the insurance premium vs Anchor.Local.
+      val trade = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + 1000000L).as("supp"))
+        .distinct()
+      val prEdges = trade.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionByName(trade.select(col("supp").as("src"), col("cust").as("dst")))
+        .localCheckpoint()
+      val ckpt = s"$dir/reliable_ckpt"
+      time("anchor_reliable_localbase_50x")(GraphOps.pagerank(prEdges, iters = 3))
+      time("anchor_reliable_50x")(
+        GraphOps.pagerank(prEdges, iters = 3, anchor = Anchor.Reliable(ckpt)))
+      val fsys = new org.apache.hadoop.fs.Path(ckpt)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val summary = fsys.getContentSummary(new org.apache.hadoop.fs.Path(ckpt))
+      println(s"STRESS anchor_reliable_ckpt         files=${summary.getFileCount} bytes=${summary.getLength}")
+      require(summary.getFileCount > 0,
+        "Reliable run left no checkpoint state — the seam did not engage")
+      fsys.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      require(!fsys.exists(new org.apache.hadoop.fs.Path(ckpt)))
+      println("STRESS anchor_reliable_cleaned      checkpoint dir reclaimed")
+    }
+
     scenario("tpch_tail_scale") {
       // r13: the derived-supply TPC-H tail at 50x — ps is the ONLY
       // lineitem-sized shuffle (map-side combinable (part,supp) MIN);
@@ -1369,6 +1432,30 @@ object Stress {
       time("tpch_tail_q2_50x")(ShapeQueries4.q2MinCost(spark, dir))
       time("tpch_tail_q9_50x")(ShapeQueries4.q9Profit(spark, dir))
       time("tpch_tail_q20_50x")(ShapeQueries4.q20Dominant(spark, dir))
+    }
+
+    scenario("supply_mart_scale") {
+      // r14 directive 1: materialize ps ONCE (SupplyMart high-water
+      // refresh) and point the tier at it — the mart-fed q2/q11 never
+      // scan the 30M-row fact, q9 keeps one fact scan but drops the
+      // rollup shuffle. Inline twins timed in the same session so the
+      // recorded delta is same-JVM, same-cache.
+      val mart = s"$dir/supply_mart"
+      new org.apache.hadoop.fs.Path(mart)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(mart), true)
+      val t0 = System.nanoTime()
+      val touched = SupplyMart.refresh(spark,
+        Tables.lineitem(spark, dir), mart, buckets = 64)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"STRESS supply_mart_refresh_50x       $dt%8.2f s   rows=${SupplyMart.read(spark, mart).count()} (buckets=$touched)")
+      val supply = SupplyMart.read(spark, mart)
+      time("supply_mart_q2_50x")(ShapeQueries4.q2MinCostFrom(spark, dir, supply))
+      time("supply_mart_q9_50x")(ShapeQueries4.q9ProfitFrom(spark, dir, supply))
+      time("supply_mart_q11_50x")(ShapeQueries4.q11ImportantFrom(spark, dir, supply))
+      time("supply_mart_q2_inline_50x")(ShapeQueries4.q2MinCost(spark, dir))
+      time("supply_mart_q9_inline_50x")(ShapeQueries4.q9Profit(spark, dir))
+      time("supply_mart_q11_inline_50x")(ShapeQueries4.q11Important(spark, dir))
     }
 
     scenario("target_encode_scale") {

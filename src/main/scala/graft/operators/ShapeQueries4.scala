@@ -36,6 +36,12 @@ import org.apache.spark.sql.functions._
   * rollup); everything downstream is parts×suppliers-sized or
   * smaller. Dimensions broadcast; region/nation restrictions are
   * semi-joins so no payload column rides a shuffle it doesn't need.
+  *
+  * At 100 TB, re-deriving ps per query is the tier's dominant cost —
+  * materialize it once with [[SupplyMart]] (high-water incremental
+  * refresh) and run the `*From` variants: q2/q11/q16 then never touch
+  * the fact table at all, q9 joins it once. The gated inline forms and
+  * the mart-fed forms are bit-identical (SupplyMartSpec).
   */
 object ShapeQueries4 {
 
@@ -72,11 +78,19 @@ object ShapeQueries4 {
     * per-part MIN over the region-restricted supply relation joined
     * back on equality — ties (several suppliers at the min) all
     * surface, exactly TPC-H semantics. */
-  def q2MinCost(spark: SparkSession, d: String): DataFrame = {
+  def q2MinCost(spark: SparkSession, d: String): DataFrame =
+    q2MinCostFrom(spark, d, ps(spark, d))
+
+  /** Q2 over an explicit supply relation — point it at
+    * [[SupplyMart.read]] and the fact table drops out of the plan
+    * entirely (the mart IS the only lineitem-derived input Q2 needs);
+    * bit-identical to the inline form (SupplyMartSpec). */
+  def q2MinCostFrom(spark: SparkSession, d: String,
+      supply: DataFrame): DataFrame = {
     val parts = Tables.part(spark, d)
       .filter(col("p_type") === "SMALL" && col("p_size") <= 15)
       .select(col("p_partkey"), col("p_name"))
-    val rps = ps(spark, d)
+    val rps = supply.select(col("l_partkey"), col("l_suppkey"), col("cost_c"))
       .join(broadcast(regionSuppliers(spark, d, "EUROPE")),
         col("l_suppkey") === col("s_suppkey"))
     val target = rps.join(broadcast(parts),
@@ -119,7 +133,14 @@ object ShapeQueries4 {
     * supplier nation and order year. profit per lineitem, all in
     * 10⁻⁴-dollar integer units: revenue cents·(100−disc) minus derived
     * unit cost · quantity · 100. ONE final IEEE division per group. */
-  def q9Profit(spark: SparkSession, d: String): DataFrame = {
+  def q9Profit(spark: SparkSession, d: String): DataFrame =
+    q9ProfitFrom(spark, d, ps(spark, d))
+
+  /** Q9 over an explicit supply relation: the fact joins the mart ONCE
+    * (pair grain) instead of re-deriving it — one lineitem scan, zero
+    * rollup shuffles when `supply` is [[SupplyMart.read]]. */
+  def q9ProfitFrom(spark: SparkSession, d: String,
+      supply: DataFrame): DataFrame = {
     val li = Tables.lineitem(spark, d).select(
       col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
       col("l_extendedprice"), col("l_discount"), col("l_quantity"))
@@ -134,7 +155,8 @@ object ShapeQueries4 {
     val profit = revC(col("l_extendedprice"), col("l_discount")) -
       col("cost_c") * col("l_quantity").cast("long") * lit(100L)
     li.join(broadcast(gizmo), col("l_partkey") === col("p_partkey"), "left_semi")
-      .join(ps(spark, d), Seq("l_partkey", "l_suppkey"))
+      .join(supply.select(col("l_partkey"), col("l_suppkey"), col("cost_c")),
+        Seq("l_partkey", "l_suppkey"))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -178,6 +200,26 @@ object ShapeQueries4 {
         "left_semi")
       .groupBy(col("l_partkey"))
       .agg(sum(col("_vc")).as("value_c"))
+    q11Downstream(v)
+  }
+
+  /** Q11 over an explicit supply relation: the AFRICA restriction is
+    * per-supplier, so applying it to the (part, supplier) pair
+    * partials and re-summing is lossless — exact integer sums make the
+    * regrouping bit-identical to the inline per-row form. With
+    * [[SupplyMart.read]] the fact table drops out of the plan. */
+  def q11ImportantFrom(spark: SparkSession, d: String,
+      supply: DataFrame): DataFrame = {
+    val afr = regionSuppliers(spark, d, "AFRICA").select(col("s_suppkey"))
+    val v = supply.select(col("l_partkey"), col("l_suppkey"), col("value_c"))
+      .join(broadcast(afr), col("l_suppkey") === col("s_suppkey"),
+        "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("value_c")).as("value_c"))
+    q11Downstream(v)
+  }
+
+  private def q11Downstream(v: DataFrame): DataFrame = {
     val tot = v.agg(sum(col("value_c")).as("total_c"))
     v.crossJoin(broadcast(tot)) // 1-row global total
       .filter(col("value_c") * 1000 > col("total_c"))
@@ -207,9 +249,18 @@ object ShapeQueries4 {
     * over the derived supply pairs, excluding excluded-list suppliers
     * (deficit account stands in for the complaint filter) via
     * anti-join, and excluding one brand + one type + off-list sizes. */
-  def q16SupplierCnt(spark: SparkSession, d: String): DataFrame = {
-    val supply = Tables.lineitem(spark, d)
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
+  def q16SupplierCnt(spark: SparkSession, d: String): DataFrame =
+    q16SupplierCntFrom(spark, d,
+      Tables.lineitem(spark, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct())
+
+  /** Q16 over an explicit supply relation — the mart's keys ARE the
+    * distinct (part, supplier) pairs, so with [[SupplyMart.read]] the
+    * distinct-shuffle over the fact disappears. `supply` needs only
+    * the two key columns. */
+  def q16SupplierCntFrom(spark: SparkSession, d: String,
+      supplyPairs: DataFrame): DataFrame = {
+    val supply = supplyPairs.select(col("l_partkey"), col("l_suppkey"))
     val excluded = Tables.supplier(spark, d)
       .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
     val pts = Tables.part(spark, d)

@@ -1,0 +1,180 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Exact._
+import graft.registry.Incremental
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized derived-supply relation — the `ps` mart.
+  *
+  * The TPC-H tail (q2/q9/q11/q16, ShapeQueries4) derives its supply
+  * relation from the fact table inline: a lineitem-sized scan + one
+  * map-side-combinable shuffle PER QUERY. Correct, but at 100 TB that
+  * rollup is the dominant cost of the tier and it is paid once per
+  * query per sweep. This mart materializes it ONCE with the
+  * high-water-mark refresh discipline of [[graft.registry.Incremental]]
+  * (reference main.py:195/compute.py:24 recompute the whole raw table
+  * per request — the anti-pattern both paths exist to avoid):
+  *
+  *  - per-(l_partkey, l_suppkey) MERGEABLE partials: `cost_c` (MIN
+  *    observed unit price in integer cents), `value_c` (SUM of
+  *    extendedprice cents), `max_ship_us` (per-key freshness). MIN,
+  *    SUM and MAX are associative+commutative, so N incremental
+  *    refreshes over any split of the log are byte-identical to one
+  *    full compute (SupplyMartSpec proves the 3-way split);
+  *  - the snapshot is hash-bucketed on `l_partkey`
+  *    (`bucket=pmod(xxhash64(l_partkey), B)`) so a refresh reads back
+  *    ONLY the bucket partitions the delta touches (dynamic partition
+  *    overwrite; untouched buckets are neither read nor rewritten);
+  *  - a refresh scans only fact rows with `l_shipdate` past the stored
+  *    watermark — on a date-partitioned 100 TB log that filter is
+  *    partition pruning, i.e. a metadata operation;
+  *  - the watermark advances via [[Incremental.writeWatermark]]'s
+  *    atomic rename-with-overwrite; refreshes serialize on the repo's
+  *    create-new writer lock. Same high-water caveat as every
+  *    watermarked path: rows arriving later than a higher-shipdate row
+  *    that already advanced the mark are skipped — use a streaming
+  *    watermarked path for non-ingestion-ordered logs.
+  *
+  * Readers get the (part, supplier) grain back at snapshot size
+  * (pairs, not fact rows): q2/q16 never touch lineitem at all, q9
+  * joins the fact ONCE against the mart instead of re-aggregating it,
+  * q11 re-aggregates pair partials (exact integer sums, so
+  * bit-identical to the inline form — gate-certified via
+  * [[ShapeQueries4]]'s `*From` variants in SupplyMartSpec).
+  */
+object SupplyMart {
+
+  /** Watermark column as epoch micros: l_shipdate is TIMESTAMP_NTZ in
+    * the corpus and `unix_micros` takes TIMESTAMP only — the cast is a
+    * stable bijection under the engine's pinned UTC session timezone. */
+  private[operators] def shipUs: org.apache.spark.sql.Column =
+    unix_micros(col("l_shipdate").cast("timestamp"))
+
+  /** Mergeable per-(part, supplier) partials for a fact chunk. */
+  private[operators] def partials(li: DataFrame): DataFrame =
+    li.select(col("l_partkey"), col("l_suppkey"),
+        cents(col("l_extendedprice") / col("l_quantity")).as("_uc"),
+        cents(col("l_extendedprice")).as("_vc"),
+        shipUs.as("_ship_us"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("_uc")).as("cost_c"),
+        sum(col("_vc")).as("value_c"),
+        max(col("_ship_us")).as("max_ship_us"))
+
+  private def combine(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("cost_c")).as("cost_c"),
+        sum(col("value_c")).as("value_c"),
+        max(col("max_ship_us")).as("max_ship_us"))
+
+  private def hfs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Bucket count is part of the LAYOUT: a refresh at a different
+    * count would route the same part key to two partitions and the
+    * touched-bucket merge would silently split-brain. First publish
+    * records it; every later refresh uses the recorded value. */
+  private def recordedBuckets(spark: SparkSession, martPath: String): Option[Int] = {
+    val p = new Path(martPath, "_mart_meta.json")
+    val f = hfs(spark, martPath)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+    }
+  }
+
+  /** Fold all fact rows with `l_shipdate` past the watermark into the
+    * mart. Returns the number of bucket partitions touched (0 = no new
+    * data). Single-writer: concurrent refreshes fail loudly on
+    * `_lock_refresh` before writing anything. */
+  def refresh(spark: SparkSession, lineitem: DataFrame, martPath: String,
+      buckets: Int = 32): Int = {
+    require(buckets >= 1 && buckets <= (1 << 20), s"buckets=$buckets")
+    val b = recordedBuckets(spark, martPath).getOrElse(buckets)
+    BatchedState.acquireLock(spark, new Path(s"$martPath/_lock_refresh"),
+      "supply-mart refresh")
+    try {
+      val wm = Incremental.watermark(spark, martPath)
+      val fresh = lineitem.filter(shipUs > wm)
+      val withBucket = (df: DataFrame) => df.withColumn("bucket",
+        pmod(xxhash64(col("l_partkey")), lit(b.toLong)))
+      // sever lineage: the merge below must not rescan the fact table
+      val delta = withBucket(partials(fresh)).localCheckpoint(true)
+      if (delta.isEmpty) return 0
+      val touched = delta.select("bucket").distinct()
+        .collect().map(_.getLong(0)).sorted // bounded: buckets, not rows
+      val snapExists = hfs(spark, martPath)
+        .globStatus(new Path(s"$martPath/bucket=*")) match {
+        case null => false
+        case gs   => gs.nonEmpty
+      }
+      val merged =
+        if (!snapExists) delta
+        else {
+          // partition pruning on bucket= — only touched buckets read back
+          val existing = spark.read.parquet(martPath)
+            .filter(col("bucket").isin(touched: _*))
+            .select(delta.columns.filter(_ != "bucket").map(col).toSeq: _*)
+          withBucket(combine(existing,
+            delta.drop("bucket"))).localCheckpoint(true)
+        }
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try merged.write.mode("overwrite").partitionBy("bucket").parquet(martPath)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      if (recordedBuckets(spark, martPath).isEmpty) {
+        val meta = new Path(martPath, "_mart_meta.json")
+        val out = hfs(spark, martPath).create(meta, true)
+        try out.write(s"""{"buckets":$b}""".getBytes("UTF-8"))
+        finally out.close()
+      }
+      val newWm = delta.agg(max(col("max_ship_us"))).head().getLong(0)
+      Incremental.writeWatermark(spark, martPath, math.max(wm, newWm))
+      touched.length
+    } finally BatchedState.releaseLock(spark,
+      new Path(s"$martPath/_lock_refresh"))
+  }
+
+  /** Current mart at (part, supplier) grain — what the `*From` query
+    * variants in [[ShapeQueries4]] consume in place of the inline
+    * rollup. */
+  def read(spark: SparkSession, martPath: String): DataFrame =
+    spark.read.parquet(martPath)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("cost_c"), col("value_c"))
+
+  /** The mart's defining computation as an oracle-gated query: the
+    * full-compute rollup, cross-engine exact (MIN/SUM of integer
+    * cents). The parquet round trip + incremental-split identity are
+    * spec-pinned in SupplyMartSpec; this gate certifies the CONTENT. */
+  def supplyMartGate(spark: SparkSession, d: String): DataFrame =
+    partials(Tables.lineitem(spark, d))
+      .select(col("l_partkey"), col("l_suppkey"), col("cost_c"), col("value_c"))
+      .orderBy(col("l_partkey"), col("l_suppkey"))
+
+  val supplyMartSql: String =
+    """SELECT l_partkey, l_suppkey,
+      |  MIN(CAST(floor((l_extendedprice / l_quantity) * 100 + 0.5)
+      |    AS BIGINT)) AS cost_c,
+      |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS value_c
+      |FROM lineitem
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "supply_mart" -> supplyMartGate _)
+
+  val oracles: Map[String, String] = Map(
+    "supply_mart" -> supplyMartSql)
+}
