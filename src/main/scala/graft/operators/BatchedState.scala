@@ -90,6 +90,34 @@ private[graft] object BatchedState {
     lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(lock, false)
 
+  /** Atomically replace `dst` with `tmp` — THE pointer/watermark swap
+    * primitive (generation pointers, watermarks, manifest heads). A
+    * reader must observe either the old or the new content, never a
+    * missing file. FileContext.rename(OVERWRITE) is natively atomic on
+    * HDFS, but on the LOCAL scheme Hadoop's default renameInternal is
+    * check-delete-then-rename — a concurrent reader polling between the
+    * delete and the rename finds NO file (caught live by
+    * StreamingOnlineRefreshSpec's mid-stream poller). On local, NIO's
+    * ATOMIC_MOVE maps to rename(2), which replaces in one syscall —
+    * the same scheme dispatch as [[tryAcquireLock]]. On object stores
+    * rename is copy+delete and nothing here is atomic; there, pointer
+    * state belongs in a conditional-put object or a table format. */
+  def atomicReplace(spark: SparkSession, tmp: Path, dst: Path): Unit = {
+    val hfs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if ("file" == dst.toUri.getScheme || hfs.getScheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    } else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        dst.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(fc.makeQualified(tmp), fc.makeQualified(dst),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+  }
+
   /** Union of all committed batch directories under `dir`. */
   def readCommitted(spark: SparkSession, dir: String, schema: StructType,
       wm: Long): DataFrame = {

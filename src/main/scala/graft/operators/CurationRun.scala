@@ -182,10 +182,7 @@ object CurationRun {
     val out = f.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      f.getUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(fc.makeQualified(tmp), fc.makeQualified(p),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    BatchedState.atomicReplace(spark, tmp, p)
   }
 
   // ---- DAG execution (r11 directive 8) --------------------------------------

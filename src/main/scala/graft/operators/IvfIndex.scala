@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.graft.{PqFunctions, VecDot}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -98,10 +98,7 @@ object IvfIndex {
     val out = f.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    val fc = FileContext.getFileContext(f.getUri,
-      spark.sparkContext.hadoopConfiguration)
-    fc.rename(fc.makeQualified(tmp), fc.makeQualified(metaPath(path)),
-      Options.Rename.OVERWRITE)
+    BatchedState.atomicReplace(spark, tmp, metaPath(path))
   }
 
   private def readMeta(spark: SparkSession, path: String): Meta = {

@@ -127,7 +127,17 @@ object SupplyMart {
         }
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try merged.write.mode("overwrite").partitionBy("bucket").parquet(martPath)
+      // ONE sorted file per bucket (the publishOnlineView discipline):
+      // without the repartition every shuffle task writes a sliver into
+      // every bucket — 64 tasks × 64 buckets left 1024 small files at
+      // 50× and their per-file open/footer cost made the mart-fed q9
+      // SLOWER than the inline rollup it replaces (10.1 s vs 7.4).
+      // Sorting by part key gives row-group min/max pruning on
+      // part-keyed probes for free.
+      try merged
+        .repartition(b, col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("l_partkey"), col("l_suppkey"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(martPath)
       finally prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")

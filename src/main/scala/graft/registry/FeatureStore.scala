@@ -551,15 +551,13 @@ final class FeatureStore(spark: SparkSession, storePath: String,
       val out = fs.create(tmp, true)
       out.write(genName.getBytes("UTF-8"))
       out.close()
-      // ATOMIC swap: FileContext.rename(OVERWRITE) replaces the pointer
-      // in one FS operation — a delete-then-rename would leave a window
-      // with NO pointer (concurrent readers would spuriously fail, and a
-      // crash inside the window would strand them until the next publish)
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        new Path(basePath).toUri, spark.sparkContext.hadoopConfiguration)
-      fc.rename(fc.makeQualified(tmp),
-        fc.makeQualified(new Path(basePath, "_latest")),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      // ATOMIC swap — a reader must observe the old pointer or the new
+      // one, never none. NOTE (caught live by the r14 mid-stream
+      // poller): FileContext.rename(OVERWRITE) is NOT atomic on the
+      // local scheme (Hadoop's default renameInternal deletes dst
+      // first); atomicReplace dispatches to NIO rename(2) there.
+      graft.operators.BatchedState.atomicReplace(spark, tmp,
+        new Path(basePath, "_latest"))
       s"$basePath/$genName"
     } finally graft.operators.BatchedState.releaseLock(spark, lock)
   }

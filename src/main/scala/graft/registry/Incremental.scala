@@ -1,6 +1,6 @@
 package graft.registry
 
-import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -83,7 +83,7 @@ object Incremental {
   /** Advance the stored high-water mark (atomic temp+rename; shared by
     * the dedup incremental path, which watermarks on doc id).
     *
-    * The swap is a single rename-with-overwrite (FileContext): the old
+    * The swap is a single atomic replace (BatchedState.atomicReplace): the old
     * delete-then-rename left a window where a crash erased the watermark
     * entirely — every committed batch then read as uncommitted, a retry
     * reprocessed the whole corpus into `batch=init`, and readers saw
@@ -96,10 +96,8 @@ object Incremental {
     val out = f.create(tmp, true)
     try out.write(wm.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    val fc = FileContext.getFileContext(f.getUri,
-      spark.sparkContext.hadoopConfiguration)
-    fc.rename(fc.makeQualified(tmp),
-      fc.makeQualified(watermarkPath(snapshotPath)), Options.Rename.OVERWRITE)
+    graft.operators.BatchedState.atomicReplace(spark, tmp,
+      watermarkPath(snapshotPath))
   }
 
   private def snapshotExists(spark: SparkSession, snapshotPath: String): Boolean =

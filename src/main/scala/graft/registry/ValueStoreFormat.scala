@@ -1,6 +1,6 @@
 package graft.registry
 
-import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -71,7 +71,7 @@ trait ValueStoreFormat {
   * CURRENT generation (absent → 0). Every rewrite (`optimize`,
   * `merge`) writes the new generation's files ALONGSIDE the old ones,
   * verifies them, and commits by atomically swapping the pointer
-  * (file-level FileContext rename-with-OVERWRITE — the repo's commit
+  * (file-level atomic replace — BatchedState.atomicReplace, the repo's commit
   * convention), then garbage-collects every generation except the new
   * one and its predecessor. KEEP-TWO retention means a reader that
   * planned against the previous generation keeps reading files that
@@ -219,9 +219,8 @@ final class ParquetValueStore(spark: SparkSession, path: String)
     try o.write(nextGen.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally o.close()
-    val fc = FileContext.getFileContext(hfs.getUri, hconf)
-    fc.rename(fc.makeQualified(ptrTmp),
-      fc.makeQualified(new Path(dir, GenFile)), Options.Rename.OVERWRITE)
+    graft.operators.BatchedState.atomicReplace(spark, ptrTmp,
+      new Path(dir, GenFile))
     // keep-two GC: everything but the new and the just-superseded gen
     dataFiles(dir)
       .filter { p =>

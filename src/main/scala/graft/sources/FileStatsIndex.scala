@@ -304,10 +304,7 @@ object FileStatsIndex {
     try out.write(gdir.getName.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      hfs.getUri, conf)
-    fc.rename(fc.makeQualified(tmp), fc.makeQualified(ptrPath(dir)),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    graft.operators.BatchedState.atomicReplace(spark, tmp, ptrPath(dir))
     // keep-two retention: current + previous survive; older GC'd,
     // including any legacy single-dir `_stats_index`
     gens.dropRight(1).foreach(g => hfs.delete(genPath(dir, g), true))
