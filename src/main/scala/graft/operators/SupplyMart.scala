@@ -129,11 +129,10 @@ object SupplyMart {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       // ONE sorted file per bucket (the publishOnlineView discipline):
       // without the repartition every shuffle task writes a sliver into
-      // every bucket — 64 tasks × 64 buckets left 1024 small files at
-      // 50× and their per-file open/footer cost made the mart-fed q9
-      // SLOWER than the inline rollup it replaces (10.1 s vs 7.4).
-      // Sorting by part key gives row-group min/max pruning on
-      // part-keyed probes for free.
+      // every bucket (64 tasks × 64 buckets = 1024 small files at 50×,
+      // pure per-file open overhead on every mart read). Sorting by
+      // part key gives row-group min/max pruning on part-keyed probes
+      // for free.
       try merged
         .repartition(b, col("bucket"))
         .sortWithinPartitions(col("bucket"), col("l_partkey"), col("l_suppkey"))
