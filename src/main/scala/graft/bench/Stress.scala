@@ -1360,7 +1360,7 @@ object Stress {
         GraphOps.pagerankWeighted(wedges, iters = 3))
     }
 
-    scenario("cc_giant_scale") {
+    scenario("cc_giant") {
       // r14 directive 2: THE boilerplate pathology — ≥90% of all
       // vertices collapse into ONE near-dup component, so the
       // pointer-doubling shortcut join (comp ← comp(comp)) and the
@@ -1393,7 +1393,7 @@ object Stress {
         f"max_over_mean=${prof.getAs[Double]("max_over_mean")}%.1f")
     }
 
-    scenario("anchor_reliable_scale") {
+    scenario("anchor_reliable") {
       // r14 directive 3: the reliable-FS checkpoint seam has only ever
       // run in the bit-identity spec — run a full 50× pagerank under
       // it and record the insurance premium vs Anchor.Local.
@@ -1408,6 +1408,10 @@ object Stress {
       val prEdges = trade.select(col("cust").as("src"), col("supp").as("dst"))
         .unionByName(trade.select(col("supp").as("src"), col("cust").as("dst")))
         .localCheckpoint()
+      // the asserts below depend on the gated time() runs, so the
+      // scenario name must be a PREFIX of every inner name: any ONLY
+      // token that enables this body then provably enables the runs
+      // that create the state the asserts check
       val ckpt = s"$dir/reliable_ckpt"
       time("anchor_reliable_localbase_50x")(GraphOps.pagerank(prEdges, iters = 3))
       time("anchor_reliable_50x")(
@@ -1434,7 +1438,7 @@ object Stress {
       time("tpch_tail_q20_50x")(ShapeQueries4.q20Dominant(spark, dir))
     }
 
-    scenario("supply_mart_scale") {
+    scenario("supply_mart") {
       // r14 directive 1: materialize ps ONCE (SupplyMart high-water
       // refresh) and point the tier at it — the mart-fed q2/q11 never
       // scan the 30M-row fact, q9 keeps one fact scan but drops the

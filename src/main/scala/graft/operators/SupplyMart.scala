@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Exact._
-import graft.registry.Incremental
+import graft.registry.IncrementalProtocol
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -93,63 +93,50 @@ object SupplyMart {
   /** Fold all fact rows with `l_shipdate` past the watermark into the
     * mart. Returns the number of bucket partitions touched (0 = no new
     * data). Single-writer: concurrent refreshes fail loudly on
-    * `_lock_refresh` before writing anything. */
+    * `_lock_refresh` before writing anything. The merge sequence and
+    * its crash-retry idempotence guard live in ONE place —
+    * [[IncrementalProtocol.refresh]], shared with the day-partitioned
+    * event snapshot. */
   def refresh(spark: SparkSession, lineitem: DataFrame, martPath: String,
       buckets: Int = 32): Int = {
     require(buckets >= 1 && buckets <= (1 << 20), s"buckets=$buckets")
-    val b = recordedBuckets(spark, martPath).getOrElse(buckets)
     BatchedState.acquireLock(spark, new Path(s"$martPath/_lock_refresh"),
       "supply-mart refresh")
     try {
-      val wm = Incremental.watermark(spark, martPath)
-      val fresh = lineitem.filter(shipUs > wm)
-      val withBucket = (df: DataFrame) => df.withColumn("bucket",
-        pmod(xxhash64(col("l_partkey")), lit(b.toLong)))
-      // sever lineage: the merge below must not rescan the fact table
-      val delta = withBucket(partials(fresh)).localCheckpoint(true)
-      if (delta.isEmpty) return 0
-      val touched = delta.select("bucket").distinct()
-        .collect().map(_.getLong(0)).sorted // bounded: buckets, not rows
-      val snapExists = hfs(spark, martPath)
-        .globStatus(new Path(s"$martPath/bucket=*")) match {
-        case null => false
-        case gs   => gs.nonEmpty
-      }
-      val merged =
-        if (!snapExists) delta
-        else {
-          // partition pruning on bucket= — only touched buckets read back
-          val existing = spark.read.parquet(martPath)
-            .filter(col("bucket").isin(touched: _*))
-            .select(delta.columns.filter(_ != "bucket").map(col).toSeq: _*)
-          withBucket(combine(existing,
-            delta.drop("bucket"))).localCheckpoint(true)
-        }
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      // ONE sorted file per bucket (the publishOnlineView discipline):
-      // without the repartition every shuffle task writes a sliver into
-      // every bucket (64 tasks × 64 buckets = 1024 small files at 50×,
-      // pure per-file open overhead on every mart read). Sorting by
-      // part key gives row-group min/max pruning on part-keyed probes
-      // for free.
-      try merged
-        .repartition(b, col("bucket"))
-        .sortWithinPartitions(col("bucket"), col("l_partkey"), col("l_suppkey"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(martPath)
-      finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-      if (recordedBuckets(spark, martPath).isEmpty) {
+      // layout pinning, INSIDE the lock and BEFORE any data write (r14
+      // review): reading the recorded count outside the lock raced a
+      // concurrent first publish, and recording it only after the
+      // snapshot write let a crash strand an 8-bucket layout that a
+      // retry requesting 64 would then split keys across. Meta-first
+      // means every subsequent writer — including a crash retry —
+      // provably routes with the same bucket count the layout uses.
+      val b = recordedBuckets(spark, martPath).getOrElse {
         val meta = new Path(martPath, "_mart_meta.json")
         val out = hfs(spark, martPath).create(meta, true)
-        try out.write(s"""{"buckets":$b}""".getBytes("UTF-8"))
+        try out.write(s"""{"buckets":$buckets}""".getBytes("UTF-8"))
         finally out.close()
+        buckets
       }
-      val newWm = delta.agg(max(col("max_ship_us"))).head().getLong(0)
-      Incremental.writeWatermark(spark, martPath, math.max(wm, newWm))
-      touched.length
+      val withBucket = (df: DataFrame) => df.withColumn("bucket",
+        pmod(xxhash64(col("l_partkey")), lit(b.toLong)))
+      IncrementalProtocol.refresh(spark, lineitem, martPath,
+        partCol = "bucket",
+        partExpr = pmod(xxhash64(col("l_partkey")), lit(b.toLong)),
+        tsExpr = shipUs,
+        partials = raw => withBucket(partials(raw)),
+        combine = (existing, delta) =>
+          withBucket(combine(existing.drop("bucket"), delta.drop("bucket"))),
+        tsField = "max_ship_us",
+        // ONE sorted file per bucket (the publishOnlineView
+        // discipline): without the repartition every shuffle task
+        // writes a sliver into every bucket (64 tasks × 64 buckets =
+        // 1024 small files at 50×, pure per-file open overhead on
+        // every mart read). Sorting by part key gives row-group
+        // min/max pruning on part-keyed probes for free.
+        write = (merged, path) => merged
+          .repartition(b, col("bucket"))
+          .sortWithinPartitions(col("bucket"), col("l_partkey"), col("l_suppkey"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(path))
     } finally BatchedState.releaseLock(spark,
       new Path(s"$martPath/_lock_refresh"))
   }

@@ -100,49 +100,22 @@ object Incremental {
       watermarkPath(snapshotPath))
   }
 
-  private def snapshotExists(spark: SparkSession, snapshotPath: String): Boolean =
-    fs(spark, snapshotPath).exists(new Path(s"$snapshotPath/_SUCCESS")) ||
-      fs(spark, snapshotPath).globStatus(new Path(s"$snapshotPath/day=*")) != null &&
-        fs(spark, snapshotPath).globStatus(new Path(s"$snapshotPath/day=*")).nonEmpty
-
   /** Incorporate all events newer than the watermark into the snapshot.
-    * Returns the number of day partitions touched (0 = no new data). */
+    * Returns the number of day partitions touched (0 = no new data).
+    * The merge sequence and its crash-retry idempotence guard (the
+    * per-partition effective watermark) live in ONE place —
+    * [[IncrementalProtocol.refresh]], shared with the supply mart. */
   def refresh(spark: SparkSession, events: DataFrame,
-              snapshotPath: String): Int = {
-    val wm = watermark(spark, snapshotPath)
-    val fresh = events.filter(unix_micros(col("ts")) > wm)
-    val delta = partials(fresh)
-      .localCheckpoint(true) // sever lineage: merge must not rescan the log
-    if (delta.isEmpty) return 0
-
-    val touchedDays = delta.select("day").distinct()
-      .collect().map(_.getString(0)).sorted // bounded: days, not rows
-    val merged =
-      if (!snapshotExists(spark, snapshotPath)) delta
-      else {
-        // Read back ONLY the touched day partitions (partition pruning on
-        // the snapshot's day= layout) and combine with the delta.
-        val existing = spark.read.parquet(snapshotPath)
-          .filter(col("day").isin(touchedDays: _*))
-          .select(delta.columns.map(col): _*)
-        // Eagerly materialize: the overwrite below targets the very path
-        // this plan reads, which Spark (rightly) refuses on a live plan.
-        combine(existing, delta).localCheckpoint(true)
-      }
-    // Dynamic partition overwrite: only day= dirs present in `merged` are
-    // replaced; all other partitions stay untouched on disk.
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged.write.mode("overwrite").partitionBy("day").parquet(snapshotPath)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-
-    val newWm = delta.agg(max(col("max_ts_us"))).head().getLong(0)
-    writeWatermark(spark, snapshotPath, math.max(wm, newWm))
-    touchedDays.length
-  }
+              snapshotPath: String): Int =
+    IncrementalProtocol.refresh(spark, events, snapshotPath,
+      partCol = "day",
+      partExpr = date_format(col("ts"), "yyyy-MM-dd"),
+      tsExpr = unix_micros(col("ts")),
+      partials = partials,
+      combine = combine,
+      tsField = "max_ts_us",
+      write = (merged, path) => merged.write.mode("overwrite")
+        .partitionBy("day").parquet(path))
 
   /** Current snapshot, finalized: exact-cents sums surfaced as dollars,
     * purchase rate derived from the partials. */

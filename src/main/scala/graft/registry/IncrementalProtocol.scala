@@ -1,0 +1,113 @@
+package graft.registry
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** THE high-water merge protocol — one copy of the repo's most
+  * crash-sensitive sequence, shared by [[Incremental]] (day-partitioned
+  * event partials) and [[graft.operators.SupplyMart]] (bucket-
+  * partitioned supply partials). The r14 review found the two
+  * hand-maintained copies had already drifted and shared a latent
+  * crash seam; this object is the single implementation of both the
+  * sequence and the fix.
+  *
+  * Sequence per refresh: filter raw rows past the watermark → keyed
+  * mergeable partials (lineage cut) → read back ONLY the touched
+  * snapshot partitions → combine → dynamic-partition-overwrite the
+  * touched partitions → advance the watermark atomically.
+  *
+  * CRASH-RETRY IDEMPOTENCE (the r14 finding): the snapshot commit and
+  * the watermark advance are two separate FS operations. A crash
+  * between them leaves committed partitions beside a stale global
+  * watermark, and a naive retry re-merges the same delta — MIN/MAX
+  * partials absorb the replay, but SUM partials double-count, silently
+  * and permanently. The guard is a PER-PARTITION effective watermark:
+  * each raw row filters against
+  * `greatest(global_wm, its target partition's stored max(tsField))`.
+  * A partition that already incorporated the delta stores
+  * max(tsField) = that delta's partition max, so the replayed rows
+  * drop out of the retry; a partition whose commit didn't land
+  * re-derives exactly. In the no-crash steady state the global
+  * watermark ≥ every partition max, so the filter reduces to the plain
+  * `ts > wm` and results are unchanged (spec-pinned in both callers).
+  * Cost: one narrow (partCol, tsField) aggregation over the snapshot
+  * per refresh — partition-grain state, never fact-scale.
+  *
+  * The high-water ingestion-order caveat is unchanged (and now
+  * partition-grain): a row arriving with a timestamp at or below its
+  * partition's committed max is skipped by design — use a streaming
+  * watermarked path for non-ingestion-ordered logs.
+  */
+object IncrementalProtocol {
+
+  /** Fold `raw` rows past the (per-partition effective) watermark into
+    * the snapshot at `snapshotPath`. Returns touched partitions
+    * (0 = no new data).
+    *
+    *  - `partExpr`: the target partition of a RAW row (must agree with
+    *    the partition value `partials` assigns to that row's key);
+    *  - `tsExpr`: the watermark column of a raw row, epoch micros;
+    *  - `partials`: filtered raw rows → keyed mergeable partials
+    *    CARRYING `partCol` and `tsField` (= max ts per key);
+    *  - `combine`: (existing partials, delta partials) → merged
+    *    partials, same shape — must be associative+commutative per key;
+    *  - `write`: layout-owning writer (repartition/sort discipline is
+    *    the caller's); invoked under dynamic partition-overwrite so
+    *    only the partitions present in the frame are replaced. */
+  def refresh(spark: SparkSession, raw: DataFrame, snapshotPath: String,
+      partCol: String, partExpr: Column, tsExpr: Column,
+      partials: DataFrame => DataFrame,
+      combine: (DataFrame, DataFrame) => DataFrame,
+      tsField: String,
+      write: (DataFrame, String) => Unit): Int = {
+    val wm = Incremental.watermark(spark, snapshotPath)
+    val hfs = new Path(snapshotPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapExists = hfs.globStatus(new Path(s"$snapshotPath/$partCol=*")) match {
+      case null => false
+      case gs   => gs.nonEmpty
+    }
+    val fresh =
+      if (!snapExists) raw.filter(tsExpr > wm)
+      else {
+        // per-partition effective watermark (see class doc): broadcast
+        // the partition-grain max(tsField) frame onto the raw rows
+        val pmax = spark.read.parquet(snapshotPath)
+          .groupBy(col(partCol).as("_ip_part"))
+          .agg(max(col(tsField)).as("_ip_pmax"))
+        raw.withColumn("_ip_part", partExpr)
+          .join(broadcast(pmax), Seq("_ip_part"), "left")
+          .filter(tsExpr > greatest(lit(wm),
+            coalesce(col("_ip_pmax"), lit(Long.MinValue))))
+          .drop("_ip_part", "_ip_pmax")
+      }
+    // sever lineage: the merge below must not rescan the raw log
+    val delta = partials(fresh).localCheckpoint(true)
+    if (delta.isEmpty) return 0
+    val touched = delta.select(partCol).distinct()
+      .collect().map(_.get(0)).toSeq // bounded: partitions, not rows
+    val merged =
+      if (!snapExists) delta
+      else {
+        // partition pruning on the snapshot layout: only touched
+        // partitions are read back and rewritten
+        val existing = spark.read.parquet(snapshotPath)
+          .filter(col(partCol).isin(touched: _*))
+          .select(delta.columns.map(col).toSeq: _*)
+        // eager: the overwrite below targets the very path this plan
+        // reads, which Spark (rightly) refuses on a live plan
+        combine(existing, delta).localCheckpoint(true)
+      }
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try write(merged, snapshotPath)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val newWm = delta.agg(max(col(tsField))).head().getLong(0)
+    Incremental.writeWatermark(spark, snapshotPath, math.max(wm, newWm))
+    touched.length
+  }
+}

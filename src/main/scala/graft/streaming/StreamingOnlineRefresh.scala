@@ -47,8 +47,10 @@ object StreamingOnlineRefresh {
       batch: DataFrame, basePath: String, buckets: Int = 64,
       tsCol: String = "computed_at",
       keep: Option[Int] = Some(8)): Option[String] = {
-    if (batch.isEmpty) return None
-    StreamingUpsert.applyBatch(store, batch, tsCol)
+    // the ONE emptiness check lives in the upsert (its return value) —
+    // a second batch.isEmpty here would run a redundant limit-1 job on
+    // every non-empty micro-batch of the hot path
+    if (!StreamingUpsert.applyBatch(store, batch, tsCol)) return None
     fs.invalidateCache()
     val gen = fs.publishOnlineGeneration(basePath, buckets)
     keep.foreach { k =>

@@ -41,10 +41,13 @@ object StreamingUpsert {
   /** The per-batch body — public so batch code and tests share the
     * exact definition the stream runs. `batch` must carry the store's
     * long format; rows collapse latest-per-key on `tsCol` before the
-    * merge. An empty batch is a no-op. */
+    * merge. An empty batch is a no-op. Returns whether anything merged
+    * (false = empty batch), so composed sinks (StreamingOnlineRefresh)
+    * can gate their follow-on work without re-running the emptiness
+    * job on the same frame. */
   def applyBatch(store: ValueStoreFormat, batch: DataFrame,
-      tsCol: String = "computed_at"): Unit = {
-    if (batch.isEmpty) return
+      tsCol: String = "computed_at"): Boolean = {
+    if (batch.isEmpty) return false
     val keys = Seq("feature_name", "version", "entity_id")
     val payload = batch.columns.filterNot(keys.contains).toSeq
     val latest = batch
@@ -53,6 +56,7 @@ object StreamingUpsert {
         .map(col)): _*)).as("_w"))
       .select(keys.map(col) ++ payload.map(c => col(s"_w.$c").as(c)): _*)
     store.merge(latest)
+    true
   }
 
   /** Wire a stream of long-format correction rows to the store.
@@ -63,6 +67,6 @@ object StreamingUpsert {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        applyBatch(store, batch.toDF(), tsCol)
+        applyBatch(store, batch.toDF(), tsCol): Unit
       }
 }

@@ -114,6 +114,38 @@ class SupplyMartSpec extends SparkSpec {
     assert(lock.delete())
   }
 
+  test("crash between snapshot commit and watermark advance: retry does not double value_c") {
+    // the r14 review seam, mart flavor: SUM(value_c) would silently
+    // double on a replayed delta without the per-partition effective
+    // watermark. Simulate the crash window by rewinding the global
+    // watermark after a completed refresh and refreshing again.
+    val mart = tmp("crash")
+    val early = li.filter(year(col("l_shipdate")) <= 1995)
+    SupplyMart.refresh(spark, early, mart)
+    val wmEarly = Incremental.watermark(spark, mart)
+    SupplyMart.refresh(spark, li, mart)
+    val settled = rows(SupplyMart.read(spark, mart))
+    Incremental.writeWatermark(spark, mart, wmEarly) // the crash window
+    SupplyMart.refresh(spark, li, mart)              // the retry
+    assert(rows(SupplyMart.read(spark, mart)) === settled,
+      "retry after a watermark-rewind crash double-counted partials")
+  }
+
+  test("a pre-existing meta pins the layout even when no data was ever written") {
+    // meta-first ordering: a crash after the meta write but before the
+    // first snapshot write must pin every retry to the recorded count
+    val mart = tmp("metafirst")
+    new java.io.File(mart).mkdirs()
+    val w = new java.io.FileWriter(s"$mart/_mart_meta.json")
+    w.write("""{"buckets":5}"""); w.close()
+    SupplyMart.refresh(spark, li, mart, buckets = 64)
+    val bucketDirs = new java.io.File(mart).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(_.getName.stripPrefix("bucket=").toLong)
+    assert(bucketDirs.nonEmpty && bucketDirs.forall(_ < 5),
+      s"retry ignored the recorded layout: ${bucketDirs.toSeq.sorted}")
+  }
+
   test("bucket count is pinned by the first publish (layout consistency across refreshes)") {
     val mart = tmp("buckets")
     val early = li.filter(year(col("l_shipdate")) <= 1995)

@@ -39,6 +39,27 @@ class IncrementalSpec extends SparkSpec {
       Incremental.watermark(spark, fullPath))
   }
 
+  test("crash between snapshot commit and watermark advance: retry does not double-count") {
+    // the r14 review seam: a crash AFTER the dynamic-overwrite commit
+    // but BEFORE writeWatermark leaves committed day partitions beside
+    // a stale watermark; a naive retry re-merges the same delta and
+    // SUM partials double. Simulate by rewinding the watermark file to
+    // its pre-refresh value and refreshing again with the same log.
+    val events = Tables.events(spark, sf)
+    val bound = events.agg(expr("percentile(unix_micros(ts), 0.5)"))
+      .head().getDouble(0).toLong
+    val p = tmpDir()
+    Incremental.refresh(spark, events.filter(unix_micros(col("ts")) <= bound), p)
+    val wmEarly = Incremental.watermark(spark, p)
+    Incremental.refresh(spark, events, p)
+    val settled = sortedRows(p)
+    Incremental.writeWatermark(spark, p, wmEarly) // the crash window
+    Incremental.refresh(spark, events, p)         // the retry
+    assert(sortedRows(p) === settled,
+      "retry after a watermark-rewind crash changed committed state")
+    assert(Incremental.watermark(spark, p) >= wmEarly)
+  }
+
   test("refresh with no new data is a no-op") {
     val events = Tables.events(spark, sf)
     val p = tmpDir()
