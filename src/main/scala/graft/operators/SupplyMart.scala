@@ -31,12 +31,12 @@ import org.apache.spark.sql.functions._
   *  - a refresh scans only fact rows with `l_shipdate` past the stored
   *    watermark — on a date-partitioned 100 TB log that filter is
   *    partition pruning, i.e. a metadata operation;
-  *  - the watermark advances via [[Incremental.writeWatermark]]'s
-  *    atomic rename-with-overwrite; refreshes serialize on the repo's
-  *    create-new writer lock. Same high-water caveat as every
-  *    watermarked path: rows arriving later than a higher-shipdate row
-  *    that already advanced the mark are skipped — use a streaming
-  *    watermarked path for non-ingestion-ordered logs.
+  *  - the watermark advances via the shared atomic-replace protocol
+  *    ([[graft.registry.IncrementalProtocol]]); refreshes serialize on
+  *    the repo's create-new writer lock. Same high-water caveat as
+  *    every watermarked path: rows arriving later than a
+  *    higher-shipdate row that already advanced the mark are skipped —
+  *    use a streaming watermarked path for non-ingestion-ordered logs.
   *
   * Readers get the (part, supplier) grain back at snapshot size
   * (pairs, not fact rows): q2/q16 never touch lineitem at all, q9
@@ -76,8 +76,10 @@ object SupplyMart {
 
   /** Bucket count is part of the LAYOUT: a refresh at a different
     * count would route the same part key to two partitions and the
-    * touched-bucket merge would silently split-brain. First publish
-    * records it; every later refresh uses the recorded value. */
+    * touched-bucket merge would silently split-brain. The FIRST
+    * refresh records it (meta-first, before any data — even an
+    * empty-delta refresh pins the layout, spec'd); every later refresh
+    * uses the recorded value. */
   private def recordedBuckets(spark: SparkSession, martPath: String): Option[Int] = {
     val p = new Path(martPath, "_mart_meta.json")
     val f = hfs(spark, martPath)
@@ -117,11 +119,15 @@ object SupplyMart {
         finally out.close()
         buckets
       }
-      val withBucket = (df: DataFrame) => df.withColumn("bucket",
-        pmod(xxhash64(col("l_partkey")), lit(b.toLong)))
+      // ONE routing expression: the protocol's contract requires the
+      // per-row partition (partExpr) and the per-key partition
+      // (withBucket) to agree EXACTLY — two spellings would let a
+      // future edit desynchronize them and silently re-admit replays
+      val bucketExpr = pmod(xxhash64(col("l_partkey")), lit(b.toLong))
+      val withBucket = (df: DataFrame) => df.withColumn("bucket", bucketExpr)
       IncrementalProtocol.refresh(spark, lineitem, martPath,
         partCol = "bucket",
-        partExpr = pmod(xxhash64(col("l_partkey")), lit(b.toLong)),
+        partExpr = bucketExpr,
         tsExpr = shipUs,
         partials = raw => withBucket(partials(raw)),
         combine = (existing, delta) =>

@@ -38,6 +38,13 @@ import org.apache.spark.sql.functions._
   * partition-grain): a row arriving with a timestamp at or below its
   * partition's committed max is skipped by design — use a streaming
   * watermarked path for non-ingestion-ordered logs.
+  *
+  * One post-crash wrinkle, stated: a retry whose delta is FULLY shed
+  * by the per-partition guard returns 0 without advancing the global
+  * watermark (there is no delta to derive a safe value from), so the
+  * stale global mark persists until genuinely new data lands. That
+  * costs re-filtering work on subsequent refreshes, never correctness
+  * — the per-partition guard is what holds the line.
   */
 object IncrementalProtocol {
 
@@ -68,18 +75,29 @@ object IncrementalProtocol {
       case null => false
       case gs   => gs.nonEmpty
     }
+    // the global-watermark conjunct stays a STANDALONE filter on the
+    // raw frame — `ts > greatest(wm, pmax)` ⟺ `ts > wm && ts > pmax`,
+    // and only the standalone form pushes below the pmax join into the
+    // raw scan (on a date-partitioned 100 TB log: partition pruning).
+    // Folding it into greatest() behind the join re-scanned the whole
+    // fact table every refresh (r14 review finding).
+    val pastWm = raw.filter(tsExpr > wm)
     val fresh =
-      if (!snapExists) raw.filter(tsExpr > wm)
-      else {
+      if (!snapExists) pastWm
+      else if (pastWm.isEmpty) {
+        // no-op refresh early-out: nothing survives the global mark, so
+        // nothing can survive the per-partition one — skip the snapshot
+        // pmax scan entirely (the previously near-free no-op, restored)
+        return 0
+      } else {
         // per-partition effective watermark (see class doc): broadcast
-        // the partition-grain max(tsField) frame onto the raw rows
+        // the partition-grain max(tsField) frame onto the fresh rows
         val pmax = spark.read.parquet(snapshotPath)
           .groupBy(col(partCol).as("_ip_part"))
           .agg(max(col(tsField)).as("_ip_pmax"))
-        raw.withColumn("_ip_part", partExpr)
+        pastWm.withColumn("_ip_part", partExpr)
           .join(broadcast(pmax), Seq("_ip_part"), "left")
-          .filter(tsExpr > greatest(lit(wm),
-            coalesce(col("_ip_pmax"), lit(Long.MinValue))))
+          .filter(tsExpr > coalesce(col("_ip_pmax"), lit(Long.MinValue)))
           .drop("_ip_part", "_ip_pmax")
       }
     // sever lineage: the merge below must not rescan the raw log

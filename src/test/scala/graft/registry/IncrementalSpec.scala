@@ -57,7 +57,50 @@ class IncrementalSpec extends SparkSpec {
     Incremental.refresh(spark, events, p)         // the retry
     assert(sortedRows(p) === settled,
       "retry after a watermark-rewind crash changed committed state")
-    assert(Incremental.watermark(spark, p) >= wmEarly)
+  }
+
+  test("partial commit: retry re-derives the unlanded partition and sheds replays for the landed ones") {
+    // the harder crash shape: dynamic partition overwrite landed SOME
+    // touched day partitions and not others before the crash. The
+    // per-partition guard must admit the unlanded day's delta rows
+    // (its stored max is still the EARLY state's) while shedding the
+    // replay for every landed day. Simulate by restoring one touched
+    // day's pre-refresh content after the full refresh + rewind.
+    val events = Tables.events(spark, sf)
+    val bound = events.agg(expr("percentile(unix_micros(ts), 0.5)"))
+      .head().getDouble(0).toLong
+    val early = events.filter(unix_micros(col("ts")) <= bound)
+    val late = events.filter(unix_micros(col("ts")) > bound)
+    // a day with rows on BOTH sides of the cut — the boundary day —
+    // so its early-state partition content is a real partial state
+    val day = early.select(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .intersect(late.select(date_format(col("ts"), "yyyy-MM-dd").as("d")))
+      .orderBy("d").limit(1).collect().headOption.map(_.getString(0))
+      .getOrElse(fail("no boundary day at this SF — split degenerate"))
+
+    val p = tmpDir()
+    Incremental.refresh(spark, early, p)
+    val wmEarly = Incremental.watermark(spark, p)
+    // snapshot the early state of the boundary day's partition
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(conf)
+    val dayDir = new org.apache.hadoop.fs.Path(s"$p/day=$day")
+    val backup = new org.apache.hadoop.fs.Path(s"${tmpDir()}/day=$day")
+    assert(fs.exists(dayDir), s"boundary day $day missing from early snapshot")
+    assert(org.apache.hadoop.fs.FileUtil.copy(fs, dayDir, fs, backup, false, conf))
+
+    Incremental.refresh(spark, late, p)
+    val settled = sortedRows(p)
+    // crash simulation: watermark never advanced AND day=D's overwrite
+    // never landed (its early content restored verbatim)
+    Incremental.writeWatermark(spark, p, wmEarly)
+    fs.delete(dayDir, true)
+    assert(org.apache.hadoop.fs.FileUtil.copy(fs, backup, fs, dayDir, false, conf))
+    assert(sortedRows(p) !== settled, "partial-commit simulation is vacuous")
+
+    Incremental.refresh(spark, events, p) // the retry
+    assert(sortedRows(p) === settled,
+      "retry did not converge: unlanded partition under-derived or landed ones double-counted")
   }
 
   test("refresh with no new data is a no-op") {
