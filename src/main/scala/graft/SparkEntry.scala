@@ -17,6 +17,7 @@ object SparkEntry {
       PipelineOps.queries ++ DedupClusters.queries ++ Contamination.queries ++
       ShapeQueries.queries ++ ShapeQueries2.queries ++ ShapeQueries3.queries ++
       ShapeQueries4.queries ++ SupplyMart.queries ++
+      graft.registry.Incremental.queries ++
       QualityOps.queries ++ CurationOps.queries ++ IntervalJoin.queries ++
       ChunkOps.queries ++ Splits.queries ++ UrlFilters.queries ++
       GopherRepetition.queries ++ C4Filters.queries ++ TextNorm.queries ++
@@ -48,6 +49,7 @@ object SparkEntry {
       PipelineOps.oracles ++ DedupClusters.oracles ++ Contamination.oracles ++
       ShapeQueries.oracles ++ ShapeQueries2.oracles ++ ShapeQueries3.oracles ++
       ShapeQueries4.oracles ++ SupplyMart.oracles ++
+      graft.registry.Incremental.oracles ++
       QualityOps.oracles ++ CurationOps.oracles ++ IntervalJoin.oracles ++
       ChunkOps.oracles ++ Splits.oracles ++ UrlFilters.oracles ++
       GopherRepetition.oracles ++ C4Filters.oracles ++ TextNorm.oracles ++

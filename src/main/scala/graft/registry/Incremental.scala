@@ -134,4 +134,39 @@ object Incremental {
     f.delete(new Path(snapshotPath), true)
     refresh(spark, events, snapshotPath): Unit
   }
+
+  /** G14's defining computation as an oracle-gated query (the
+    * SupplyMart `supply_mart` convention): the day-grain partials +
+    * the read-time finalization, cross-engine exact — COUNT/integer-
+    * cent SUM partials, one IEEE division each for the dollar sum and
+    * the purchase rate. The parquet round trip, split-associativity
+    * and crash-retry idempotence are spec-pinned in IncrementalSpec;
+    * this gate certifies the CONTENT. */
+  def snapshotGate(spark: SparkSession, d: String): DataFrame =
+    partials(graft.Tables.events(spark, d))
+      .select(col("user_id"), col("day"), col("n_events"),
+        (col("value_cents").cast("double") / 100.0).as("value_sum"),
+        col("n_purchases"),
+        (col("n_purchases").cast("double") / col("n_events"))
+          .as("purchase_rate"))
+      .orderBy("user_id", "day")
+
+  val snapshotGateSql: String =
+    """SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+      |  COUNT(*) AS n_events,
+      |  CAST(CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS DOUBLE) / 100.0 AS value_sum,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_purchases,
+      |  CAST(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS DOUBLE) / COUNT(*) AS purchase_rate
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "incr_snapshot" -> snapshotGate _)
+
+  val oracles: Map[String, String] = Map(
+    "incr_snapshot" -> snapshotGateSql)
 }
