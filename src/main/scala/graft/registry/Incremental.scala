@@ -39,11 +39,19 @@ import java.nio.charset.StandardCharsets
 object Incremental {
   import graft.functions.Exact
 
+  /** ONE day-routing expression (the SupplyMart bucketExpr discipline):
+    * the protocol's contract requires the per-row partition (partExpr)
+    * and the partition `partials` assigns to agree EXACTLY — two
+    * spellings would let a future edit desynchronize them and key the
+    * pmax shed on the wrong partition. */
+  private def dayExpr: org.apache.spark.sql.Column =
+    date_format(col("ts"), "yyyy-MM-dd")
+
   /** Day-grain mergeable partials for an events chunk. */
   private def partials(events: DataFrame): DataFrame =
     events
       .select(col("user_id"),
-        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        dayExpr.as("day"),
         col("ts"), col("value"), col("event_type"))
       .groupBy(col("user_id"), col("day"))
       .agg(
@@ -109,23 +117,38 @@ object Incremental {
               snapshotPath: String): Int =
     IncrementalProtocol.refresh(spark, events, snapshotPath,
       partCol = "day",
-      partExpr = date_format(col("ts"), "yyyy-MM-dd"),
+      partExpr = dayExpr,
       tsExpr = unix_micros(col("ts")),
       partials = partials,
       combine = combine,
       tsField = "max_ts_us",
-      write = (merged, path) => merged.write.mode("overwrite")
-        .partitionBy("day").parquet(path))
+      // ONE file per day partition (the SupplyMart/publishOnlineView
+      // discipline) — not only small-file hygiene: it makes each
+      // partition's dynamic-overwrite commit a single file move, so a
+      // crash cannot land a day's max-ts-bearing file while losing a
+      // sibling (a tear the per-partition watermark guard would then
+      // misread as "fully committed" and shed the lost rows for; see
+      // the IncrementalProtocol atomicity note)
+      write = (merged, path) => merged
+        .repartition(col("day"))
+        .sortWithinPartitions(col("day"), col("user_id"))
+        .write.mode("overwrite").partitionBy("day").parquet(path))
 
-  /** Current snapshot, finalized: exact-cents sums surfaced as dollars,
-    * purchase rate derived from the partials. */
-  def read(spark: SparkSession, snapshotPath: String): DataFrame =
-    spark.read.parquet(snapshotPath)
+  /** ONE finalization projection — shared by the serving read and the
+    * oracle gate, so the gate certifies exactly what readers execute
+    * (two spellings would let them drift while the gate stays green). */
+  private def finalize(partialsDf: DataFrame): DataFrame =
+    partialsDf
       .select(col("user_id"), col("day"), col("n_events"),
         (col("value_cents").cast("double") / 100.0).as("value_sum"),
         col("n_purchases"),
         (col("n_purchases").cast("double") / col("n_events"))
           .as("purchase_rate"))
+
+  /** Current snapshot, finalized: exact-cents sums surfaced as dollars,
+    * purchase rate derived from the partials. */
+  def read(spark: SparkSession, snapshotPath: String): DataFrame =
+    finalize(spark.read.parquet(snapshotPath))
 
   /** One-shot full compute of the same result, for parity testing. */
   def full(spark: SparkSession, events: DataFrame,
@@ -143,12 +166,7 @@ object Incremental {
     * and crash-retry idempotence are spec-pinned in IncrementalSpec;
     * this gate certifies the CONTENT. */
   def snapshotGate(spark: SparkSession, d: String): DataFrame =
-    partials(graft.Tables.events(spark, d))
-      .select(col("user_id"), col("day"), col("n_events"),
-        (col("value_cents").cast("double") / 100.0).as("value_sum"),
-        col("n_purchases"),
-        (col("n_purchases").cast("double") / col("n_events"))
-          .as("purchase_rate"))
+    finalize(partials(graft.Tables.events(spark, d)))
       .orderBy("user_id", "day")
 
   val snapshotGateSql: String =

@@ -43,8 +43,19 @@ import org.apache.spark.sql.functions._
   * by the per-partition guard returns 0 without advancing the global
   * watermark (there is no delta to derive a safe value from), so the
   * stale global mark persists until genuinely new data lands. That
-  * costs re-filtering work on subsequent refreshes, never correctness
-  * — the per-partition guard is what holds the line.
+  * costs re-filtering work on subsequent refreshes, never correctness.
+  *
+  * What the guard assumes, precisely: each PARTITION's commit is
+  * all-or-nothing — the guard distinguishes committed partitions from
+  * uncommitted ones, and cannot see a TORN partition (its max-ts file
+  * landed, a sibling file did not: the retry would read the partition
+  * as committed and shed the lost rows). Both callers therefore write
+  * ONE file per partition (repartition-by-partition before
+  * partitionBy), making each partition commit a single file move —
+  * atomic on local/HDFS renames. On object stores, where rename is
+  * copy+delete and even single-file moves can tear, none of this is
+  * atomic; there, snapshot state belongs in a transactional table
+  * format (the ValueStoreFormat seam's standing adjudication).
   */
 object IncrementalProtocol {
 
@@ -62,6 +73,32 @@ object IncrementalProtocol {
     *  - `write`: layout-owning writer (repartition/sort discipline is
     *    the caller's); invoked under dynamic partition-overwrite so
     *    only the partitions present in the frame are replaced. */
+  /** The replay-shed input frame — package-private so the spec can pin
+    * its PLAN: the global-watermark conjunct must arrive here already
+    * applied to `pastWm` (a standalone filter on the raw frame —
+    * `ts > greatest(wm, pmax)` ⟺ `ts > wm ∧ ts > pmax`, and only the
+    * standalone form sinks below the pmax join into the raw scan; on a
+    * date-partitioned 100 TB log that is partition pruning). Folding
+    * it into greatest() behind the join re-scanned the whole fact
+    * table every refresh — a regression that happened once (r14
+    * protocol refactor) and is now plan-spec-pinned, not just
+    * commented. */
+  private[registry] def freshFrame(spark: SparkSession, pastWm: DataFrame,
+      snapshotPath: String, partCol: String, partExpr: Column,
+      tsExpr: Column, tsField: String, snapExists: Boolean): DataFrame =
+    if (!snapExists) pastWm
+    else {
+      // per-partition effective watermark (see class doc): broadcast
+      // the partition-grain max(tsField) frame onto the fresh rows
+      val pmax = spark.read.parquet(snapshotPath)
+        .groupBy(col(partCol).as("_ip_part"))
+        .agg(max(col(tsField)).as("_ip_pmax"))
+      pastWm.withColumn("_ip_part", partExpr)
+        .join(broadcast(pmax), Seq("_ip_part"), "left")
+        .filter(tsExpr > coalesce(col("_ip_pmax"), lit(Long.MinValue)))
+        .drop("_ip_part", "_ip_pmax")
+    }
+
   def refresh(spark: SparkSession, raw: DataFrame, snapshotPath: String,
       partCol: String, partExpr: Column, tsExpr: Column,
       partials: DataFrame => DataFrame,
@@ -75,31 +112,20 @@ object IncrementalProtocol {
       case null => false
       case gs   => gs.nonEmpty
     }
-    // the global-watermark conjunct stays a STANDALONE filter on the
-    // raw frame — `ts > greatest(wm, pmax)` ⟺ `ts > wm && ts > pmax`,
-    // and only the standalone form pushes below the pmax join into the
-    // raw scan (on a date-partitioned 100 TB log: partition pruning).
-    // Folding it into greatest() behind the join re-scanned the whole
-    // fact table every refresh (r14 review finding).
     val pastWm = raw.filter(tsExpr > wm)
-    val fresh =
-      if (!snapExists) pastWm
-      else if (pastWm.isEmpty) {
-        // no-op refresh early-out: nothing survives the global mark, so
-        // nothing can survive the per-partition one — skip the snapshot
-        // pmax scan entirely (the previously near-free no-op, restored)
-        return 0
-      } else {
-        // per-partition effective watermark (see class doc): broadcast
-        // the partition-grain max(tsField) frame onto the fresh rows
-        val pmax = spark.read.parquet(snapshotPath)
-          .groupBy(col(partCol).as("_ip_part"))
-          .agg(max(col(tsField)).as("_ip_pmax"))
-        pastWm.withColumn("_ip_part", partExpr)
-          .join(broadcast(pmax), Seq("_ip_part"), "left")
-          .filter(tsExpr > coalesce(col("_ip_pmax"), lit(Long.MinValue)))
-          .drop("_ip_part", "_ip_pmax")
-      }
+    if (snapExists && pastWm.isEmpty) {
+      // no-op refresh early-out: nothing survives the global mark, so
+      // nothing can survive the per-partition one — skip the snapshot
+      // pmax scan entirely. Cost: one take(1) probe of the
+      // wm-filtered raw frame per refresh — near-free on the
+      // date-partitioned logs this protocol targets (the probe prunes
+      // like the delta scan); on an UNPARTITIONED late-ordered log it
+      // can approach a raw scan, bounded by the scan the delta pays
+      // anyway.
+      return 0
+    }
+    val fresh = freshFrame(spark, pastWm, snapshotPath, partCol, partExpr,
+      tsExpr, tsField, snapExists)
     // sever lineage: the merge below must not rescan the raw log
     val delta = partials(fresh).localCheckpoint(true)
     if (delta.isEmpty) return 0

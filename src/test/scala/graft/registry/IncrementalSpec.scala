@@ -103,6 +103,33 @@ class IncrementalSpec extends SparkSpec {
       "retry did not converge: unlanded partition under-derived or landed ones double-counted")
   }
 
+  test("watermark pushdown: the global-mark filter sits BELOW the pmax join, on the raw side") {
+    // plan pin for the r14 regression-that-happened: folding ts > wm
+    // into greatest() behind the per-partition-max join kept it from
+    // sinking below the join, and every refresh re-scanned the whole
+    // raw log. Pin the shape, not the comment.
+    val events = Tables.events(spark, sf)
+    val bound = events.agg(expr("percentile(unix_micros(ts), 0.5)"))
+      .head().getDouble(0).toLong
+    val p = tmpDir()
+    Incremental.refresh(spark, events.filter(unix_micros(col("ts")) <= bound), p)
+    val wm = Incremental.watermark(spark, p)
+    val pastWm = events.filter(unix_micros(col("ts")) > wm)
+    val fresh = IncrementalProtocol.freshFrame(spark, pastWm, p, "day",
+      date_format(col("ts"), "yyyy-MM-dd"), unix_micros(col("ts")),
+      "max_ts_us", snapExists = true)
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+    val plan = fresh.queryExecution.optimizedPlan
+    val join = plan.collectFirst { case j: Join => j }
+      .getOrElse(fail(s"no pmax join in the fresh plan:\n$plan"))
+    def hasWmFilter(side: LogicalPlan): Boolean = side.collectFirst {
+      case f: Filter if f.condition.toString.contains("unix_micros") &&
+        f.condition.toString.contains(">") => f
+    }.isDefined
+    assert(hasWmFilter(join.left),
+      s"global watermark filter not below the pmax join on the raw side:\n$plan")
+  }
+
   test("refresh with no new data is a no-op") {
     val events = Tables.events(spark, sf)
     val p = tmpDir()
