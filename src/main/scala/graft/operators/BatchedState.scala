@@ -105,11 +105,28 @@ private[graft] object BatchedState {
   def atomicReplace(spark: SparkSession, tmp: Path, dst: Path): Unit = {
     val hfs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if ("file" == dst.toUri.getScheme || hfs.getScheme == "file") {
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(tmp.toUri.getPath),
-        java.nio.file.Paths.get(dst.toUri.getPath),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      // Hadoop's LocalFileSystem keeps a `.name.crc` checksum sidecar
+      // per file, and moving the data file alone strands the OLD crc
+      // beside the NEW content — every later Hadoop read then dies
+      // with ChecksumException (hit live by the r14 50× sweep on a
+      // bm25 index written pre-fix and swapped post-fix). Sequence so
+      // a concurrent reader NEVER sees data+crc mismatch: drop the
+      // stale dst crc (crc-less reads are legal and unverified), swap
+      // the data atomically, then install the tmp's crc under the dst
+      // name. A crash anywhere in between leaves at worst a missing
+      // crc — always readable.
+      def crcOf(p: Path) = Paths.get(
+        new Path(p.getParent, s".${p.getName}.crc").toUri.getPath)
+      Files.deleteIfExists(crcOf(dst))
+      Files.move(
+        Paths.get(tmp.toUri.getPath),
+        Paths.get(dst.toUri.getPath),
+        StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING): Unit
+      if (Files.exists(crcOf(tmp)))
+        Files.move(crcOf(tmp), crcOf(dst),
+          StandardCopyOption.REPLACE_EXISTING): Unit
     } else {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
         dst.toUri, spark.sparkContext.hadoopConfiguration)
