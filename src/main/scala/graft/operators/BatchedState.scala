@@ -116,17 +116,34 @@ private[graft] object BatchedState {
       // the data atomically, then install the tmp's crc under the dst
       // name. A crash anywhere in between leaves at worst a missing
       // crc — always readable.
-      def crcOf(p: Path) = Paths.get(
-        new Path(p.getParent, s".${p.getName}.crc").toUri.getPath)
-      Files.deleteIfExists(crcOf(dst))
-      Files.move(
+      // root-level pointers have no parent dir: a null getParent must
+      // read as "no crc sidecar", not NPE inside the swap primitive
+      def crcOf(p: Path): Option[java.nio.file.Path] =
+        Option(p.getParent).map(par =>
+          Paths.get(new Path(par, s".${p.getName}.crc").toUri.getPath))
+      crcOf(dst).foreach(c => Files.deleteIfExists(c): Unit)
+      try Files.move(
         Paths.get(tmp.toUri.getPath),
         Paths.get(dst.toUri.getPath),
         StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING): Unit
-      if (Files.exists(crcOf(tmp)))
-        Files.move(crcOf(tmp), crcOf(dst),
-          StandardCopyOption.REPLACE_EXISTING): Unit
+      catch {
+        // NIO leaves ATOMIC_MOVE+REPLACE_EXISTING onto an existing
+        // target implementation-specific: rename(2) semantics on
+        // POSIX (replace in one syscall — the case this primitive
+        // exists for), but some platforms/filesystems throw instead.
+        // There, degrade to the delete window rather than hard-fail
+        // the swap: a reader can transiently miss the file (the
+        // pre-r14 behavior), which callers survive; a refused swap
+        // would wedge every publish.
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          Files.move(
+            Paths.get(tmp.toUri.getPath),
+            Paths.get(dst.toUri.getPath),
+            StandardCopyOption.REPLACE_EXISTING): Unit
+      }
+      for (ct <- crcOf(tmp) if Files.exists(ct); cd <- crcOf(dst))
+        Files.move(ct, cd, StandardCopyOption.REPLACE_EXISTING): Unit
     } else {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
         dst.toUri, spark.sparkContext.hadoopConfiguration)

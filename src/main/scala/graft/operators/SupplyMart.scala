@@ -88,7 +88,18 @@ object SupplyMart {
       val in = f.open(p)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-      """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+      // demand the COMPLETE single-object document, not just a digit
+      // run: a torn write of {"buckets":64} can truncate to
+      // {"buckets":6 — which a bare digit regex would happily accept
+      // and silently split the layout across two bucket counts.
+      // Refuse loudly instead: the recovery (re-copy/rewrite the meta
+      // file) is cheap and obvious; a split-brain mart is neither.
+      val full = """\A\s*\{\s*"buckets"\s*:\s*(\d+)\s*\}\s*\z""".r
+      Some(full.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(
+        throw new IllegalStateException(
+          s"torn or foreign _mart_meta.json at $p: '$txt' — restore the " +
+            "file to {\"buckets\":<n>} with the layout's original count " +
+            "before refreshing")))
     }
   }
 
@@ -113,10 +124,18 @@ object SupplyMart {
       // means every subsequent writer — including a crash retry —
       // provably routes with the same bucket count the layout uses.
       val b = recordedBuckets(spark, martPath).getOrElse {
+        // temp + atomicReplace (the repo's pointer convention) rather
+        // than create(overwrite=true) in place: meta-first ordering
+        // already guarantees no data exists yet, but an in-place write
+        // can tear, and recordedBuckets' full-parse guard would then
+        // refuse every later refresh until an operator intervenes —
+        // the atomic swap removes the torn state instead of detecting it
         val meta = new Path(martPath, "_mart_meta.json")
-        val out = hfs(spark, martPath).create(meta, true)
+        val tmp = new Path(martPath, "._mart_meta.json.tmp")
+        val out = hfs(spark, martPath).create(tmp, true)
         try out.write(s"""{"buckets":$buckets}""".getBytes("UTF-8"))
         finally out.close()
+        BatchedState.atomicReplace(spark, tmp, meta)
         buckets
       }
       // ONE routing expression: the protocol's contract requires the

@@ -689,10 +689,51 @@ object FeatureStore {
 
   /** Point lookup through the generation pointer — what a serving
     * process calls per request (resolve once per refresh interval in
-    * practice; re-resolving per call is the always-fresh form). */
+    * practice; re-resolving per call is the always-fresh form).
+    *
+    * The resolve→read span is NOT atomic against pruning: a publisher
+    * that lands `keep` further generations between our pointer read
+    * and our bucket read deletes the generation we resolved, which
+    * surfaces either as a FileNotFound mid-scan or — worse — as a
+    * silently-empty result (readOnlineVector reads a missing bucket
+    * dir as "entity absent"). Both are a STALE RESOLVE, not an
+    * answer: re-resolve and retry, trusting an empty result only when
+    * the generation we read still exists afterwards. Bounded retries;
+    * exhausting them means publishes outpace single point reads —
+    * raise `keep`, which the error says. */
   def readOnlineVectorLatest(spark: SparkSession, basePath: String,
-      entityId: String): Map[String, Any] =
-    readOnlineVector(spark, resolveOnlineLatest(spark, basePath), entityId)
+      entityId: String, attempts: Int = 3): Map[String, Any] = {
+    require(attempts >= 1, s"attempts=$attempts")
+    // a recursive prune is not atomic: mid-delete the generation DIR
+    // still lists while its files are already gone, so "does the dir
+    // exist" cannot classify the failure — a FileNotFound anywhere in
+    // the cause chain can (caught live by OnlineReadRaceSpec's first
+    // run, which raced a real prune and saw the dir outlive its files)
+    def isVanished(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(_.isInstanceOf[java.io.FileNotFoundException])
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      val gen = resolveOnlineLatest(spark, basePath)
+      try {
+        val r = readOnlineVector(spark, gen, entityId)
+        // an empty result is trustworthy only from the generation that
+        // is STILL the pointer target (prune never deletes the target;
+        // a mid-delete generation reads missing buckets as "absent")
+        if (r.nonEmpty || resolveOnlineLatest(spark, basePath) == gen)
+          return r
+        last = null
+      } catch {
+        case e: Exception if isVanished(e) => last = e
+      }
+      i += 1
+    }
+    throw new IllegalStateException(
+      s"online read raced generation pruning $attempts times under " +
+        s"$basePath — publishes are outpacing point reads; raise the " +
+        "publisher's keep window", last)
+  }
 
   /** Reclaim superseded generations, keeping the newest `keep` AND
     * always the pointer target. `keep` bounds the in-flight-reader

@@ -146,6 +146,24 @@ class SupplyMartSpec extends SparkSpec {
       s"retry ignored the recorded layout: ${bucketDirs.toSeq.sorted}")
   }
 
+  test("a torn _mart_meta.json refuses loudly instead of splitting the layout") {
+    val mart = tmp("tornmeta")
+    new java.io.File(mart).mkdirs()
+    // truncated tail of {"buckets":64} — a bare digit-run regex would
+    // read this as 6 and route the same key into two bucket layouts
+    val w = new java.io.FileWriter(s"$mart/_mart_meta.json")
+    w.write("""{"buckets":6"""); w.close()
+    val e = intercept[IllegalStateException] {
+      SupplyMart.refresh(spark, li, mart, buckets = 64)
+    }
+    assert(e.getMessage.contains("_mart_meta"),
+      s"refusal must name the torn file: ${e.getMessage}")
+    // lock must not leak from the refusal — a corrected meta refreshes
+    val w2 = new java.io.FileWriter(s"$mart/_mart_meta.json")
+    w2.write("""{"buckets":64}"""); w2.close()
+    assert(SupplyMart.refresh(spark, li, mart) > 0)
+  }
+
   test("bucket count is pinned by the first publish (layout consistency across refreshes)") {
     val mart = tmp("buckets")
     val early = li.filter(year(col("l_shipdate")) <= 1995)
