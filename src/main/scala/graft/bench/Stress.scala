@@ -1450,7 +1450,7 @@ object Stress {
         .delete(new org.apache.hadoop.fs.Path(mart), true)
       val t0 = System.nanoTime()
       val touched = SupplyMart.refresh(spark,
-        Tables.lineitem(spark, dir), mart, buckets = 64)
+        Tables.lineitem(spark, dir), mart, buckets = 64).touched
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"STRESS supply_mart_refresh_50x       $dt%8.2f s   rows=${SupplyMart.read(spark, mart).count()} (buckets=$touched)")
       val supply = SupplyMart.read(spark, mart)

@@ -152,6 +152,79 @@ private[graft] object BatchedState {
     }
   }
 
+  /** Torn-write DETECTION for single-line pointer files (watermarks,
+    * generation pointers, index heads). [[atomicReplace]] makes the
+    * swap atomic on local/HDFS, but on object stores rename is
+    * copy+delete and a crash can leave a PREFIX of the intended
+    * content — which a bare-payload reader happily parses: a watermark
+    * "1754900000000" torn to "17549" silently REWINDS the mark and the
+    * next refresh double-derives five years of history. The v2 format
+    * embeds length + CRC32 so a reader refuses a torn pointer loudly
+    * instead: `G2|<payload-length>|<crc32-hex>|<payload>`.
+    *
+    * Back-compatible by construction: a file NOT starting with `G2|`
+    * parses as the legacy bare payload (trimmed), so pre-upgrade
+    * pointers read without migration. Legal payloads (longs, `gen=N`,
+    * directory names) never start with `G2|` themselves. */
+  def encodePointer(payload: String): String = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    s"G2|${payload.length}|${java.lang.Long.toHexString(crc.getValue)}|$payload"
+  }
+
+  /** Inverse of [[encodePointer]]; `where` names the file in the
+    * refusal. A legacy bare payload passes through trimmed. */
+  def decodePointer(content: String, where: => String): String =
+    if (!content.startsWith("G2|")) content.trim
+    else {
+      def torn(why: String) = throw new IllegalStateException(
+        s"torn or corrupt pointer file at $where ($why): " +
+          s"'${content.take(120)}' — an interrupted copy-style rename " +
+          "(object stores) can truncate pointer content; restore the " +
+          "file from the writer's last completed publish (or re-run " +
+          "the refresh/publish that owns it) before reading")
+      // the payload may itself contain '|': split on the first three
+      // separators only, then verify length + checksum over the rest
+      val body = content.drop(3)
+      val i = body.indexOf('|')
+      val j = if (i < 0) -1 else body.indexOf('|', i + 1)
+      if (j < 0) torn("missing header fields")
+      val payload = body.substring(j + 1)
+      val lenOk = body.substring(0, i).toIntOption.contains(payload.length)
+      if (!lenOk) torn("length mismatch")
+      val crc = new java.util.zip.CRC32()
+      crc.update(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (java.lang.Long.toHexString(crc.getValue) != body.substring(i + 1, j))
+        torn("checksum mismatch")
+      payload
+    }
+
+  /** Write `payload` to `dst` in the checksummed v2 format via the
+    * temp + [[atomicReplace]] convention — THE pointer write. */
+  def writePointer(spark: SparkSession, dst: Path, payload: String): Unit = {
+    val hfs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dst.getParent, s".${dst.getName}.tmp")
+    val out = hfs.create(tmp, true)
+    try out.write(encodePointer(payload)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    atomicReplace(spark, tmp, dst)
+  }
+
+  /** Read + validate a pointer file; None when absent. Torn v2
+    * content refuses loudly ([[decodePointer]]); legacy bare content
+    * passes through. */
+  def readPointer(spark: SparkSession, src: Path): Option[String] = {
+    val hfs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(src)) None
+    else {
+      val in = hfs.open(src)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      Some(decodePointer(txt, src.toString))
+    }
+  }
+
   /** Union of all committed batch directories under `dir`. */
   def readCommitted(spark: SparkSession, dir: String, schema: StructType,
       wm: Long): DataFrame = {

@@ -104,14 +104,18 @@ object SupplyMart {
   }
 
   /** Fold all fact rows with `l_shipdate` past the watermark into the
-    * mart. Returns the number of bucket partitions touched (0 = no new
-    * data). Single-writer: concurrent refreshes fail loudly on
+    * mart. Returns [[graft.registry.IncrementalProtocol.RefreshResult]]
+    * — bucket partitions touched (0 = no new data) plus the
+    * replay-shed and late-arrival audits (see the protocol doc).
+    * Single-writer: concurrent refreshes fail loudly on
     * `_lock_refresh` before writing anything. The merge sequence and
     * its crash-retry idempotence guard live in ONE place —
     * [[IncrementalProtocol.refresh]], shared with the day-partitioned
     * event snapshot. */
   def refresh(spark: SparkSession, lineitem: DataFrame, martPath: String,
-      buckets: Int = 32): Int = {
+      buckets: Int = 32, audit: Boolean = true,
+      shedSink: Option[DataFrame => Unit] = None)
+      : IncrementalProtocol.RefreshResult = {
     require(buckets >= 1 && buckets <= (1 << 20), s"buckets=$buckets")
     BatchedState.acquireLock(spark, new Path(s"$martPath/_lock_refresh"),
       "supply-mart refresh")
@@ -161,7 +165,9 @@ object SupplyMart {
         write = (merged, path) => merged
           .repartition(b, col("bucket"))
           .sortWithinPartitions(col("bucket"), col("l_partkey"), col("l_suppkey"))
-          .write.mode("overwrite").partitionBy("bucket").parquet(path))
+          .write.mode("overwrite").partitionBy("bucket").parquet(path),
+        audit = audit,
+        shedSink = shedSink)
     } finally BatchedState.releaseLock(spark,
       new Path(s"$martPath/_lock_refresh"))
   }

@@ -547,17 +547,14 @@ final class FeatureStore(spark: SparkSession, storePath: String,
       val gen = if (existing.isEmpty) 0L else existing.max + 1L
       val genName = s"gen=$gen"
       publishOnlineView(s"$basePath/$genName", buckets, featureNames, version)
-      val tmp = new Path(basePath, s"._latest_tmp_$gen")
-      val out = fs.create(tmp, true)
-      out.write(genName.getBytes("UTF-8"))
-      out.close()
-      // ATOMIC swap — a reader must observe the old pointer or the new
-      // one, never none. NOTE (caught live by the r14 mid-stream
-      // poller): FileContext.rename(OVERWRITE) is NOT atomic on the
-      // local scheme (Hadoop's default renameInternal deletes dst
-      // first); atomicReplace dispatches to NIO rename(2) there.
-      graft.operators.BatchedState.atomicReplace(spark, tmp,
-        new Path(basePath, "_latest"))
+      // ATOMIC swap in the checksummed pointer format — a reader must
+      // observe the old pointer or the new one, never none and never a
+      // torn prefix. NOTE (caught live by the r14 mid-stream poller):
+      // FileContext.rename(OVERWRITE) is NOT atomic on the local
+      // scheme (Hadoop's default renameInternal deletes dst first);
+      // writePointer's atomicReplace dispatches to NIO rename(2) there.
+      graft.operators.BatchedState.writePointer(spark,
+        new Path(basePath, "_latest"), genName)
       s"$basePath/$genName"
     } finally graft.operators.BatchedState.releaseLock(spark, lock)
   }
@@ -676,13 +673,14 @@ object FeatureStore {
   /** Resolve the `_latest` generation pointer written by
     * [[FeatureStore.publishOnlineGeneration]]. */
   def resolveOnlineLatest(spark: SparkSession, basePath: String): String = {
-    val ptr = new Path(basePath, "_latest")
-    val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(ptr), s"no _latest pointer under $basePath — " +
-      "publishOnlineGeneration has never completed here")
-    val in = fs.open(ptr)
-    val gen = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-    finally in.close()
+    // checksummed pointer read: a torn `_latest` refuses loudly inside
+    // readPointer instead of resolving a prefix; a legacy bare
+    // `gen=N` file (pre-format) still parses
+    val gen = graft.operators.BatchedState
+      .readPointer(spark, new Path(basePath, "_latest"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"requirement failed: no _latest pointer under $basePath — " +
+          "publishOnlineGeneration has never completed here"))
     require(gen.startsWith("gen="), s"corrupt _latest pointer: '$gen'")
     s"$basePath/$gen"
   }

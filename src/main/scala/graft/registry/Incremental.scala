@@ -4,7 +4,6 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import java.nio.charset.StandardCharsets
 
 /** G14: high-water-mark incremental materialization.
   *
@@ -77,16 +76,27 @@ object Incremental {
     new Path(s"$snapshotPath/_watermark")
 
   /** Stored high-water mark (epoch micros); Long.MinValue when absent. */
-  def watermark(spark: SparkSession, snapshotPath: String): Long = {
-    val p = watermarkPath(snapshotPath)
-    val f = fs(spark, snapshotPath)
-    if (!f.exists(p)) Long.MinValue
-    else {
-      val in = f.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
+  def watermark(spark: SparkSession, snapshotPath: String): Long =
+    watermarkState(spark, snapshotPath)._1
+
+  /** Watermark plus the incorporated-row tally the late-arrival audit
+    * keeps beside it (ONE file, so the pair advances atomically — two
+    * files would reopen the crash seam between snapshot commit and
+    * tally credit). Payload: `<wm>` (legacy, tally unknown) or
+    * `<wm> <incorporated>`. Rides the checksummed pointer format
+    * ([[graft.operators.BatchedState.readPointer]]), so a torn
+    * watermark refuses loudly instead of silently rewinding the mark;
+    * a legacy bare-long file still parses. */
+  def watermarkState(spark: SparkSession,
+      snapshotPath: String): (Long, Option[Long]) =
+    graft.operators.BatchedState
+      .readPointer(spark, watermarkPath(snapshotPath)) match {
+      case None => (Long.MinValue, None)
+      case Some(payload) =>
+        val parts = payload.trim.split("\\s+")
+        (parts(0).toLong,
+          if (parts.length > 1) Some(parts(1).toLong) else None)
     }
-  }
 
   /** Advance the stored high-water mark (atomic temp+rename; shared by
     * the dedup incremental path, which watermarks on doc id).
@@ -96,25 +106,30 @@ object Incremental {
     * entirely — every committed batch then read as uncommitted, a retry
     * reprocessed the whole corpus into `batch=init`, and readers saw
     * duplicate state. With OVERWRITE semantics the file atomically holds
-    * either the old or the new value, never neither. */
+    * either the old or the new value, never neither. The 3-arg form
+    * drops any stored tally (callers outside the audited protocol —
+    * the dedup paths — watermark on ids, where the tally has no
+    * meaning); pass `incorporated` to keep the late-arrival audit
+    * baseline. */
   def writeWatermark(spark: SparkSession, snapshotPath: String,
-                     wm: Long): Unit = {
-    val f = fs(spark, snapshotPath)
-    val tmp = new Path(s"$snapshotPath/_watermark.tmp")
-    val out = f.create(tmp, true)
-    try out.write(wm.toString.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    graft.operators.BatchedState.atomicReplace(spark, tmp,
-      watermarkPath(snapshotPath))
-  }
+                     wm: Long, incorporated: Option[Long] = None): Unit =
+    graft.operators.BatchedState.writePointer(spark,
+      watermarkPath(snapshotPath),
+      incorporated.fold(wm.toString)(inc => s"$wm $inc"))
 
   /** Incorporate all events newer than the watermark into the snapshot.
-    * Returns the number of day partitions touched (0 = no new data).
+    * Returns [[IncrementalProtocol.RefreshResult]]: day partitions
+    * touched, replay-shed rows, and the late-arrival audit (the exact
+    * count of log rows the high-water design has shed — see the
+    * protocol doc; pass `audit = false` to skip the counting pass,
+    * `shedSink` to quarantine the replay-shed rows Expectations-style).
     * The merge sequence and its crash-retry idempotence guard (the
     * per-partition effective watermark) live in ONE place —
     * [[IncrementalProtocol.refresh]], shared with the supply mart. */
   def refresh(spark: SparkSession, events: DataFrame,
-              snapshotPath: String): Int =
+              snapshotPath: String, audit: Boolean = true,
+              shedSink: Option[DataFrame => Unit] = None)
+      : IncrementalProtocol.RefreshResult =
     IncrementalProtocol.refresh(spark, events, snapshotPath,
       partCol = "day",
       partExpr = dayExpr,
@@ -132,7 +147,9 @@ object Incremental {
       write = (merged, path) => merged
         .repartition(col("day"))
         .sortWithinPartitions(col("day"), col("user_id"))
-        .write.mode("overwrite").partitionBy("day").parquet(path))
+        .write.mode("overwrite").partitionBy("day").parquet(path),
+      audit = audit,
+      shedSink = shedSink)
 
   /** ONE finalization projection — shared by the serving read and the
     * oracle gate, so the gate certifies exactly what readers execute

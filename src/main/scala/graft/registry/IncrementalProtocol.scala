@@ -1,6 +1,6 @@
 package graft.registry
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -34,30 +34,77 @@ import org.apache.spark.sql.functions._
   * Cost: one narrow (partCol, tsField) aggregation over the snapshot
   * per refresh — partition-grain state, never fact-scale.
   *
-  * The high-water ingestion-order caveat is unchanged (and now
-  * partition-grain): a row arriving with a timestamp at or below its
-  * partition's committed max is skipped by design — use a streaming
-  * watermarked path for non-ingestion-ordered logs.
+  * THE LATE-ARRIVAL AUDIT (r15): the high-water ingestion-order caveat
+  * is unchanged — a row arriving with a timestamp at or below the
+  * committed mark is skipped by design; use a streaming watermarked
+  * path for non-ingestion-ordered logs — but the skip is no longer
+  * silent. The watermark file carries a running tally of INCORPORATED
+  * rows (same file, so mark and tally advance in one atomic swap), and
+  * each refresh counts the log: `lateRows = rows at/below the mark −
+  * tally` is the EXACT number of rows that appeared below the
+  * watermark after it advanced, i.e. the rows this design sheds.
+  * Surfaced on [[RefreshResult]] every refresh; callers alert on it or
+  * route the log to the streaming path. Replays absorbed by the
+  * per-partition guard are credited to the tally when first counted
+  * past the mark, so crash retries do not read as loss. Cost: one
+  * ts-column-pruned counting pass over the log per refresh (pass
+  * `audit = false` to skip it on hot paths — doing so drops the
+  * stored tally, and the next audited refresh re-baselines, honestly:
+  * arrivals during the unaudited window are not attributed). A legacy
+  * bare-long watermark (pre-tally) baselines on first audited read:
+  * rows already below the mark at upgrade are presumed incorporated
+  * (the baselining refresh must see the full log, like any exact
+  * reading — a chunk-fed baseline would over-report late rows once a
+  * full log is passed).
   *
   * One post-crash wrinkle, stated: a retry whose delta is FULLY shed
-  * by the per-partition guard returns 0 without advancing the global
-  * watermark (there is no delta to derive a safe value from), so the
-  * stale global mark persists until genuinely new data lands. That
-  * costs re-filtering work on subsequent refreshes, never correctness.
+  * by the per-partition guard returns 0 touched partitions without
+  * advancing the global watermark (there is no delta to derive a safe
+  * value from), so the stale global mark persists until genuinely new
+  * data lands. That costs re-filtering work on subsequent refreshes,
+  * never correctness (the audited form still credits the replays to
+  * the tally, so they never read as late loss).
   *
-  * What the guard assumes, precisely: each PARTITION's commit is
-  * all-or-nothing — the guard distinguishes committed partitions from
-  * uncommitted ones, and cannot see a TORN partition (its max-ts file
-  * landed, a sibling file did not: the retry would read the partition
-  * as committed and shed the lost rows). Both callers therefore write
-  * ONE file per partition (repartition-by-partition before
-  * partitionBy), making each partition commit a single file move —
-  * atomic on local/HDFS renames. On object stores, where rename is
-  * copy+delete and even single-file moves can tear, none of this is
-  * atomic; there, snapshot state belongs in a transactional table
-  * format (the ValueStoreFormat seam's standing adjudication).
+  * What the guard assumes, and what the commit protocol now DETECTS:
+  * the guard distinguishes committed partitions from uncommitted ones
+  * by their stored max(ts), so it needs each partition's commit to be
+  * all-or-nothing. Both callers write ONE file per partition
+  * (repartition-by-partition before partitionBy), which closes the
+  * multi-file tear (a max-ts-bearing file landing while a sibling is
+  * lost). It does NOT close the window inside Spark's dynamic
+  * partition overwrite itself: the committer replaces each partition
+  * as delete(final) THEN rename(staging), and a crash between the two
+  * leaves a previously-committed partition EMPTY — its pmax reads as
+  * null and a naive retry would silently re-derive only past-watermark
+  * rows, losing the partition's pre-watermark history. That tear is
+  * now detected, not assumed away: before overwriting, the refresh
+  * records the touched partitions that already hold data in a
+  * checksummed `_pending_commit` marker; every refresh first verifies
+  * that each recorded partition still holds files and REFUSES loudly
+  * when one was emptied (recovery: rebuild from the full log or
+  * restore the partition — the lost rows are below the watermark and
+  * cannot be re-derived from a delta). On object stores, where rename
+  * is copy+delete, even these file moves can tear mid-file; there,
+  * snapshot state belongs in a transactional table format (the
+  * ValueStoreFormat seam's standing adjudication).
   */
 object IncrementalProtocol {
+
+  /** What a refresh did and what it shed.
+    *
+    *  - `touched`: snapshot partitions rewritten (0 = no new data);
+    *  - `replayShedRows`: input rows past the global watermark but
+    *    at/below their target partition's committed max — the
+    *    per-partition guard's shed set. Zero in the no-crash steady
+    *    state; equals the replay size on a crash retry;
+    *  - `lateRows`: cumulative count of log rows at/below the
+    *    watermark that were never incorporated — the high-water
+    *    design's silent-loss boundary, measured. EXACT when `raw` is
+    *    the full log (the callers' documented contract); a chunk-fed
+    *    refresh under-reports (clamped at 0) and the next full-log
+    *    refresh reads exactly again. −1 when `audit = false`. */
+  final case class RefreshResult(touched: Int, replayShedRows: Long,
+      lateRows: Long)
 
   /** Fold `raw` rows past the (per-partition effective) watermark into
     * the snapshot at `snapshotPath`. Returns touched partitions
@@ -99,36 +146,135 @@ object IncrementalProtocol {
         .drop("_ip_part", "_ip_pmax")
     }
 
+  /** The per-partition-guard shed set — the complement of
+    * [[freshFrame]] over the same pmax join: input rows past the
+    * global mark whose target partition already incorporated them
+    * (replays). Delta-sized (its input is already wm-filtered). */
+  private def shedFrame(spark: SparkSession, pastWm: DataFrame,
+      snapshotPath: String, partCol: String, partExpr: Column,
+      tsExpr: Column, tsField: String): DataFrame = {
+    val pmax = spark.read.parquet(snapshotPath)
+      .groupBy(col(partCol).as("_ip_part"))
+      .agg(max(col(tsField)).as("_ip_pmax"))
+    pastWm.withColumn("_ip_part", partExpr)
+      .join(broadcast(pmax), Seq("_ip_part"), "left")
+      .filter(tsExpr <= coalesce(col("_ip_pmax"), lit(Long.MinValue)))
+      .drop("_ip_part", "_ip_pmax")
+  }
+
+  private def pendingPath(snapshotPath: String) =
+    new Path(snapshotPath, "_pending_commit")
+
+  /** Refuse loudly when a partition recorded as data-bearing by an
+    * interrupted overwrite is now empty — the delete-then-rename tear
+    * inside Spark's dynamic partition overwrite (see class doc). The
+    * recorded values are path-literal (day strings, bucket longs — the
+    * contract both callers meet), so the directory name is the value. */
+  private def verifyPendingCommit(spark: SparkSession, hfs: FileSystem,
+      snapshotPath: String, partCol: String): Unit =
+    graft.operators.BatchedState
+      .readPointer(spark, pendingPath(snapshotPath))
+      .foreach { payload =>
+        payload.split("\n").filter(_.nonEmpty).foreach { v =>
+          val dir = new Path(snapshotPath, s"$partCol=$v")
+          val gone = !hfs.exists(dir) || hfs.listStatus(dir).isEmpty
+          if (gone) throw new IllegalStateException(
+            s"torn dynamic-overwrite commit at $snapshotPath: partition " +
+              s"$partCol=$v held data when the interrupted refresh began " +
+              "and is now empty (the committer's delete landed, its " +
+              "rename did not). Its pre-watermark history cannot be " +
+              "re-derived from a delta — rebuild the snapshot from the " +
+              "full log (delete the snapshot dir and refresh) or restore " +
+              s"the partition, then remove ${pendingPath(snapshotPath)}")
+        }
+      }
+
   def refresh(spark: SparkSession, raw: DataFrame, snapshotPath: String,
       partCol: String, partExpr: Column, tsExpr: Column,
       partials: DataFrame => DataFrame,
       combine: (DataFrame, DataFrame) => DataFrame,
       tsField: String,
-      write: (DataFrame, String) => Unit): Int = {
-    val wm = Incremental.watermark(spark, snapshotPath)
+      write: (DataFrame, String) => Unit,
+      audit: Boolean = true,
+      shedSink: Option[DataFrame => Unit] = None): RefreshResult = {
+    val (wm, incStored) = Incremental.watermarkState(spark, snapshotPath)
     val hfs = new Path(snapshotPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val snapExists = hfs.globStatus(new Path(s"$snapshotPath/$partCol=*")) match {
       case null => false
       case gs   => gs.nonEmpty
     }
+    // unconditional: a tear that emptied the snapshot's ONLY partition
+    // makes the dir look never-written (snapExists false) while the
+    // stale watermark would silently drop all pre-mark history
+    verifyPendingCommit(spark, hfs, snapshotPath, partCol)
+    // ---- late-arrival audit (see class doc): one ts-pruned counting
+    // pass over the log splits it at the mark; rows at/below the mark
+    // beyond the stored tally were never incorporated = shed late
+    val (belowCount, pastCount) =
+      if (!audit) (-1L, -1L)
+      else {
+        val r = raw.agg(
+          count(when(tsExpr <= lit(wm), 1)).as("below"),
+          count(when(tsExpr > lit(wm), 1)).as("past")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+    val inc0 = if (!audit) -1L else incStored.getOrElse(belowCount)
+    // exact when `raw` is the full log (both callers' documented
+    // contract); a caller feeding pre-chunked deltas under-reports
+    // (later chunks hold none of the already-incorporated rows), so
+    // clamp at 0 — the tally still counts every incorporated row, and
+    // the very next full-log refresh reads exactly again
+    val late = if (audit) math.max(0L, belowCount - inc0) else -1L
     val pastWm = raw.filter(tsExpr > wm)
-    if (snapExists && pastWm.isEmpty) {
+    val noFresh = if (audit) pastCount == 0L else snapExists && pastWm.isEmpty
+    if (snapExists && noFresh) {
       // no-op refresh early-out: nothing survives the global mark, so
       // nothing can survive the per-partition one — skip the snapshot
-      // pmax scan entirely. Cost: one take(1) probe of the
-      // wm-filtered raw frame per refresh — near-free on the
-      // date-partitioned logs this protocol targets (the probe prunes
-      // like the delta scan); on an UNPARTITIONED late-ordered log it
-      // can approach a raw scan, bounded by the scan the delta pays
-      // anyway.
-      return 0
+      // pmax scan entirely. Cost without audit: one take(1) probe of
+      // the wm-filtered raw frame — near-free on the date-partitioned
+      // logs this protocol targets (the probe prunes like the delta
+      // scan); on an UNPARTITIONED late-ordered log it can approach a
+      // raw scan, bounded by the scan the delta pays anyway. With
+      // audit the counting pass already answered it.
+      if (audit && incStored.isEmpty)
+        // pin the upgrade baseline so later audits attribute arrivals
+        Incremental.writeWatermark(spark, snapshotPath, wm, Some(inc0))
+      return RefreshResult(0, 0L, late)
     }
     val fresh = freshFrame(spark, pastWm, snapshotPath, partCol, partExpr,
       tsExpr, tsField, snapExists)
+    // replay-shed accounting + optional quarantine (Expectations-style
+    // sink): the pmax guard's complement, delta-sized. The shed max
+    // timestamp matters to the audited mark: shed rows were COMMITTED
+    // by the interrupted attempt, so the mark may advance over them —
+    // exactly the value that attempt would have written — keeping the
+    // tally invariant (incorporated rows all sit at/below the mark).
+    val (shed, shedMaxTs) =
+      if (!snapExists || (!audit && shedSink.isEmpty)) (0L, Long.MinValue)
+      else {
+        val sf = shedFrame(spark, pastWm, snapshotPath, partCol, partExpr,
+          tsExpr, tsField)
+        shedSink.foreach(_(sf))
+        if (!audit) (0L, Long.MinValue)
+        else {
+          val r = sf.agg(count(lit(1)).as("n"), max(tsExpr).as("m")).head()
+          (r.getLong(0), if (r.isNullAt(1)) Long.MinValue else r.getLong(1))
+        }
+      }
     // sever lineage: the merge below must not rescan the raw log
     val delta = partials(fresh).localCheckpoint(true)
-    if (delta.isEmpty) return 0
+    if (delta.isEmpty) {
+      // pure-replay retry: every past-mark row was already absorbed by
+      // a landed commit. Credit the replays to the tally NOW (the
+      // crashed attempt never did) or they would read as late loss on
+      // every subsequent audit, and advance the mark over them — the
+      // same value the crashed attempt was about to write.
+      if (audit)
+        Incremental.writeWatermark(spark, snapshotPath,
+          math.max(wm, shedMaxTs), Some(inc0 + pastCount))
+      return RefreshResult(0, shed, late)
+    }
     val touched = delta.select(partCol).distinct()
       .collect().map(_.get(0)).toSeq // bounded: partitions, not rows
     val merged =
@@ -143,6 +289,16 @@ object IncrementalProtocol {
         // reads, which Spark (rightly) refuses on a live plan
         combine(existing, delta).localCheckpoint(true)
       }
+    // record the touched partitions that ALREADY hold data before the
+    // overwrite replaces them — the tear-detection contract the next
+    // refresh verifies (see class doc; checksummed pointer format)
+    val preExisting = touched.map(_.toString).filter { v =>
+      val dir = new Path(snapshotPath, s"$partCol=$v")
+      hfs.exists(dir) && hfs.listStatus(dir).nonEmpty
+    }
+    if (preExisting.nonEmpty)
+      graft.operators.BatchedState.writePointer(spark,
+        pendingPath(snapshotPath), preExisting.mkString("\n"))
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try write(merged, snapshotPath)
@@ -151,7 +307,10 @@ object IncrementalProtocol {
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
     val newWm = delta.agg(max(col(tsField))).head().getLong(0)
-    Incremental.writeWatermark(spark, snapshotPath, math.max(wm, newWm))
-    touched.length
+    Incremental.writeWatermark(spark, snapshotPath,
+      math.max(math.max(wm, newWm), shedMaxTs),
+      if (audit) Some(inc0 + pastCount) else None)
+    hfs.delete(pendingPath(snapshotPath), false): Unit
+    RefreshResult(touched.length, shed, late)
   }
 }

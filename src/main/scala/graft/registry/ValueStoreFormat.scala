@@ -103,16 +103,13 @@ final class ParquetValueStore(spark: SparkSession, path: String)
   private def fileGen(name: String): Long =
     GenName.findFirstMatchIn(name).map(_.group(1).toLong).getOrElse(0L)
 
-  /** Current generation of a partition (pointer file; absent → 0). */
-  def currentGeneration(feature: String, version: String): Long = {
-    val p = new Path(partDir(feature, version), GenFile)
-    if (!hfs.exists(p)) 0L
-    else {
-      val in = hfs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
-    }
-  }
+  /** Current generation of a partition (pointer file; absent → 0).
+    * Checksummed pointer read — a torn `_gen` refuses loudly instead
+    * of pinning a truncated generation; legacy bare longs parse. */
+  def currentGeneration(feature: String, version: String): Long =
+    graft.operators.BatchedState
+      .readPointer(spark, new Path(partDir(feature, version), GenFile))
+      .fold(0L)(_.toLong)
 
   private def dataFiles(dir: Path): Seq[Path] =
     if (!hfs.exists(dir)) Seq.empty
@@ -150,15 +147,8 @@ final class ParquetValueStore(spark: SparkSession, path: String)
 
   private def listCurrentFiles(): Seq[Path] =
     partitionDirs().flatMap { d =>
-      val gp = new Path(d, GenFile)
-      val gen =
-        if (!hfs.exists(gp)) 0L
-        else {
-          val in = hfs.open(gp)
-          try scala.io.Source.fromInputStream(in, "UTF-8")
-            .mkString.trim.toLong
-          finally in.close()
-        }
+      val gen = graft.operators.BatchedState
+        .readPointer(spark, new Path(d, GenFile)).fold(0L)(_.toLong)
       genFiles(d, gen)
     }
 
@@ -213,14 +203,9 @@ final class ParquetValueStore(spark: SparkSession, path: String)
             "current generation untouched")
       }
     hfs.delete(tmp, true)
-    // COMMIT: atomic pointer swap
-    val ptrTmp = new Path(dir, s"$GenFile.tmp")
-    val o = hfs.create(ptrTmp, true)
-    try o.write(nextGen.toString.getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    finally o.close()
-    graft.operators.BatchedState.atomicReplace(spark, ptrTmp,
-      new Path(dir, GenFile))
+    // COMMIT: atomic pointer swap, checksummed format
+    graft.operators.BatchedState.writePointer(spark,
+      new Path(dir, GenFile), nextGen.toString)
     // keep-two GC: everything but the new and the just-superseded gen
     dataFiles(dir)
       .filter { p =>

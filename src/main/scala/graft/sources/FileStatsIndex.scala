@@ -298,13 +298,10 @@ object FileStatsIndex {
     val next = gens.lastOption.fold(0L)(_ + 1L)
     val gdir = genPath(dir, next)
     stats.write.mode("overwrite").parquet(gdir.toString)
-    // atomic pointer swap (file-level OVERWRITE rename)
-    val tmp = new Path(s"$dir/_stats_index_ptr.tmp")
-    val out = hfs.create(tmp, true)
-    try out.write(gdir.getName.getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    graft.operators.BatchedState.atomicReplace(spark, tmp, ptrPath(dir))
+    // atomic pointer swap, checksummed format (torn writes refuse on
+    // read instead of resolving a prefix directory name)
+    graft.operators.BatchedState.writePointer(spark, ptrPath(dir),
+      gdir.getName)
     // keep-two retention: current + previous survive; older GC'd,
     // including any legacy single-dir `_stats_index`
     gens.dropRight(1).foreach(g => hfs.delete(genPath(dir, g), true))
@@ -324,11 +321,9 @@ object FileStatsIndex {
     val hfs = new Path(dir).getFileSystem(conf)
     val ptr = ptrPath(dir)
     val legacy = new Path(s"$dir/_stats_index")
-    if (hfs.exists(ptr)) {
-      val in = hfs.open(ptr)
-      val name = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .mkString.trim finally in.close()
-      spark.read.schema(statsSchema).parquet(s"$dir/$name")
+    val named = graft.operators.BatchedState.readPointer(spark, ptr)
+    if (named.isDefined) {
+      spark.read.schema(statsSchema).parquet(s"$dir/${named.get}")
     } else if (hfs.exists(legacy))
       spark.read.schema(statsSchema).parquet(legacy.toString)
     else spark.createDataFrame(

@@ -49,4 +49,50 @@ class BatchedStateSpec extends SparkSpec {
     assert(!new java.io.File(dir, "._meta.tmp.crc").exists,
       "tmp crc sidecar leaked")
   }
+
+  test("pointer format: roundtrip, awkward payloads, legacy passthrough") {
+    for (p <- Seq("42", "gen=17", "-9223372036854775808 1234",
+        "_stats_index_g3", "a|b|c", "two\nlines", "")) {
+      assert(BatchedState.decodePointer(BatchedState.encodePointer(p),
+        "test") === p, s"roundtrip broke for '$p'")
+    }
+    // legacy bare payloads (pre-format files) pass through trimmed
+    assert(BatchedState.decodePointer("12345\n", "test") === "12345")
+    assert(BatchedState.decodePointer("gen=7", "test") === "gen=7")
+  }
+
+  test("pointer format: a torn prefix and a corrupted byte both refuse loudly") {
+    val enc = BatchedState.encodePointer("1754900000000 8812")
+    // copy-style rename interrupted mid-file: every strict prefix that
+    // still carries the G2| magic must refuse, never parse as a
+    // shorter watermark
+    for (cut <- 3 until enc.length) {
+      val e = intercept[IllegalStateException] {
+        BatchedState.decodePointer(enc.take(cut), "wmfile")
+      }
+      assert(e.getMessage.contains("wmfile"), "refusal must name the file")
+    }
+    // single-byte corruption inside the payload
+    val flipped = enc.dropRight(1) + (if (enc.last == '0') '1' else '0')
+    intercept[IllegalStateException] {
+      BatchedState.decodePointer(flipped, "wmfile")
+    }
+  }
+
+  test("writePointer/readPointer: torn file on disk refuses; legacy file reads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ptr").toString
+    val p = new Path(s"$dir/_watermark")
+    assert(BatchedState.readPointer(spark, p).isEmpty)
+    BatchedState.writePointer(spark, p, "987654321 55")
+    assert(BatchedState.readPointer(spark, p) === Some("987654321 55"))
+    // simulate the object-store tear: truncate the file in place
+    val full = readAll(p)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/._watermark.crc"))
+    writeVia(p, full.take(full.length / 2))
+    intercept[IllegalStateException] { BatchedState.readPointer(spark, p) }
+    // legacy (pre-format) bare content still reads
+    writeVia(p, "42\n")
+    assert(BatchedState.readPointer(spark, p) === Some("42"))
+  }
 }

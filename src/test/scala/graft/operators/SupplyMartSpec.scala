@@ -22,7 +22,7 @@ class SupplyMartSpec extends SparkSpec {
   test("3 incremental refreshes over a shipdate split == one full compute, byte-identical") {
     val full = tmp("full")
     val split = tmp("split")
-    assert(SupplyMart.refresh(spark, li, full) > 0)
+    assert(SupplyMart.refresh(spark, li, full).touched > 0)
 
     // three ingestion-ordered chunks by shipdate tercile (the mart's
     // watermark column); boundaries derived from the data so the spec
@@ -39,7 +39,7 @@ class SupplyMartSpec extends SparkSpec {
       rows(SupplyMart.read(spark, split)))
 
     // idempotence: nothing past the watermark -> zero buckets touched
-    assert(SupplyMart.refresh(spark, li, split) === 0)
+    assert(SupplyMart.refresh(spark, li, split).touched === 0)
   }
 
   test("q2/q9/q11/q16 from the mart are row-identical to the gated inline forms") {
@@ -94,7 +94,7 @@ class SupplyMartSpec extends SparkSpec {
     val wm1 = Incremental.watermark(spark, mart)
 
     // a second refresh with ONLY already-watermarked rows is a no-op
-    assert(SupplyMart.refresh(spark, early, mart) === 0)
+    assert(SupplyMart.refresh(spark, early, mart).touched === 0)
 
     // fold in the late rows; mart == full compute over the union
     SupplyMart.refresh(spark, late, mart)
@@ -161,7 +161,7 @@ class SupplyMartSpec extends SparkSpec {
     // lock must not leak from the refusal — a corrected meta refreshes
     val w2 = new java.io.FileWriter(s"$mart/_mart_meta.json")
     w2.write("""{"buckets":64}"""); w2.close()
-    assert(SupplyMart.refresh(spark, li, mart) > 0)
+    assert(SupplyMart.refresh(spark, li, mart).touched > 0)
   }
 
   test("bucket count is pinned by the first publish (layout consistency across refreshes)") {

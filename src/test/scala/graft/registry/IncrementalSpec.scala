@@ -133,9 +133,9 @@ class IncrementalSpec extends SparkSpec {
   test("refresh with no new data is a no-op") {
     val events = Tables.events(spark, sf)
     val p = tmpDir()
-    assert(Incremental.refresh(spark, events, p) > 0)
+    assert(Incremental.refresh(spark, events, p).touched > 0)
     val before = sortedRows(p)
-    assert(Incremental.refresh(spark, events, p) == 0) // all below watermark
+    assert(Incremental.refresh(spark, events, p).touched == 0) // all below watermark
     assert(sortedRows(p) == before)
   }
 
@@ -166,7 +166,7 @@ class IncrementalSpec extends SparkSpec {
 
     val touched = Incremental.refresh(spark,
       events.filter(date_format(col("ts"), "yyyy-MM-dd") === maxDay), p)
-    assert(touched >= 1)
+    assert(touched.touched >= 1)
     assert(someOldDay.listFiles().map(_.getName).sorted.toSeq == filesBefore)
   }
 }

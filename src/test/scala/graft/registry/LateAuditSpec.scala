@@ -1,0 +1,166 @@
+package graft.registry
+
+import graft.{SparkSpec, Tables}
+import graft.operators.{BatchedState, SupplyMart}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The high-water tier's last silent-loss boundary, converted to a
+  * measured signal (r14 directive 1): rows arriving below the
+  * committed watermark are shed BY DESIGN, and
+  * [[IncrementalProtocol.RefreshResult.lateRows]] must count them
+  * EXACTLY — zero on an ordered log, the precise arrival count on an
+  * out-of-order one, never inflated by crash-retry replays. Both
+  * callers (day-partitioned events, bucket-partitioned supply mart)
+  * are covered, plus the `_pending_commit` tear detection for the
+  * delete-then-rename window inside dynamic partition overwrite. */
+class LateAuditSpec extends SparkSpec {
+
+  private def events: DataFrame = Tables.events(spark, sf)
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-late-$tag")
+      .toString + "/snap"
+
+  private def tsUs = unix_micros(col("ts"))
+
+  test("ordered log: zero late rows, zero replay shed, at every refresh") {
+    val p = tmpDir("ordered")
+    val bounds = events.select(tsUs.as("us"))
+      .stat.approxQuantile("us", Array(0.33, 0.66), 0.0).map(_.toLong)
+    // full-log contract: each refresh sees everything ingested SO FAR
+    val feeds = Seq(
+      events.filter(tsUs <= bounds(0)),
+      events.filter(tsUs <= bounds(1)),
+      events)
+    feeds.foreach { feed =>
+      val r = Incremental.refresh(spark, feed, p)
+      assert(r.lateRows === 0L, "ordered ingestion reported late rows")
+      assert(r.replayShedRows === 0L, "no crash, yet replays were shed")
+    }
+  }
+
+  test("out-of-order log: the exact shed count surfaces, and stays exact") {
+    val p = tmpDir("ooo")
+    val bound = events.select(tsUs.as("us"))
+      .stat.approxQuantile("us", Array(0.5), 0.0).head.toLong
+    val early = events.filter(tsUs <= bound)
+    val earlyCount = early.count()
+    assert(earlyCount > 0)
+
+    // the late half arrives FIRST and advances the mark over the early
+    // half — the classic non-ingestion-ordered log
+    Incremental.refresh(spark, events.filter(tsUs > bound), p)
+    // now the full log (early rows newly visible, all below the mark)
+    val r2 = Incremental.refresh(spark, events, p)
+    assert(r2.touched === 0, "below-mark rows must not be merged")
+    assert(r2.lateRows === earlyCount,
+      s"expected exactly $earlyCount shed rows, got ${r2.lateRows}")
+    // cumulative, not additive: the same reading on every refresh
+    val r3 = Incremental.refresh(spark, events, p)
+    assert(r3.lateRows === earlyCount)
+    // audit is a measurement, not a merge: snapshot content unchanged
+    assert(Incremental.read(spark, p).count() ===
+      events.filter(tsUs > bound)
+        .select(date_format(col("ts"), "yyyy-MM-dd"), col("user_id"))
+        .distinct().count())
+  }
+
+  test("crash retry: replays are counted as shed replays, never as late loss") {
+    val p = tmpDir("crash")
+    val bound = events.select(tsUs.as("us"))
+      .stat.approxQuantile("us", Array(0.5), 0.0).head.toLong
+    Incremental.refresh(spark, events.filter(tsUs <= bound), p)
+    val wmEarly = Incremental.watermark(spark, p)
+    Incremental.refresh(spark, events, p)
+    val replaySize = events.filter(tsUs > wmEarly).count()
+
+    // the crash window: snapshot committed, watermark write lost
+    Incremental.writeWatermark(spark, p, wmEarly)
+    val quarantined = collection.mutable.ArrayBuffer.empty[Long]
+    val retry = Incremental.refresh(spark, events, p,
+      shedSink = Some(df => quarantined += df.count()))
+    assert(retry.touched === 0)
+    assert(retry.replayShedRows === replaySize,
+      "the retry's replay set must surface exactly")
+    assert(retry.lateRows === 0L, "replays misread as late loss")
+    assert(quarantined.sum === replaySize,
+      "shedSink must receive exactly the replay rows")
+    // the retry re-advances the mark to what the crashed attempt was
+    // about to write, so the NEXT refresh is a clean no-op
+    assert(Incremental.watermark(spark, p) > wmEarly)
+    val after = Incremental.refresh(spark, events, p)
+    assert(after.replayShedRows === 0L && after.lateRows === 0L)
+  }
+
+  test("legacy bare-long watermark upgrades in place; arrivals after upgrade are measured") {
+    val p = tmpDir("upgrade")
+    val bound = events.select(tsUs.as("us"))
+      .stat.approxQuantile("us", Array(0.5), 0.0).head.toLong
+    val firstHalf = events.filter(tsUs > bound) // late half first (ooo)
+    Incremental.refresh(spark, firstHalf, p)
+    val wm = Incremental.watermark(spark, p)
+    // rewrite the watermark as the PRE-TALLY bare long (v1 format)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$p/._watermark.crc"))
+    val w = new java.io.FileWriter(s"$p/_watermark")
+    w.write(wm.toString); w.close()
+    assert(Incremental.watermarkState(spark, p) === (wm, None))
+    // first audited full-log refresh baselines: pre-upgrade rows below
+    // the mark are presumed incorporated, so this reads 0 ...
+    val r = Incremental.refresh(spark, events, p)
+    assert(r.lateRows === 0L)
+    assert(Incremental.watermarkState(spark, p)._2.isDefined,
+      "baseline was not pinned to the upgraded watermark file")
+  }
+
+  test("supply mart: out-of-order shipdates surface the exact late count") {
+    val li = Tables.lineitem(spark, sf)
+    val mart = tmpDir("mart")
+    val lateYears = li.filter(year(col("l_shipdate")) > 1995)
+    val earlyCount = li.filter(year(col("l_shipdate")) <= 1995).count()
+    SupplyMart.refresh(spark, lateYears, mart)
+    val r = SupplyMart.refresh(spark, li, mart)
+    assert(r.lateRows === earlyCount,
+      s"mart audit expected $earlyCount, got ${r.lateRows}")
+    assert(SupplyMart.refresh(spark, li, mart).lateRows === earlyCount)
+  }
+
+  test("torn dynamic-overwrite commit: an emptied recorded partition refuses loudly") {
+    val p = tmpDir("torn")
+    Incremental.refresh(spark, events, p)
+    val days = new java.io.File(p).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .map(_.getName.stripPrefix("day=")).sorted
+    assert(days.length >= 2)
+    // the committer's window, reconstructed: the marker says these
+    // partitions held data when the overwrite began; one of them was
+    // delete()d and its rename never landed
+    BatchedState.writePointer(spark, new Path(p, "_pending_commit"),
+      Seq(days.head, days.last).mkString("\n"))
+    val victim = new java.io.File(s"$p/day=${days.head}")
+    victim.listFiles.foreach(_.delete())
+    assert(victim.delete())
+    val e = intercept[IllegalStateException] {
+      Incremental.refresh(spark, events, p)
+    }
+    assert(e.getMessage.contains(s"day=${days.head}"),
+      s"refusal must name the emptied partition: ${e.getMessage}")
+
+    // benign marker (crash before any delete landed): refresh proceeds
+    // and clears it
+    val p2 = tmpDir("benign")
+    Incremental.refresh(spark, events.filter(tsUs <= events
+      .select(tsUs.as("us")).stat.approxQuantile("us", Array(0.5), 0.0)
+      .head.toLong), p2)
+    val d2 = new java.io.File(p2).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .map(_.getName.stripPrefix("day=")).head
+    BatchedState.writePointer(spark, new Path(p2, "_pending_commit"),
+      d2)
+    val r2 = Incremental.refresh(spark, events, p2)
+    assert(r2.touched > 0)
+    assert(!new java.io.File(s"$p2/_pending_commit").exists,
+      "completed refresh must clear the pending-commit marker")
+  }
+}
