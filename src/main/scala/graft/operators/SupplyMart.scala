@@ -53,16 +53,20 @@ object SupplyMart {
   private[operators] def shipUs: org.apache.spark.sql.Column =
     unix_micros(col("l_shipdate").cast("timestamp"))
 
+  /** ONE spelling of the mergeable measures — shared by the batch
+    * partials below and the streaming window pre-aggregation
+    * ([[graft.streaming.StreamingMartMaintenance]]); two spellings
+    * would let stream-fed and batch-fed marts drift while both paths'
+    * specs stayed green. */
+  private[graft] def measureExprs: Seq[org.apache.spark.sql.Column] = Seq(
+    min(cents(col("l_extendedprice") / col("l_quantity"))).as("cost_c"),
+    sum(cents(col("l_extendedprice"))).as("value_c"),
+    max(shipUs).as("max_ship_us"))
+
   /** Mergeable per-(part, supplier) partials for a fact chunk. */
   private[operators] def partials(li: DataFrame): DataFrame =
-    li.select(col("l_partkey"), col("l_suppkey"),
-        cents(col("l_extendedprice") / col("l_quantity")).as("_uc"),
-        cents(col("l_extendedprice")).as("_vc"),
-        shipUs.as("_ship_us"))
-      .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(min(col("_uc")).as("cost_c"),
-        sum(col("_vc")).as("value_c"),
-        max(col("_ship_us")).as("max_ship_us"))
+    li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(measureExprs.head, measureExprs.tail: _*)
 
   private def combine(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b)
@@ -115,6 +119,35 @@ object SupplyMart {
   def refresh(spark: SparkSession, lineitem: DataFrame, martPath: String,
       buckets: Int = 32, audit: Boolean = true,
       shedSink: Option[DataFrame => Unit] = None)
+      : IncrementalProtocol.RefreshResult =
+    refreshLocked(spark, lineitem, martPath, buckets, audit, shedSink,
+      tsOfRaw = shipUs, partialsOfRaw = partials)
+
+  /** Fold PRE-AGGREGATED key-grain partials — rows already shaped
+    * (l_partkey, l_suppkey, cost_c, value_c, max_ship_us) — into the
+    * same mart layout. The streaming maintenance entry point
+    * ([[graft.streaming.StreamingMartMaintenance]]): finalized
+    * event-time windows arrive as partials, and MIN/SUM/MAX partials
+    * merge associatively with whatever batch refreshes already wrote.
+    * Watermark/guard timestamps ride `max_ship_us` itself — finalized
+    * day windows emit in end order, so per-bucket max ship is monotone
+    * across micro-batches and a replayed batch is shed exactly. */
+  def refreshFromPartials(spark: SparkSession, partialRows: DataFrame,
+      martPath: String, buckets: Int = 32, audit: Boolean = true,
+      shedSink: Option[DataFrame => Unit] = None)
+      : IncrementalProtocol.RefreshResult =
+    refreshLocked(spark, partialRows, martPath, buckets, audit, shedSink,
+      tsOfRaw = col("max_ship_us"),
+      // idempotent re-aggregation: combining partials with themselves
+      // is the same min/sum/max fold, so one batch carrying several
+      // finalized windows of one key collapses correctly
+      partialsOfRaw = rows => combine(rows, rows.limit(0)))
+
+  private def refreshLocked(spark: SparkSession, raw: DataFrame,
+      martPath: String, buckets: Int, audit: Boolean,
+      shedSink: Option[DataFrame => Unit],
+      tsOfRaw: org.apache.spark.sql.Column,
+      partialsOfRaw: DataFrame => DataFrame)
       : IncrementalProtocol.RefreshResult = {
     require(buckets >= 1 && buckets <= (1 << 20), s"buckets=$buckets")
     BatchedState.acquireLock(spark, new Path(s"$martPath/_lock_refresh"),
@@ -148,11 +181,11 @@ object SupplyMart {
       // future edit desynchronize them and silently re-admit replays
       val bucketExpr = pmod(xxhash64(col("l_partkey")), lit(b.toLong))
       val withBucket = (df: DataFrame) => df.withColumn("bucket", bucketExpr)
-      IncrementalProtocol.refresh(spark, lineitem, martPath,
+      IncrementalProtocol.refresh(spark, raw, martPath,
         partCol = "bucket",
         partExpr = bucketExpr,
-        tsExpr = shipUs,
-        partials = raw => withBucket(partials(raw)),
+        tsExpr = tsOfRaw,
+        partials = rows => withBucket(partialsOfRaw(rows)),
         combine = (existing, delta) =>
           withBucket(combine(existing.drop("bucket"), delta.drop("bucket"))),
         tsField = "max_ship_us",
@@ -199,9 +232,27 @@ object SupplyMart {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** The mart-FED q9 plan as its own oracle gate: build/refresh a mart
+    * for `d` in a deterministic scratch dir (idempotent — the
+    * watermark makes re-runs no-ops, so bench passes pay the build
+    * once), then run the exact q9ProfitFrom plan the `*From` variants
+    * serve, certified against the SAME DuckDB SQL as the inline
+    * q9_profit. SupplyMartSpec pins mart-fed ≡ inline row identity
+    * within Spark; this gate pins the materialized path cross-engine,
+    * end-to-end through the parquet layout. */
+  def q9FromMartGate(spark: SparkSession, d: String): DataFrame = {
+    val safe = d.replaceAll("[^A-Za-z0-9]", "_")
+    val mart =
+      s"${System.getProperty("java.io.tmpdir")}/graft_q9_mart_$safe/mart"
+    refresh(spark, Tables.lineitem(spark, d), mart): Unit
+    ShapeQueries4.q9ProfitFrom(spark, d, read(spark, mart))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "supply_mart" -> supplyMartGate _)
+    "supply_mart" -> supplyMartGate _,
+    "supply_mart_q9" -> q9FromMartGate _)
 
   val oracles: Map[String, String] = Map(
-    "supply_mart" -> supplyMartSql)
+    "supply_mart" -> supplyMartSql,
+    "supply_mart_q9" -> ShapeQueries4.q9ProfitSql)
 }
