@@ -5,12 +5,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * SPARK_GRAFT_SF_DIR.
   *
   * Methodology: every plan is exercised once at the smallest SF (JIT,
-  * codegen compile, parquet footer caches), then timed over TWO full
-  * passes at the target SF and reported as the per-query minimum. A
+  * codegen compile, parquet footer caches), then timed over THREE full
+  * passes at the target SF and reported as the per-query minimum
+  * (median emitted beside it under the BENCH_MEDIAN prefix). A
   * sequential single-JVM harness bills whatever GC/JIT happens to fire
   * to the query that is running at that moment — round-1 numbers showed
-  * a 500k-row projection at 12 s for exactly that reason; min-of-2 is
-  * robust to one unlucky pass. Queries are materialized through the
+  * a 500k-row projection at 12 s for exactly that reason, and the r13→
+  * r14 recorded totals drifted +14 s on single-sample noise alone;
+  * min-of-3 is robust to two unlucky passes and makes the RECORDED
+  * artifact round-comparable. Queries are materialized through the
   * noop sink (full computation, no driver collect, and no chance of a
   * count() being answered from parquet metadata).
   *
@@ -120,21 +123,33 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq
-    val best = collection.mutable.Map.empty[String, Double]
-    for (_ <- 1 to 2) {
+    // min-of-3 (r14 directive 2): the recorded BENCH artifact is the
+    // round-over-round signal, and a single-sample sweep drifted +14 s
+    // across two rounds purely from same-JVM GC/JIT billing — the
+    // in-session min-of-3 sat in envelope both times. Three full
+    // passes make the RECORDED number carry the same discipline; the
+    // median line (prefixed, driver-ignored) records the variance.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val samples = collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (_ <- 1 to passes) {
       System.gc() // pay accumulated garbage before the pass, not inside it
       names.foreach { name =>
         val t0 = System.nanoTime()
         try runOnce(SparkEntry.queries(name), sfDir)
         catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+        samples(name) = dt :: samples(name)
       }
     }
-    val full = best.toMap
-    // full-precision record for humans/SURVEY; the prefix keeps the
-    // driver's last-JSON-line parse off it
+    val full = names.map(n => n -> samples(n).min).toMap
+    val med = names.map { n =>
+      val s = samples(n).sorted; n -> s(s.size / 2)
+    }.toMap
+    // full-precision records for humans/SURVEY; the prefixes keep the
+    // driver's last-JSON-line parse off them
     println("BENCH_FULL " + jsonLine(names, full, sfDir, dp = 6, maxLen = Int.MaxValue))
+    println("BENCH_MEDIAN " + jsonLine(names, med, sfDir, dp = 6, maxLen = Int.MaxValue))
     println(jsonLine(names, full, sfDir, dp = 2))
     spark.stop()
   }

@@ -1510,6 +1510,108 @@ object Stress {
       }
     }
 
+    scenario("streaming_refresh") {
+      // r14 directive 7: every streaming component had only spec-scale
+      // evidence. Drive StreamingOnlineRefresh with N micro-batches of
+      // corrections over the 50× corpus — full merge + generation
+      // publish + prune(keep=2) per batch — with a concurrent poller
+      // reading throughout; record per-batch publish latency and the
+      // generation count pruning leaves behind.
+      import spark.implicits._
+      import graft.registry.{FeatureDef, FeatureStore, ParquetValueStore, TableDef}
+      implicit val sqlCtx = spark.sqlContext
+      val sdir = s"$dir/streaming_refresh"
+      val spath = new org.apache.hadoop.fs.Path(sdir)
+      val fsys = spath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(spath, true)
+      val vsf = new ParquetValueStore(spark, s"$sdir/values")
+      val fstore = new FeatureStore(spark, s"$sdir/values",
+        valueFormat = Some(vsf))
+      fstore.registerTable(TableDef("orders", Seq("o_custkey", "o_totalprice"),
+        Map("o_totalprice" -> "numeric")), Tables.orders(spark, dir)): Unit
+      fstore.defineFeature(FeatureDef("total_spend", "orders", "numeric",
+        df => df.groupBy(col("o_custkey").as("entity_id"))
+          .agg(sum("o_totalprice").as("value")))): Unit
+      var t0 = System.nanoTime()
+      require(fstore.computeVersion("total_spend", "v1").isRight)
+      println(f"STRESS streaming_refresh_compute    ${(System.nanoTime() - t0) / 1e9}%8.2f s   (7.5M orders -> per-customer spend)")
+      val base = s"$sdir/online"
+      t0 = System.nanoTime()
+      fstore.publishOnlineGeneration(base, buckets = 64): Unit
+      println(f"STRESS streaming_refresh_seed       ${(System.nanoTime() - t0) / 1e9}%8.2f s   (gen=0 publish)")
+
+      val ids = fstore.featureVectors().select("entity_id")
+        .as[String].collect().sorted // customers: dim-sized, driver-safe
+      val probe = ids.head
+      val v0 = FeatureStore.readOnlineVectorLatest(spark, base, probe)("total_spend")
+        .asInstanceOf[Double]
+      val nBatches = 6
+      val legal = (Set(v0) ++ (1 to nBatches).map(_ * 1000.0)).map(d => d: java.lang.Double)
+
+      // concurrent poller: EVERY read through the publish+prune churn
+      // must succeed and see a value that existed at some point
+      val stopPoll = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val polls = new java.util.concurrent.atomic.AtomicInteger(0)
+      val pollErr = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+      val poller = new Thread(() => {
+        while (!stopPoll.get()) {
+          try {
+            val v = FeatureStore.readOnlineVectorLatest(spark, base, probe)("total_spend")
+              .asInstanceOf[Double]
+            if (!legal.contains(v))
+              throw new IllegalStateException(s"poller saw illegal value $v")
+            polls.incrementAndGet(): Unit
+          } catch { case e: Throwable =>
+            pollErr.compareAndSet(null, e); stopPoll.set(true)
+          }
+        }
+      })
+      poller.start()
+
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Double, java.sql.Timestamp)]
+      val corr = mem.toDS().toDF("entity_id", "value", "computed_at")
+        .select(col("entity_id"), col("value"),
+          lit(null).cast("string").as("value_str"), col("computed_at"),
+          lit("total_spend").as("feature_name"), lit("v1").as("version"))
+      val latencies = collection.mutable.ArrayBuffer.empty[Double]
+      val q = corr.writeStream
+        .option("checkpointLocation", s"$sdir/ckpt")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], i: Long) =>
+            // the writer body verbatim, instrumented per batch
+            val tb = System.nanoTime()
+            graft.streaming.StreamingOnlineRefresh.applyBatch(
+              fstore, vsf, b.toDF(), base, buckets = 64, keep = Some(2)): Unit
+            val dt = (System.nanoTime() - tb) / 1e9
+            latencies.synchronized { latencies += dt: Unit }
+            println(f"STRESS streaming_refresh_batch      $dt%8.2f s   (batch $i: merge+publish+prune)")
+        }.start()
+      val tsBase = System.currentTimeMillis() + 60000L
+      try {
+        for (bi <- 1 to nBatches) {
+          // every customer corrected every batch — full-view churn,
+          // the worst case for publish+prune
+          mem.addData(ids.toSeq.map(e =>
+            (e, bi * 1000.0, new java.sql.Timestamp(tsBase + bi * 60000L))): _*)
+          q.processAllAvailable()
+        }
+      } finally { q.stop(); stopPoll.set(true); poller.join() }
+
+      require(pollErr.get() == null, s"poller anomaly: ${pollErr.get()}")
+      require(polls.get() > 0, "poller never overlapped the stream")
+      val got = FeatureStore.readOnlineVectorLatest(spark, base, probe)("total_spend")
+        .asInstanceOf[Double]
+      require(got == nBatches * 1000.0, s"final value $got")
+      val gens = fsys.listStatus(new org.apache.hadoop.fs.Path(base))
+        .map(_.getPath.getName).count(_.startsWith("gen="))
+      require(gens <= 3, s"prune(keep=2) left $gens generations")
+      val ls = latencies.synchronized(latencies.toSeq)
+      println(f"STRESS streaming_refresh_summary    batches=${ls.size} " +
+        f"min=${ls.min}%.2f s median=${ls.sorted.apply(ls.size / 2)}%.2f s " +
+        f"max=${ls.max}%.2f s polls=${polls.get()} gens_kept=$gens")
+    }
+
     spark.stop()
   }
 }
