@@ -129,7 +129,8 @@ object Bench {
     // in-session min-of-3 sat in envelope both times. Three full
     // passes make the RECORDED number carry the same discipline; the
     // median line (prefixed, driver-ignored) records the variance.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").trim.toInt
+    require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES=$passes (need >= 1)")
     val samples = collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     for (_ <- 1 to passes) {

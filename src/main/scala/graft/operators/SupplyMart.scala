@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Exact._
-import graft.registry.IncrementalProtocol
+import graft.registry.{Incremental, IncrementalProtocol}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -131,28 +131,72 @@ object SupplyMart {
     * merge associatively with whatever batch refreshes already wrote.
     * Watermark/guard timestamps ride `max_ship_us` itself — finalized
     * day windows emit in end order, so per-bucket max ship is monotone
-    * across micro-batches and a replayed batch is shed exactly. */
+    * across micro-batches and a replayed batch is shed exactly.
+    *
+    * TWO contracts the review wave made explicit and enforced:
+    *
+    *  - **day-aligned handoff**: a window partial is indivisible — if
+    *    its DAY contains the stored watermark strictly inside it (a
+    *    batch refresh was seeded mid-day, then the stream finalizes
+    *    that whole day), admitting the window would re-add the
+    *    morning's rows and shedding it would lose the evening's. The
+    *    fold REFUSES such a batch loudly (inside the lock, before any
+    *    write): hand off batch→stream on a day boundary, or re-seed
+    *    from the log. Pure-stream feeds can never trigger it (all of a
+    *    day's windows finalize in one batch, so the mark always rests
+    *    at a day's max).
+    *  - **no late-audit tally**: the G44 tally counts RAW rows; a
+    *    partial-fed refresh would credit it in window-row units and
+    *    every later audited raw refresh would misread the difference
+    *    as late loss. Partial-fed refreshes therefore run unaudited —
+    *    `lateRows` is always −1 here; the streaming loss signal is the
+    *    stream's own `numRowsDroppedByWatermark` — while
+    *    `replayShedRows` stays exact (counted in partial rows). */
   def refreshFromPartials(spark: SparkSession, partialRows: DataFrame,
-      martPath: String, buckets: Int = 32, audit: Boolean = true,
+      martPath: String, buckets: Int = 32,
       shedSink: Option[DataFrame => Unit] = None)
-      : IncrementalProtocol.RefreshResult =
-    refreshLocked(spark, partialRows, martPath, buckets, audit, shedSink,
+      : IncrementalProtocol.RefreshResult = {
+    val dayUs = 86400000000L
+    refreshLocked(spark, partialRows, martPath, buckets, audit = false,
+      shedSink,
       tsOfRaw = col("max_ship_us"),
       // idempotent re-aggregation: combining partials with themselves
       // is the same min/sum/max fold, so one batch carrying several
       // finalized windows of one key collapses correctly
-      partialsOfRaw = rows => combine(rows, rows.limit(0)))
+      partialsOfRaw = rows => combine(rows, rows.limit(0)),
+      preCheck = (wm, rows) => if (wm != Long.MinValue) {
+        // integer day floors on both sides (Spark's `/` on longs is
+        // DOUBLE division — a fractional quotient never equals a day)
+        val wmDayFloor = wm - java.lang.Math.floorMod(wm, dayUs)
+        val straddle = rows.filter(col("max_ship_us") > wm &&
+          (col("max_ship_us") - pmod(col("max_ship_us"), lit(dayUs)))
+            === wmDayFloor).count()
+        if (straddle > 0) throw new IllegalStateException(
+          s"day-straddling handoff at $martPath: $straddle window " +
+            s"partial(s) fall in the watermark's own day (wm=$wm) with " +
+            "later timestamps — the stored mark sits mid-day, so the " +
+            "indivisible day window can be neither admitted (re-adds " +
+            "the pre-mark rows) nor shed (loses the post-mark rows). " +
+            "Seed batch→stream handoffs on a day boundary, or rebuild " +
+            "the mart from the log")
+      })
+  }
 
   private def refreshLocked(spark: SparkSession, raw: DataFrame,
       martPath: String, buckets: Int, audit: Boolean,
       shedSink: Option[DataFrame => Unit],
       tsOfRaw: org.apache.spark.sql.Column,
-      partialsOfRaw: DataFrame => DataFrame)
+      partialsOfRaw: DataFrame => DataFrame,
+      preCheck: (Long, DataFrame) => Unit = (_, _) => ())
       : IncrementalProtocol.RefreshResult = {
     require(buckets >= 1 && buckets <= (1 << 20), s"buckets=$buckets")
     BatchedState.acquireLock(spark, new Path(s"$martPath/_lock_refresh"),
       "supply-mart refresh")
     try {
+      // caller-specific admission check, INSIDE the lock (reading the
+      // watermark outside it would race a concurrent refresh) and
+      // before any write
+      preCheck(Incremental.watermark(spark, martPath), raw)
       // layout pinning, INSIDE the lock and BEFORE any data write (r14
       // review): reading the recorded count outside the lock raced a
       // concurrent first publish, and recording it only after the
@@ -232,18 +276,25 @@ object SupplyMart {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
-  /** The mart-FED q9 plan as its own oracle gate: build/refresh a mart
-    * for `d` in a deterministic scratch dir (idempotent — the
-    * watermark makes re-runs no-ops, so bench passes pay the build
-    * once), then run the exact q9ProfitFrom plan the `*From` variants
-    * serve, certified against the SAME DuckDB SQL as the inline
-    * q9_profit. SupplyMartSpec pins mart-fed ≡ inline row identity
-    * within Spark; this gate pins the materialized path cross-engine,
-    * end-to-end through the parquet layout. */
+  /** The mart-FED q9 plan as its own oracle gate: build a FRESH mart
+    * for `d` in a scratch dir, then run the exact q9ProfitFrom plan
+    * the `*From` variants serve, certified against the SAME DuckDB SQL
+    * as the inline q9_profit. SupplyMartSpec pins mart-fed ≡ inline
+    * row identity within Spark; this gate pins the materialized path
+    * cross-engine, end-to-end through the parquet layout. */
   def q9FromMartGate(spark: SparkSession, d: String): DataFrame = {
     val safe = d.replaceAll("[^A-Za-z0-9]", "_")
-    val mart =
-      s"${System.getProperty("java.io.tmpdir")}/graft_q9_mart_$safe/mart"
+    val root =
+      s"${System.getProperty("java.io.tmpdir")}/graft_q9_mart_$safe"
+    // rebuild from scratch EVERY call (review wave): a persistent
+    // scratch mart wedged the gate forever on a stale `_lock_refresh`
+    // from a killed run, and served stale content if the corpus at `d`
+    // was ever regenerated — a correctness GATE buys determinism with
+    // the ~1.5 s rebuild, it never trades it for a warm cache
+    val rp = new Path(root)
+    rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(rp, true): Unit
+    val mart = s"$root/mart"
     refresh(spark, Tables.lineitem(spark, d), mart): Unit
     ShapeQueries4.q9ProfitFrom(spark, d, read(spark, mart))
   }

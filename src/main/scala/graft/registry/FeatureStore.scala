@@ -711,6 +711,7 @@ object FeatureStore {
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
         .exists(_.isInstanceOf[java.io.FileNotFoundException])
     var last: Throwable = null
+    var sawException = false
     var i = 0
     while (i < attempts) {
       val gen = resolveOnlineLatest(spark, basePath)
@@ -721,16 +722,24 @@ object FeatureStore {
         // a mid-delete generation reads missing buckets as "absent")
         if (r.nonEmpty || resolveOnlineLatest(spark, basePath) == gen)
           return r
-        last = null
       } catch {
-        case e: Exception if isVanished(e) => last = e
+        case e: Exception if isVanished(e) => last = e; sawException = true
       }
       i += 1
     }
-    throw new IllegalStateException(
-      s"online read raced generation pruning $attempts times under " +
-        s"$basePath — publishes are outpacing point reads; raise the " +
-        "publisher's keep window", last)
+    // exhausted. Two very different situations end here: every attempt
+    // DIED on a vanished generation (a true prune race — fail loudly,
+    // the keep window is the knob), or every attempt read a complete-
+    // looking EMPTY vector whose pointer had just moved on (an absent
+    // entity under a publish storm — ambiguous, but an entity that
+    // exists cannot read empty from a complete generation, so empty is
+    // the right answer, not a serving error).
+    if (sawException)
+      throw new IllegalStateException(
+        s"online read raced generation pruning $attempts times under " +
+          s"$basePath — publishes are outpacing point reads; raise the " +
+          "publisher's keep window", last)
+    Map.empty
   }
 
   /** Reclaim superseded generations, keeping the newest `keep` AND

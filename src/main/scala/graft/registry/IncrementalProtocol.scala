@@ -130,21 +130,31 @@ object IncrementalProtocol {
     * table every refresh — a regression that happened once (r14
     * protocol refactor) and is now plan-spec-pinned, not just
     * commented. */
+  /** ONE spelling of the partition-grain max(tsField) frame — shared
+    * by the fresh and shed sides so the guard and its complement can
+    * never key on different state. */
+  private def pmaxFrame(spark: SparkSession, snapshotPath: String,
+      partCol: String, tsField: String): DataFrame =
+    spark.read.parquet(snapshotPath)
+      .groupBy(col(partCol).as("_ip_part"))
+      .agg(max(col(tsField)).as("_ip_pmax"))
+
+  private def pmaxJoin(pastWm: DataFrame, pmax: DataFrame,
+      partExpr: Column): DataFrame =
+    pastWm.withColumn("_ip_part", partExpr)
+      .join(broadcast(pmax), Seq("_ip_part"), "left")
+
   private[registry] def freshFrame(spark: SparkSession, pastWm: DataFrame,
       snapshotPath: String, partCol: String, partExpr: Column,
       tsExpr: Column, tsField: String, snapExists: Boolean): DataFrame =
     if (!snapExists) pastWm
-    else {
+    else
       // per-partition effective watermark (see class doc): broadcast
       // the partition-grain max(tsField) frame onto the fresh rows
-      val pmax = spark.read.parquet(snapshotPath)
-        .groupBy(col(partCol).as("_ip_part"))
-        .agg(max(col(tsField)).as("_ip_pmax"))
-      pastWm.withColumn("_ip_part", partExpr)
-        .join(broadcast(pmax), Seq("_ip_part"), "left")
+      pmaxJoin(pastWm, pmaxFrame(spark, snapshotPath, partCol, tsField),
+        partExpr)
         .filter(tsExpr > coalesce(col("_ip_pmax"), lit(Long.MinValue)))
         .drop("_ip_part", "_ip_pmax")
-    }
 
   /** The per-partition-guard shed set — the complement of
     * [[freshFrame]] over the same pmax join: input rows past the
@@ -152,15 +162,11 @@ object IncrementalProtocol {
     * (replays). Delta-sized (its input is already wm-filtered). */
   private def shedFrame(spark: SparkSession, pastWm: DataFrame,
       snapshotPath: String, partCol: String, partExpr: Column,
-      tsExpr: Column, tsField: String): DataFrame = {
-    val pmax = spark.read.parquet(snapshotPath)
-      .groupBy(col(partCol).as("_ip_part"))
-      .agg(max(col(tsField)).as("_ip_pmax"))
-    pastWm.withColumn("_ip_part", partExpr)
-      .join(broadcast(pmax), Seq("_ip_part"), "left")
+      tsExpr: Column, tsField: String): DataFrame =
+    pmaxJoin(pastWm, pmaxFrame(spark, snapshotPath, partCol, tsField),
+      partExpr)
       .filter(tsExpr <= coalesce(col("_ip_pmax"), lit(Long.MinValue)))
       .drop("_ip_part", "_ip_pmax")
-  }
 
   private def pendingPath(snapshotPath: String) =
     new Path(snapshotPath, "_pending_commit")
@@ -245,34 +251,35 @@ object IncrementalProtocol {
     val fresh = freshFrame(spark, pastWm, snapshotPath, partCol, partExpr,
       tsExpr, tsField, snapExists)
     // replay-shed accounting + optional quarantine (Expectations-style
-    // sink): the pmax guard's complement, delta-sized. The shed max
-    // timestamp matters to the audited mark: shed rows were COMMITTED
-    // by the interrupted attempt, so the mark may advance over them —
-    // exactly the value that attempt would have written — keeping the
-    // tally invariant (incorporated rows all sit at/below the mark).
+    // sink): the pmax guard's complement, delta-sized — computed in
+    // ANY mode once the snapshot exists (it is delta-scale, unlike the
+    // audit's log-counting pass). The shed max timestamp matters to
+    // the mark: shed rows were COMMITTED by the interrupted attempt,
+    // so the mark may advance over them — exactly the value that
+    // attempt would have written — keeping the audited tally invariant
+    // (incorporated rows all sit at/below the mark) and closing the
+    // stale-mark wrinkle in the unaudited mode too.
     val (shed, shedMaxTs) =
-      if (!snapExists || (!audit && shedSink.isEmpty)) (0L, Long.MinValue)
+      if (!snapExists) (0L, Long.MinValue)
       else {
         val sf = shedFrame(spark, pastWm, snapshotPath, partCol, partExpr,
           tsExpr, tsField)
         shedSink.foreach(_(sf))
-        if (!audit) (0L, Long.MinValue)
-        else {
-          val r = sf.agg(count(lit(1)).as("n"), max(tsExpr).as("m")).head()
-          (r.getLong(0), if (r.isNullAt(1)) Long.MinValue else r.getLong(1))
-        }
+        val r = sf.agg(count(lit(1)).as("n"), max(tsExpr).as("m")).head()
+        (r.getLong(0), if (r.isNullAt(1)) Long.MinValue else r.getLong(1))
       }
     // sever lineage: the merge below must not rescan the raw log
     val delta = partials(fresh).localCheckpoint(true)
     if (delta.isEmpty) {
       // pure-replay retry: every past-mark row was already absorbed by
-      // a landed commit. Credit the replays to the tally NOW (the
-      // crashed attempt never did) or they would read as late loss on
-      // every subsequent audit, and advance the mark over them — the
-      // same value the crashed attempt was about to write.
-      if (audit)
+      // a landed commit. Advance the mark over them — the same value
+      // the crashed attempt was about to write — and (audited) credit
+      // the replays to the tally NOW, or they would read as late loss
+      // on every subsequent audit.
+      if (shedMaxTs > wm || audit)
         Incremental.writeWatermark(spark, snapshotPath,
-          math.max(wm, shedMaxTs), Some(inc0 + pastCount))
+          math.max(wm, shedMaxTs),
+          if (audit) Some(inc0 + pastCount) else None)
       return RefreshResult(0, shed, late)
     }
     val touched = delta.select(partCol).distinct()

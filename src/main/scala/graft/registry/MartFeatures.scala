@@ -38,9 +38,17 @@ object MartFeatures {
 
   /** Register the G14 snapshot (partials at `snapshotPath`) as a raw
     * table and compute a per-user spend feature over days at/before
-    * `asOfDay` (inclusive, `yyyy-MM-dd`). Returns the computed version;
-    * re-registering the table for a second version is fine (the
-    * "already exists" outcome is ignored — same path, same frame). */
+    * `asOfDay` (inclusive, `yyyy-MM-dd`). Returns the computed version.
+    *
+    * This is the DEFINE-plus-first-version entry point, deliberately:
+    * the table registration's "already exists" outcome is ignored
+    * (same path, same frame — idempotent), but a feature definition is
+    * immutable and carries this call's `asOfDay` inside its compute
+    * closure, so calling again with a DIFFERENT bound must refuse
+    * rather than silently record the new bound in metadata while
+    * computing with the old one. Later versions at other bounds ride
+    * `fs.backfill(feature, version, df => df.filter(col("day") <=
+    * bound))` — the slice is explicit per version (spec'd). */
   def registerSnapshotSpend(fs: FeatureStore, spark: SparkSession,
       snapshotPath: String, feature: String, version: String,
       asOfDay: String): Either[List[String], FeatureVersion] = {
@@ -55,7 +63,11 @@ object MartFeatures {
         .agg((sum(col("value_cents")).cast("double") / 100.0).as("value")),
       description = Some(s"user spend over snapshot days <= $asOfDay")))
       match {
-        case Left(errs) => return Left(errs)
+        case Left(errs) => return Left(errs.map(e =>
+          if (!e.contains("already exists")) e
+          else e + " — a defined artifact feature is immutable (its " +
+            "as-of bound lives in the compute); add versions via " +
+            "fs.backfill(feature, version, day-slice) instead"))
         case Right(_)   =>
       }
     fs.computeVersion(feature, version, metadata = Map(
@@ -80,7 +92,10 @@ object MartFeatures {
         .agg((sum(col("value_c")).cast("double") / 100.0).as("value")),
       description = Some("total supplied extendedprice per supplier")))
       match {
-        case Left(errs) => return Left(errs)
+        case Left(errs) => return Left(errs.map(e =>
+          if (!e.contains("already exists")) e
+          else e + " — a defined artifact feature is immutable; add " +
+            "versions via fs.backfill"))
         case Right(_)   =>
       }
     fs.computeVersion(feature, version, metadata = Map(

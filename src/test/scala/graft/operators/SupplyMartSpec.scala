@@ -164,6 +164,22 @@ class SupplyMartSpec extends SparkSpec {
     assert(SupplyMart.refresh(spark, li, mart).touched > 0)
   }
 
+  test("q9FromMartGate recovers from a killed run's scratch debris (stale lock, stale mart)") {
+    // review-wave finding: the gate's persistent scratch dir wedged on
+    // a `_lock_refresh` left by a killed run (the correctness gate
+    // went permanently red from a transient kill) and could serve a
+    // stale mart against a regenerated corpus — it now rebuilds fresh
+    val rows1 = SupplyMart.q9FromMartGate(spark, sf).collect().toSeq
+    val root = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_q9_mart_" +
+        sf.replaceAll("[^A-Za-z0-9]", "_"))
+    new java.io.File(root, "mart").mkdirs()
+    assert(new java.io.File(new java.io.File(root, "mart"),
+      "_lock_refresh").createNewFile())
+    val rows2 = SupplyMart.q9FromMartGate(spark, sf).collect().toSeq
+    assert(rows1 === rows2, "gate is not deterministic across reruns")
+  }
+
   test("bucket count is pinned by the first publish (layout consistency across refreshes)") {
     val mart = tmp("buckets")
     val early = li.filter(year(col("l_shipdate")) <= 1995)

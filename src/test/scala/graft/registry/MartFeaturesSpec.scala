@@ -86,6 +86,26 @@ class MartFeaturesSpec extends SparkSpec {
     }
   }
 
+  test("re-registering an artifact feature at a different bound refuses, naming the backfill path") {
+    val events = Tables.events(spark, sf)
+    val snap = tmp("rereg")
+    Incremental.refresh(spark, events, snap)
+    val days = events.select(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .distinct().orderBy("d").collect().map(_.getString(0))
+    val fs = freshStore()
+    assert(MartFeatures.registerSnapshotSpend(fs, spark, snap,
+      "user_spend", "v1", days.head).isRight)
+    // the definition is immutable and carries v1's bound; a second
+    // register at a different bound must refuse LOUDLY (silently
+    // recording days.last in metadata while computing days.head would
+    // be a wrong PIT bound) and point at the supported path
+    val second = MartFeatures.registerSnapshotSpend(fs, spark, snap,
+      "user_spend", "v2", days.last)
+    assert(second.isLeft)
+    assert(second.swap.toOption.get.exists(_.contains("backfill")),
+      s"refusal must name the backfill path: $second")
+  }
+
   test("mart-derived supplier value: hash-equal to the fact-log compute") {
     val li = Tables.lineitem(spark, sf)
     val mart = tmp("mart")

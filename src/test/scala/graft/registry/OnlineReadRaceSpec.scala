@@ -59,6 +59,18 @@ class OnlineReadRaceSpec extends SparkSpec {
     assert(FeatureStore.readOnlineVectorLatest(spark, base, id) === expected)
   }
 
+  test("an absent entity reads as empty, never as a spurious prune-race error") {
+    val (fs, _) = storeWithFeature()
+    val base = java.nio.file.Files.createTempDirectory("graft-race-absent").toString
+    fs.publishOnlineGeneration(base, buckets = 4)
+    // review-wave finding: the retry loop must distinguish "every
+    // attempt died on a vanished generation" (loud) from "every
+    // attempt read a complete empty vector" (the entity is absent —
+    // empty IS the answer, even if publishes land inside read spans)
+    assert(FeatureStore.readOnlineVectorLatest(spark, base,
+      "entity-that-never-existed") === Map.empty)
+  }
+
   test("a pointer stuck on a reclaimed generation fails loudly naming the keep window") {
     val (fs, id) = storeWithFeature()
     val base = java.nio.file.Files.createTempDirectory("graft-race-stale").toString

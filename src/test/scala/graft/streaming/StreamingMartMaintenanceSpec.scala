@@ -131,6 +131,42 @@ class StreamingMartMaintenanceSpec extends SparkSpec {
     assert(Incremental.watermark(spark, mart) > wmAfterB1)
   }
 
+  test("a day window straddling a mid-day batch watermark refuses loudly (no double count)") {
+    // review-wave finding: mart seeded by a batch refresh whose raw
+    // rows end MID-day; the stream then finalizes that whole day's
+    // window — its partial contains the morning rows already in the
+    // mart but carries a later max ship, so the guard would admit it
+    // whole and double the SUMs. The fold must refuse, not corrupt.
+    val mart = tmp("straddle")
+    val morning = MartRow(1, 1, 100.0, 2,
+      Timestamp.valueOf("1995-01-03 08:00:00"))
+    SupplyMart.refresh(spark, Seq(morning).toDF(), mart, 8) // wm mid-day 3
+    val fullDay3 = Seq(morning,
+      MartRow(1, 1, 80.0, 1, Timestamp.valueOf("1995-01-03 18:00:00"))).toDF()
+      .withColumn("_ship_ts", col("l_shipdate").cast("timestamp"))
+      .groupBy(window(col("_ship_ts"), "1 day"),
+        col("l_partkey"), col("l_suppkey"))
+      .agg(SupplyMart.measureExprs.head, SupplyMart.measureExprs.tail: _*)
+      .drop("window", "_ship_ts")
+    val before = martRows(mart)
+    val e = intercept[IllegalStateException] {
+      StreamingMartMaintenance.applyBatch(spark, fullDay3, mart, 8)
+    }
+    assert(e.getMessage.contains("day-straddling"),
+      s"refusal must name the contract: ${e.getMessage}")
+    assert(martRows(mart) === before, "refused batch still wrote state")
+    // the lock must not leak from the refusal; a day-aligned feed works
+    val day4 = Seq(MartRow(2, 1, 50.0, 1,
+      Timestamp.valueOf("1995-01-04 09:00:00"))).toDF()
+      .withColumn("_ship_ts", col("l_shipdate").cast("timestamp"))
+      .groupBy(window(col("_ship_ts"), "1 day"),
+        col("l_partkey"), col("l_suppkey"))
+      .agg(SupplyMart.measureExprs.head, SupplyMart.measureExprs.tail: _*)
+      .drop("window", "_ship_ts")
+    assert(StreamingMartMaintenance.applyBatch(spark, day4, mart, 8)
+      .touched > 0)
+  }
+
   test("empty batches are full no-ops; stream- and batch-fed refreshes interleave") {
     val mart = tmp("mixed")
     val empty = StreamingMartMaintenance.applyBatch(spark,
