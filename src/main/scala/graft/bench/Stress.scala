@@ -1510,6 +1510,48 @@ object Stress {
       }
     }
 
+    scenario("audit_cost") {
+      // r15 review-wave question quantified: the late-arrival audit
+      // adds a footer-metadata log count + a pushed-filter past-mark
+      // count per refresh (the shed pass is delta-scale). Measure both
+      // refresh flavors on the 30M-row fact, ALTERNATING so neither
+      // flavor systematically pays the cold cache (the first
+      // measurement of this scenario did exactly that and read as a
+      // 2× audit cost; warm it is ~1.5-2 s, the unpartitioned-log
+      // worst case where the past-count cannot prune).
+      def freshMart(tag: String): String = {
+        val m = s"$dir/audit_cost_$tag"
+        val p = new org.apache.hadoop.fs.Path(m)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        m
+      }
+      for (audit <- Seq(false, true, false, true)) {
+        val m = freshMart(s"full_$audit")
+        val t0 = System.nanoTime()
+        val r = SupplyMart.refresh(spark, Tables.lineitem(spark, dir), m,
+          buckets = 64, audit = audit)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"STRESS audit_cost_full_refresh      $dt%8.2f s   audit=$audit touched=${r.touched} late=${r.lateRows}")
+      }
+      // the steady-state shape: snapshot exists, a thin delta arrives —
+      // the audit's log pass is the dominant extra cost here, so this
+      // is where the trade actually bites
+      val li = Tables.lineitem(spark, dir)
+      // l_shipdate is TIMESTAMP_NTZ → LocalDateTime on the driver
+      val cutoff = li.select(max(col("l_shipdate"))).head()
+        .getAs[java.time.LocalDateTime](0).minusDays(90) // last ~90 days as delta
+      for (audit <- Seq(false, true, false, true)) {
+        val m = freshMart(s"incr_$audit")
+        SupplyMart.refresh(spark, li.filter(col("l_shipdate") <= lit(cutoff)), m,
+          buckets = 64, audit = audit): Unit
+        val t0 = System.nanoTime()
+        val r = SupplyMart.refresh(spark, li, m, buckets = 64, audit = audit)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"STRESS audit_cost_delta_refresh     $dt%8.2f s   audit=$audit touched=${r.touched} shed=${r.replayShedRows} late=${r.lateRows}")
+      }
+    }
+
     scenario("streaming_refresh") {
       // r14 directive 7: every streaming component had only spec-scale
       // evidence. Drive StreamingOnlineRefresh with N micro-batches of

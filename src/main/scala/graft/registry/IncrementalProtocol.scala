@@ -47,10 +47,13 @@ import org.apache.spark.sql.functions._
   * route the log to the streaming path. Replays absorbed by the
   * per-partition guard are credited to the tally when first counted
   * past the mark, so crash retries do not read as loss. Cost: one
-  * ts-column-pruned counting pass over the log per refresh (pass
-  * `audit = false` to skip it on hot paths — doing so drops the
-  * stored tally, and the next audited refresh re-baselines, honestly:
-  * arrivals during the unaudited window are not attributed). A legacy
+  * footer-metadata count of the log (empty ReadSchema, no data pages)
+  * plus one past-mark count riding the same pushed filter as the
+  * delta scan (partition pruning on a date-partitioned log) — never a
+  * column scan of the below-mark history (pass `audit = false` to
+  * skip even that on hot paths — doing so drops the stored tally, and
+  * the next audited refresh re-baselines, honestly: arrivals during
+  * the unaudited window are not attributed). A legacy
   * bare-long watermark (pre-tally) baselines on first audited read:
   * rows already below the mark at upgrade are presumed incorporated
   * (the baselining refresh must see the full log, like any exact
@@ -214,16 +217,26 @@ object IncrementalProtocol {
     // makes the dir look never-written (snapExists false) while the
     // stale watermark would silently drop all pre-mark history
     verifyPendingCommit(spark, hfs, snapshotPath, partCol)
-    // ---- late-arrival audit (see class doc): one ts-pruned counting
-    // pass over the log splits it at the mark; rows at/below the mark
-    // beyond the stored tally were never incorporated = shed late
+    // ---- late-arrival audit (see class doc): split the log's row
+    // count at the mark. Deliberately TWO jobs, not one conditional
+    // agg: a bare count() over a parquet scan reads footers/row-group
+    // counts only (empty ReadSchema — the publishOnlineView precedent),
+    // and the past-mark count rides the SAME pushed `ts > wm` filter
+    // the delta scan uses — on a date-partitioned log that is
+    // partition pruning, so the audit never column-scans the
+    // below-mark history. A conditional-count agg would force a full
+    // ts scan by construction. Measured (50× Stress audit_cost, warm):
+    // ~1.5-2 s extra on a 30M-row UNPARTITIONED local log — the
+    // worst case, where the past-count cannot prune. Contract: tsExpr
+    // is non-null (both callers derive it from required columns); a
+    // null ts would count as below-mark here while the wm filter
+    // drops it.
     val (belowCount, pastCount) =
       if (!audit) (-1L, -1L)
       else {
-        val r = raw.agg(
-          count(when(tsExpr <= lit(wm), 1)).as("below"),
-          count(when(tsExpr > lit(wm), 1)).as("past")).head()
-        (r.getLong(0), r.getLong(1))
+        val total = raw.count()
+        val past = raw.filter(tsExpr > wm).count()
+        (total - past, past)
       }
     val inc0 = if (!audit) -1L else incStored.getOrElse(belowCount)
     // exact when `raw` is the full log (both callers' documented
