@@ -704,12 +704,18 @@ object FeatureStore {
     require(attempts >= 1, s"attempts=$attempts")
     // a recursive prune is not atomic: mid-delete the generation DIR
     // still lists while its files are already gone, so "does the dir
-    // exist" cannot classify the failure — a FileNotFound anywhere in
-    // the cause chain can (caught live by OnlineReadRaceSpec's first
-    // run, which raced a real prune and saw the dir outlive its files)
+    // exist" cannot classify the failure. Two shapes observed LIVE by
+    // OnlineReadRaceSpec racing a real prune: a FileNotFound somewhere
+    // in the cause chain (file deleted between listing and open), and
+    // an UNABLE_TO_INFER_SCHEMA AnalysisException (every parquet file
+    // already gone from a still-listed dir). Both mean "the resolve
+    // went stale", and misclassification stays safe: a genuinely
+    // corrupt generation exhausts the bounded retries and fails loudly.
     def isVanished(t: Throwable): Boolean =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
-        .exists(_.isInstanceOf[java.io.FileNotFoundException])
+        .exists(c => c.isInstanceOf[java.io.FileNotFoundException] ||
+          (c.isInstanceOf[org.apache.spark.sql.AnalysisException] &&
+            String.valueOf(c.getMessage).contains("UNABLE_TO_INFER_SCHEMA")))
     var last: Throwable = null
     var sawException = false
     var i = 0

@@ -114,6 +114,27 @@ class LateAuditSpec extends SparkSpec {
       "baseline was not pinned to the upgraded watermark file")
   }
 
+  test("an unaudited refresh drops the tally; the next audited one re-baselines honestly") {
+    val p = tmpDir("optout")
+    val bound = events.select(tsUs.as("us"))
+      .stat.approxQuantile("us", Array(0.4, 0.7), 0.0).map(_.toLong)
+    assert(Incremental.refresh(spark, events.filter(tsUs <= bound(0)), p)
+      .lateRows === 0L)
+    assert(Incremental.watermarkState(spark, p)._2.isDefined)
+    // opt-out refresh: incorporates more rows but writes a bare mark —
+    // the tally is DROPPED, by design (arrivals during the unaudited
+    // window cannot be attributed, so pretending continuity would lie)
+    val unaudited = Incremental.refresh(spark,
+      events.filter(tsUs <= bound(1)), p, audit = false)
+    assert(unaudited.lateRows === -1L)
+    assert(Incremental.watermarkState(spark, p)._2.isEmpty,
+      "unaudited refresh must not carry a stale tally forward")
+    // the next audited full-log refresh re-baselines: rows below the
+    // mark are presumed incorporated, late restarts from zero
+    assert(Incremental.refresh(spark, events, p).lateRows === 0L)
+    assert(Incremental.watermarkState(spark, p)._2.isDefined)
+  }
+
   test("supply mart: out-of-order shipdates surface the exact late count") {
     val li = Tables.lineitem(spark, sf)
     val mart = tmpDir("mart")
