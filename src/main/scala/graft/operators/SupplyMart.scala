@@ -249,6 +249,31 @@ object SupplyMart {
       new Path(s"$martPath/_lock_refresh"))
   }
 
+  /** Repair the audited loss for the mart: fold below-mark shipdates
+    * (the rows `refresh` sheds and `lateRows` counts) in by
+    * full-compute reconciliation — only drifted bucket partitions are
+    * rewritten ([[IncrementalProtocol.reconcile]]); same lock and
+    * pinned bucket layout as refresh. Also the recovery verb after a
+    * refused day-straddling stream handoff. */
+  def reconcile(spark: SparkSession, lineitem: DataFrame,
+      martPath: String): Int = {
+    BatchedState.acquireLock(spark, new Path(s"$martPath/_lock_refresh"),
+      "supply-mart refresh")
+    try {
+      val b = recordedBuckets(spark, martPath).getOrElse(32)
+      val bucketExpr = pmod(xxhash64(col("l_partkey")), lit(b.toLong))
+      IncrementalProtocol.reconcile(spark, lineitem, martPath,
+        partCol = "bucket",
+        partials = raw => partials(raw).withColumn("bucket", bucketExpr),
+        tsField = "max_ship_us",
+        write = (merged, path) => merged
+          .repartition(b, col("bucket"))
+          .sortWithinPartitions(col("bucket"), col("l_partkey"), col("l_suppkey"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(path))
+    } finally BatchedState.releaseLock(spark,
+      new Path(s"$martPath/_lock_refresh"))
+  }
+
   /** Current mart at (part, supplier) grain — what the `*From` query
     * variants in [[ShapeQueries4]] consume in place of the inline
     * rollup. */

@@ -151,6 +151,22 @@ object Incremental {
       audit = audit,
       shedSink = shedSink)
 
+  /** Repair the audited loss: fold BELOW-mark arrivals (the rows
+    * `refresh` sheds and `lateRows` counts) into the snapshot by
+    * full-compute reconciliation — only drifted day partitions are
+    * rewritten ([[IncrementalProtocol.reconcile]]). Run it when the
+    * audit alerts; afterwards the next refresh reads `lateRows = 0`. */
+  def reconcile(spark: SparkSession, events: DataFrame,
+      snapshotPath: String): Int =
+    IncrementalProtocol.reconcile(spark, events, snapshotPath,
+      partCol = "day",
+      partials = partials,
+      tsField = "max_ts_us",
+      write = (merged, path) => merged
+        .repartition(col("day"))
+        .sortWithinPartitions(col("day"), col("user_id"))
+        .write.mode("overwrite").partitionBy("day").parquet(path))
+
   /** ONE finalization projection — shared by the serving read and the
     * oracle gate, so the gate certifies exactly what readers execute
     * (two spellings would let them drift while the gate stays green). */

@@ -198,6 +198,93 @@ object IncrementalProtocol {
         }
       }
 
+  /** The REPAIR verb for the audited loss — `refresh` measures the
+    * rows the high-water design sheds (`lateRows`); `reconcile` folds
+    * them in. It recomputes the partials from the FULL log and
+    * overwrites exactly the partitions whose stored content differs
+    * (order-independent per-partition fingerprint: COUNT + SUM of
+    * xxhash64 over the full row struct — commutative, so layout and
+    * shuffle order cannot fake a diff), at full-compute cost but
+    * touching only the drifted partitions on disk — serving stays
+    * continuous on the untouched ones, and a snapshot with no late
+    * data rewrites NOTHING (spec-pinned). Stored partitions absent
+    * from the log's derivation (a shrunk log) are deleted. Afterwards
+    * the mark sits at the log's max and the tally equals the log's
+    * row count, so the next audited refresh reads `lateRows = 0`.
+    * Crash-safe via the same `_pending_commit` + atomic watermark
+    * protocol as refresh; an interrupted reconcile retries or falls
+    * back to refresh safely (the fingerprint re-derives what landed).
+    * Returns partitions rewritten or deleted. */
+  def reconcile(spark: SparkSession, raw: DataFrame, snapshotPath: String,
+      partCol: String, partials: DataFrame => DataFrame,
+      tsField: String,
+      write: (DataFrame, String) => Unit): Int = {
+    val hfs = new Path(snapshotPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    verifyPendingCommit(spark, hfs, snapshotPath, partCol)
+    val full = partials(raw).localCheckpoint(true)
+    val cols = full.columns.sorted.toSeq
+    def fingerprint(df: DataFrame): DataFrame =
+      df.groupBy(col(partCol).cast("string").as("_rc_part"))
+        // decimal(38,0) sum: order-independent AND overflow-proof
+        // (ANSI mode turns a long-sum wraparound into a hard error)
+        .agg(count(lit(1)).as("_rc_n"),
+          sum(xxhash64(struct(cols.map(col): _*)).cast("decimal(38,0)"))
+            .as("_rc_h"))
+    val snapExists = hfs.globStatus(new Path(s"$snapshotPath/$partCol=*")) match {
+      case null => false
+      case gs   => gs.nonEmpty
+    }
+    val (touched, doomed) =
+      if (!snapExists) (full.select(col(partCol).cast("string"))
+        .distinct().collect().map(_.getString(0)).toSeq, Seq.empty[String])
+      else {
+        // normalize to the computed side's schema: Spark TYPE-INFERS
+        // partition columns from directory names (day=2024-01-05 reads
+        // back as DATE, bucket=5 as INT) and a hash over a differently
+        // typed struct would mark every partition drifted
+        val stored0 = spark.read.parquet(snapshotPath)
+        val stored = stored0.select(full.schema.fields.map(f =>
+          stored0.col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+        val diff = fingerprint(full).as("f")
+          .join(fingerprint(stored).as("s"), Seq("_rc_part"), "full")
+          .filter(not(col("f._rc_n") <=> col("s._rc_n")) ||
+            not(col("f._rc_h") <=> col("s._rc_h")))
+          .select(col("_rc_part"),
+            col("f._rc_n").isNotNull.as("_rc_in_log"))
+          .collect() // bounded: partitions, not rows
+        (diff.filter(_.getBoolean(1)).map(_.getString(0)).toSeq,
+          diff.filterNot(_.getBoolean(1)).map(_.getString(0)).toSeq)
+      }
+    if (touched.isEmpty && doomed.isEmpty) return 0
+    val preExisting = touched.filter { v =>
+      val dir = new Path(snapshotPath, s"$partCol=$v")
+      hfs.exists(dir) && hfs.listStatus(dir).nonEmpty
+    }
+    if (preExisting.nonEmpty)
+      graft.operators.BatchedState.writePointer(spark,
+        pendingPath(snapshotPath), preExisting.mkString("\n"))
+    if (touched.nonEmpty) {
+      val rows = full.filter(col(partCol).cast("string").isin(touched: _*))
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try write(rows, snapshotPath)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    doomed.foreach(v =>
+      hfs.delete(new Path(snapshotPath, s"$partCol=$v"), true): Unit)
+    val stats = raw.count() // footer-metadata (see the audit note)
+    val wmRow = full.agg(max(col(tsField))).head()
+    val newWm = if (wmRow.isNullAt(0)) Long.MinValue else wmRow.getLong(0)
+    Incremental.writeWatermark(spark, snapshotPath,
+      newWm, Some(stats))
+    hfs.delete(pendingPath(snapshotPath), false): Unit
+    touched.length + doomed.length
+  }
+
   def refresh(spark: SparkSession, raw: DataFrame, snapshotPath: String,
       partCol: String, partExpr: Column, tsExpr: Column,
       partials: DataFrame => DataFrame,

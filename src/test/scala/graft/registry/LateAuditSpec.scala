@@ -147,6 +147,65 @@ class LateAuditSpec extends SparkSpec {
     assert(SupplyMart.refresh(spark, li, mart).lateRows === earlyCount)
   }
 
+  test("reconcile folds the audited late rows in, rewriting only drifted day partitions") {
+    val p = tmpDir("reconcile")
+    val bound = events.select(tsUs.as("us"))
+      .stat.approxQuantile("us", Array(0.5), 0.0).head.toLong
+    Incremental.refresh(spark, events.filter(tsUs > bound), p)
+    val audited = Incremental.refresh(spark, events, p)
+    assert(audited.lateRows > 0, "scenario degenerate: nothing was shed")
+
+    // the snapshot's max day is complete in the late half — reconcile
+    // must leave its files untouched (continuous serving on clean
+    // partitions is the point of partition-grain repair)
+    val maxDayDir = new java.io.File(p).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .maxBy(_.getName)
+    val filesBefore = maxDayDir.listFiles
+      .map(f => (f.getName, f.lastModified())).sorted.toSeq
+
+    val repaired = Incremental.reconcile(spark, events, p)
+    assert(repaired > 0)
+    assert(maxDayDir.listFiles.map(f => (f.getName, f.lastModified()))
+      .sorted.toSeq === filesBefore,
+      "reconcile rewrote a partition whose content had not drifted")
+
+    // byte-identity to the full compute, at the partials grain
+    val fullP = tmpDir("reconcile-full")
+    Incremental.full(spark, events, fullP)
+    def partialRows(path: String) = spark.read.parquet(path)
+      .select("user_id", "day", "n_events", "value_cents", "n_purchases",
+        "max_ts_us")
+      .collect().map(_.toSeq).toSet
+    assert(partialRows(p) === partialRows(fullP),
+      "reconciled snapshot diverged from the full compute")
+
+    // and the audit reads clean from here on
+    val after = Incremental.refresh(spark, events, p)
+    assert(after.lateRows === 0L && after.touched === 0)
+  }
+
+  test("reconcile on a clean snapshot rewrites nothing") {
+    val p = tmpDir("reconcile-clean")
+    Incremental.refresh(spark, events, p)
+    assert(Incremental.reconcile(spark, events, p) === 0)
+  }
+
+  test("supply mart reconcile: late shipdates fold in, audit reads clean") {
+    val li = Tables.lineitem(spark, sf)
+    val mart = tmpDir("mart-reconcile")
+    SupplyMart.refresh(spark, li.filter(year(col("l_shipdate")) > 1995), mart)
+    assert(SupplyMart.refresh(spark, li, mart).lateRows > 0)
+    assert(SupplyMart.reconcile(spark, li, mart) > 0)
+    val fullDirect = tmpDir("mart-reconcile-full")
+    SupplyMart.refresh(spark, li, fullDirect)
+    def rows(path: String) = SupplyMart.read(spark, path).collect()
+      .map(_.toSeq).toSet
+    assert(rows(mart) === rows(fullDirect))
+    val after = SupplyMart.refresh(spark, li, mart)
+    assert(after.lateRows === 0L && after.touched === 0)
+  }
+
   test("torn dynamic-overwrite commit: an emptied recorded partition refuses loudly") {
     val p = tmpDir("torn")
     Incremental.refresh(spark, events, p)
