@@ -1550,6 +1550,23 @@ object Stress {
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"STRESS audit_cost_delta_refresh     $dt%8.2f s   audit=$audit touched=${r.touched} shed=${r.replayShedRows} late=${r.lateRows}")
       }
+      // the repair verb at 30M rows: seed with only the LAST 90 days
+      // (everything older arrives "late"), measure the full repair,
+      // then the clean re-run (fingerprint-only — the steady-state
+      // cost of running reconcile on a schedule)
+      val m = freshMart("reconcile")
+      SupplyMart.refresh(spark, li.filter(col("l_shipdate") > lit(cutoff)), m,
+        buckets = 64): Unit
+      val lateN = SupplyMart.refresh(spark, li, m, buckets = 64).lateRows
+      var t0 = System.nanoTime()
+      val fixed = SupplyMart.reconcile(spark, li, m)
+      println(f"STRESS audit_cost_reconcile         ${(System.nanoTime() - t0) / 1e9}%8.2f s   late=$lateN buckets_rewritten=$fixed")
+      t0 = System.nanoTime()
+      val clean = SupplyMart.reconcile(spark, li, m)
+      println(f"STRESS audit_cost_reconcile_clean   ${(System.nanoTime() - t0) / 1e9}%8.2f s   buckets_rewritten=$clean")
+      require(clean == 0, s"clean reconcile rewrote $clean buckets")
+      require(SupplyMart.refresh(spark, li, m, buckets = 64).lateRows == 0L,
+        "audit not clean after reconcile")
     }
 
     scenario("streaming_refresh") {
