@@ -107,6 +107,40 @@ object SupplyMart {
     }
   }
 
+  /** Record the bucket count as the mart's pinned layout — meta-first,
+    * BEFORE any data write, via temp + atomicReplace (the repo's
+    * pointer convention) rather than create(overwrite=true) in place:
+    * meta-first ordering already guarantees no data exists yet, but an
+    * in-place write can tear, and recordedBuckets' full-parse guard
+    * would then refuse every later refresh until an operator
+    * intervenes — the atomic swap removes the torn state instead of
+    * detecting it. REFUSES when bucket data already exists without a
+    * meta file (the r15 ADVICE finding): such data was laid out at an
+    * unknown count, and pinning a guessed one would route the same
+    * part key into two layouts — and a reconcile would fingerprint
+    * with the wrong routing and delete the other layout's buckets as
+    * doomed. The meta file is partition-count metadata beside the
+    * data; losing one without the other takes operator action, which
+    * is what the refusal demands. */
+  private def pinBuckets(spark: SparkSession, martPath: String,
+      buckets: Int): Int = {
+    val dataDirs = hfs(spark, martPath)
+      .globStatus(new Path(s"$martPath/bucket=*"))
+    if (dataDirs != null && dataDirs.nonEmpty) throw new IllegalStateException(
+      s"mart at $martPath holds bucket data but no _mart_meta.json — its " +
+        "layout count is unknown, and writing under a guessed one would " +
+        "split part keys across two bucket layouts. Restore the meta " +
+        "file to {\"buckets\":<n>} with the layout's original count " +
+        "(or delete the mart and rebuild) before refreshing")
+    val meta = new Path(martPath, "_mart_meta.json")
+    val tmp = new Path(martPath, "._mart_meta.json.tmp")
+    val out = hfs(spark, martPath).create(tmp, true)
+    try out.write(s"""{"buckets":$buckets}""".getBytes("UTF-8"))
+    finally out.close()
+    BatchedState.atomicReplace(spark, tmp, meta)
+    buckets
+  }
+
   /** Fold all fact rows with `l_shipdate` past the watermark into the
     * mart. Returns [[graft.registry.IncrementalProtocol.RefreshResult]]
     * — bucket partitions touched (0 = no new data) plus the
@@ -204,21 +238,8 @@ object SupplyMart {
       // retry requesting 64 would then split keys across. Meta-first
       // means every subsequent writer — including a crash retry —
       // provably routes with the same bucket count the layout uses.
-      val b = recordedBuckets(spark, martPath).getOrElse {
-        // temp + atomicReplace (the repo's pointer convention) rather
-        // than create(overwrite=true) in place: meta-first ordering
-        // already guarantees no data exists yet, but an in-place write
-        // can tear, and recordedBuckets' full-parse guard would then
-        // refuse every later refresh until an operator intervenes —
-        // the atomic swap removes the torn state instead of detecting it
-        val meta = new Path(martPath, "_mart_meta.json")
-        val tmp = new Path(martPath, "._mart_meta.json.tmp")
-        val out = hfs(spark, martPath).create(tmp, true)
-        try out.write(s"""{"buckets":$buckets}""".getBytes("UTF-8"))
-        finally out.close()
-        BatchedState.atomicReplace(spark, tmp, meta)
-        buckets
-      }
+      val b = recordedBuckets(spark, martPath)
+        .getOrElse(pinBuckets(spark, martPath, buckets))
       // ONE routing expression: the protocol's contract requires the
       // per-row partition (partExpr) and the per-key partition
       // (withBucket) to agree EXACTLY — two spellings would let a
@@ -254,13 +275,20 @@ object SupplyMart {
     * full-compute reconciliation — only drifted bucket partitions are
     * rewritten ([[IncrementalProtocol.reconcile]]); same lock and
     * pinned bucket layout as refresh. Also the recovery verb after a
-    * refused day-straddling stream handoff. */
+    * refused day-straddling stream handoff, and retryable through an
+    * interrupted overwrite of its own (the protocol rebuilds an
+    * emptied partition from the full log). On a mart with no recorded
+    * layout, `buckets` pins one meta-first exactly as refresh does —
+    * and data-without-meta refuses loudly ([[pinBuckets]]): routing a
+    * fingerprint diff with a guessed count would mark every partition
+    * of the real layout doomed. */
   def reconcile(spark: SparkSession, lineitem: DataFrame,
-      martPath: String): Int = {
+      martPath: String, buckets: Int = 32): Int = {
     BatchedState.acquireLock(spark, new Path(s"$martPath/_lock_refresh"),
       "supply-mart refresh")
     try {
-      val b = recordedBuckets(spark, martPath).getOrElse(32)
+      val b = recordedBuckets(spark, martPath)
+        .getOrElse(pinBuckets(spark, martPath, buckets))
       val bucketExpr = pmod(xxhash64(col("l_partkey")), lit(b.toLong))
       IncrementalProtocol.reconcile(spark, lineitem, martPath,
         partCol = "bucket",

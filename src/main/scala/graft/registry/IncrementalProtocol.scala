@@ -212,8 +212,15 @@ object IncrementalProtocol {
     * the mark sits at the log's max and the tally equals the log's
     * row count, so the next audited refresh reads `lateRows = 0`.
     * Crash-safe via the same `_pending_commit` + atomic watermark
-    * protocol as refresh; an interrupted reconcile retries or falls
-    * back to refresh safely (the fingerprint re-derives what landed).
+    * protocol as refresh, and — unlike refresh — RETRYABLE through the
+    * delete-then-rename tear itself: a partition the interrupted
+    * overwrite emptied reads as absent from the stored side, so the
+    * fingerprint diff re-derives it from the full log as drifted
+    * (refresh must REFUSE there, because a delta cannot re-derive
+    * pre-watermark history; reconcile holds the full log and can).
+    * Empty partition directories (the tear's artifact) and any stale
+    * `_pending_commit` from an interrupted writer are cleared up
+    * front — everything they protect is about to be re-derived.
     * Returns partitions rewritten or deleted. */
   def reconcile(spark: SparkSession, raw: DataFrame, snapshotPath: String,
       partCol: String, partials: DataFrame => DataFrame,
@@ -221,7 +228,19 @@ object IncrementalProtocol {
       write: (DataFrame, String) => Unit): Int = {
     val hfs = new Path(snapshotPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    verifyPendingCommit(spark, hfs, snapshotPath, partCol)
+    // tear recovery, not tear refusal (the r15 ADVICE finding): a
+    // partition an interrupted overwrite emptied is rebuilt from the
+    // full log below — drop the empty dir (it would break parquet
+    // schema inference and carries no data) and the stale marker (its
+    // every listed partition is re-derived this call). Refresh cannot
+    // do this: its delta lacks the emptied partition's pre-watermark
+    // history, so there the same state refuses loudly instead.
+    Option(hfs.globStatus(new Path(s"$snapshotPath/$partCol=*")))
+      .getOrElse(Array.empty).foreach { st =>
+        if (st.isDirectory && hfs.listStatus(st.getPath).isEmpty)
+          hfs.delete(st.getPath, true): Unit
+      }
+    hfs.delete(pendingPath(snapshotPath), false): Unit
     val full = partials(raw).localCheckpoint(true)
     val cols = full.columns.sorted.toSeq
     def fingerprint(df: DataFrame): DataFrame =
@@ -304,6 +323,15 @@ object IncrementalProtocol {
     // makes the dir look never-written (snapExists false) while the
     // stale watermark would silently drop all pre-mark history
     verifyPendingCommit(spark, hfs, snapshotPath, partCol)
+    // a marker that VERIFIED is stale by definition (every listed
+    // partition still holds data, so the interrupted overwrite either
+    // completed or destroyed nothing) — drop it here, ONCE, so the
+    // early-out and pure-replay returns below cannot strand it (the
+    // r15 ADVICE finding: a stranded marker was re-verified forever,
+    // and turned spurious if a listed partition was later legitimately
+    // removed). The full-write path re-creates its own marker before
+    // its overwrite.
+    hfs.delete(pendingPath(snapshotPath), false): Unit
     // ---- late-arrival audit (see class doc): split the log's row
     // count at the mark. Deliberately TWO jobs, not one conditional
     // agg: a bare count() over a parquet scan reads footers/row-group

@@ -243,4 +243,105 @@ class LateAuditSpec extends SparkSpec {
     assert(!new java.io.File(s"$p2/_pending_commit").exists,
       "completed refresh must clear the pending-commit marker")
   }
+
+  test("a verified stale marker is cleared even by no-op and pure-replay refreshes") {
+    // r15 ADVICE: the early-out and pure-replay returns skipped marker
+    // cleanup, so a stale marker was re-verified forever — and turned
+    // into a spurious torn-commit refusal if a listed partition was
+    // later legitimately removed (e.g. by a reconcile's doomed delete)
+    val p = tmpDir("stale-marker")
+    Incremental.refresh(spark, events, p)
+    val day = new java.io.File(p).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .map(_.getName.stripPrefix("day=")).head
+    // stale but verifiable marker (partition still holds data)
+    BatchedState.writePointer(spark, new Path(p, "_pending_commit"), day)
+    val noop = Incremental.refresh(spark, events, p) // early-out: no new data
+    assert(noop.touched === 0)
+    assert(!new java.io.File(s"$p/_pending_commit").exists,
+      "no-op refresh stranded the stale pending-commit marker")
+
+    // pure-replay branch: snapshot committed, watermark rewound, every
+    // past-mark row sheds — the marker must still be cleaned
+    val bound = events.select(tsUs.as("us"))
+      .stat.approxQuantile("us", Array(0.5), 0.0).head.toLong
+    val p2 = tmpDir("stale-marker-replay")
+    Incremental.refresh(spark, events.filter(tsUs <= bound), p2)
+    val wmEarly = Incremental.watermark(spark, p2)
+    Incremental.refresh(spark, events, p2)
+    Incremental.writeWatermark(spark, p2, wmEarly) // crash window
+    val d2 = new java.io.File(p2).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .map(_.getName.stripPrefix("day=")).head
+    BatchedState.writePointer(spark, new Path(p2, "_pending_commit"), d2)
+    val retry = Incremental.refresh(spark, events, p2)
+    assert(retry.touched === 0 && retry.replayShedRows > 0)
+    assert(!new java.io.File(s"$p2/_pending_commit").exists,
+      "pure-replay retry stranded the stale pending-commit marker")
+  }
+
+  test("interrupted reconcile retries through its own torn overwrite") {
+    // r15 ADVICE: reconcile holds the FULL log, so a pending-listed
+    // partition emptied by the delete-then-rename tear is re-derived as
+    // drifted — where refresh (delta-fed) must refuse, reconcile repairs
+    val p = tmpDir("reconcile-torn")
+    Incremental.refresh(spark, events, p)
+    val days = new java.io.File(p).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .map(_.getName.stripPrefix("day=")).sorted
+    BatchedState.writePointer(spark, new Path(p, "_pending_commit"),
+      days.head)
+    val victim = new java.io.File(s"$p/day=${days.head}")
+    victim.listFiles.foreach(_.delete()) // the tear: delete landed,
+    // rename lost — dir exists but is empty (worse for schema
+    // inference than a missing dir; reconcile must survive both)
+    intercept[IllegalStateException] {
+      Incremental.refresh(spark, events, p) // refresh refuses (correct)
+    }
+    val repaired = Incremental.reconcile(spark, events, p)
+    assert(repaired > 0, "reconcile did not rebuild the emptied partition")
+    assert(!new java.io.File(s"$p/_pending_commit").exists)
+    val fullP = tmpDir("reconcile-torn-full")
+    Incremental.full(spark, events, fullP)
+    def partialRows(path: String) = spark.read.parquet(path)
+      .select("user_id", "day", "n_events", "value_cents", "n_purchases",
+        "max_ts_us")
+      .collect().map(_.toSeq).toSet
+    assert(partialRows(p) === partialRows(fullP),
+      "post-tear reconcile diverged from the full compute")
+    val after = Incremental.refresh(spark, events, p)
+    assert(after.touched === 0 && after.lateRows === 0L)
+  }
+
+  test("mart reconcile pins the bucket layout meta-first; data without meta refuses") {
+    // r15 ADVICE (medium): reconcile as FIRST writer must pin
+    // _mart_meta.json exactly as refresh does — and on a mart holding
+    // data with no meta it must refuse, not fingerprint under a guessed
+    // count and doom the real layout's buckets
+    val li = Tables.lineitem(spark, sf).limit(2000)
+    val mart = tmpDir("mart-bootstrap")
+    assert(SupplyMart.reconcile(spark, li, mart, buckets = 8) > 0)
+    val meta = new java.io.File(s"$mart/_mart_meta.json")
+    assert(meta.exists, "bootstrap reconcile did not pin the layout meta")
+    assert(scala.io.Source.fromFile(meta).mkString.contains("\"buckets\":8"))
+    // a later refresh asking for a DIFFERENT count must ride the pinned 8
+    SupplyMart.refresh(spark, li, mart, buckets = 64): Unit
+    val bucketDirs = new java.io.File(mart).listFiles
+      .count(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(bucketDirs <= 8, s"layout split across counts: $bucketDirs dirs")
+
+    val orphan = tmpDir("mart-orphan")
+    SupplyMart.refresh(spark, li, orphan, buckets = 8): Unit
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$orphan/._mart_meta.json.crc"))
+    assert(new java.io.File(s"$orphan/_mart_meta.json").delete())
+    val e = intercept[IllegalStateException] {
+      SupplyMart.reconcile(spark, li, orphan)
+    }
+    assert(e.getMessage.contains("_mart_meta.json"), e.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      SupplyMart.refresh(spark, li, orphan)
+    }
+    assert(e2.getMessage.contains("_mart_meta.json"), e2.getMessage)
+  }
 }
