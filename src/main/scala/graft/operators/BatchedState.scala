@@ -1,9 +1,46 @@
 package graft.operators
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
+
+/** How a pointer COMMITS — the seam between rename-capable filesystems
+  * and object stores (r15 verdict item 1, promoted from the standing
+  * "not S3A-safe" documentation to a real protocol choice):
+  *
+  *  - [[CommitMode.Rename]] (default): temp + [[BatchedState.atomicReplace]].
+  *    Atomic on local (NIO rename(2)) and HDFS (FileContext OVERWRITE);
+  *    the right mode everywhere rename is a metadata operation.
+  *  - [[CommitMode.Manifest]]: the pointer is a DIRECTORY of
+  *    `manifest-<n>` files, each written CREATE-NEW with the full
+  *    checksummed payload — no rename, no delete-then-create, no
+  *    overwrite anywhere on the commit path, so there is nothing a
+  *    copy+delete "rename" can tear and no window where the pointer
+  *    does not exist. Readers resolve the highest COMPLETE manifest
+  *    (checksum-verified); an interrupted writer leaves at worst a
+  *    torn max-n file that readers skip — the previous commit stays
+  *    served, a pointer is never lost. This is the Delta-log form of
+  *    commit (monotone numbered files, readers take the max complete
+  *    one) reduced to single-payload pointers, for deployments where
+  *    the table-format jars are unavailable.
+  *
+  * Readers need no mode: [[BatchedState.readPointer]] auto-detects
+  * (file → rename-mode content, directory → manifest resolution), so
+  * every existing read site serves both. A pointer path keeps ONE mode
+  * for its lifetime — switching modes in place would need exactly the
+  * delete+recreate this mode exists to avoid.
+  *
+  * Writer uniqueness rides the same single-writer discipline as rename
+  * mode (the repo's create-new locks / external coordination on object
+  * stores); the monotone create-new is a second line of defense that
+  * turns an undetected writer race into a loud create failure instead
+  * of a silent overwrite. */
+sealed trait CommitMode
+object CommitMode {
+  case object Rename extends CommitMode
+  case object Manifest extends CommitMode
+}
 
 /** The committed-batch-directory protocol shared by the incremental
   * operators ([[IncrementalDedup]], [[IncrementalEmbedDedup]]): state
@@ -199,24 +236,123 @@ private[graft] object BatchedState {
       payload
     }
 
-  /** Write `payload` to `dst` in the checksummed v2 format via the
-    * temp + [[atomicReplace]] convention — THE pointer write. */
-  def writePointer(spark: SparkSession, dst: Path, payload: String): Unit = {
-    val hfs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(dst.getParent, s".${dst.getName}.tmp")
-    val out = hfs.create(tmp, true)
-    try out.write(encodePointer(payload)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    atomicReplace(spark, tmp, dst)
+  /** Write `payload` to `dst` in the checksummed v2 format — THE
+    * pointer write. [[CommitMode.Rename]] (default): temp +
+    * [[atomicReplace]]. [[CommitMode.Manifest]]: a new numbered
+    * manifest file under the `dst` directory, create-new only (see
+    * [[CommitMode]]). */
+  def writePointer(spark: SparkSession, dst: Path, payload: String,
+      mode: CommitMode = CommitMode.Rename): Unit = mode match {
+    case CommitMode.Rename =>
+      val hfs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new Path(dst.getParent, s".${dst.getName}.tmp")
+      val out = hfs.create(tmp, true)
+      try out.write(encodePointer(payload)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      atomicReplace(spark, tmp, dst)
+    case CommitMode.Manifest =>
+      val hfs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (hfs.exists(dst) && !hfs.getFileStatus(dst).isDirectory)
+        throw new IllegalStateException(
+          s"$dst is a rename-mode pointer FILE — a pointer path keeps one " +
+            "commit mode for its lifetime (migrating needs the " +
+            "delete+recreate manifest mode exists to avoid); publish " +
+            "manifest-mode state under a fresh path")
+      hfs.mkdirs(dst): Unit
+      val next = manifestEntries(hfs, dst).headOption.fold(0L)(_._1 + 1L)
+      createManifest(spark, dst, next, payload)
+      // best-effort prune: manifests superseded KeepManifests commits
+      // ago (the in-flight-reader window argument of
+      // pruneOnlineGenerations); a failed delete costs listing time,
+      // never correctness
+      manifestEntries(hfs, dst).drop(KeepManifests)
+        .foreach(e => try hfs.delete(e._2, false): Unit
+          catch { case _: Exception => () })
   }
 
-  /** Read + validate a pointer file; None when absent. Torn v2
-    * content refuses loudly ([[decodePointer]]); legacy bare content
+  /** Manifests kept per pointer in [[CommitMode.Manifest]]: the newest
+    * this many survive the write-side prune, bounding both listing
+    * cost and the window an in-flight reader has between listing and
+    * reading (8 commits, same order as the generation keep windows). */
+  val KeepManifests = 8
+
+  private def manifestName(n: Long): String = f"manifest-$n%020d"
+
+  /** `manifest-<n>` entries under `dir`, NEWEST FIRST. Foreign names
+    * are skipped, not fatal (the committedBatches convention). */
+  private def manifestEntries(hfs: FileSystem,
+      dir: Path): Seq[(Long, Path)] =
+    (Option(hfs.globStatus(new Path(dir, "manifest-*")))
+      .getOrElse(Array.empty).toSeq
+      .flatMap(s => s.getPath.getName.stripPrefix("manifest-")
+        .toLongOption.map(n => (n, s.getPath))))
+      .sortBy(-_._1)
+
+  /** Create manifest `n` under `dir`, create-new: two writers racing
+    * to the same number fail loudly instead of silently overwriting
+    * (the lock convention's second line of defense). Local scheme uses
+    * NIO CREATE_NEW — Hadoop's local create(overwrite=false) is
+    * check-then-create, the same gap [[tryAcquireLock]] closes. */
+  private[graft] def createManifest(spark: SparkSession, dir: Path,
+      n: Long, payload: String): Unit = {
+    val f = new Path(dir, manifestName(n))
+    val hfs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = encodePointer(payload)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def lost(e: Throwable) = throw new IllegalStateException(
+      s"manifest $f already exists — a concurrent writer committed this " +
+        "number first; serialize writers (the pointer's lock) and retry " +
+        "to commit on top of its value", e)
+    if ("file" == f.toUri.getScheme || hfs.getScheme == "file") {
+      import java.nio.file.{Files, Paths, StandardOpenOption}
+      try Files.write(Paths.get(f.toUri.getPath), bytes,
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE): Unit
+      catch { case e: java.nio.file.FileAlreadyExistsException => lost(e) }
+    } else {
+      val out = try hfs.create(f, false)
+      catch { case e: java.io.IOException => lost(e) }
+      try out.write(bytes) finally out.close()
+    }
+  }
+
+  /** Resolve a manifest-mode pointer directory: the highest COMPLETE
+    * manifest's payload. A torn manifest (an interrupted writer's
+    * partial upload) is SKIPPED — its commit never happened, the
+    * previous one is the pointer's value; only a directory whose every
+    * manifest is torn refuses loudly (that is corruption, not an
+    * in-flight commit). None for an empty directory. */
+  private def readManifestDir(hfs: FileSystem, dir: Path): Option[String] = {
+    val entries = manifestEntries(hfs, dir)
+    var torn = 0
+    entries.foreach { case (_, p) =>
+      val in = hfs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      // manifest files are ALWAYS G2-encoded by the writer: bare
+      // content here is a torn prefix or foreign junk, never legacy
+      if (txt.startsWith("G2|"))
+        try return Some(decodePointer(txt, p.toString))
+        catch { case _: IllegalStateException => torn += 1 }
+      else torn += 1
+    }
+    if (torn > 0) throw new IllegalStateException(
+      s"all $torn manifest file(s) under $dir are torn or corrupt — no " +
+        "complete commit to resolve; restore the newest manifest from " +
+        "the writer's last completed publish (or re-run the publish " +
+        "that owns this pointer)")
+    None
+  }
+
+  /** Read + validate a pointer; None when absent. Mode is
+    * AUTO-DETECTED: a directory resolves as a manifest-mode pointer
+    * ([[readManifestDir]]); a file as rename-mode content — torn v2
+    * content refuses loudly ([[decodePointer]]), legacy bare content
     * passes through. */
   def readPointer(spark: SparkSession, src: Path): Option[String] = {
     val hfs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!hfs.exists(src)) None
+    else if (hfs.getFileStatus(src).isDirectory) readManifestDir(hfs, src)
     else {
       val in = hfs.open(src)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString

@@ -528,10 +528,25 @@ final class FeatureStore(spark: SparkSession, storePath: String,
     * whichever swaps `_latest` first exposes a generation the other is
     * still rewriting, breaking the readers-see-complete-generations
     * guarantee. The loser fails loudly before writing anything.
-    * Returns the published generation path. */
+    * Returns the published generation path.
+    *
+    * `mode` selects the `_latest` commit protocol
+    * ([[graft.operators.CommitMode]]): Rename (default) for
+    * local/HDFS; Manifest for object stores, where the pointer becomes
+    * a directory of create-new numbered manifests and NO rename sits
+    * on the commit path. Readers ([[FeatureStore.resolveOnlineLatest]])
+    * auto-detect, so the same serving code reads either; a basePath
+    * keeps one mode for its lifetime. The generation DATA is safe in
+    * both modes by construction — each publish writes a fresh unshared
+    * `gen=<n>/` directory that no reader resolves until the pointer
+    * commit lands (the committer's internal renames happen inside an
+    * unexposed directory; on object stores pair this with the store's
+    * direct/magic committer for the parquet write itself). */
   def publishOnlineGeneration(basePath: String, buckets: Int = 64,
       featureNames: Option[Seq[String]] = None,
-      version: Option[String] = None): String = {
+      version: Option[String] = None,
+      mode: graft.operators.CommitMode =
+        graft.operators.CommitMode.Rename): String = {
     val lock = new Path(basePath, "_lock_publish")
     graft.operators.BatchedState.acquireLock(spark, lock, "online-generation publish")
     try {
@@ -554,7 +569,7 @@ final class FeatureStore(spark: SparkSession, storePath: String,
       // scheme (Hadoop's default renameInternal deletes dst first);
       // writePointer's atomicReplace dispatches to NIO rename(2) there.
       graft.operators.BatchedState.writePointer(spark,
-        new Path(basePath, "_latest"), genName)
+        new Path(basePath, "_latest"), genName, mode)
       s"$basePath/$genName"
     } finally graft.operators.BatchedState.releaseLock(spark, lock)
   }

@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import graft.registry.{FeatureDef, FeatureStore, TableDef}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** The object-store commit seam (r15 verdict item 1): every pointer
+  * swap in the repo was rename-based — atomic on local/HDFS, documented
+  * non-atomic on object stores, where G43's checksums DETECT a torn
+  * pointer but nothing prevents one. [[CommitMode.Manifest]] is the
+  * prevention: create-new numbered manifests, readers resolve the max
+  * complete one, no rename anywhere on the commit path. This spec
+  * drives publish/read/prune through a simulated copy+delete-rename
+  * filesystem ([[CopyDeleteFileSystem]]) and pins: rename mode
+  * exhibits both real failure shapes there (lost + torn), manifest
+  * mode exhibits neither and performs ZERO renames, and the online
+  * generation publish serves identical vectors in either mode. */
+class CommitModeSpec extends SparkSpec {
+
+  private lazy val cdfsReady: Unit = {
+    val c = spark.sparkContext.hadoopConfiguration
+    c.set("fs.cdfs.impl", classOf[CopyDeleteFileSystem].getName)
+    c.set("fs.AbstractFileSystem.cdfs.impl",
+      classOf[CopyDeleteAbstractFs].getName)
+  }
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-commit-$tag").toString
+
+  test("rename mode on a copy+delete filesystem: a crashed swap loses or tears the pointer") {
+    cdfsReady
+    // lost: the swap's delete landed, its copy never started
+    val lostPtr = new Path(s"cdfs:${tmp("lost")}/_latest")
+    BatchedState.writePointer(spark, lostPtr, "gen=1")
+    assert(BatchedState.readPointer(spark, lostPtr) === Some("gen=1"))
+    CopyDeleteFileSystem.armCrash(0)
+    intercept[java.io.IOException] {
+      BatchedState.writePointer(spark, lostPtr, "gen=2")
+    }
+    assert(BatchedState.readPointer(spark, lostPtr) === None,
+      "the pointer should read as ABSENT — the lost-pointer failure " +
+        "shape manifest mode exists to remove")
+
+    // torn: the copy stopped mid-payload — G2 detects it loudly, but
+    // the pointer is still unreadable until an operator restores it
+    val tornPtr = new Path(s"cdfs:${tmp("torn")}/_latest")
+    BatchedState.writePointer(spark, tornPtr, "gen=1")
+    CopyDeleteFileSystem.armCrash(9)
+    intercept[java.io.IOException] {
+      BatchedState.writePointer(spark, tornPtr, "gen=2")
+    }
+    val e = intercept[IllegalStateException] {
+      BatchedState.readPointer(spark, tornPtr)
+    }
+    assert(e.getMessage.contains("torn"), e.getMessage)
+  }
+
+  test("manifest mode: publish/read/prune over copy+delete rename with zero renames and zero lost pointers") {
+    cdfsReady
+    val dir = tmp("manifest")
+    val ptr = new Path(s"cdfs:$dir/_latest")
+    val renamesBefore = CopyDeleteFileSystem.renames.get()
+    // arm a crash that would fire on the NEXT rename: if the manifest
+    // commit path ever renamed, this would detonate it
+    CopyDeleteFileSystem.armCrash(0)
+    for (i <- 1 to 12) {
+      BatchedState.writePointer(spark, ptr, s"gen=$i", CommitMode.Manifest)
+      assert(BatchedState.readPointer(spark, ptr) === Some(s"gen=$i"),
+        s"commit $i did not resolve")
+    }
+    assert(CopyDeleteFileSystem.renames.get() === renamesBefore,
+      "manifest mode performed a rename — its commit path must not")
+    CopyDeleteFileSystem.armCrash(-1) // disarm for later tests
+    val files = new java.io.File(s"$dir/_latest").listFiles()
+      .map(_.getName).filter(_.startsWith("manifest-")).sorted
+    assert(files.length <= BatchedState.KeepManifests,
+      s"prune did not bound the manifest count: ${files.length}")
+    assert(files.length >= 2, "prune over-reclaimed")
+
+    // an interrupted writer's torn in-flight manifest (a partial
+    // upload at max+1) is SKIPPED: the previous commit stays served
+    val maxN = files.last.stripPrefix("manifest-").toLong
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_latest/manifest-${"%020d".format(maxN + 1)}"),
+      "G2|5|deadbeef|ge".getBytes("UTF-8"))
+    assert(BatchedState.readPointer(spark, ptr) === Some("gen=12"),
+      "a torn in-flight manifest must not hide the last complete commit")
+
+    // and a retry writer commits PAST the torn number, never over it
+    BatchedState.writePointer(spark, ptr, "gen=13", CommitMode.Manifest)
+    assert(BatchedState.readPointer(spark, ptr) === Some("gen=13"))
+  }
+
+  test("manifest mode edges: empty dir, all-torn refusal, create-new race, mode mixing") {
+    cdfsReady
+    val dir = tmp("edges")
+    val ptr = new Path(s"$dir/_latest")
+    val hfs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.mkdirs(ptr): Unit
+    assert(BatchedState.readPointer(spark, ptr) === None,
+      "an empty manifest directory is an unpublished pointer, not an error")
+
+    // every manifest torn = corruption, not an in-flight commit: loud
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_latest/manifest-${"%020d".format(0L)}"),
+      "G2|40|0|trunc".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      BatchedState.readPointer(spark, ptr)
+    }
+    assert(e.getMessage.contains("manifest"), e.getMessage)
+
+    // two writers racing to one number: the loser fails loudly
+    BatchedState.createManifest(spark, ptr, 7L, "gen=a")
+    val race = intercept[IllegalStateException] {
+      BatchedState.createManifest(spark, ptr, 7L, "gen=b")
+    }
+    assert(race.getMessage.contains("concurrent"), race.getMessage)
+
+    // a rename-mode FILE refuses a manifest-mode write: one mode per
+    // pointer path for its lifetime
+    val filePtr = new Path(s"$dir/_file")
+    BatchedState.writePointer(spark, filePtr, "gen=1")
+    val mix = intercept[IllegalStateException] {
+      BatchedState.writePointer(spark, filePtr, "gen=2", CommitMode.Manifest)
+    }
+    assert(mix.getMessage.contains("rename-mode"), mix.getMessage)
+  }
+
+  test("online generation publish serves identically in both commit modes") {
+    val dir = tmp("store")
+    val fs = new FeatureStore(spark, s"$dir/values")
+    fs.registerTable(TableDef("orders", Seq("o_custkey", "o_totalprice"),
+      Map("o_totalprice" -> "numeric")), Tables.orders(spark, sf))
+    fs.defineFeature(FeatureDef("total_spend", "orders", "numeric",
+      df => df.groupBy(col("o_custkey").as("entity_id"))
+        .agg(sum("o_totalprice").as("value"))))
+    assert(fs.computeVersion("total_spend", "v1").isRight)
+    val ids = fs.featureVectors().select("entity_id")
+      .limit(3).collect().map(_.getString(0)).toSeq
+
+    val renameBase = s"$dir/gens-rename"
+    val manifestBase = s"$dir/gens-manifest"
+    fs.publishOnlineGeneration(renameBase, buckets = 4)
+    fs.publishOnlineGeneration(manifestBase, buckets = 4,
+      mode = CommitMode.Manifest)
+    assert(new java.io.File(s"$manifestBase/_latest").isDirectory,
+      "manifest-mode _latest must be a manifest directory")
+    assert(new java.io.File(s"$renameBase/_latest").isFile)
+    ids.foreach { id =>
+      val viaRename = FeatureStore.readOnlineVectorLatest(spark, renameBase, id)
+      val viaManifest = FeatureStore.readOnlineVectorLatest(spark, manifestBase, id)
+      assert(viaRename.nonEmpty)
+      assert(viaRename === viaManifest, s"modes diverged for $id")
+    }
+
+    // a second manifest-mode publish advances the pointer and pruning
+    // reclaims superseded generations exactly as in rename mode
+    fs.publishOnlineGeneration(manifestBase, buckets = 4,
+      mode = CommitMode.Manifest)
+    assert(FeatureStore.resolveOnlineLatest(spark, manifestBase)
+      .endsWith("gen=1"))
+    fs.publishOnlineGeneration(manifestBase, buckets = 4,
+      mode = CommitMode.Manifest)
+    val doomed = FeatureStore.pruneOnlineGenerations(spark, manifestBase,
+      keep = 2)
+    assert(doomed === Seq("gen=0"))
+    ids.foreach { id =>
+      assert(FeatureStore.readOnlineVectorLatest(spark, manifestBase, id)
+        === FeatureStore.readOnlineVectorLatest(spark, renameBase, id))
+    }
+  }
+}
