@@ -42,6 +42,25 @@ object CommitMode {
   case object Manifest extends CommitMode
 }
 
+/** What an id-watermarked dedup refresh did — the G44 late-arrival
+  * audit carried onto the ID axis ([[IncrementalDedup]],
+  * [[IncrementalEmbedDedup]]; r15 verdict item 2: these two high-water
+  * consumers still shed below-mark arrivals silently).
+  *
+  *  - `fresh`: rows above the watermark this refresh incorporated;
+  *  - `lateRows`: cumulative count of input rows at/below the id
+  *    watermark never incorporated — the rows the high-water design
+  *    sheds, measured. EXACT when the input is the full corpus (both
+  *    operators' audited contract); a delta-fed refresh under-reports
+  *    (clamped at 0) and the next full-corpus refresh reads exactly
+  *    again. −1 when `audit = false`.
+  *
+  * No `replayShedRows` twin here: these operators have no
+  * per-partition guard to shed replays — a crash retry re-derives its
+  * watermark-tagged batch and OVERWRITES the orphan (the committed-
+  * batch protocol), so replays cost recompute, never a count. */
+final case class DedupRefreshResult(fresh: Long, lateRows: Long)
+
 /** The committed-batch-directory protocol shared by the incremental
   * operators ([[IncrementalDedup]], [[IncrementalEmbedDedup]]): state
   * accumulates as `dir/batch=<tag>` parquet directories, each tagged by

@@ -167,8 +167,16 @@ object IncrementalDedup {
     readAssign(spark, statePath, Incremental.watermark(spark, statePath))
       .withColumn("keep", col("doc_id") === col("cluster_id"))
 
-  /** Incorporate all docs with id above the watermark. Returns the
-    * number of new documents processed (0 = nothing new).
+  /** Incorporate all docs with id above the watermark. Returns
+    * [[DedupRefreshResult]]: new documents processed (`fresh`, 0 =
+    * nothing new) plus the late-arrival audit (`lateRows` — the G44
+    * treatment on the id axis: a doc arriving with an id at/below the
+    * committed mark is skipped BY DESIGN, but no longer silently; the
+    * watermark file carries the incorporated-doc tally, same atomic
+    * swap, and each audited refresh counts the input against it —
+    * exact when `docs` is the full corpus, clamped under-report on a
+    * delta feed, −1 with `audit = false`). Alert on it or repair with
+    * [[reconcile]].
     *
     * Writers SERIALIZE on the shared atomic create-new lock
     * ([[BatchedState.acquireLock]], `_lock_refresh`): the batch tag is
@@ -184,24 +192,83 @@ object IncrementalDedup {
   def refresh(spark: SparkSession, docs: DataFrame, statePath: String,
       idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.8, maxDf: Int = 1000,
-      compactEvery: Int = 8, anchor: Anchor = Anchor.Local): Long = {
+      compactEvery: Int = 8, anchor: Anchor = Anchor.Local,
+      audit: Boolean = true): DedupRefreshResult = {
     BatchedState.acquireLock(spark, new Path(s"$statePath/_lock_refresh"),
       "IncrementalDedup refresh")
     try refreshLocked(spark, docs, statePath, idCol, textCol, threshold,
-      maxDf, compactEvery, anchor)
+      maxDf, compactEvery, anchor, audit)
     finally BatchedState.releaseLock(spark, new Path(s"$statePath/_lock_refresh"))
+  }
+
+  /** The REPAIR verb for the audited loss (the G44 `reconcile` on the
+    * id axis): a documented full REBUILD — wipe the state under the
+    * lock and re-dedup `docs` (the FULL corpus) from scratch. Not
+    * partition-grain like the protocol's reconcile, for a structural
+    * reason worth stating: cluster labels are corpus-global MINIMUM
+    * ids, so one late low-id doc can become the representative of an
+    * existing cluster and relabel every member transitively — there is
+    * no partition grain on which "only the drifted part" is definable,
+    * and a correct repair costs a full re-dedup regardless of how the
+    * state is stored. Stop-the-world: a concurrent [[assignments]]
+    * read between the wipe and the rebuilt watermark sees EMPTY state
+    * — for continuous serving, rebuild into a fresh statePath and
+    * repoint readers (the generation-publish discipline). Afterwards
+    * the watermark sits at the corpus max id, the tally equals the
+    * corpus size, and the next audited refresh reads `lateRows = 0`.
+    * Crash-safe: an interrupted reconcile leaves an unwatermarked
+    * wipe, and both a retry and a plain refresh rebuild from scratch
+    * exactly as this call would (no false loss — spec-pinned). */
+  def reconcile(spark: SparkSession, docs: DataFrame, statePath: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.8, maxDf: Int = 1000,
+      compactEvery: Int = 8, anchor: Anchor = Anchor.Local)
+      : DedupRefreshResult = {
+    BatchedState.acquireLock(spark, new Path(s"$statePath/_lock_refresh"),
+      "IncrementalDedup refresh")
+    try {
+      val f = fs(spark, statePath)
+      // watermark FIRST: a crash mid-wipe must leave state that reads
+      // as unwatermarked (rebuild-from-scratch), never as committed
+      // batches under a live mark with half the dirs gone
+      f.delete(new Path(s"$statePath/_watermark"), false): Unit
+      Seq("hashes", "shingles", "dfcounts", "dfcountsnap",
+        "assign", "assignsnap").foreach(d =>
+        f.delete(new Path(s"$statePath/$d"), true): Unit)
+      refreshLocked(spark, docs, statePath, idCol, textCol, threshold,
+        maxDf, compactEvery, anchor, audit = true)
+    } finally BatchedState.releaseLock(spark,
+      new Path(s"$statePath/_lock_refresh"))
   }
 
   private def refreshLocked(spark: SparkSession, docs: DataFrame,
       statePath: String, idCol: String, textCol: String, threshold: Double,
-      maxDf: Int, compactEvery: Int, anchor: Anchor): Long = {
+      maxDf: Int, compactEvery: Int, anchor: Anchor,
+      audit: Boolean): DedupRefreshResult = {
     import Anchor.AnchorOps
-    val wm = Incremental.watermark(spark, statePath)
+    val (wm, incStored) = Incremental.watermarkState(spark, statePath)
     val fresh = docs.filter(col(idCol) > wm)
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val hashedNew = fresh.withColumn("_h", md5(col("text"))).anchored(anchor)
     val nFresh = hashedNew.count()
-    if (nFresh == 0) return 0L
+    // late-arrival audit (the IncrementalProtocol reading, id axis):
+    // belowCount is a footer-metadata count minus the already-computed
+    // fresh count; the tally baselines on first audited read (rows
+    // below the mark at upgrade are presumed incorporated) and clamps
+    // a delta-fed under-report at zero, exactly like the ts-axis audit
+    val (inc0, late) =
+      if (!audit) (-1L, -1L)
+      else {
+        val below = docs.count() - nFresh
+        val i0 = incStored.getOrElse(below)
+        (i0, math.max(0L, below - i0))
+      }
+    if (nFresh == 0) {
+      if (audit && incStored.isEmpty && wm != Long.MinValue)
+        // pin the upgrade baseline so later audits attribute arrivals
+        Incremental.writeWatermark(spark, statePath, wm, Some(inc0))
+      return DedupRefreshResult(0L, late)
+    }
 
     val oldHashes = readCommitted(spark, s"$statePath/hashes", hashesSchema, wm)
     val oldShingles = readCommitted(spark, s"$statePath/shingles", shinglesSchema, wm)
@@ -333,7 +400,12 @@ object IncrementalDedup {
       assignChanged.unionByName(assignNew).write.mode("overwrite")
         .parquet(s"$statePath/assign/batch=$tag")
     val newWm = hashedNew.agg(max(col("doc_id"))).head().getLong(0)
-    Incremental.writeWatermark(spark, statePath, math.max(wm, newWm))
+    // tally and mark advance in ONE swap (the G44 invariant); an
+    // unaudited refresh drops the tally and the next audited one
+    // re-baselines, honestly — arrivals during the unaudited window
+    // are not attributed
+    Incremental.writeWatermark(spark, statePath, math.max(wm, newWm),
+      if (audit) Some(inc0 + nFresh) else None)
 
     // prune superseded label + count state (best-effort; keeps the
     // latest TWO snapshot generations, so a lazy assignments() frame
@@ -343,6 +415,6 @@ object IncrementalDedup {
       s"$statePath/assign", wmNow)
     BatchedState.pruneSnapshotted(spark, s"$statePath/dfcountsnap",
       s"$statePath/dfcounts", wmNow)
-    nFresh
+    DedupRefreshResult(nFresh, late)
   }
 }

@@ -107,8 +107,14 @@ object IncrementalEmbedDedup {
     * the full corpus frame OR just the delta — rows at or below the
     * watermark are ignored either way, and OLD embeddings come from the
     * state's own vector store, never from `vecs` (r8: the caller no
-    * longer re-scans its corpus per refresh). Returns the number of new
-    * vectors processed (0 = nothing new).
+    * longer re-scans its corpus per refresh). Returns
+    * [[DedupRefreshResult]]: new vectors processed (`fresh`, 0 =
+    * nothing new) plus the late-arrival audit (`lateRows`, the G44
+    * treatment on the id axis — EXACT only when `vecs` is the full
+    * corpus; the delta feed this operator explicitly supports
+    * under-reports, clamped at 0, and the next full-corpus refresh
+    * reads exactly again; −1 with `audit = false`). Alert on it or
+    * repair with [[reconcile]].
     *
     * Writers SERIALIZE on the shared atomic create-new lock
     * ([[BatchedState.acquireLock]], `_lock_refresh`), exactly like
@@ -121,25 +127,78 @@ object IncrementalEmbedDedup {
       idCol: String = "vec_id", dims: Int = 64, threshold: Double = 0.45,
       tables: Int = 24, planesPerTable: Int = 4,
       compactEvery: Int = 8, bucketWidth: Long = 1L << 20,
-      maxAttachBuckets: Int = 65536, anchor: Anchor = Anchor.Local): Long = {
+      maxAttachBuckets: Int = 65536, anchor: Anchor = Anchor.Local,
+      audit: Boolean = true): DedupRefreshResult = {
     val lock = new org.apache.hadoop.fs.Path(s"$statePath/_lock_refresh")
     BatchedState.acquireLock(spark, lock, "IncrementalEmbedDedup refresh")
     try refreshLocked(spark, vecs, statePath, idCol, dims, threshold,
       tables, planesPerTable, compactEvery, bucketWidth, maxAttachBuckets,
-      anchor)
+      anchor, audit)
     finally BatchedState.releaseLock(spark, lock)
+  }
+
+  /** The REPAIR verb for the audited loss (the G44 `reconcile` on the
+    * id axis): a documented full REBUILD — wipe the state under the
+    * lock and re-sketch `vecs` (the FULL corpus) from scratch. Not
+    * partition-grain, for a protocol reason worth stating: state
+    * batches are keyed by the watermark value they EXTEND and commit
+    * only once the mark passes their tag — a below-mark repair batch
+    * has no tag slot that commits without moving the mark over ids
+    * that do not exist yet. The hyperplanes are seeded constants, so
+    * the rebuild finds every pair the one-shot finds, including the
+    * late vectors' (spec-pinned). Stop-the-world: a concurrent
+    * [[pairs]] read between the wipe and the rebuilt watermark sees
+    * EMPTY state — for continuous serving, rebuild into a fresh
+    * statePath and repoint (the generation-publish discipline).
+    * Afterwards the next audited full-corpus refresh reads
+    * `lateRows = 0`. Crash-safe: the watermark is deleted first, so an
+    * interrupted wipe reads as unwatermarked and any retry (reconcile
+    * or plain refresh) rebuilds from scratch — no false loss. */
+  def reconcile(spark: SparkSession, vecs: DataFrame, statePath: String,
+      idCol: String = "vec_id", dims: Int = 64, threshold: Double = 0.45,
+      tables: Int = 24, planesPerTable: Int = 4,
+      compactEvery: Int = 8, bucketWidth: Long = 1L << 20,
+      maxAttachBuckets: Int = 65536, anchor: Anchor = Anchor.Local)
+      : DedupRefreshResult = {
+    val lock = new org.apache.hadoop.fs.Path(s"$statePath/_lock_refresh")
+    BatchedState.acquireLock(spark, lock, "IncrementalEmbedDedup refresh")
+    try {
+      val f = BatchedState.fs(spark, statePath)
+      f.delete(new org.apache.hadoop.fs.Path(s"$statePath/_watermark"),
+        false): Unit
+      Seq("cells", "cellsnap", "pairs", "vectors", "vecsnap").foreach(d =>
+        f.delete(new org.apache.hadoop.fs.Path(s"$statePath/$d"), true): Unit)
+      refreshLocked(spark, vecs, statePath, idCol, dims, threshold,
+        tables, planesPerTable, compactEvery, bucketWidth, maxAttachBuckets,
+        anchor, audit = true)
+    } finally BatchedState.releaseLock(spark, lock)
   }
 
   private def refreshLocked(spark: SparkSession, vecs: DataFrame,
       statePath: String, idCol: String, dims: Int, threshold: Double,
       tables: Int, planesPerTable: Int, compactEvery: Int,
-      bucketWidth: Long, maxAttachBuckets: Int, anchor: Anchor): Long = {
+      bucketWidth: Long, maxAttachBuckets: Int, anchor: Anchor,
+      audit: Boolean): DedupRefreshResult = {
     import Anchor.AnchorOps
-    val wm = Incremental.watermark(spark, statePath)
+    val (wm, incStored) = Incremental.watermarkState(spark, statePath)
     val fresh = vecs.filter(col(idCol) > wm)
       .select(col(idCol).as("vec_id"), col("embedding"))
     val nFresh = fresh.count()
-    if (nFresh == 0) return 0L
+    // the id-axis late audit (see IncrementalDedup.refreshLocked — same
+    // reading): exact on a full-corpus feed, clamped on the delta feed
+    // this operator's contract explicitly allows
+    val (inc0, late) =
+      if (!audit) (-1L, -1L)
+      else {
+        val below = vecs.count() - nFresh
+        val i0 = incStored.getOrElse(below)
+        (i0, math.max(0L, below - i0))
+      }
+    if (nFresh == 0) {
+      if (audit && incStored.isEmpty && wm != Long.MinValue)
+        Incremental.writeWatermark(spark, statePath, wm, Some(inc0))
+      return DedupRefreshResult(0L, late)
+    }
 
     val newCells = AnnSearch.sketchCells(fresh, "vec_id", dims, tables, planesPerTable)
       .anchored(anchor)
@@ -217,11 +276,16 @@ object IncrementalEmbedDedup {
     }
     verified.write.mode("overwrite").parquet(s"$statePath/pairs/batch=$tag")
     val newWm = fresh.agg(max(col("vec_id"))).head().getLong(0)
-    Incremental.writeWatermark(spark, statePath, math.max(wm, newWm))
+    // tally and mark advance in ONE swap (the G44 invariant). NOTE the
+    // tally counts vectors incorporated from whatever feed arrived —
+    // on a delta feed the early chunks' counts accumulate correctly,
+    // so a later full-corpus refresh still reads exact
+    Incremental.writeWatermark(spark, statePath, math.max(wm, newWm),
+      if (audit) Some(inc0 + nFresh) else None)
     BatchedState.pruneSnapshotted(spark, s"$statePath/cellsnap",
       s"$statePath/cells", math.max(wm, newWm))
     BatchedState.pruneSnapshotted(spark, s"$statePath/vecsnap",
       s"$statePath/vectors", math.max(wm, newWm))
-    nFresh
+    DedupRefreshResult(nFresh, late)
   }
 }

@@ -17,14 +17,14 @@ class IncrementalDedupSpec extends SparkSpec {
     val n2 = IncrementalDedup.refresh(spark, docs.filter(col("doc_id") < 350),
       state, threshold = 0.5)
     val n3 = IncrementalDedup.refresh(spark, docs, state, threshold = 0.5)
-    assert(n1 === 200 && n2 === 150 && n3 === 150,
+    assert(n1.fresh === 200 && n2.fresh === 150 && n3.fresh === 150,
       "each refresh must process exactly the docs past the watermark")
     val inc = IncrementalDedup.assignments(spark, state)
     val full = DedupPipeline.dedup(docs, threshold = 0.5)
     assert(inc.except(full).count() === 0 && full.except(inc).count() === 0,
       "incremental cluster state diverged from the one-shot recompute")
     // nothing new -> no-op, state untouched
-    assert(IncrementalDedup.refresh(spark, docs, state, threshold = 0.5) === 0L)
+    assert(IncrementalDedup.refresh(spark, docs, state, threshold = 0.5).fresh === 0L)
   }
 
   test("crash-retry is idempotent: a half-committed batch is invisible") {
@@ -57,7 +57,7 @@ class IncrementalDedupSpec extends SparkSpec {
     // the retry must re-derive the batch from scratch, not treat the
     // orphan dirs as prior state (which silently dropped new-rep docs)
     val n = IncrementalDedup.refresh(spark, docs, state.toString, threshold = 0.5)
-    assert(n === docs.filter(col("doc_id") >= 200).count())
+    assert(n.fresh === docs.filter(col("doc_id") >= 200).count())
     val inc = IncrementalDedup.assignments(spark, state.toString)
     val full = DedupPipeline.dedup(docs, threshold = 0.5)
     assert(inc.except(full).count() === 0 && full.except(inc).count() === 0,
@@ -132,7 +132,7 @@ class IncrementalDedupSpec extends SparkSpec {
   test("stray non-numeric batch directories are skipped, not a crash") {
     val state = java.nio.file.Files.createTempDirectory("graft-incstray").toString
     val docs = Seq((1L, "a b c d e"), (2L, "p q r s t")).toDF("doc_id", "text")
-    assert(IncrementalDedup.refresh(spark, docs, state, threshold = 0.35) === 2L)
+    assert(IncrementalDedup.refresh(spark, docs, state, threshold = 0.35).fresh === 2L)
     // a foreign/stray directory under a state subdir (e.g. a manual
     // backup) must be ignored by committedBatches, not NumberFormatException
     for (sub <- Seq("hashes", "shingles", "assign"))
@@ -140,7 +140,7 @@ class IncrementalDedupSpec extends SparkSpec {
         java.nio.file.Paths.get(state, sub, "batch=backup"))
     val assign = IncrementalDedup.assignments(spark, state)
     assert(assign.count() === 2L)
-    assert(IncrementalDedup.refresh(spark, docs, state, threshold = 0.35) === 0L)
+    assert(IncrementalDedup.refresh(spark, docs, state, threshold = 0.35).fresh === 0L)
   }
 
   test("a held refresh lock makes refresh fail loudly and write nothing") {
@@ -163,7 +163,7 @@ class IncrementalDedupSpec extends SparkSpec {
       "failed refresh must not write batch dirs")
     // the in-flight refresher finishes (lock released) -> retry succeeds
     java.nio.file.Files.delete(lock)
-    assert(IncrementalDedup.refresh(spark, docs, state, threshold = 0.5) === 300L)
+    assert(IncrementalDedup.refresh(spark, docs, state, threshold = 0.5).fresh === 300L)
     val inc = IncrementalDedup.assignments(spark, state)
     val full = DedupPipeline.dedup(docs, threshold = 0.5)
     assert(inc.except(full).count() === 0 && full.except(inc).count() === 0)
@@ -193,7 +193,7 @@ class IncrementalDedupSpec extends SparkSpec {
       assert(l.failed.get.isInstanceOf[IllegalStateException], s"unexpected: $l")
       assert(l.failed.get.getMessage.contains("_lock_refresh"))
     }
-    assert(results.count { r => r.isSuccess && r.get > 0 } === 1,
+    assert(results.count { r => r.isSuccess && r.get.fresh > 0 } === 1,
       s"exactly one attempt must process the delta: $results")
     // and the surviving state equals a clean sequential run's
     val inc = IncrementalDedup.assignments(spark, state)
@@ -211,12 +211,12 @@ class IncrementalDedupSpec extends SparkSpec {
     // near-dups with BOTH prior clusters and must merge them
     val batch2 = Seq((3L, s"$a $b"), (4L, b)).toDF("doc_id", "text")
 
-    assert(IncrementalDedup.refresh(spark, batch1, state, threshold = 0.35) === 2L)
+    assert(IncrementalDedup.refresh(spark, batch1, state, threshold = 0.35).fresh === 2L)
     val before = IncrementalDedup.assignments(spark, state)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(before === Map(1L -> 1L, 2L -> 2L), "disjoint clusters before the bridge")
 
-    assert(IncrementalDedup.refresh(spark, batch2, state, threshold = 0.35) === 2L)
+    assert(IncrementalDedup.refresh(spark, batch2, state, threshold = 0.35).fresh === 2L)
     val after = IncrementalDedup.assignments(spark, state).cache()
     val byDoc = after.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     // doc 3 bridges clusters {1} and {2}: everyone relabels to min id 1 —

@@ -18,7 +18,7 @@ class IncrementalEmbedDedupSpec extends SparkSpec {
     val n2 = IncrementalEmbedDedup.refresh(spark,
       vecs.filter(col("vec_id") < 350), state, threshold = 0.3)
     val n3 = IncrementalEmbedDedup.refresh(spark, vecs, state, threshold = 0.3)
-    assert(n1 === 150 && n2 === 200 && n3 === 150,
+    assert(n1.fresh === 150 && n2.fresh === 200 && n3.fresh === 150,
       "each refresh must process exactly the vectors past the watermark")
 
     val inc = IncrementalEmbedDedup.pairs(spark, state)
@@ -30,7 +30,7 @@ class IncrementalEmbedDedupSpec extends SparkSpec {
     assert(inc.groupBy("id_a", "id_b").count()
       .filter(col("count") > 1).count() === 0)
     // nothing new -> no-op
-    assert(IncrementalEmbedDedup.refresh(spark, vecs, state, threshold = 0.3) === 0L)
+    assert(IncrementalEmbedDedup.refresh(spark, vecs, state, threshold = 0.3).fresh === 0L)
   }
 
   test("two concurrent refreshes: exactly one processes the delta — no silent drop") {
@@ -56,7 +56,7 @@ class IncrementalEmbedDedupSpec extends SparkSpec {
       assert(l.failed.get.isInstanceOf[IllegalStateException], s"unexpected: $l")
       assert(l.failed.get.getMessage.contains("_lock_refresh"))
     }
-    assert(results.count { r => r.isSuccess && r.get > 0 } === 1,
+    assert(results.count { r => r.isSuccess && r.get.fresh > 0 } === 1,
       s"exactly one attempt must process the delta: $results")
     val inc = IncrementalEmbedDedup.pairs(spark, state)
     val full = Similarity.lshNearDupPairs(vecs, "vec_id", dims = 64, threshold = 0.3)
@@ -79,7 +79,7 @@ class IncrementalEmbedDedupSpec extends SparkSpec {
     assert(graft.registry.Incremental.watermark(spark, state) === wmBefore,
       "failed refresh must not advance the watermark")
     java.nio.file.Files.delete(lock)
-    assert(IncrementalEmbedDedup.refresh(spark, vecs, state, threshold = 0.3) > 0)
+    assert(IncrementalEmbedDedup.refresh(spark, vecs, state, threshold = 0.3).fresh > 0)
   }
 
   test("cells compaction: parity across snapshot boundaries, old batches pruned") {
@@ -190,7 +190,7 @@ class IncrementalEmbedDedupSpec extends SparkSpec {
     assert(IncrementalEmbedDedup.pairs(spark, state).count() === before,
       "uncommitted pair batch leaked to a reader")
     // retry re-derives the batch; final state matches the one-shot
-    assert(IncrementalEmbedDedup.refresh(spark, vecs, state, threshold = 0.3) ===
+    assert(IncrementalEmbedDedup.refresh(spark, vecs, state, threshold = 0.3).fresh ===
       vecs.filter(col("vec_id") >= 250).count())
     val inc = IncrementalEmbedDedup.pairs(spark, state)
     val full = Similarity.lshNearDupPairs(vecs, "vec_id", dims = 64, threshold = 0.3)

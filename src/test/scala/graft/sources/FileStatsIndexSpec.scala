@@ -182,8 +182,8 @@ class FileStatsIndexSpec extends SparkSpec {
     val stateFull = tmp() + "/state"
     // initial load: both twins see the whole corpus
     val first = spark.read.parquet(corpus)
-    assert(IncrementalDedup.refresh(spark, first, stateDelta) == 400L)
-    assert(IncrementalDedup.refresh(spark, first, stateFull) == 400L)
+    assert(IncrementalDedup.refresh(spark, first, stateDelta).fresh == 400L)
+    assert(IncrementalDedup.refresh(spark, first, stateFull).fresh == 400L)
     // append; refresh the manifest; delta twin reads via the index
     mkDocs(400, 500).coalesce(1).write.mode("append").parquet(corpus)
     val stats = refresh(spark, corpus, Seq("doc_id"),
@@ -193,10 +193,10 @@ class FileStatsIndexSpec extends SparkSpec {
     val delta = readSince(spark, corpus, stats, "doc_id", wm)
     assert(delta.inputFiles.length == 1,
       s"delta read must touch only the appended file: ${delta.inputFiles.toSeq}")
-    assert(IncrementalDedup.refresh(spark, delta, stateDelta) == 100L)
+    assert(IncrementalDedup.refresh(spark, delta, stateDelta).fresh == 100L)
     // full twin re-reads the whole directory (the IO the index saves)
     assert(IncrementalDedup.refresh(spark,
-      spark.read.parquet(corpus), stateFull) == 100L)
+      spark.read.parquet(corpus), stateFull).fresh == 100L)
     val a = IncrementalDedup.assignments(spark, stateDelta)
       .orderBy("doc_id").collect().toSeq
     val b = IncrementalDedup.assignments(spark, stateFull)
