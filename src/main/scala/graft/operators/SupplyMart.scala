@@ -50,7 +50,7 @@ object SupplyMart {
   /** Watermark column as epoch micros: l_shipdate is TIMESTAMP_NTZ in
     * the corpus and `unix_micros` takes TIMESTAMP only — the cast is a
     * stable bijection under the engine's pinned UTC session timezone. */
-  private[operators] def shipUs: org.apache.spark.sql.Column =
+  private[graft] def shipUs: org.apache.spark.sql.Column =
     unix_micros(col("l_shipdate").cast("timestamp"))
 
   /** ONE spelling of the mergeable measures — shared by the batch

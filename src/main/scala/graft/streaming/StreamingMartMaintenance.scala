@@ -42,6 +42,20 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * `numRowsDroppedByWatermark` in the stateful-operator progress, the
   * streaming twin of the batch path's `lateRows` audit. Size the bound
   * to the log's real disorder; the trade is state size vs. loss.
+  * Unlike the batch path, the dropped ROWS themselves vanish inside
+  * Spark's state operator (no shedSink hook exists there) — the
+  * [[quarantineWriter]] tee closes that asymmetry for the
+  * unreachable-by-commit class: raw rows whose event time falls in a
+  * day the mart has already committed route to a quarantine sink
+  * row-for-row (see [[quarantineBatch]] for why the DAY, not the bare
+  * watermark, is the right boundary), where the batch repair verb
+  * ([[SupplyMart.reconcile]] over log ∪ quarantine) can fold them in.
+  * The sliver the tee cannot classify — a beyond-bound row of a day
+  * whose window has NOT yet folded — stays measurement-only
+  * (`numRowsDroppedByWatermark`): at arrival time the tee cannot know
+  * the aggregation will drop it, and guessing with a shadow watermark
+  * would quarantine rows the stream actually absorbed, poisoning any
+  * later fold-back with double counts.
   *
   * Scale notes: state is keyed by (day, part, supplier) and bounded by
   * the watermark horizon (closed windows are evicted); the sink's
@@ -83,4 +97,64 @@ object StreamingMartMaintenance {
         applyBatch(batch.sparkSession, batch.toDF(), martPath,
           buckets): Unit
       }
+
+  /** The per-batch quarantine body (public, the [[applyBatch]]
+    * convention): raw rows of an ALREADY-COMMITTED mart day land in
+    * `quarantinePath/batch=<id>`; returns how many. The boundary is
+    * the committed watermark's DAY, not the bare mark: day windows
+    * are indivisible (a window emits once, and a partial-fed refresh
+    * refuses straddles), so once the mart holds a day, NO further row
+    * of that day — even one timestamped past the stored max — can
+    * ever be admitted by the stream path; rows of later days are
+    * still pending and must not be quarantined. This is exactly the
+    * class the audited batch `lateRows` counts and
+    * [[SupplyMart.reconcile]] repairs — quarantined rows are raw
+    * lineitem rows, so `reconcile(log ∪ quarantine)` folds them in.
+    * Idempotent under foreachBatch's at-least-once retries: the
+    * output is batch-id-keyed and overwritten whole, never appended. */
+  def quarantineBatch(spark: SparkSession, batch: DataFrame,
+      martPath: String, quarantinePath: String, batchId: Long): Long = {
+    val wm = graft.registry.Incremental.watermark(spark, martPath)
+    if (wm == Long.MinValue) return 0L // nothing committed yet
+    val dayUs = 86400000000L
+    val wmDayFloor = wm - java.lang.Math.floorMod(wm, dayUs)
+    val ship = SupplyMart.shipUs
+    val doomed = batch.filter(
+      (ship - pmod(ship, lit(dayUs))) <= lit(wmDayFloor))
+    val n = doomed.count()
+    if (n > 0)
+      doomed.write.mode("overwrite")
+        .parquet(s"$quarantinePath/batch=$batchId")
+    n
+  }
+
+  /** The quarantine TEE — a second query on the SAME source as
+    * [[writer]] (one sink per streaming query, so the tee cannot live
+    * inside the aggregation query). Start both against one log and the
+    * G45 loop is closed on the row axis too: admitted rows fold into
+    * the mart, unreachable rows land in quarantine, and only the
+    * cannot-classify sliver (see the class doc) remains
+    * measurement-only. Reads the committed watermark per batch — a row
+    * racing its own day's fold lands in neither place this batch and
+    * is classified on a later delivery or by the batch audit. */
+  def quarantineWriter(stream: DataFrame, martPath: String,
+      quarantinePath: String, checkpoint: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        quarantineBatch(batch.sparkSession, batch.toDF(), martPath,
+          quarantinePath, id): Unit
+      }
+
+  /** Quarantined raw rows across all batches — lineitem-shaped, ready
+    * to union with the log for [[SupplyMart.reconcile]]. Empty frame
+    * when nothing was ever quarantined. */
+  def quarantined(spark: SparkSession, quarantinePath: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(quarantinePath)
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(p)) graft.operators.BatchedState.emptyDf(spark, schema)
+    else spark.read.parquet(quarantinePath)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+  }
 }

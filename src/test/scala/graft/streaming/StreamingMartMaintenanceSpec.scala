@@ -90,6 +90,84 @@ class StreamingMartMaintenanceSpec extends SparkSpec {
       SupplyMart.read(spark, twin).collect().length)
   }
 
+  test("quarantine tee: rows of committed days land row-for-row; mart stays byte-identical; reconcile folds them back") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-smm-q").toString
+    val mart = s"$dir/mart"
+    val quarantine = s"$dir/quarantine"
+
+    val b1 = Seq(row(1, 1, 100.0, 2, 3), row(2, 1, 90.0, 3, 1),
+      row(1, 2, 50.0, 1, 2))
+    val b2 = Seq(row(2, 1, 120.0, 2, 2), row(1, 1, 70.0, 1, 4))
+    val real = b1 ++ b2
+    val sentinel = row(999, 999, 1.0, 1, 28) // finalizes all real days
+    // late rows arriving AFTER their days folded — the stream drops
+    // them; the tee must capture them row-for-row. One is timestamped
+    // PAST the mart's stored max ship of its day (day 4 at 18:00 vs
+    // the folded 12:00) — the bare-watermark predicate would miss it;
+    // committed DAYS are the unreachable class, which is why the tee
+    // keys on the day floor
+    val late1 = row(1, 1, 10.0, 1, 1)
+    val late2 = MartRow(7, 7, 33.0, 1,
+      Timestamp.valueOf("1995-01-04 18:00:00"))
+
+    val mem = MemoryStream[MartRow]
+    val src = mem.toDS().toDF()
+    val martQ = StreamingMartMaintenance.writer(src, mart,
+      checkpoint = s"$dir/ckpt-mart", buckets = 8, lateness = "2 days")
+      .start()
+    val teeQ = StreamingMartMaintenance.quarantineWriter(src, mart,
+      quarantine, checkpoint = s"$dir/ckpt-tee").start()
+    try {
+      // tee first, then the fold (the documented operating order: a
+      // tee that lags a fold can only over-quarantine)
+      Seq(b1, b2, Seq(sentinel), Seq(late1, late2)).foreach { batch =>
+        mem.addData(batch: _*)
+        teeQ.processAllAvailable()
+        martQ.processAllAvailable()
+      }
+    } finally { martQ.stop(); teeQ.stop() }
+
+    // row-for-row: exactly the two late rows, nothing absorbed
+    val schema = Seq.empty[MartRow].toDF().schema
+    val q = StreamingMartMaintenance.quarantined(spark, quarantine, schema)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(q === Set((1L, 1L, 10.0), (7L, 7L, 33.0)),
+      s"quarantine must hold exactly the dropped rows: $q")
+
+    // the mart itself is byte-identical to the batch twin of the
+    // ABSORBED rows — the tee observed, never perturbed
+    val twin = tmp("q-twin")
+    SupplyMart.refresh(spark, real.toDF(), twin, buckets = 8)
+    assert(martRows(mart) === martRows(twin))
+
+    // the repair loop: reconcile over log ∪ quarantine folds the
+    // dropped rows in, converging to the full compute over everything
+    val withLate = real.toDF().unionByName(
+      StreamingMartMaintenance.quarantined(spark, quarantine, schema))
+    assert(SupplyMart.reconcile(spark, withLate, mart) > 0)
+    val twinAll = tmp("q-twin-all")
+    SupplyMart.refresh(spark, (real ++ Seq(late1, late2)).toDF(), twinAll, 8)
+    assert(martRows(mart) === martRows(twinAll),
+      "reconcile over log ∪ quarantine diverged from the full compute")
+
+    // at-least-once redelivery of a tee batch overwrites, never appends
+    val n1 = StreamingMartMaintenance.quarantineBatch(spark,
+      Seq(late1).toDF(), mart, quarantine, batchId = 777L)
+    val n2 = StreamingMartMaintenance.quarantineBatch(spark,
+      Seq(late1).toDF(), mart, quarantine, batchId = 777L)
+    assert(n1 === 1L && n2 === 1L)
+    assert(StreamingMartMaintenance.quarantined(spark, quarantine, schema)
+      .filter(col("l_partkey") === 1 && col("l_suppkey") === 1).count()
+      === 2L, // the streamed capture + ONE copy from batch 777
+      "a replayed tee batch appended instead of overwriting")
+
+    // an empty mart quarantines nothing (no committed boundary yet)
+    assert(StreamingMartMaintenance.quarantineBatch(spark,
+      Seq(late1).toDF(), s"$dir/never-built", quarantine, 1L) === 0L)
+  }
+
   test("a replayed micro-batch is shed exactly — SUM partials never double") {
     val mart = tmp("replay")
     def partialsOf(rows: Seq[MartRow]): DataFrame =
