@@ -30,7 +30,7 @@ object SparkEntry {
       KeywordOps.queries ++ CorrelationOps.queries ++ Scd2.queries ++
       RegressionOps.queries ++ IntegrityOps.queries ++ CorpusOverlap.queries ++
       TimeSeriesOps.queries ++ GraphOps.queries ++ TargetEncode.queries ++
-      FunnelOps.queries ++ ModelEval.queries
+      FunnelOps.queries ++ ModelEval.queries ++ CorpusReport.queries
 
   /** Queries deliberately WITHOUT an oracle entry — the driver records
     * its weaker rows-only check for these. Membership requires a
@@ -62,5 +62,5 @@ object SparkEntry {
       KeywordOps.oracles ++ CorrelationOps.oracles ++ Scd2.oracles ++
       RegressionOps.oracles ++ IntegrityOps.oracles ++ CorpusOverlap.oracles ++
       TimeSeriesOps.oracles ++ GraphOps.oracles ++ TargetEncode.oracles ++
-      FunnelOps.oracles ++ ModelEval.oracles
+      FunnelOps.oracles ++ ModelEval.oracles ++ CorpusReport.oracles
 }

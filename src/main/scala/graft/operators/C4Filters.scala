@@ -116,9 +116,15 @@ object C4Filters {
     * `list_filter`; both engines use plain (non-regex) replace with
     * identical left-to-right non-overlapping semantics, and every
     * output is a string, long, or boolean — no float drift possible. */
-  def c4Gate(spark: SparkSession, d: String): DataFrame = {
-    val page = Tables.documents(spark, d)
-      .select(col("doc_id"), col("lang"), col("text"))
+  /** The gate's derived multi-line page (see [[c4Gate]]'s doc) as a
+    * reusable projection — input needs (doc_id, lang, text); output
+    * keeps every input column and adds `page`. Shared by [[c4Gate]]
+    * and the corpus-report gate ([[CorpusReport]]), which must
+    * evaluate ALL rule families over one non-degenerate input — two
+    * spellings of the derivation would let the report's c4 column and
+    * the c4 gate itself drift apart while both stayed green. */
+  private[operators] def gatePage(docs: DataFrame): DataFrame =
+    docs
       .withColumn("_p1", expr("replace(text, ' table ', concat('.', chr(10)))"))
       .withColumn("_p2",
         when(col("doc_id") % 5 === 0,
@@ -130,13 +136,21 @@ object C4Filters {
           lit("\nconfig { x }")).otherwise(lit("")),
         when(col("lang") === "de",
           lit("\nverboten words are here now.")).otherwise(lit(""))))
+      .drop("_p1", "_p2")
+
+  def c4Gate(spark: SparkSession, d: String): DataFrame = {
+    val page = gatePage(Tables.documents(spark, d)
+        .select(col("doc_id"), col("lang"), col("text")))
       .select(col("doc_id"), col("page"))
     c4Clean(page, textCol = "page", blocklist = Seq("verboten"))
   }
 
-  val c4GateSql: String =
-    """WITH pages AS (
-      |  SELECT doc_id,
+  /** ONE spelling of the derived page in SQL too (the [[gatePage]]
+    * argument applied to the oracle side): the corpus-report oracle
+    * composes this same CTE body, so both gates certify the same
+    * derivation. Keeps `source` for the report's grouping key. */
+  private[operators] val gatePageSql: String =
+    """SELECT doc_id, source,
       |    (CASE WHEN doc_id % 5 = 0
       |          THEN replace(replace(text, ' table ', '.' || chr(10)),
       |                       'spark', 'javascript')
@@ -148,7 +162,14 @@ object C4Filters {
       |    || (CASE WHEN lang = 'de'
       |             THEN chr(10) || 'verboten words are here now.' ELSE '' END)
       |      AS page
-      |  FROM documents),
+      |  FROM documents""".stripMargin
+
+  // plain concatenation, NOT interpolation-then-stripMargin: the page
+  // SQL's own `||` concatenations would read as margin pipes and be
+  // mangled by a second stripMargin pass
+  val c4GateSql: String =
+    "WITH pages AS (\n  " + gatePageSql + ")," +
+    """
       |sel AS (
       |  SELECT doc_id, page,
       |    string_split(page, chr(10)) AS ls,
