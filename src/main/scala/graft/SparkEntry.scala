@@ -32,6 +32,20 @@ object SparkEntry {
       TimeSeriesOps.queries ++ GraphOps.queries ++ TargetEncode.queries ++
       FunnelOps.queries ++ ModelEval.queries ++ CorpusReport.queries
 
+  /** Bench-only timing split for COMPOSITE gate keys (r15 directive 3):
+    * a key here is timed over `benchOverride` (the plan the gate
+    * certifies) after its `benchSetup` ran untimed once per bench run
+    * (the structural cost the production path amortizes — logged
+    * beside the line under the BENCH_SETUP prefix, never hidden). The
+    * correctness gate keeps running the composite `queries` entry, so
+    * determinism is untouched; BenchLineSpec pins the two maps' keys
+    * equal and a subset of `queries`. */
+  val benchSetup: Map[String, (SparkSession, String) => Unit] = Map(
+    "supply_mart_q9" -> ((s, d) => SupplyMart.q9ScratchBuild(s, d)))
+
+  val benchOverride: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "supply_mart_q9" -> ((s, d) => SupplyMart.q9FromPrebuilt(s, d)))
+
   /** Queries deliberately WITHOUT an oracle entry — the driver records
     * its weaker rows-only check for these. Membership requires a
     * documented reason at the operator: currently only the approximate

@@ -336,19 +336,46 @@ object SupplyMart {
     * row identity within Spark; this gate pins the materialized path
     * cross-engine, end-to-end through the parquet layout. */
   def q9FromMartGate(spark: SparkSession, d: String): DataFrame = {
-    val safe = d.replaceAll("[^A-Za-z0-9]", "_")
-    val root =
-      s"${System.getProperty("java.io.tmpdir")}/graft_q9_mart_$safe"
     // rebuild from scratch EVERY call (review wave): a persistent
     // scratch mart wedged the gate forever on a stale `_lock_refresh`
     // from a killed run, and served stale content if the corpus at `d`
     // was ever regenerated — a correctness GATE buys determinism with
     // the ~1.5 s rebuild, it never trades it for a warm cache
-    val rp = new Path(root)
+    q9ScratchBuild(spark, d)
+    ShapeQueries4.q9ProfitFrom(spark, d,
+      read(spark, s"${q9ScratchRoot(d)}/mart"))
+  }
+
+  private def q9ScratchRoot(d: String): String = {
+    val safe = d.replaceAll("[^A-Za-z0-9]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_q9_mart_$safe"
+  }
+
+  /** Build the q9 scratch mart for corpus `d`, fresh (delete + full
+    * refresh). The BENCH runs this as untimed setup (r15 directive 3:
+    * the recorded `supply_mart_q9` seconds measured ~3-4 s of
+    * scratch-mart build I/O on top of the ~1 s mart-fed plan the gate
+    * actually certifies — the production path amortizes the build
+    * across refreshes, so billing it to the query key misstated the
+    * plan); the CORRECTNESS gate calls it inline every time, keeping
+    * its determinism. */
+  def q9ScratchBuild(spark: SparkSession, d: String): Unit = {
+    val rp = new Path(q9ScratchRoot(d))
     rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(rp, true): Unit
-    val mart = s"$root/mart"
-    refresh(spark, Tables.lineitem(spark, d), mart): Unit
+    refresh(spark, Tables.lineitem(spark, d),
+      s"${q9ScratchRoot(d)}/mart"): Unit
+  }
+
+  /** The mart-fed q9 plan over an ALREADY-BUILT scratch mart — the
+    * bench-timed body, byte-identical in plan to what
+    * [[q9FromMartGate]] runs after its build. Builds on demand when
+    * the scratch mart is absent, so a standalone call still works. */
+  def q9FromPrebuilt(spark: SparkSession, d: String): DataFrame = {
+    val mart = s"${q9ScratchRoot(d)}/mart"
+    val mp = new Path(mart)
+    if (!mp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(mp))
+      q9ScratchBuild(spark, d)
     ShapeQueries4.q9ProfitFrom(spark, d, read(spark, mart))
   }
 

@@ -78,4 +78,38 @@ class BenchLineSpec extends AnyFunSuite {
     assert(SparkEntry.rowsOnlyQueries.intersect(o).isEmpty,
       s"waived queries that DO have oracles: ${SparkEntry.rowsOnlyQueries.intersect(o)}")
   }
+
+  test("bench setup/override maps: equal keys, every key a gated query") {
+    // the composite-key split (r15 directive 3): an override without
+    // its setup would time a cold build; a setup without an override
+    // would build state nothing reads
+    assert(SparkEntry.benchSetup.keySet === SparkEntry.benchOverride.keySet)
+    assert(SparkEntry.benchOverride.keySet.subsetOf(SparkEntry.queries.keySet),
+      "bench override for a key that is not a gated query")
+  }
+
+  test("the committed per-round bench record covers every gated query") {
+    // r15 directive 6: the driver's recorded artifact truncates to the
+    // slowest ~90 keys; the in-repo bench/full_r<N>.json is the full
+    // min-of-3 record. The LATEST committed round file must carry
+    // exactly the current query set — after adding or removing a gated
+    // query, re-run the min-of-3 bench and refresh the round file.
+    val dir = new java.io.File("bench")
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("full_r\\d+\\.json"))
+    assert(files.nonEmpty,
+      "no bench/full_r<N>.json committed — run graft.Bench with " +
+        "SPARK_GRAFT_BENCH_OUT=bench/full_r<N>.json and commit it")
+    val latest = files.maxBy(f =>
+      f.getName.stripPrefix("full_r").stripSuffix(".json").toInt)
+    val txt = scala.io.Source.fromFile(latest).mkString
+    val keyRe = """"([a-z0-9_]+)":""".r
+    val keys = keyRe.findAllMatchIn(txt).map(_.group(1)).toSet --
+      Set("metric", "value", "unit", "queries", "sf")
+    assert(keys === SparkEntry.queries.keySet,
+      s"${latest.getName} is stale: missing " +
+        s"${SparkEntry.queries.keySet.diff(keys)}, extra " +
+        s"${keys.diff(SparkEntry.queries.keySet)} — re-run the bench " +
+        "and refresh the round file")
+  }
 }
