@@ -338,29 +338,49 @@ private[graft] object BatchedState {
   /** Resolve a manifest-mode pointer directory: the highest COMPLETE
     * manifest's payload. A torn manifest (an interrupted writer's
     * partial upload) is SKIPPED — its commit never happened, the
-    * previous one is the pointer's value; only a directory whose every
-    * manifest is torn refuses loudly (that is corruption, not an
-    * in-flight commit). None for an empty directory. */
+    * previous one is the pointer's value. A directory with manifests
+    * but NO complete one reads as None, not an error (review wave
+    * r16): it is exactly a crashed FIRST commit, and rename mode's
+    * twin — tmp written, dst never swapped — also reads as
+    * unpublished; throwing "restore from the last completed publish"
+    * there prescribed an impossible remediation. The last complete
+    * manifest can never be pruned out from under this (prune keeps the
+    * newest KeepManifests entries and the just-written complete commit
+    * is always the max), so None genuinely means no commit ever
+    * completed — or external damage, the same exposure rename mode has
+    * to a deleted pointer file. A manifest deleted between our listing
+    * and our open (the writer's prune racing a reader holding a stale
+    * listing) re-lists and retries, bounded. */
   private def readManifestDir(hfs: FileSystem, dir: Path): Option[String] = {
-    val entries = manifestEntries(hfs, dir)
-    var torn = 0
-    entries.foreach { case (_, p) =>
-      val in = hfs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      // manifest files are ALWAYS G2-encoded by the writer: bare
-      // content here is a torn prefix or foreign junk, never legacy
-      if (txt.startsWith("G2|"))
-        try return Some(decodePointer(txt, p.toString))
-        catch { case _: IllegalStateException => torn += 1 }
-      else torn += 1
+    var attempts = 0
+    while (attempts < 3) {
+      attempts += 1
+      val entries = manifestEntries(hfs, dir)
+      var vanished = false
+      entries.foreach { case (_, p) =>
+        val txt =
+          try {
+            val in = hfs.open(p)
+            try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+            finally in.close()
+          } catch {
+            // pruned between list and open: this stale listing is
+            // unreadable evidence, not an answer — re-list
+            case _: java.io.FileNotFoundException => vanished = true; None
+          }
+        // manifest files are ALWAYS G2-encoded by the writer: bare
+        // content is a torn prefix or foreign junk (skip), never legacy
+        txt.filter(_.startsWith("G2|")).foreach { t =>
+          try return Some(decodePointer(t, p.toString))
+          catch { case _: IllegalStateException => () }
+        }
+      }
+      if (!vanished) return None
     }
-    if (torn > 0) throw new IllegalStateException(
-      s"all $torn manifest file(s) under $dir are torn or corrupt — no " +
-        "complete commit to resolve; restore the newest manifest from " +
-        "the writer's last completed publish (or re-run the publish " +
-        "that owns this pointer)")
-    None
+    throw new IllegalStateException(
+      s"manifest listing under $dir went stale 3 times (entries pruned " +
+        "between list and read) — the writer is committing faster than a " +
+        s"single pointer read; raise KeepManifests ($KeepManifests)")
   }
 
   /** Read + validate a pointer; None when absent. Mode is
@@ -379,6 +399,63 @@ private[graft] object BatchedState {
       Some(decodePointer(txt, src.toString))
     }
   }
+
+  /** The id-axis late-audit arithmetic, ONE spelling for both dedup
+    * operators (review wave r16: the two copies had already been
+    * pasted once — the drift seam the repo's one-spelling convention
+    * exists to close): `total` is the input frame's row count (lazy —
+    * not evaluated when `audit` is false), `nFresh` the past-mark
+    * count already in hand. Returns (baseline tally, lateRows).
+    * BASELINE CAVEAT (the IncrementalProtocol chunk-fed caveat, id
+    * axis): when no tally is stored (legacy mark, or after an
+    * unaudited refresh), the baseline presumes the CURRENT input's
+    * below-mark rows incorporated — so the BASELINING refresh must see
+    * the full corpus; a delta-fed baseline pins too low and the next
+    * full-corpus audit over-reports the difference as late loss. Once
+    * a full-feed baseline exists, delta feeds under-report clamped at
+    * 0 and the next full feed reads exactly again. */
+  private[graft] def idAxisAudit(audit: Boolean, total: => Long,
+      nFresh: Long, incStored: Option[Long]): (Long, Long) =
+    if (!audit) (-1L, -1L)
+    else {
+      val below = total - nFresh
+      val i0 = incStored.getOrElse(below)
+      (i0, math.max(0L, below - i0))
+    }
+
+  private def rebuildPath(statePath: String) =
+    new Path(statePath, "_rebuild_pending")
+
+  /** The stop-the-world-rebuild crash seam, closed (review wave r16):
+    * a reconcile that wipes `_watermark` first and crashes mid-wipe
+    * leaves OLD snapshot batch dirs beside no mark — a later plain
+    * refresh would rebuild into `batch=init` (tag Long.MinValue),
+    * advance the mark, and the surviving old-tag snapshot would
+    * OUTRANK the rebuild in readSnapshotted's latest-tag resolution:
+    * stale state served under a fresh mark, with the audit reading
+    * zero. The marker makes the wipe observable: written before the
+    * first delete, removed after the rebuild commits; [[refuseIfRebuildPending]]
+    * turns any non-reconcile entry into a loud refusal whose recovery
+    * (re-run reconcile — it holds the full corpus and re-wipes
+    * idempotently) is stated. */
+  private[graft] def beginRebuild(spark: SparkSession,
+      statePath: String): Unit =
+    writePointer(spark, rebuildPath(statePath), "wipe-in-progress")
+
+  private[graft] def finishRebuild(spark: SparkSession,
+      statePath: String): Unit =
+    fs(spark, statePath).delete(rebuildPath(statePath), false): Unit
+
+  private[graft] def refuseIfRebuildPending(spark: SparkSession,
+      statePath: String, what: String): Unit =
+    if (fs(spark, statePath).exists(rebuildPath(statePath)))
+      throw new IllegalStateException(
+        s"interrupted $what reconcile at $statePath: the state wipe began " +
+          "but its rebuild never committed (_rebuild_pending marker). A " +
+          "plain refresh here could resurrect surviving pre-wipe snapshot " +
+          "state over the rebuild — re-run reconcile with the FULL corpus " +
+          "(it re-wipes idempotently), or delete the state directory and " +
+          "refresh from scratch")
 
   /** Union of all committed batch directories under `dir`. */
   def readCommitted(spark: SparkSession, dir: String, schema: StructType,

@@ -175,8 +175,13 @@ object IncrementalDedup {
     * watermark file carries the incorporated-doc tally, same atomic
     * swap, and each audited refresh counts the input against it —
     * exact when `docs` is the full corpus, clamped under-report on a
-    * delta feed, −1 with `audit = false`). Alert on it or repair with
-    * [[reconcile]].
+    * delta feed, −1 with `audit = false`). One feed-shape contract
+    * (the protocol's chunk-fed caveat, id axis): the BASELINING
+    * refresh — first audited read of a legacy or post-unaudited state
+    * — must see the full corpus; a delta-fed baseline pins too low and
+    * the next full feed over-reports the difference as late loss
+    * (spec-pinned as documented behavior, BatchedState.idAxisAudit).
+    * Alert on lateRows or repair with [[reconcile]].
     *
     * Writers SERIALIZE on the shared atomic create-new lock
     * ([[BatchedState.acquireLock]], `_lock_refresh`): the batch tag is
@@ -196,9 +201,15 @@ object IncrementalDedup {
       audit: Boolean = true): DedupRefreshResult = {
     BatchedState.acquireLock(spark, new Path(s"$statePath/_lock_refresh"),
       "IncrementalDedup refresh")
-    try refreshLocked(spark, docs, statePath, idCol, textCol, threshold,
-      maxDf, compactEvery, anchor, audit)
-    finally BatchedState.releaseLock(spark, new Path(s"$statePath/_lock_refresh"))
+    try {
+      // an interrupted reconcile wipe must not be refreshed over: the
+      // rebuild lands at batch=init (tag MinValue) and any SURVIVING
+      // pre-wipe snapshot dir would outrank it once the mark advances
+      // — stale labels under a fresh mark (review wave r16)
+      BatchedState.refuseIfRebuildPending(spark, statePath, "IncrementalDedup")
+      refreshLocked(spark, docs, statePath, idCol, textCol, threshold,
+        maxDf, compactEvery, anchor, audit)
+    } finally BatchedState.releaseLock(spark, new Path(s"$statePath/_lock_refresh"))
   }
 
   /** The REPAIR verb for the audited loss (the G44 `reconcile` on the
@@ -216,9 +227,13 @@ object IncrementalDedup {
     * repoint readers (the generation-publish discipline). Afterwards
     * the watermark sits at the corpus max id, the tally equals the
     * corpus size, and the next audited refresh reads `lateRows = 0`.
-    * Crash-safe: an interrupted reconcile leaves an unwatermarked
-    * wipe, and both a retry and a plain refresh rebuild from scratch
-    * exactly as this call would (no false loss — spec-pinned). */
+    * Crash-safe via a `_rebuild_pending` marker around the wipe
+    * (review wave r16): an interrupted wipe could leave old-tag
+    * snapshot dirs that would OUTRANK a fresh rebuild's `batch=init`
+    * once the mark re-advances — so a plain refresh REFUSES loudly
+    * while the marker stands, and the recovery is to re-run reconcile
+    * (it re-wipes idempotently and holds the full corpus — no false
+    * loss, spec-pinned). */
   def reconcile(spark: SparkSession, docs: DataFrame, statePath: String,
       idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.8, maxDf: Int = 1000,
@@ -228,15 +243,17 @@ object IncrementalDedup {
       "IncrementalDedup refresh")
     try {
       val f = fs(spark, statePath)
-      // watermark FIRST: a crash mid-wipe must leave state that reads
-      // as unwatermarked (rebuild-from-scratch), never as committed
-      // batches under a live mark with half the dirs gone
+      // marker BEFORE the first delete, removed only after the rebuild
+      // commits — the wipe is observable at every crash point
+      BatchedState.beginRebuild(spark, statePath)
       f.delete(new Path(s"$statePath/_watermark"), false): Unit
       Seq("hashes", "shingles", "dfcounts", "dfcountsnap",
         "assign", "assignsnap").foreach(d =>
         f.delete(new Path(s"$statePath/$d"), true): Unit)
-      refreshLocked(spark, docs, statePath, idCol, textCol, threshold,
-        maxDf, compactEvery, anchor, audit = true)
+      val r = refreshLocked(spark, docs, statePath, idCol, textCol,
+        threshold, maxDf, compactEvery, anchor, audit = true)
+      BatchedState.finishRebuild(spark, statePath)
+      r
     } finally BatchedState.releaseLock(spark,
       new Path(s"$statePath/_lock_refresh"))
   }
@@ -251,18 +268,13 @@ object IncrementalDedup {
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val hashedNew = fresh.withColumn("_h", md5(col("text"))).anchored(anchor)
     val nFresh = hashedNew.count()
-    // late-arrival audit (the IncrementalProtocol reading, id axis):
-    // belowCount is a footer-metadata count minus the already-computed
-    // fresh count; the tally baselines on first audited read (rows
-    // below the mark at upgrade are presumed incorporated) and clamps
-    // a delta-fed under-report at zero, exactly like the ts-axis audit
+    // late-arrival audit — ONE spelling shared with the embed operator
+    // (BatchedState.idAxisAudit): belowCount is a footer-metadata count
+    // minus the already-computed fresh count. Baseline caveat stated
+    // there: the BASELINING refresh (no stored tally) must see the
+    // full corpus, like the protocol's chunk-fed caveat
     val (inc0, late) =
-      if (!audit) (-1L, -1L)
-      else {
-        val below = docs.count() - nFresh
-        val i0 = incStored.getOrElse(below)
-        (i0, math.max(0L, below - i0))
-      }
+      BatchedState.idAxisAudit(audit, docs.count(), nFresh, incStored)
     if (nFresh == 0) {
       if (audit && incStored.isEmpty && wm != Long.MinValue)
         // pin the upgrade baseline so later audits attribute arrivals

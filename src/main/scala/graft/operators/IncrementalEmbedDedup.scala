@@ -113,8 +113,11 @@ object IncrementalEmbedDedup {
     * treatment on the id axis — EXACT only when `vecs` is the full
     * corpus; the delta feed this operator explicitly supports
     * under-reports, clamped at 0, and the next full-corpus refresh
-    * reads exactly again; −1 with `audit = false`). Alert on it or
-    * repair with [[reconcile]].
+    * reads exactly again ONCE a full-fed baseline exists: the
+    * BASELINING refresh (no stored tally) must see the full corpus or
+    * the next full feed over-reports (BatchedState.idAxisAudit's
+    * caveat); −1 with `audit = false`). Alert on it or repair with
+    * [[reconcile]].
     *
     * Writers SERIALIZE on the shared atomic create-new lock
     * ([[BatchedState.acquireLock]], `_lock_refresh`), exactly like
@@ -131,10 +134,16 @@ object IncrementalEmbedDedup {
       audit: Boolean = true): DedupRefreshResult = {
     val lock = new org.apache.hadoop.fs.Path(s"$statePath/_lock_refresh")
     BatchedState.acquireLock(spark, lock, "IncrementalEmbedDedup refresh")
-    try refreshLocked(spark, vecs, statePath, idCol, dims, threshold,
-      tables, planesPerTable, compactEvery, bucketWidth, maxAttachBuckets,
-      anchor, audit)
-    finally BatchedState.releaseLock(spark, lock)
+    try {
+      // see IncrementalDedup.refresh: a refresh over an interrupted
+      // reconcile wipe would be outranked by surviving old-tag
+      // snapshot dirs once the mark re-advances
+      BatchedState.refuseIfRebuildPending(spark, statePath,
+        "IncrementalEmbedDedup")
+      refreshLocked(spark, vecs, statePath, idCol, dims, threshold,
+        tables, planesPerTable, compactEvery, bucketWidth, maxAttachBuckets,
+        anchor, audit)
+    } finally BatchedState.releaseLock(spark, lock)
   }
 
   /** The REPAIR verb for the audited loss (the G44 `reconcile` on the
@@ -151,9 +160,11 @@ object IncrementalEmbedDedup {
     * EMPTY state — for continuous serving, rebuild into a fresh
     * statePath and repoint (the generation-publish discipline).
     * Afterwards the next audited full-corpus refresh reads
-    * `lateRows = 0`. Crash-safe: the watermark is deleted first, so an
-    * interrupted wipe reads as unwatermarked and any retry (reconcile
-    * or plain refresh) rebuilds from scratch — no false loss. */
+    * `lateRows = 0`. Crash-safe via the `_rebuild_pending` marker
+    * around the wipe (review wave r16 — see
+    * [[IncrementalDedup.reconcile]] for the resurrection hazard it
+    * closes): a plain refresh refuses loudly while the marker stands;
+    * re-run reconcile (idempotent re-wipe, full corpus in hand). */
   def reconcile(spark: SparkSession, vecs: DataFrame, statePath: String,
       idCol: String = "vec_id", dims: Int = 64, threshold: Double = 0.45,
       tables: Int = 24, planesPerTable: Int = 4,
@@ -164,13 +175,16 @@ object IncrementalEmbedDedup {
     BatchedState.acquireLock(spark, lock, "IncrementalEmbedDedup refresh")
     try {
       val f = BatchedState.fs(spark, statePath)
+      BatchedState.beginRebuild(spark, statePath)
       f.delete(new org.apache.hadoop.fs.Path(s"$statePath/_watermark"),
         false): Unit
       Seq("cells", "cellsnap", "pairs", "vectors", "vecsnap").foreach(d =>
         f.delete(new org.apache.hadoop.fs.Path(s"$statePath/$d"), true): Unit)
-      refreshLocked(spark, vecs, statePath, idCol, dims, threshold,
+      val r = refreshLocked(spark, vecs, statePath, idCol, dims, threshold,
         tables, planesPerTable, compactEvery, bucketWidth, maxAttachBuckets,
         anchor, audit = true)
+      BatchedState.finishRebuild(spark, statePath)
+      r
     } finally BatchedState.releaseLock(spark, lock)
   }
 
@@ -184,16 +198,12 @@ object IncrementalEmbedDedup {
     val fresh = vecs.filter(col(idCol) > wm)
       .select(col(idCol).as("vec_id"), col("embedding"))
     val nFresh = fresh.count()
-    // the id-axis late audit (see IncrementalDedup.refreshLocked — same
-    // reading): exact on a full-corpus feed, clamped on the delta feed
-    // this operator's contract explicitly allows
+    // the id-axis late audit, ONE spelling (BatchedState.idAxisAudit):
+    // exact on a full-corpus feed, clamped on the delta feed this
+    // operator's contract explicitly allows; the BASELINING refresh
+    // must be full-fed (caveat stated at the helper)
     val (inc0, late) =
-      if (!audit) (-1L, -1L)
-      else {
-        val below = vecs.count() - nFresh
-        val i0 = incStored.getOrElse(below)
-        (i0, math.max(0L, below - i0))
-      }
+      BatchedState.idAxisAudit(audit, vecs.count(), nFresh, incStored)
     if (nFresh == 0) {
       if (audit && incStored.isEmpty && wm != Long.MinValue)
         Incremental.writeWatermark(spark, statePath, wm, Some(inc0))

@@ -92,7 +92,7 @@ class CommitModeSpec extends SparkSpec {
     assert(BatchedState.readPointer(spark, ptr) === Some("gen=13"))
   }
 
-  test("manifest mode edges: empty dir, all-torn refusal, create-new race, mode mixing") {
+  test("manifest mode edges: empty dir, torn first commit, create-new race, mode mixing") {
     cdfsReady
     val dir = tmp("edges")
     val ptr = new Path(s"$dir/_latest")
@@ -101,14 +101,18 @@ class CommitModeSpec extends SparkSpec {
     assert(BatchedState.readPointer(spark, ptr) === None,
       "an empty manifest directory is an unpublished pointer, not an error")
 
-    // every manifest torn = corruption, not an in-flight commit: loud
+    // a crashed FIRST commit (only manifest torn, nothing complete)
+    // reads as unpublished — rename mode's twin (tmp written, dst never
+    // swapped) also reads None, and 'restore the last completed
+    // publish' would prescribe the impossible (review wave r16)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/_latest/manifest-${"%020d".format(0L)}"),
       "G2|40|0|trunc".getBytes("UTF-8"))
-    val e = intercept[IllegalStateException] {
-      BatchedState.readPointer(spark, ptr)
-    }
-    assert(e.getMessage.contains("manifest"), e.getMessage)
+    assert(BatchedState.readPointer(spark, ptr) === None,
+      "a torn first commit must read as never-published")
+    // and the retry commits PAST the torn number and serves
+    BatchedState.writePointer(spark, ptr, "gen=0", CommitMode.Manifest)
+    assert(BatchedState.readPointer(spark, ptr) === Some("gen=0"))
 
     // two writers racing to one number: the loser fails loudly
     BatchedState.createManifest(spark, ptr, 7L, "gen=a")

@@ -140,6 +140,80 @@ class DedupLateAuditSpec extends SparkSpec {
       .lateRows === 0L)
   }
 
+  test("an interrupted reconcile wipe refuses plain refresh; reconcile retry repairs") {
+    // review wave r16: the rebuild lands at batch=init (tag MinValue),
+    // and a pre-wipe snapshot dir SURVIVING a mid-wipe crash would
+    // outrank it in latest-tag resolution once the mark re-advances —
+    // stale labels under a fresh mark, audit reading zero. The
+    // _rebuild_pending marker makes any non-reconcile entry refuse.
+    val state = tmp("txt-wipe")
+    val d = Seq((1L, "a b c d e f"), (2L, "p q r s t u"),
+      (3L, "x y z w v u")).toDF("doc_id", "text")
+    IncrementalDedup.refresh(spark, d, state, threshold = 0.35)
+    // reconstruct the crash: marker written, watermark gone, one
+    // snapshot dir still standing
+    graft.operators.BatchedState.beginRebuild(spark, state)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$state/._watermark.crc"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$state/_watermark"))
+    val e = intercept[IllegalStateException] {
+      IncrementalDedup.refresh(spark, d, state, threshold = 0.35)
+    }
+    assert(e.getMessage.contains("reconcile"), e.getMessage)
+    // the blessed recovery: reconcile re-wipes idempotently
+    val rec = IncrementalDedup.reconcile(spark, d, state, threshold = 0.35)
+    assert(rec.fresh === 3L)
+    assert(!new java.io.File(s"$state/_rebuild_pending").exists)
+    val inc = IncrementalDedup.assignments(spark, state)
+    val full = DedupPipeline.dedup(d, threshold = 0.35)
+    assert(inc.except(full).count() === 0 && full.except(inc).count() === 0)
+    // and refresh works again afterwards
+    assert(IncrementalDedup.refresh(spark, d, state, threshold = 0.35)
+      .fresh === 0L)
+
+    val state2 = tmp("emb-wipe")
+    IncrementalEmbedDedup.refresh(spark, vecs.limit(100), state2,
+      threshold = 0.3)
+    graft.operators.BatchedState.beginRebuild(spark, state2)
+    val e2 = intercept[IllegalStateException] {
+      IncrementalEmbedDedup.refresh(spark, vecs, state2, threshold = 0.3)
+    }
+    assert(e2.getMessage.contains("reconcile"), e2.getMessage)
+    assert(IncrementalEmbedDedup.reconcile(spark, vecs, state2,
+      threshold = 0.3).fresh === vecs.count())
+  }
+
+  test("the baselining refresh must be full-fed: a delta-fed baseline over-reports, as documented") {
+    // the protocol's chunk-fed caveat on the id axis (review wave r16,
+    // pinned as DOCUMENTED behavior, not fixed away: with no stored
+    // tally the engine cannot distinguish 'this delta is everything'
+    // from 'a corpus predates this delta')
+    val state = tmp("txt-baseline")
+    val d = Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h i"),
+      (4L, "j k l")).toDF("doc_id", "text")
+    IncrementalDedup.refresh(spark, d.filter(col("doc_id") <= 2), state,
+      threshold = 0.35)
+    // drop the tally (legacy/bare mark)
+    val wm = Incremental.watermark(spark, state)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$state/._watermark.crc"))
+    val w = new java.io.FileWriter(s"$state/_watermark")
+    w.write(wm.toString); w.close()
+    // the baselining refresh arrives DELTA-FED: baseline pins at 0
+    IncrementalDedup.refresh(spark, d.filter(col("doc_id") > 2), state,
+      threshold = 0.35): Unit
+    // the next full feed over-reports the pre-baseline docs as late —
+    // exactly what the caveat documents; reconcile clears it
+    val r = IncrementalDedup.refresh(spark, d, state, threshold = 0.35)
+    assert(r.lateRows === 2L,
+      "documented over-report: pre-baseline docs read as late after a " +
+        s"delta-fed baseline (got ${r.lateRows})")
+    IncrementalDedup.reconcile(spark, d, state, threshold = 0.35): Unit
+    assert(IncrementalDedup.refresh(spark, d, state, threshold = 0.35)
+      .lateRows === 0L)
+  }
+
   test("legacy bare-long watermark baselines on first audited read, both operators") {
     def rewriteBare(state: String): Unit = {
       val wm = Incremental.watermark(spark, state)
