@@ -40,6 +40,15 @@ sealed trait CommitMode
 object CommitMode {
   case object Rename extends CommitMode
   case object Manifest extends CommitMode
+  /** Resolve from the session at write time
+    * (`spark.graft.commit.mode` = `rename` (default) | `manifest`) —
+    * the writePointer default, so ONE deployment knob flips every
+    * pointer site in the repo to the object-store-safe protocol
+    * without per-call plumbing; an explicit per-call mode still wins.
+    * Flipping the conf over an EXISTING rename-mode deployment refuses
+    * loudly at the first write (the one-mode-per-pointer guard) —
+    * migrate by publishing under fresh paths. */
+  case object Session extends CommitMode
 }
 
 /** What an id-watermarked dedup refresh did — the G44 late-arrival
@@ -261,7 +270,17 @@ private[graft] object BatchedState {
     * manifest file under the `dst` directory, create-new only (see
     * [[CommitMode]]). */
   def writePointer(spark: SparkSession, dst: Path, payload: String,
-      mode: CommitMode = CommitMode.Rename): Unit = mode match {
+      mode: CommitMode = CommitMode.Session): Unit = mode match {
+    case CommitMode.Session =>
+      val conf = spark.conf.getOption("spark.graft.commit.mode")
+        .getOrElse("rename")
+      val resolved = conf match {
+        case "rename" => CommitMode.Rename
+        case "manifest" => CommitMode.Manifest
+        case other => throw new IllegalArgumentException(
+          s"spark.graft.commit.mode='$other' — expected rename|manifest")
+      }
+      writePointer(spark, dst, payload, resolved)
     case CommitMode.Rename =>
       val hfs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val tmp = new Path(dst.getParent, s".${dst.getName}.tmp")
@@ -444,7 +463,7 @@ private[graft] object BatchedState {
 
   private[graft] def finishRebuild(spark: SparkSession,
       statePath: String): Unit =
-    fs(spark, statePath).delete(rebuildPath(statePath), false): Unit
+    fs(spark, statePath).delete(rebuildPath(statePath), true): Unit
 
   private[graft] def refuseIfRebuildPending(spark: SparkSession,
       statePath: String, what: String): Unit =

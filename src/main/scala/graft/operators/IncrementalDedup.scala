@@ -246,7 +246,7 @@ object IncrementalDedup {
       // marker BEFORE the first delete, removed only after the rebuild
       // commits — the wipe is observable at every crash point
       BatchedState.beginRebuild(spark, statePath)
-      f.delete(new Path(s"$statePath/_watermark"), false): Unit
+      f.delete(new Path(s"$statePath/_watermark"), true): Unit
       Seq("hashes", "shingles", "dfcounts", "dfcountsnap",
         "assign", "assignsnap").foreach(d =>
         f.delete(new Path(s"$statePath/$d"), true): Unit)

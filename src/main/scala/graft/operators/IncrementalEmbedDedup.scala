@@ -177,7 +177,7 @@ object IncrementalEmbedDedup {
       val f = BatchedState.fs(spark, statePath)
       BatchedState.beginRebuild(spark, statePath)
       f.delete(new org.apache.hadoop.fs.Path(s"$statePath/_watermark"),
-        false): Unit
+        true): Unit
       Seq("cells", "cellsnap", "pairs", "vectors", "vecsnap").foreach(d =>
         f.delete(new org.apache.hadoop.fs.Path(s"$statePath/$d"), true): Unit)
       val r = refreshLocked(spark, vecs, statePath, idCol, dims, threshold,

@@ -240,7 +240,7 @@ object IncrementalProtocol {
         if (st.isDirectory && hfs.listStatus(st.getPath).isEmpty)
           hfs.delete(st.getPath, true): Unit
       }
-    hfs.delete(pendingPath(snapshotPath), false): Unit
+    hfs.delete(pendingPath(snapshotPath), true): Unit
     val full = partials(raw).localCheckpoint(true)
     val cols = full.columns.sorted.toSeq
     def fingerprint(df: DataFrame): DataFrame =
@@ -300,7 +300,7 @@ object IncrementalProtocol {
     val newWm = if (wmRow.isNullAt(0)) Long.MinValue else wmRow.getLong(0)
     Incremental.writeWatermark(spark, snapshotPath,
       newWm, Some(stats))
-    hfs.delete(pendingPath(snapshotPath), false): Unit
+    hfs.delete(pendingPath(snapshotPath), true): Unit
     touched.length + doomed.length
   }
 
@@ -331,7 +331,7 @@ object IncrementalProtocol {
     // and turned spurious if a listed partition was later legitimately
     // removed). The full-write path re-creates its own marker before
     // its overwrite.
-    hfs.delete(pendingPath(snapshotPath), false): Unit
+    hfs.delete(pendingPath(snapshotPath), true): Unit
     // ---- late-arrival audit (see class doc): split the log's row
     // count at the mark. Deliberately TWO jobs, not one conditional
     // agg: a bare count() over a parquet scan reads footers/row-group
@@ -445,7 +445,7 @@ object IncrementalProtocol {
     Incremental.writeWatermark(spark, snapshotPath,
       math.max(math.max(wm, newWm), shedMaxTs),
       if (audit) Some(inc0 + pastCount) else None)
-    hfs.delete(pendingPath(snapshotPath), false): Unit
+    hfs.delete(pendingPath(snapshotPath), true): Unit
     RefreshResult(touched.length, shed, late)
   }
 }

@@ -131,6 +131,59 @@ class CommitModeSpec extends SparkSpec {
     assert(mix.getMessage.contains("rename-mode"), mix.getMessage)
   }
 
+  test("the session knob flips every pointer site: a full incremental cycle runs manifest-mode") {
+    // spark.graft.commit.mode=manifest routes the writePointer DEFAULT
+    // (CommitMode.Session) at all seven pointer sites — one deployment
+    // knob, no per-call plumbing. The heaviest consumer is the
+    // watermark+tally protocol: run a real ts-axis incremental cycle
+    // (refresh / audit / crash-retry / reconcile) entirely under it.
+    import graft.registry.Incremental
+    val events = graft.Tables.events(spark, sf)
+    val tsUs = unix_micros(col("ts"))
+    val bound = events.select(tsUs.as("us"))
+      .stat.approxQuantile("us", Array(0.5), 0.0).head.toLong
+    spark.conf.set("spark.graft.commit.mode", "manifest")
+    try {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-commit-knob").toString + "/snap"
+      // out-of-order feed: late half first, then the full log
+      Incremental.refresh(spark, events.filter(tsUs > bound), p): Unit
+      assert(new java.io.File(s"$p/_watermark").isDirectory,
+        "the watermark must commit as a manifest directory under the knob")
+      val r = Incremental.refresh(spark, events, p)
+      assert(r.lateRows === events.filter(tsUs <= bound).count())
+      assert(Incremental.reconcile(spark, events, p) > 0)
+      val after = Incremental.refresh(spark, events, p)
+      assert(after.lateRows === 0L && after.touched === 0)
+      // content identical to a rename-mode twin
+      spark.conf.unset("spark.graft.commit.mode")
+      val twin = java.nio.file.Files
+        .createTempDirectory("graft-commit-knob-twin").toString + "/snap"
+      Incremental.refresh(spark, events, twin): Unit
+      def rows(path: String) = Incremental.read(spark, path)
+        .collect().map(_.toSeq).toSet
+      assert(rows(p) === rows(twin))
+
+      // flipping the knob over an EXISTING rename-mode pointer refuses
+      // loudly at the first write (one mode per pointer path) — never
+      // silent corruption (direct pointer write: a refresh whose
+      // watermark is already current early-outs before writing)
+      spark.conf.set("spark.graft.commit.mode", "manifest")
+      val e = intercept[IllegalStateException] {
+        BatchedState.writePointer(spark, new Path(s"$twin/_watermark"),
+          "999")
+      }
+      assert(e.getMessage.contains("rename-mode"), e.getMessage)
+
+      spark.conf.set("spark.graft.commit.mode", "bogus")
+      val e2 = intercept[IllegalArgumentException] {
+        BatchedState.writePointer(spark,
+          new Path(s"$twin/_other_pointer"), "x")
+      }
+      assert(e2.getMessage.contains("bogus"), e2.getMessage)
+    } finally spark.conf.unset("spark.graft.commit.mode")
+  }
+
   test("online generation publish serves identically in both commit modes") {
     val dir = tmp("store")
     val fs = new FeatureStore(spark, s"$dir/values")
