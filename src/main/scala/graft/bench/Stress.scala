@@ -1671,6 +1671,75 @@ object Stress {
         f"max=${ls.max}%.2f s polls=${polls.get()} gens_kept=$gens")
     }
 
+    scenario("mart_quarantine") {
+      // r16: the G45 quarantine tee + fold-back loop at 50× — per-batch
+      // tee and fold costs over day-aligned fact chunks, then a full
+      // late-delivery repair through reconcile(log ∪ quarantine). The
+      // heavy BODIES are driven directly (applyBatch/quarantineBatch —
+      // public per the G21/G33 convention; streaming a 30M-row fact
+      // through MemoryStream would measure driver serialization, not
+      // the engine); the stream WIRING is spec-scale-covered.
+      import graft.streaming.StreamingMartMaintenance
+      val root = s"$dir/mart_quarantine"
+      val rp = new org.apache.hadoop.fs.Path(root)
+      rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(rp, true)
+      val m = s"$root/mart"; val qd = s"$root/quarantine"
+      val li = Tables.lineitem(spark, dir)
+      // six contiguous DAY-ALIGNED spans (refreshFromPartials refuses
+      // day-straddling handoffs — alignment is the operating contract)
+      val dayCol = col("l_shipdate").cast("date")
+      val r0 = li.agg(min(dayCol), max(dayCol)).head()
+      val (d0, d1) = (r0.getDate(0).toLocalDate, r0.getDate(1).toLocalDate)
+      val spanDays = java.time.temporal.ChronoUnit.DAYS.between(d0, d1) / 6 + 1
+      def span(i: Int) = li.filter(
+        dayCol >= lit(java.sql.Date.valueOf(d0.plusDays(i * spanDays))) &&
+        dayCol < lit(java.sql.Date.valueOf(d0.plusDays((i + 1) * spanDays))))
+      def partialsOf(rows: DataFrame): DataFrame = rows
+        .withColumn("_ship_ts", col("l_shipdate").cast("timestamp"))
+        .groupBy(window(col("_ship_ts"), "1 day"),
+          col("l_partkey"), col("l_suppkey"))
+        .agg(SupplyMart.measureExprs.head, SupplyMart.measureExprs.tail: _*)
+        .drop("window", "_ship_ts")
+      // seed spans 1..5 through the stream bodies (span 0 withheld —
+      // it will arrive "late"); tee first, then fold, per batch
+      for (i <- 1 to 5) {
+        val chunk = span(i)
+        var t0 = System.nanoTime()
+        val qn = StreamingMartMaintenance.quarantineBatch(spark, chunk, m, qd, i.toLong)
+        val teeS = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val r = StreamingMartMaintenance.applyBatch(spark, partialsOf(chunk), m, buckets = 64)
+        val foldS = (System.nanoTime() - t0) / 1e9
+        println(f"STRESS mart_quarantine_batch        tee=$teeS%6.2f s fold=$foldS%6.2f s   (batch $i: quarantined=$qn touched=${r.touched})")
+        require(qn == 0L, s"batch $i quarantined $qn rows of pending days")
+      }
+      // the late delivery: span 0's raw rows arrive after every later
+      // day folded — the tee must capture them row-for-row
+      val late = span(0)
+      val lateN = late.count()
+      var t0 = System.nanoTime()
+      val qn = StreamingMartMaintenance.quarantineBatch(spark, late, m, qd, 99L)
+      println(f"STRESS mart_quarantine_late_tee     ${(System.nanoTime() - t0) / 1e9}%8.2f s   captured=$qn of $lateN")
+      require(qn == lateN, s"tee captured $qn of $lateN late rows")
+      // fold-back: reconcile over absorbed-log ∪ quarantine converges
+      // to the full compute over everything
+      val schema = late.schema
+      val absorbed = (1 to 5).map(span).reduce(_ unionByName _)
+      t0 = System.nanoTime()
+      val rewritten = SupplyMart.reconcile(spark,
+        absorbed.unionByName(StreamingMartMaintenance.quarantined(spark, qd, schema)), m)
+      println(f"STRESS mart_quarantine_reconcile    ${(System.nanoTime() - t0) / 1e9}%8.2f s   buckets_rewritten=$rewritten")
+      val twin = s"$root/twin"
+      SupplyMart.refresh(spark, li, twin, buckets = 64): Unit
+      val a = SupplyMart.read(spark, m); val b = SupplyMart.read(spark, twin)
+      require(a.except(b).isEmpty && b.except(a).isEmpty,
+        "fold-back mart diverged from the full compute at 50x")
+      require(SupplyMart.refresh(spark, li, m, buckets = 64).lateRows == 0L,
+        "audit not clean after quarantine fold-back")
+      println(f"STRESS mart_quarantine_verified     mart rows=${a.count()} == twin (exact)")
+    }
+
     spark.stop()
   }
 }
