@@ -43,11 +43,24 @@ object CommitMode {
   /** Resolve from the session at write time
     * (`spark.graft.commit.mode` = `rename` (default) | `manifest`) —
     * the writePointer default, so ONE deployment knob flips every
-    * pointer site in the repo to the object-store-safe protocol
-    * without per-call plumbing; an explicit per-call mode still wins.
+    * [[BatchedState.writePointer]] site (watermarks+tallies, the
+    * online `_latest` generation head, the `_pending_commit` /
+    * `_rebuild_pending` markers, `_mart_meta.json`, the file-stats
+    * index head) to the object-store-safe protocol without per-call
+    * plumbing; an explicit per-call mode still wins. NOT governed,
+    * stated: the write-once artifact manifests that swap via
+    * [[BatchedState.atomicReplace]] directly (IvfIndex `_meta`,
+    * TokenizerArtifact `_meta`, CurationRun's run manifest,
+    * `_online_meta.json`) stay rename-committed — each is written once
+    * into a fresh unshared directory before any reader resolves it and
+    * carries a full-parse/torn guard, so the exposure is a detected
+    * torn copy on a crashed first publish, not a lost live pointer;
+    * migrating them to the pointer protocol is the named follow-up.
     * Flipping the conf over an EXISTING rename-mode deployment refuses
-    * loudly at the first write (the one-mode-per-pointer guard) —
-    * migrate by publishing under fresh paths. */
+    * loudly — at the protocol entries BEFORE any heavy work
+    * ([[BatchedState.assertPointerWritable]]), and at the write itself
+    * as the last line (both directions of the one-mode-per-pointer
+    * guard) — migrate by publishing under fresh paths. */
   case object Session extends CommitMode
 }
 
@@ -272,17 +285,21 @@ private[graft] object BatchedState {
   def writePointer(spark: SparkSession, dst: Path, payload: String,
       mode: CommitMode = CommitMode.Session): Unit = mode match {
     case CommitMode.Session =>
-      val conf = spark.conf.getOption("spark.graft.commit.mode")
-        .getOrElse("rename")
-      val resolved = conf match {
-        case "rename" => CommitMode.Rename
-        case "manifest" => CommitMode.Manifest
-        case other => throw new IllegalArgumentException(
-          s"spark.graft.commit.mode='$other' — expected rename|manifest")
-      }
-      writePointer(spark, dst, payload, resolved)
+      writePointer(spark, dst, payload, resolveSessionMode(spark))
     case CommitMode.Rename =>
       val hfs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // symmetric mode-mixing guard (review wave 2, r16): without it a
+      // rename write onto a manifest DIRECTORY surfaced as a raw FS
+      // error at best — and FileContext.rename(OVERWRITE) onto an
+      // EMPTY manifest dir (a crashed first commit) would SUCCEED,
+      // silently flipping the pointer's mode
+      if (hfs.exists(dst) && hfs.getFileStatus(dst).isDirectory)
+        throw new IllegalStateException(
+          s"$dst is a manifest-mode pointer DIRECTORY — a pointer path " +
+            "keeps one commit mode for its lifetime; restore " +
+            "spark.graft.commit.mode=manifest (or pass mode = Manifest) " +
+            "for this deployment, or publish rename-mode state under a " +
+            "fresh path")
       val tmp = new Path(dst.getParent, s".${dst.getName}.tmp")
       val out = hfs.create(tmp, true)
       try out.write(encodePointer(payload)
@@ -307,6 +324,47 @@ private[graft] object BatchedState {
       manifestEntries(hfs, dst).drop(KeepManifests)
         .foreach(e => try hfs.delete(e._2, false): Unit
           catch { case _: Exception => () })
+  }
+
+  /** The session's resolved commit mode (`spark.graft.commit.mode`,
+    * default rename) — what [[CommitMode.Session]] writes under. */
+  private[graft] def resolveSessionMode(spark: SparkSession): CommitMode =
+    spark.conf.getOption("spark.graft.commit.mode")
+      .getOrElse("rename") match {
+      case "rename" => CommitMode.Rename
+      case "manifest" => CommitMode.Manifest
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.commit.mode='$other' — expected rename|manifest")
+    }
+
+  /** Fail BEFORE heavy work when the pointer at `ptr` cannot be
+    * written under the session's resolved mode (review wave 2, r16):
+    * the incremental protocols overwrite data partitions first and
+    * advance their watermark LAST, so without this probe a mode
+    * mismatch surfaced only after the overwrite — a crash-equivalent,
+    * retryable state, but "refuses at the first write" was overclaimed
+    * and every retry re-paid the overwrite. Callers probe their
+    * watermark path up front; the write-time guards stay as the last
+    * line of defense. */
+  private[graft] def assertPointerWritable(spark: SparkSession,
+      ptr: Path): Unit = {
+    val hfs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hfs.exists(ptr)) {
+      val isDir = hfs.getFileStatus(ptr).isDirectory
+      resolveSessionMode(spark) match {
+        case CommitMode.Manifest if !isDir => throw new IllegalStateException(
+          s"$ptr is a rename-mode pointer FILE and " +
+            "spark.graft.commit.mode=manifest — a pointer path keeps one " +
+            "commit mode for its lifetime; unset the knob for this " +
+            "deployment or publish manifest-mode state under a fresh path")
+        case CommitMode.Rename if isDir => throw new IllegalStateException(
+          s"$ptr is a manifest-mode pointer DIRECTORY and the session " +
+            "resolves rename mode — restore spark.graft.commit.mode=" +
+            "manifest for this deployment or publish rename-mode state " +
+            "under a fresh path")
+        case _ => ()
+      }
+    }
   }
 
   /** Manifests kept per pointer in [[CommitMode.Manifest]]: the newest
@@ -374,21 +432,26 @@ private[graft] object BatchedState {
     var attempts = 0
     while (attempts < 3) {
       attempts += 1
-      val entries = manifestEntries(hfs, dir)
+      val entries = manifestEntries(hfs, dir).iterator
       var vanished = false
-      entries.foreach { case (_, p) =>
+      while (!vanished && entries.hasNext) {
+        val (_, p) = entries.next()
         val txt =
           try {
             val in = hfs.open(p)
             try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
             finally in.close()
           } catch {
-            // pruned between list and open: this stale listing is
-            // unreadable evidence, not an answer — re-list
+            // pruned between list and open: the whole LISTING is stale
+            // evidence — stop here and re-list rather than fall through
+            // to an older entry (review wave 2: a stuck old manifest
+            // surviving past its window could otherwise be returned as
+            // the value while newer complete commits exist)
             case _: java.io.FileNotFoundException => vanished = true; None
           }
         // manifest files are ALWAYS G2-encoded by the writer: bare
-        // content is a torn prefix or foreign junk (skip), never legacy
+        // content is a torn prefix or foreign junk (skip — an
+        // in-flight commit, not pruning evidence), never legacy
         txt.filter(_.startsWith("G2|")).foreach { t =>
           try return Some(decodePointer(t, p.toString))
           catch { case _: IllegalStateException => () }

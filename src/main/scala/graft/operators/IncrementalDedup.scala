@@ -207,6 +207,10 @@ object IncrementalDedup {
       // pre-wipe snapshot dir would outrank it once the mark advances
       // — stale labels under a fresh mark (review wave r16)
       BatchedState.refuseIfRebuildPending(spark, statePath, "IncrementalDedup")
+      // commit-mode probe before the dedup work: the watermark write
+      // happens last (review wave 2 — same shape as the protocol)
+      BatchedState.assertPointerWritable(spark,
+        new Path(s"$statePath/_watermark"))
       refreshLocked(spark, docs, statePath, idCol, textCol, threshold,
         maxDf, compactEvery, anchor, audit)
     } finally BatchedState.releaseLock(spark, new Path(s"$statePath/_lock_refresh"))

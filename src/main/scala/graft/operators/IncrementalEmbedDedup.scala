@@ -140,6 +140,8 @@ object IncrementalEmbedDedup {
       // snapshot dirs once the mark re-advances
       BatchedState.refuseIfRebuildPending(spark, statePath,
         "IncrementalEmbedDedup")
+      BatchedState.assertPointerWritable(spark,
+        new org.apache.hadoop.fs.Path(s"$statePath/_watermark"))
       refreshLocked(spark, vecs, statePath, idCol, dims, threshold,
         tables, planesPerTable, compactEvery, bucketWidth, maxAttachBuckets,
         anchor, audit)

@@ -86,35 +86,36 @@ object SupplyMart {
     * uses the recorded value. */
   private def recordedBuckets(spark: SparkSession, martPath: String): Option[Int] = {
     val p = new Path(martPath, "_mart_meta.json")
-    val f = hfs(spark, martPath)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+    // the checksummed-pointer read (review wave 2, r16 — this swap
+    // site now rides writePointer, so the commit-mode knob governs
+    // it): G2 content validates through the checksum, a LEGACY bare
+    // file passes through, and under the knob the meta is a manifest
+    // directory readers auto-detect
+    BatchedState.readPointer(spark, p).map { txt =>
       // demand the COMPLETE single-object document, not just a digit
-      // run: a torn write of {"buckets":64} can truncate to
+      // run: a torn legacy write of {"buckets":64} can truncate to
       // {"buckets":6 — which a bare digit regex would happily accept
       // and silently split the layout across two bucket counts.
       // Refuse loudly instead: the recovery (re-copy/rewrite the meta
       // file) is cheap and obvious; a split-brain mart is neither.
       val full = """\A\s*\{\s*"buckets"\s*:\s*(\d+)\s*\}\s*\z""".r
-      Some(full.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(
+      full.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(
         throw new IllegalStateException(
           s"torn or foreign _mart_meta.json at $p: '$txt' — restore the " +
             "file to {\"buckets\":<n>} with the layout's original count " +
-            "before refreshing")))
+            "before refreshing"))
     }
   }
 
   /** Record the bucket count as the mart's pinned layout — meta-first,
-    * BEFORE any data write, via temp + atomicReplace (the repo's
-    * pointer convention) rather than create(overwrite=true) in place:
+    * BEFORE any data write, via [[BatchedState.writePointer]] (the
+    * repo's pointer write: atomic swap or manifest commit per the
+    * session's mode) rather than create(overwrite=true) in place:
     * meta-first ordering already guarantees no data exists yet, but an
     * in-place write can tear, and recordedBuckets' full-parse guard
     * would then refuse every later refresh until an operator
-    * intervenes — the atomic swap removes the torn state instead of
-    * detecting it. REFUSES when bucket data already exists without a
+    * intervenes — the pointer protocol removes the torn state instead
+    * of detecting it. REFUSES when bucket data already exists without a
     * meta file (the r15 ADVICE finding): such data was laid out at an
     * unknown count, and pinning a guessed one would route the same
     * part key into two layouts — and a reconcile would fingerprint
@@ -132,12 +133,12 @@ object SupplyMart {
         "split part keys across two bucket layouts. Restore the meta " +
         "file to {\"buckets\":<n>} with the layout's original count " +
         "(or delete the mart and rebuild) before refreshing")
-    val meta = new Path(martPath, "_mart_meta.json")
-    val tmp = new Path(martPath, "._mart_meta.json.tmp")
-    val out = hfs(spark, martPath).create(tmp, true)
-    try out.write(s"""{"buckets":$buckets}""".getBytes("UTF-8"))
-    finally out.close()
-    BatchedState.atomicReplace(spark, tmp, meta)
+    // THE pointer write (review wave 2: this was a hand-rolled
+    // temp+atomicReplace — rename-committed even under the manifest
+    // knob; writePointer gives it the checksum format AND the
+    // session's commit mode)
+    BatchedState.writePointer(spark,
+      new Path(martPath, "_mart_meta.json"), s"""{"buckets":$buckets}""")
     buckets
   }
 

@@ -531,7 +531,11 @@ final class FeatureStore(spark: SparkSession, storePath: String,
     * Returns the published generation path.
     *
     * `mode` selects the `_latest` commit protocol
-    * ([[graft.operators.CommitMode]]): Rename (default) for
+    * ([[graft.operators.CommitMode]]): the default Session resolves
+    * `spark.graft.commit.mode` (rename unless set — so the deployment
+    * knob governs this pointer too; review wave 2 caught the hardcoded
+    * Rename default silently overriding the knob at exactly the
+    * pointer the object-store guidance targets); Rename for
     * local/HDFS; Manifest for object stores, where the pointer becomes
     * a directory of create-new numbered manifests and NO rename sits
     * on the commit path. Readers ([[FeatureStore.resolveOnlineLatest]])
@@ -546,7 +550,7 @@ final class FeatureStore(spark: SparkSession, storePath: String,
       featureNames: Option[Seq[String]] = None,
       version: Option[String] = None,
       mode: graft.operators.CommitMode =
-        graft.operators.CommitMode.Rename): String = {
+        graft.operators.CommitMode.Session): String = {
     val lock = new Path(basePath, "_lock_publish")
     graft.operators.BatchedState.acquireLock(spark, lock, "online-generation publish")
     try {

@@ -228,6 +228,10 @@ object IncrementalProtocol {
       write: (DataFrame, String) => Unit): Int = {
     val hfs = new Path(snapshotPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // same early commit-mode probe as refresh (the full-compute below
+    // is the heaviest work in the tier)
+    graft.operators.BatchedState.assertPointerWritable(spark,
+      new Path(snapshotPath, "_watermark"))
     // tear recovery, not tear refusal (the r15 ADVICE finding): a
     // partition an interrupted overwrite emptied is rebuilt from the
     // full log below — drop the empty dir (it would break parquet
@@ -315,6 +319,12 @@ object IncrementalProtocol {
     val (wm, incStored) = Incremental.watermarkState(spark, snapshotPath)
     val hfs = new Path(snapshotPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // commit-mode probe BEFORE any heavy work (review wave 2, r16):
+    // the watermark write happens LAST, after the partition overwrite
+    // — a session-knob mismatch must refuse here, not after the
+    // overwrite already ran (retryable, but every retry re-paid it)
+    graft.operators.BatchedState.assertPointerWritable(spark,
+      new Path(snapshotPath, "_watermark"))
     val snapExists = hfs.globStatus(new Path(s"$snapshotPath/$partCol=*")) match {
       case null => false
       case gs   => gs.nonEmpty

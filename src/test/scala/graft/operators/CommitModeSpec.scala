@@ -164,16 +164,51 @@ class CommitModeSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet
       assert(rows(p) === rows(twin))
 
+      // the layout meta rides the knob too (review wave 2: it was a
+      // hand-rolled rename swap the knob silently skipped)
+      spark.conf.set("spark.graft.commit.mode", "manifest")
+      val mart = java.nio.file.Files
+        .createTempDirectory("graft-commit-knob-mart").toString + "/mart"
+      val li = graft.Tables.lineitem(spark, sf).limit(3000)
+      SupplyMart.refresh(spark, li, mart, buckets = 4): Unit
+      assert(new java.io.File(s"$mart/_mart_meta.json").isDirectory,
+        "_mart_meta.json must commit as a manifest directory under the knob")
+      // and the recorded count reads back through the directory
+      SupplyMart.refresh(spark, li, mart, buckets = 64): Unit
+      assert(new java.io.File(mart).listFiles
+        .count(f => f.isDirectory && f.getName.startsWith("bucket=")) <= 4)
+
       // flipping the knob over an EXISTING rename-mode pointer refuses
       // loudly at the first write (one mode per pointer path) — never
       // silent corruption (direct pointer write: a refresh whose
       // watermark is already current early-outs before writing)
-      spark.conf.set("spark.graft.commit.mode", "manifest")
       val e = intercept[IllegalStateException] {
         BatchedState.writePointer(spark, new Path(s"$twin/_watermark"),
           "999")
       }
       assert(e.getMessage.contains("rename-mode"), e.getMessage)
+      // ... and BEFORE any heavy work at the protocol entry (review
+      // wave 2: the watermark write came after the partition
+      // overwrite, so the refusal used to fire only post-overwrite)
+      val eProbe = intercept[IllegalStateException] {
+        Incremental.refresh(spark, events, twin)
+      }
+      assert(eProbe.getMessage.contains("rename-mode pointer FILE"),
+        eProbe.getMessage)
+
+      // the symmetric direction: a rename-mode (knob unset) write onto
+      // a manifest DIRECTORY refuses with guidance, never a raw FS
+      // error — and never a silent mode flip
+      spark.conf.unset("spark.graft.commit.mode")
+      val eDir = intercept[IllegalStateException] {
+        BatchedState.writePointer(spark, new Path(s"$p/_watermark"), "1")
+      }
+      assert(eDir.getMessage.contains("DIRECTORY"), eDir.getMessage)
+      val eDirProbe = intercept[IllegalStateException] {
+        Incremental.refresh(spark, events, p)
+      }
+      assert(eDirProbe.getMessage.contains("DIRECTORY"), eDirProbe.getMessage)
+      spark.conf.set("spark.graft.commit.mode", "manifest")
 
       spark.conf.set("spark.graft.commit.mode", "bogus")
       val e2 = intercept[IllegalArgumentException] {
@@ -209,6 +244,21 @@ class CommitModeSpec extends SparkSpec {
       val viaManifest = FeatureStore.readOnlineVectorLatest(spark, manifestBase, id)
       assert(viaRename.nonEmpty)
       assert(viaRename === viaManifest, s"modes diverged for $id")
+    }
+
+    // the session knob governs this publish when no explicit mode is
+    // passed (review wave 2: the hardcoded Rename default silently
+    // overrode the knob at exactly the pointer the object-store
+    // guidance targets)
+    val knobBase = s"$dir/gens-knob"
+    spark.conf.set("spark.graft.commit.mode", "manifest")
+    try fs.publishOnlineGeneration(knobBase, buckets = 4)
+    finally spark.conf.unset("spark.graft.commit.mode")
+    assert(new java.io.File(s"$knobBase/_latest").isDirectory,
+      "the session knob must govern the default-mode publish")
+    ids.foreach { id =>
+      assert(FeatureStore.readOnlineVectorLatest(spark, knobBase, id)
+        === FeatureStore.readOnlineVectorLatest(spark, renameBase, id))
     }
 
     // a second manifest-mode publish advances the pointer and pruning
