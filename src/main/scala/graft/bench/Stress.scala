@@ -1722,13 +1722,13 @@ object Stress {
       val qn = StreamingMartMaintenance.quarantineBatch(spark, late, m, qd, 99L)
       println(f"STRESS mart_quarantine_late_tee     ${(System.nanoTime() - t0) / 1e9}%8.2f s   captured=$qn of $lateN")
       require(qn == lateN, s"tee captured $qn of $lateN late rows")
-      // fold-back: reconcile over absorbed-log ∪ quarantine converges
-      // to the full compute over everything
-      val schema = late.schema
+      // fold-back via the SAFE verb (r17 ADVICE fix): foldBack bags
+      // quarantine − log before reconciling, so the measured cost
+      // includes the over-capture subtraction a lagging tee needs
       val absorbed = (1 to 5).map(span).reduce(_ unionByName _)
       t0 = System.nanoTime()
-      val rewritten = SupplyMart.reconcile(spark,
-        absorbed.unionByName(StreamingMartMaintenance.quarantined(spark, qd, schema)), m)
+      val rewritten = StreamingMartMaintenance.foldBack(
+        spark, absorbed, qd, m, buckets = 64)
       println(f"STRESS mart_quarantine_reconcile    ${(System.nanoTime() - t0) / 1e9}%8.2f s   buckets_rewritten=$rewritten")
       val twin = s"$root/twin"
       SupplyMart.refresh(spark, li, twin, buckets = 64): Unit

@@ -345,13 +345,24 @@ private[graft] object BatchedState {
     * retryable state, but "refuses at the first write" was overclaimed
     * and every retry re-paid the overwrite. Callers probe their
     * watermark path up front; the write-time guards stay as the last
-    * line of defense. */
+    * line of defense. `mode` is the commit mode the eventual write
+    * will use — the Session default resolves the knob; an explicit
+    * per-call mode (publishOnlineGeneration's parameter) probes THAT
+    * mode, so the probe can never pass a write that would refuse
+    * (ADVICE r16: the generation publish gained the mode parameter
+    * but not the probe, so a mismatch surfaced only at the `_latest`
+    * write — after the full bucketed generation was written — and
+    * every retry re-paid the publish and stranded an orphan `gen=<n>`
+    * directory pruneOnlineGenerations never reclaims). */
   private[graft] def assertPointerWritable(spark: SparkSession,
-      ptr: Path): Unit = {
+      ptr: Path, mode: CommitMode = CommitMode.Session): Unit = {
     val hfs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (hfs.exists(ptr)) {
       val isDir = hfs.getFileStatus(ptr).isDirectory
-      resolveSessionMode(spark) match {
+      (mode match {
+        case CommitMode.Session => resolveSessionMode(spark)
+        case m => m
+      }) match {
         case CommitMode.Manifest if !isDir => throw new IllegalStateException(
           s"$ptr is a rename-mode pointer FILE and " +
             "spark.graft.commit.mode=manifest — a pointer path keeps one " +
@@ -504,6 +515,40 @@ private[graft] object BatchedState {
       val i0 = incStored.getOrElse(below)
       (i0, math.max(0L, below - i0))
     }
+
+  /** Refuse a mis-fed id-axis `reconcile` BEFORE it wipes state — ONE
+    * spelling for both dedup operators (ADVICE r16: reconcile wiped
+    * the watermark and every state directory before looking at its
+    * input, so an empty — or accidentally delta-fed — frame destroyed
+    * all committed state and returned DedupRefreshResult(0, 0) with no
+    * refusal). Two loud checks, both cheap next to the full rebuild
+    * the verb is about to pay: an empty frame can never be "the full
+    * corpus", and a max id below the stored watermark proves the feed
+    * is missing documents the committed state has already seen. Max id
+    * EQUAL to the mark is legal (a reconcile that repairs late
+    * below-mark rows adds no new ids). Runs under the caller's lock so
+    * the watermark read is consistent with the wipe decision. */
+  private[graft] def assertFullCorpusFeed(spark: SparkSession,
+      docs: DataFrame, idCol: String, statePath: String,
+      what: String): Unit = {
+    val r = docs.agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.max(col(idCol))).head()
+    if (r.getLong(0) == 0L) throw new IllegalStateException(
+      s"$what reconcile at $statePath fed an EMPTY frame — reconcile " +
+        "is a stop-the-world rebuild from the FULL corpus; an empty " +
+        "feed would erase all committed state. Nothing was wiped.")
+    val maxId = r.getLong(1)
+    val wm = graft.registry.Incremental.watermark(spark, statePath)
+    if (wm != Long.MinValue && maxId < wm) throw new IllegalStateException(
+      s"$what reconcile at $statePath fed a frame whose max $idCol " +
+        s"($maxId) is BELOW the committed watermark ($wm) — the feed is " +
+        "provably not the full corpus (the state has incorporated " +
+        "higher ids), so rebuilding from it would erase documents. " +
+        "Nothing was wiped; feed the full corpus, or delete the state " +
+        "directory explicitly if the corpus genuinely shrank.")
+  }
 
   private def rebuildPath(statePath: String) =
     new Path(statePath, "_rebuild_pending")

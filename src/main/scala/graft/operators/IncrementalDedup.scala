@@ -237,7 +237,16 @@ object IncrementalDedup {
     * once the mark re-advances — so a plain refresh REFUSES loudly
     * while the marker stands, and the recovery is to re-run reconcile
     * (it re-wipes idempotently and holds the full corpus — no false
-    * loss, spec-pinned). */
+    * loss, spec-pinned). Mis-fed repairs REFUSE before the wipe
+    * (ADVICE r16 — the wipe used to run before looking at the input,
+    * so an empty or accidentally delta-fed frame destroyed all
+    * committed state and returned DedupRefreshResult(0, 0) silently):
+    * an empty `docs` frame, or one whose max id sits BELOW the stored
+    * watermark (clear evidence the feed is not the full corpus — the
+    * committed state has seen higher ids), fails loudly with the
+    * state untouched. A deliberate corpus shrink is the one case the
+    * guard blocks; there, delete the state directory and refresh from
+    * scratch — that intent should cost an explicit destructive step. */
   def reconcile(spark: SparkSession, docs: DataFrame, statePath: String,
       idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.8, maxDf: Int = 1000,
@@ -247,6 +256,8 @@ object IncrementalDedup {
       "IncrementalDedup refresh")
     try {
       val f = fs(spark, statePath)
+      BatchedState.assertFullCorpusFeed(spark, docs, idCol, statePath,
+        "IncrementalDedup")
       // marker BEFORE the first delete, removed only after the rebuild
       // commits — the wipe is observable at every crash point
       BatchedState.beginRebuild(spark, statePath)

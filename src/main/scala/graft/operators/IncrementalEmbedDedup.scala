@@ -166,7 +166,13 @@ object IncrementalEmbedDedup {
     * around the wipe (review wave r16 — see
     * [[IncrementalDedup.reconcile]] for the resurrection hazard it
     * closes): a plain refresh refuses loudly while the marker stands;
-    * re-run reconcile (idempotent re-wipe, full corpus in hand). */
+    * re-run reconcile (idempotent re-wipe, full corpus in hand).
+    * Mis-fed repairs REFUSE before the wipe (ADVICE r16, the
+    * [[IncrementalDedup.reconcile]] guard): an empty `vecs` frame, or
+    * one whose max id sits below the stored watermark (the feed is
+    * provably not the full corpus), fails loudly with the state
+    * untouched instead of erasing it; a deliberate corpus shrink
+    * deletes the state directory explicitly. */
   def reconcile(spark: SparkSession, vecs: DataFrame, statePath: String,
       idCol: String = "vec_id", dims: Int = 64, threshold: Double = 0.45,
       tables: Int = 24, planesPerTable: Int = 4,
@@ -177,6 +183,8 @@ object IncrementalEmbedDedup {
     BatchedState.acquireLock(spark, lock, "IncrementalEmbedDedup refresh")
     try {
       val f = BatchedState.fs(spark, statePath)
+      BatchedState.assertFullCorpusFeed(spark, vecs, idCol, statePath,
+        "IncrementalEmbedDedup")
       BatchedState.beginRebuild(spark, statePath)
       f.delete(new org.apache.hadoop.fs.Path(s"$statePath/_watermark"),
         true): Unit

@@ -554,6 +554,18 @@ final class FeatureStore(spark: SparkSession, storePath: String,
     val lock = new Path(basePath, "_lock_publish")
     graft.operators.BatchedState.acquireLock(spark, lock, "online-generation publish")
     try {
+      // probe the `_latest` pointer BEFORE computing the generation
+      // (ADVICE r16): under a knob/pointer mode mismatch the refusal
+      // used to fire only at the pointer write — after the full
+      // bucketed generation was written — so every retry re-paid the
+      // publish and stranded an orphan gen=<n> directory that
+      // pruneOnlineGenerations never reclaims (it only prunes below
+      // the current pointer). Probes the EXPLICIT mode when one is
+      // passed, the resolved session knob otherwise — exactly what
+      // the write itself will do; the write-time guard stays as the
+      // last line of defense.
+      graft.operators.BatchedState.assertPointerWritable(spark,
+        new Path(basePath, "_latest"), mode)
       val fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
       // toLongOption: a stray gen=* entry with a non-numeric suffix
       // (editor droppings, a half-typed manual copy) must not brick

@@ -49,13 +49,17 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * day the mart has already committed route to a quarantine sink
   * row-for-row (see [[quarantineBatch]] for why the DAY, not the bare
   * watermark, is the right boundary), where the batch repair verb
-  * ([[SupplyMart.reconcile]] over log ∪ quarantine) can fold them in.
-  * The sliver the tee cannot classify — a beyond-bound row of a day
-  * whose window has NOT yet folded — stays measurement-only
-  * (`numRowsDroppedByWatermark`): at arrival time the tee cannot know
-  * the aggregation will drop it, and guessing with a shadow watermark
-  * would quarantine rows the stream actually absorbed, poisoning any
-  * later fold-back with double counts.
+  * ([[foldBack]] — reconcile over log ∪ (quarantine − log), bag
+  * semantics) folds them in. The tee's classification is deliberately
+  * allowed to OVER-approximate: a tee lagging its fold (no production
+  * ordering exists between the two queries) quarantines rows the
+  * aggregation absorbed into since-committed days, and foldBack
+  * subtracts exactly those before reconciling — capture errs toward
+  * too much, the repair stays exact (ADVICE r16; spec-pinned with a
+  * deliberately lagging tee). The sliver the tee cannot classify — a
+  * beyond-bound row of a day whose window has NOT yet folded — stays
+  * measurement-only (`numRowsDroppedByWatermark`): at arrival time
+  * the tee cannot know the aggregation will drop it.
   *
   * Scale notes: state is keyed by (day, part, supplier) and bounded by
   * the watermark horizon (closed windows are evicted); the sink's
@@ -136,7 +140,18 @@ object StreamingMartMaintenance {
     * cannot-classify sliver (see the class doc) remains
     * measurement-only. Reads the committed watermark per batch — a row
     * racing its own day's fold lands in neither place this batch and
-    * is classified on a later delivery or by the batch audit. */
+    * is classified on a later delivery or by the batch audit.
+    *
+    * The OTHER race direction (ADVICE r16): nothing in production
+    * enforces tee-before-fold ordering, and a tee that LAGS the fold
+    * classifies rows against a mart watermark that has already
+    * advanced — a row the aggregation ABSORBED into a since-committed
+    * day gets quarantined too (over-capture). Over-capture is safe for
+    * the mart (the tee only observes) but poisons a BLIND
+    * `reconcile(log ∪ quarantine)` with double-counted SUM partials —
+    * which is why the fold-back verb is [[foldBack]]: it drops each
+    * quarantined row the absorbed log already carries before unioning,
+    * so capture may over-approximate and the repair stays exact. */
   def quarantineWriter(stream: DataFrame, martPath: String,
       quarantinePath: String, checkpoint: String): DataStreamWriter[Row] =
     stream.writeStream
@@ -147,8 +162,7 @@ object StreamingMartMaintenance {
       }
 
   /** Quarantined raw rows across all batches — lineitem-shaped, ready
-    * to union with the log for [[SupplyMart.reconcile]]. Empty frame
-    * when nothing was ever quarantined. */
+    * for [[foldBack]]. Empty frame when nothing was ever quarantined. */
   def quarantined(spark: SparkSession, quarantinePath: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(quarantinePath)
@@ -156,5 +170,37 @@ object StreamingMartMaintenance {
     if (!hfs.exists(p)) graft.operators.BatchedState.emptyDf(spark, schema)
     else spark.read.parquet(quarantinePath)
       .select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** THE fold-back verb — repair the mart from the absorbed log plus
+    * the quarantine, safe against over-capture (ADVICE r16). A tee
+    * that lagged its fold can quarantine rows the aggregation actually
+    * absorbed (they are in `log` AND in quarantine), and a blind
+    * `reconcile(log ∪ quarantine)` double-counts their SUM partials
+    * silently. This verb subtracts the log from the quarantine with
+    * BAG semantics first (`exceptAll` — one quarantined copy removed
+    * per log copy, so legitimate duplicate rows survive in their true
+    * multiplicity), then reconciles: absorbed-and-over-quarantined
+    * rows count once, genuinely dropped rows count once.
+    *
+    * Residual, stated: two BYTE-IDENTICAL rows of which one was
+    * absorbed and one dropped are indistinguishable to bag
+    * subtraction — the dropped copy is removed with the absorbed one
+    * and the repair under-counts it. Real fact logs carry a unique row
+    * key (lineitem's (l_orderkey, l_linenumber)) which makes the case
+    * impossible; the 5-column MartRow spec shape is where it can
+    * arise, and the contract there is the one the batch audit already
+    * states — run the next full-log `reconcile` to converge. The
+    * exceptAll is one keyed shuffle of each side (log-sized, same
+    * order as the reconcile scan it precedes), never all-pairs.
+    *
+    * Returns the reconcile's rewritten-bucket count. `log` must be
+    * the absorbed raw rows in the quarantine's column shape. */
+  def foldBack(spark: SparkSession, log: DataFrame, quarantinePath: String,
+      martPath: String, buckets: Int = 32): Int = {
+    val aligned = log.select(log.schema.fieldNames.map(col).toSeq: _*)
+    val extra = quarantined(spark, quarantinePath, log.schema)
+      .exceptAll(aligned)
+    SupplyMart.reconcile(spark, aligned.unionByName(extra), martPath, buckets)
   }
 }

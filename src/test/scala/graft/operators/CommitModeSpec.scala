@@ -261,6 +261,22 @@ class CommitModeSpec extends SparkSpec {
         === FeatureStore.readOnlineVectorLatest(spark, renameBase, id))
     }
 
+    // a mode-mismatched publish refuses BEFORE computing the
+    // generation (ADVICE r16: the refusal used to fire only at the
+    // _latest write, after the full bucketed generation was written —
+    // every retry re-paid the publish and stranded an orphan gen=<n>
+    // directory pruneOnlineGenerations never reclaims)
+    val gensBefore = new java.io.File(knobBase).listFiles()
+      .count(_.getName.startsWith("gen="))
+    val eProbe = intercept[IllegalStateException] {
+      fs.publishOnlineGeneration(knobBase, buckets = 4,
+        mode = CommitMode.Rename)
+    }
+    assert(eProbe.getMessage.contains("DIRECTORY"), eProbe.getMessage)
+    assert(new java.io.File(knobBase).listFiles()
+      .count(_.getName.startsWith("gen=")) === gensBefore,
+      "the probe must refuse before any generation directory is written")
+
     // a second manifest-mode publish advances the pointer and pruning
     // reclaims superseded generations exactly as in rename mode
     fs.publishOnlineGeneration(manifestBase, buckets = 4,

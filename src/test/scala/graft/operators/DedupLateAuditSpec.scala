@@ -184,6 +184,64 @@ class DedupLateAuditSpec extends SparkSpec {
       threshold = 0.3).fresh === vecs.count())
   }
 
+  test("a mis-fed reconcile refuses BEFORE the wipe: empty and below-mark feeds leave state intact") {
+    // ADVICE r16: reconcile wiped the watermark and every state dir
+    // before looking at its input — an empty (or delta-fed) frame
+    // destroyed all committed state and returned (0, 0) silently.
+    val d = Seq((1L, "a b c d e f"), (2L, "p q r s t u"),
+      (3L, "x y z w v u")).toDF("doc_id", "text")
+
+    val state = tmp("txt-guard")
+    IncrementalDedup.refresh(spark, d, state, threshold = 0.35)
+    val before = IncrementalDedup.assignments(spark, state)
+      .collect().map(_.toSeq).toSet
+    val wmBefore = Incremental.watermark(spark, state)
+
+    val eEmpty = intercept[IllegalStateException] {
+      IncrementalDedup.reconcile(spark, d.filter(col("doc_id") > 99),
+        state, threshold = 0.35)
+    }
+    assert(eEmpty.getMessage.contains("EMPTY"), eEmpty.getMessage)
+    // a frame missing the state's highest ids is provably not the corpus
+    val eBelow = intercept[IllegalStateException] {
+      IncrementalDedup.reconcile(spark, d.filter(col("doc_id") <= 2),
+        state, threshold = 0.35)
+    }
+    assert(eBelow.getMessage.contains("BELOW the committed watermark"),
+      eBelow.getMessage)
+    // nothing was wiped: state, mark, and refreshability all intact
+    assert(Incremental.watermark(spark, state) === wmBefore)
+    assert(IncrementalDedup.assignments(spark, state)
+      .collect().map(_.toSeq).toSet === before,
+      "a refused reconcile must leave the label state untouched")
+    assert(!new java.io.File(s"$state/_rebuild_pending").exists,
+      "a refused reconcile must not leave the rebuild marker standing")
+    assert(IncrementalDedup.refresh(spark, d, state, threshold = 0.35)
+      .fresh === 0L)
+    // max id EQUAL to the mark is the legal repair shape (late rows
+    // add no new ids) — the guard must not block it
+    assert(IncrementalDedup.reconcile(spark, d, state, threshold = 0.35)
+      .fresh === 3L)
+
+    // same guard, embed operator
+    val state2 = tmp("emb-guard")
+    IncrementalEmbedDedup.refresh(spark, vecs, state2, threshold = 0.3)
+    val wm2 = Incremental.watermark(spark, state2)
+    val pairsBefore = IncrementalEmbedDedup.pairs(spark, state2).count()
+    intercept[IllegalStateException] {
+      IncrementalEmbedDedup.reconcile(spark,
+        vecs.filter(col("vec_id") < 0), state2, threshold = 0.3)
+    }
+    val eB2 = intercept[IllegalStateException] {
+      IncrementalEmbedDedup.reconcile(spark,
+        vecs.filter(col("vec_id") < 150), state2, threshold = 0.3)
+    }
+    assert(eB2.getMessage.contains("BELOW the committed watermark"))
+    assert(Incremental.watermark(spark, state2) === wm2)
+    assert(IncrementalEmbedDedup.pairs(spark, state2).count() === pairsBefore,
+      "a refused embed reconcile must leave the pair state untouched")
+  }
+
   test("the baselining refresh must be full-fed: a delta-fed baseline over-reports, as documented") {
     // the protocol's chunk-fed caveat on the id axis (review wave r16,
     // pinned as DOCUMENTED behavior, not fixed away: with no stored

@@ -142,15 +142,15 @@ class StreamingMartMaintenanceSpec extends SparkSpec {
     SupplyMart.refresh(spark, real.toDF(), twin, buckets = 8)
     assert(martRows(mart) === martRows(twin))
 
-    // the repair loop: reconcile over log ∪ quarantine folds the
-    // dropped rows in, converging to the full compute over everything
-    val withLate = real.toDF().unionByName(
-      StreamingMartMaintenance.quarantined(spark, quarantine, schema))
-    assert(SupplyMart.reconcile(spark, withLate, mart) > 0)
+    // the repair loop: foldBack (reconcile over log ∪ (quarantine −
+    // log), the documented verb) folds the dropped rows in, converging
+    // to the full compute over everything
+    assert(StreamingMartMaintenance.foldBack(spark, real.toDF(),
+      quarantine, mart, buckets = 8) > 0)
     val twinAll = tmp("q-twin-all")
     SupplyMart.refresh(spark, (real ++ Seq(late1, late2)).toDF(), twinAll, 8)
     assert(martRows(mart) === martRows(twinAll),
-      "reconcile over log ∪ quarantine diverged from the full compute")
+      "foldBack over log + quarantine diverged from the full compute")
 
     // at-least-once redelivery of a tee batch overwrites, never appends
     val n1 = StreamingMartMaintenance.quarantineBatch(spark,
@@ -166,6 +166,68 @@ class StreamingMartMaintenanceSpec extends SparkSpec {
     // an empty mart quarantines nothing (no committed boundary yet)
     assert(StreamingMartMaintenance.quarantineBatch(spark,
       Seq(late1).toDF(), s"$dir/never-built", quarantine, 1L) === 0L)
+  }
+
+  test("a LAGGING tee over-quarantines an absorbed row: foldBack stays exact where the blind union double-counts") {
+    // ADVICE r16: nothing enforces tee-before-fold in production — a
+    // tee processing offsets AFTER the fold committed their day
+    // classifies absorbed rows as unreachable and quarantines them.
+    // Drive the bodies directly in exactly that order.
+    val dir = java.nio.file.Files.createTempDirectory("graft-smm-lag").toString
+    val mart = s"$dir/mart"
+    val quarantine = s"$dir/quarantine"
+    def partialsOf(rows: Seq[MartRow]): DataFrame =
+      rows.toDF()
+        .withColumn("_ship_ts", col("l_shipdate").cast("timestamp"))
+        .groupBy(window(col("_ship_ts"), "1 day"),
+          col("l_partkey"), col("l_suppkey"))
+        .agg(SupplyMart.measureExprs.head, SupplyMart.measureExprs.tail: _*)
+        .drop("window", "_ship_ts")
+
+    val absorbed = Seq(row(1, 1, 100.0, 2, 1), row(2, 1, 90.0, 3, 2))
+    val genuinelyLate = row(3, 3, 50.0, 1, 1)
+    // fold FIRST (both days commit), tee only afterwards — the lag
+    StreamingMartMaintenance.applyBatch(spark, partialsOf(absorbed), mart, 8)
+    // the lagging tee replays an absorbed row + delivers the late one:
+    // both days are committed, so BOTH rows land in quarantine
+    val n = StreamingMartMaintenance.quarantineBatch(spark,
+      Seq(absorbed.head, genuinelyLate).toDF(), mart, quarantine, 1L)
+    assert(n === 2L, s"the lagging tee should over-capture both rows, got $n")
+
+    val truth = tmp("lag-truth")
+    SupplyMart.refresh(spark, (absorbed :+ genuinelyLate).toDF(), truth, 8)
+
+    // the seam is real: the BLIND union double-counts the absorbed row
+    val schema = Seq.empty[MartRow].toDF().schema
+    val blindTwin = tmp("lag-blind")
+    SupplyMart.refresh(spark, absorbed.toDF().unionByName(
+      StreamingMartMaintenance.quarantined(spark, quarantine, schema)),
+      blindTwin, 8)
+    assert(martRows(blindTwin) !== martRows(truth),
+      "expected the blind log ∪ quarantine union to double-count — " +
+        "if it no longer does, the over-capture seam moved; re-derive")
+
+    // foldBack subtracts the over-captured copy and converges exactly
+    assert(StreamingMartMaintenance.foldBack(spark, absorbed.toDF(),
+      quarantine, mart, buckets = 8) > 0)
+    assert(martRows(mart) === martRows(truth),
+      "foldBack must count an over-quarantined absorbed row exactly once")
+
+    // bag semantics: TRUE duplicate rows keep their multiplicity — two
+    // identical absorbed copies in the log, one over-captured: the
+    // subtraction removes one quarantine copy per log copy, and the
+    // repair still counts both absorbed copies
+    val dupDir = java.nio.file.Files.createTempDirectory("graft-smm-dup").toString
+    val dupMart = s"$dupDir/mart"; val dupQ = s"$dupDir/quarantine"
+    val twice = Seq(row(5, 5, 10.0, 1, 1), row(5, 5, 10.0, 1, 1))
+    StreamingMartMaintenance.applyBatch(spark, partialsOf(twice), dupMart, 8)
+    assert(StreamingMartMaintenance.quarantineBatch(spark,
+      Seq(twice.head).toDF(), dupMart, dupQ, 1L) === 1L)
+    StreamingMartMaintenance.foldBack(spark, twice.toDF(), dupQ, dupMart, 8)
+    val dupTruth = tmp("dup-truth")
+    SupplyMart.refresh(spark, twice.toDF(), dupTruth, 8)
+    assert(martRows(dupMart) === martRows(dupTruth),
+      "bag subtraction must preserve legitimate duplicate multiplicity")
   }
 
   test("a replayed micro-batch is shed exactly — SUM partials never double") {
