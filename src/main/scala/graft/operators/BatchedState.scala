@@ -47,20 +47,19 @@ object CommitMode {
     * online `_latest` generation head, the `_pending_commit` /
     * `_rebuild_pending` markers, `_mart_meta.json`, the file-stats
     * index head) to the object-store-safe protocol without per-call
-    * plumbing; an explicit per-call mode still wins. NOT governed,
-    * stated: the write-once artifact manifests that swap via
-    * [[BatchedState.atomicReplace]] directly (IvfIndex `_meta`,
-    * TokenizerArtifact `_meta`, CurationRun's run manifest,
-    * `_online_meta.json`) stay rename-committed — each is written once
-    * into a fresh unshared directory before any reader resolves it and
-    * carries a full-parse/torn guard, so the exposure is a detected
-    * torn copy on a crashed first publish, not a lost live pointer;
-    * migrating them to the pointer protocol is the named follow-up.
-    * Flipping the conf over an EXISTING rename-mode deployment refuses
-    * loudly — at the protocol entries BEFORE any heavy work
-    * ([[BatchedState.assertPointerWritable]]), and at the write itself
-    * as the last line (both directions of the one-mode-per-pointer
-    * guard) — migrate by publishing under fresh paths. */
+    * plumbing; an explicit per-call mode still wins. Since r17 the
+    * four write-once artifact manifests ride the same protocol
+    * (IvfIndex `_meta`, TokenizerArtifact/ModelStore `_meta`,
+    * CurationRun's run manifest, `_online_meta.json` — each formerly
+    * a direct [[BatchedState.atomicReplace]] swap), so the knob flips
+    * EVERY pointer site in the repo; their readers resolve through
+    * [[BatchedState.readPointer]], legacy bare files passing through
+    * unmigrated. Flipping the conf over an EXISTING rename-mode
+    * deployment refuses loudly — at the protocol entries BEFORE any
+    * heavy work ([[BatchedState.assertPointerWritable]]), and at the
+    * write itself as the last line (both directions of the
+    * one-mode-per-pointer guard) — migrate by publishing under fresh
+    * paths or with [[BatchedState.migratePointer]]. */
   case object Session extends CommitMode
 }
 

@@ -73,9 +73,11 @@ object CurationRun {
     var prefixIntact = true // false once any stage recomputed
     stages.zipWithIndex.foreach { case (st, i) =>
       val dir = stageDir(workDir, i, st.name)
+      // readMetaOpt: an absent marker AND a torn-first-commit manifest
+      // directory both read as uncommitted (recompute), the pointer
+      // protocol's unpublished semantics
       val committed =
-        if (prefixIntact && metaExists(spark, dir)) {
-          val kv = ModelStore.readMeta(spark, dir, "curation stage")
+        if (prefixIntact) ModelStore.readMetaOpt(spark, dir).map { kv =>
           // structural by construction (index+name are in the path);
           // defensive against hand-edited markers
           require(kv.getOrElse("kind", "?") == "curation_stage" &&
@@ -83,7 +85,7 @@ object CurationRun {
             kv.getOrElse("index", "?") == i.toString,
             s"marker at $dir does not describe stage $i '${st.name}' — " +
               "hand-edited workDir; clear it")
-          Some(kv)
+          kv
         } else None
       committed match {
         case Some(kv) =>
@@ -109,11 +111,9 @@ object CurationRun {
           // run's checks would happily reuse. Deleting the marker FIRST
           // restores the invariant the protocol rests on: a crash
           // anywhere inside recompute leaves an uncommitted directory.
-          if (metaExists(spark, dir)) {
-            val p = ModelStore.metaPath(dir)
-            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              .delete(p, false)
-          }
+          // (deleteMeta is recursive — a manifest-mode marker is a
+          // directory of numbered manifests.)
+          ModelStore.deleteMeta(spark, dir)
           val t0 = System.nanoTime()
           if (rowsIn < 0) rowsIn = cur.count()
           val out = st.fn(cur)
@@ -158,17 +158,15 @@ object CurationRun {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
 
-  private def metaExists(spark: SparkSession, dir: String): Boolean = {
-    val p = ModelStore.metaPath(dir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
-
   /** Human/tool-readable run report AND the GC's liveness reference
-    * (see [[gc]]) — committed atomically (temp + rename-with-overwrite)
-    * so a crash mid-write can never leave a truncated manifest that a
-    * later GC would misread as "nothing is live". The per-stage `_meta`
-    * markers still carry the RESUME state; the manifest records which
-    * directories the LAST run touched. */
+    * (see [[gc]]) — committed through the knob-governed pointer
+    * protocol (r17: rename mode keeps the temp + atomic-replace swap;
+    * `spark.graft.commit.mode=manifest` commits create-new numbered
+    * manifests with zero renames), so a crash mid-write can never
+    * leave a truncated manifest that a later GC would misread as
+    * "nothing is live". The per-stage `_meta` markers still carry the
+    * RESUME state; the manifest records which directories the LAST
+    * run touched. */
   private def writeManifest(spark: SparkSession, workDir: String,
       reports: Seq[StageReport], dirs: Seq[String]): Unit = {
     val body = reports.zip(dirs).map { case (r, d) =>
@@ -176,13 +174,8 @@ object CurationRun {
         s""""rows_out":${r.rowsOut},"dropped":${r.dropped},""" +
         s""""wall_ms":${math.round(r.wallSec * 1000)},"reused":${r.reused}}"""
     }.mkString("[\n  ", ",\n  ", "\n]\n")
-    val p = new Path(s"$workDir/manifest.json")
-    val tmp = new Path(s"$workDir/manifest.json.tmp")
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = f.create(tmp, true)
-    try out.write(body.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    BatchedState.atomicReplace(spark, tmp, p)
+    BatchedState.writePointer(spark,
+      new Path(s"$workDir/manifest.json"), body)
   }
 
   // ---- DAG execution (r11 directive 8) --------------------------------------
@@ -251,13 +244,12 @@ object CurationRun {
       val dir = dagDir(workDir, st.name)
       val depKey = st.deps.sorted.mkString(",")
       val committed =
-        if (st.deps.forall(reused) && metaExists(spark, dir)) {
-          val kv = ModelStore.readMeta(spark, dir, "curation dag stage")
-          if (kv.getOrElse("kind", "?") == "curation_dag_stage" &&
+        if (st.deps.forall(reused))
+          ModelStore.readMetaOpt(spark, dir).filter(kv =>
+            kv.getOrElse("kind", "?") == "curation_dag_stage" &&
               kv.getOrElse("stage", "?") == st.name &&
-              kv.getOrElse("deps", "?") == depKey) Some(kv)
-          else None // deps changed: stale identity, recompute
-        } else None
+              kv.getOrElse("deps", "?") == depKey) // else stale identity
+        else None
       committed match {
         case Some(kv) =>
           reports += StageReport(st.name, kv("rows_in").toLong,
@@ -269,11 +261,7 @@ object CurationRun {
           reused += st.name
         case None =>
           // decertify BEFORE recompute (the linear-path invariant)
-          if (metaExists(spark, dir)) {
-            val p = ModelStore.metaPath(dir)
-            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              .delete(p, false)
-          }
+          ModelStore.deleteMeta(spark, dir)
           val t0 = System.nanoTime()
           val depFrames = st.deps.map(d => d -> frames(d)).toMap
           val rowsIn = depFrames.valuesIterator.map(_.count()).sum
@@ -311,12 +299,13 @@ object CurationRun {
     val root = new Path(workDir)
     val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mp = new Path(s"$workDir/manifest.json")
-    require(f.exists(mp),
-      s"no manifest.json at $workDir — run the pipeline before gc " +
-        "(the manifest is the liveness reference)")
-    val in = f.open(mp)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+    // readPointer: legacy bare-JSON manifests parse through; an absent
+    // pointer AND a torn-first-commit manifest dir both read as "no
+    // liveness reference" — gc refuses rather than guessing
+    val text = BatchedState.readPointer(spark, mp).getOrElse(
+      throw new IllegalArgumentException(
+        s"requirement failed: no manifest.json at $workDir — run the " +
+          "pipeline before gc (the manifest is the liveness reference)"))
     // live dirs: the "dir" fields of the manifest (written by this
     // object). Legacy manifests (pre-"dir") refuse: their entries name
     // stages but not directories, and guessing is how GC eats data.

@@ -30,7 +30,10 @@ import java.nio.charset.StandardCharsets
   *
   * On-disk layout (all parquet; same commit discipline as the
   * FeatureStore manifest and the Incremental watermark — `_meta` is
-  * written LAST via atomic temp+rename-with-overwrite, so a crashed
+  * written LAST via the knob-governed pointer protocol
+  * ([[BatchedState.writePointer]], r17: rename mode keeps the atomic
+  * temp+replace swap; `spark.graft.commit.mode=manifest` commits
+  * create-new numbered manifests with zero renames), so a crashed
   * build/add leaves only invisible orphan directories that the retry
   * overwrites):
   *
@@ -82,8 +85,6 @@ object IvfIndex {
   private def metaPath(path: String) = new Path(s"$path/_meta")
 
   private def writeMeta(spark: SparkSession, path: String, meta: Meta): Unit = {
-    val f = fs(spark, path)
-    val tmp = new Path(s"$path/_meta.tmp")
     val body =
       s"""version=2
          |dims=${meta.dims}
@@ -95,21 +96,22 @@ object IvfIndex {
          |batches=${meta.batches.mkString(",")}
          |prev=${meta.prevBatches.mkString(",")}
          |""".stripMargin
-    val out = f.create(tmp, true)
-    try out.write(body.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    BatchedState.atomicReplace(spark, tmp, metaPath(path))
+    // knob-governed commit (r17): rename mode = the temp + atomic
+    // replace this index always used; manifest mode = create-new
+    // numbered manifests, zero renames on the commit path
+    BatchedState.writePointer(spark, metaPath(path), body)
   }
 
   private def readMeta(spark: SparkSession, path: String): Meta = {
-    val f = fs(spark, path)
-    require(f.exists(metaPath(path)),
+    // readPointer: legacy bare k=v files parse through; a torn
+    // rename-mode file refuses loudly; a manifest-mode directory with
+    // no complete manifest (a crashed FIRST build) reads as absent
+    val txt = BatchedState.readPointer(spark, metaPath(path))
+    require(txt.nonEmpty,
       s"no committed IvfIndex at $path (missing _meta — crashed or absent build)")
-    val in = f.open(metaPath(path))
-    val kv = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.contains("=")).map { l =>
-          val Array(k, v) = l.split("=", 2); (k, v) }.toMap
-      finally in.close()
+    val kv = txt.get.linesIterator
+      .filter(_.contains("=")).map { l =>
+        val Array(k, v) = l.split("=", 2); (k, v) }.toMap
     // v1 wrote the raw-vector store un-partitioned; a v2 reader pruning
     // it by list_id would fail confusingly mid-query — fail loudly here
     require(kv.getOrElse("version", "?") == "2",

@@ -16,10 +16,15 @@ import java.nio.charset.StandardCharsets
   *
   * Commit protocol, identical in spirit to the IvfIndex `_meta` swap:
   *  - a save writes its tables under `gen=G/` (invisible to readers),
-  *    then swaps `_meta` (temp + atomic rename-with-overwrite) to point
-  *    at G, LAST. A crashed save leaves only orphan `gen=` directories
-  *    that a later save overwrites; readers follow `_meta`, never the
-  *    directory listing.
+  *    then commits `_meta` LAST through the knob-governed pointer
+  *    protocol ([[BatchedState.writePointer]], r17: rename mode =
+  *    temp + atomic replace as before; `spark.graft.commit.mode=
+  *    manifest` = create-new numbered manifests, zero renames — the
+  *    object-store-safe form). A crashed save leaves only orphan
+  *    `gen=` directories that a later save overwrites; readers follow
+  *    `_meta` ([[BatchedState.readPointer]] — legacy bare k=v files
+  *    still parse, a torn-first-commit manifest dir reads as
+  *    never-saved), never the directory listing.
   *  - the PREVIOUS generation survives one further save (the
   *    BatchedState keep-two retention), so a lazy vocab/counts frame
   *    from a handle loaded before a save keeps reading across it.
@@ -38,30 +43,46 @@ private[graft] object ModelStore {
   def genDir(path: String, gen: Long, table: String): String =
     s"$path/gen=$gen/$table"
 
-  /** k=v lines via temp + atomic rename-with-overwrite — written LAST,
-    * it IS the commit. */
+  /** k=v lines committed through the knob-governed pointer protocol
+    * ([[BatchedState.writePointer]]) — written LAST, it IS the commit.
+    * Rename mode keeps the temp + atomic-replace swap this store
+    * always used; under `spark.graft.commit.mode=manifest` the marker
+    * becomes a directory of create-new numbered manifests and no
+    * rename sits on the commit path (r17: the write-once artifact
+    * manifests join the seven live-pointer sites under the one knob). */
   def writeMeta(spark: SparkSession, path: String,
       kv: Seq[(String, String)]): Unit = {
-    val f = fs(spark, path)
-    f.mkdirs(new Path(path))
-    val tmp = new Path(s"$path/_meta.tmp")
+    fs(spark, path).mkdirs(new Path(path)): Unit
     val body = kv.map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
-    val out = f.create(tmp, true)
-    try out.write(body.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    BatchedState.atomicReplace(spark, tmp, metaPath(path))
+    BatchedState.writePointer(spark, metaPath(path), body)
   }
 
+  /** The committed marker, or None when the artifact was never saved —
+    * which includes a manifest-mode marker directory whose only
+    * manifest is torn (a crashed FIRST commit reads as unpublished,
+    * the readPointer contract). Legacy bare k=v files parse through. */
+  def readMetaOpt(spark: SparkSession,
+      path: String): Option[Map[String, String]] =
+    BatchedState.readPointer(spark, metaPath(path)).map(parseKv)
+
   def readMeta(spark: SparkSession, path: String,
-      what: String): Map[String, String] = {
-    val f = fs(spark, path)
-    require(f.exists(metaPath(path)),
-      s"no committed $what at $path (missing _meta — crashed or absent save)")
-    val in = f.open(metaPath(path))
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .filter(_.contains("=")).map { l =>
-        val Array(k, v) = l.split("=", 2); (k, v) }.toMap
-    finally in.close()
+      what: String): Map[String, String] =
+    readMetaOpt(spark, path).getOrElse(throw new IllegalArgumentException(
+      s"requirement failed: no committed $what at $path " +
+        "(missing _meta — crashed or absent save)"))
+
+  private def parseKv(text: String): Map[String, String] =
+    text.linesIterator.filter(_.contains("=")).map { l =>
+      val Array(k, v) = l.split("=", 2); (k, v) }.toMap
+
+  /** Remove the commit marker (decertify). Recursive: in manifest mode
+    * the marker is a DIRECTORY of numbered manifests, and leaving a
+    * stale complete manifest under it would re-certify the directory
+    * the caller is about to overwrite. */
+  def deleteMeta(spark: SparkSession, path: String): Unit = {
+    val p = metaPath(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true): Unit
   }
 
   /** A loaded artifact must be the KIND and layout version the reader

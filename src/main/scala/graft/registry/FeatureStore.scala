@@ -499,11 +499,15 @@ final class FeatureStore(spark: SparkSession, storePath: String,
       .repartition(buckets, col("bucket"))
       .sortWithinPartitions(col("bucket"), col("entity_id"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val meta = new Path(path, "_online_meta.json")
-    val out = fs.create(meta, true)
-    out.write(s"""{"buckets":$buckets}""".getBytes("UTF-8"))
-    out.close()
+    // knob-governed pointer commit (r17): the bucket-count meta used
+    // to be a plain overwrite create — now it rides writePointer
+    // (checksummed; manifest mode = create-new numbered manifests,
+    // zero renames), so the fourth write-once artifact manifest obeys
+    // the same deployment knob as the live pointers. The parquet
+    // overwrite above wiped the directory, so each publish starts a
+    // fresh pointer — no cross-publish mode mixing at one path.
+    graft.operators.BatchedState.writePointer(spark,
+      new Path(path, "_online_meta.json"), s"""{"buckets":$buckets}""")
     // read-back count: verifies the written files are listable and
     // parseable; count(*) over parquet reads footers/row-group counts
     // only (empty ReadSchema), not the data pages
@@ -688,13 +692,16 @@ object FeatureStore {
     java.lang.Math.floorMod(h, buckets.toLong).toInt
   }
 
-  /** Bucket count recorded by [[FeatureStore.publishOnlineView]]. */
+  /** Bucket count recorded by [[FeatureStore.publishOnlineView]].
+    * readPointer (r17): legacy bare-JSON files parse through; a torn
+    * rename-mode file refuses loudly; a manifest-mode directory
+    * resolves its highest complete manifest. */
   def onlineBuckets(spark: SparkSession, path: String): Int = {
     val p = new Path(path, "_online_meta.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
+    val txt = graft.operators.BatchedState.readPointer(spark, p)
+      .getOrElse(throw new IllegalStateException(
+        s"no _online_meta.json under $path — publishOnlineView has " +
+          "never completed here"))
     """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
       .map(_.group(1).toInt)
       .getOrElse(throw new IllegalStateException(

@@ -219,6 +219,102 @@ class CommitModeSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.commit.mode")
   }
 
+  test("the four write-once artifact manifests ride the knob: zero renames, torn first commit unpublished, legacy files load") {
+    // r16 verdict item 1 / r17 directive 1: IvfIndex `_meta`,
+    // TokenizerArtifact/ModelStore `_meta`, CurationRun's run
+    // manifest, and `_online_meta.json` used to swap via
+    // atomicReplace directly — on an object store with the knob set
+    // they still renamed. Now every one rides writePointer/readPointer.
+    cdfsReady
+    val dir = tmp("artifacts")
+    import org.apache.spark.sql.functions.col
+
+    spark.conf.set("spark.graft.commit.mode", "manifest")
+    try {
+      // --- ModelStore _meta through the copy+delete FS: an armed
+      // crash detonates on the FIRST rename, so a green pass proves
+      // the commit path performs none
+      val renamesBefore = CopyDeleteFileSystem.renames.get()
+      CopyDeleteFileSystem.armCrash(0)
+      val mPath = s"cdfs:$dir/model"
+      ModelStore.writeMeta(spark, mPath, Seq("kind" -> "x", "v" -> "1"))
+      ModelStore.writeMeta(spark, mPath, Seq("kind" -> "x", "v" -> "2"))
+      assert(ModelStore.readMeta(spark, mPath, "artifact")("v") === "2")
+      assert(CopyDeleteFileSystem.renames.get() === renamesBefore,
+        "ModelStore _meta performed a rename under the manifest knob")
+      CopyDeleteFileSystem.armCrash(-1)
+      assert(new java.io.File(s"$dir/model/_meta").isDirectory)
+      // decertify removes the whole marker directory
+      ModelStore.deleteMeta(spark, mPath)
+      assert(ModelStore.readMetaOpt(spark, mPath).isEmpty)
+
+      // --- a torn FIRST _meta commit reads as never-saved, not an
+      // error prescribing an impossible restore
+      val tPath = s"$dir/torn-artifact"
+      assert(new java.io.File(s"$tPath/_meta").mkdirs())
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tPath/_meta/manifest-${"%020d".format(0L)}"),
+        "G2|40|0|kind=x".getBytes("UTF-8"))
+      assert(ModelStore.readMetaOpt(spark, tPath).isEmpty,
+        "a torn first _meta commit must read as never-saved")
+
+      // --- IvfIndex: build + add + query entirely under the knob
+      val vecs = graft.Tables.embeddings(spark, sf)
+        .select("vec_id", "embedding").limit(300)
+      val ivfPath = s"$dir/ivf"
+      IvfIndex.build(vecs.filter(col("vec_id") < 200), "vec_id", ivfPath,
+        nlist = 4)
+      assert(new java.io.File(s"$ivfPath/_meta").isDirectory,
+        "IvfIndex _meta must commit as a manifest directory under the knob")
+      val idx = IvfIndex.load(spark, ivfPath)
+      assert(idx.add(vecs.filter(col("vec_id") >= 200), "vec_id") > 0)
+      val probe = vecs.filter(col("vec_id") === 0)
+      assert(IvfIndex.load(spark, ivfPath)
+        .topK(probe, "vec_id", k = 3, nprobe = 4).count() > 0)
+
+      // --- CurationRun: stage markers + run manifest under the knob;
+      // resume reuses the committed stage; gc honors the manifest
+      val docs = graft.Tables.documents(spark, sf)
+        .select("doc_id", "text").limit(50)
+      val wd = s"$dir/curation"
+      val stages = Seq(CurationRun.Stage("keep_short",
+        df => df.filter(org.apache.spark.sql.functions.length(col("text")) > 10)))
+      val (_, rep1) = CurationRun.run(spark, docs, stages, wd)
+      assert(!rep1.head.reused)
+      assert(new java.io.File(s"$wd/manifest.json").isDirectory,
+        "the run manifest must commit as a manifest directory under the knob")
+      assert(new java.io.File(s"$wd/stage_0_keep_short/_meta").isDirectory)
+      val (_, rep2) = CurationRun.run(spark, docs, stages, wd)
+      assert(rep2.head.reused, "resume must reuse the committed stage")
+      assert(CurationRun.gc(spark, wd).isEmpty,
+        "gc must read the manifest-mode run manifest and keep live dirs")
+
+      // --- publishOnlineView's _online_meta.json
+      val fsStore = new FeatureStore(spark, s"$dir/values")
+      fsStore.registerTable(TableDef("orders",
+        Seq("o_custkey", "o_totalprice"),
+        Map("o_totalprice" -> "numeric")), Tables.orders(spark, sf))
+      fsStore.defineFeature(FeatureDef("total_spend", "orders", "numeric",
+        df => df.groupBy(col("o_custkey").as("entity_id"))
+          .agg(org.apache.spark.sql.functions.sum("o_totalprice").as("value"))))
+      assert(fsStore.computeVersion("total_spend", "v1").isRight)
+      val viewPath = s"$dir/online-view"
+      assert(fsStore.publishOnlineView(viewPath, buckets = 4) > 0)
+      assert(new java.io.File(s"$viewPath/_online_meta.json").isDirectory,
+        "_online_meta.json must commit as a manifest directory under the knob")
+      assert(FeatureStore.onlineBuckets(spark, viewPath) === 4)
+    } finally spark.conf.unset("spark.graft.commit.mode")
+
+    // --- legacy rename-mode artifacts load unmigrated (bare k=v file)
+    val legacy = s"$dir/legacy"
+    assert(new java.io.File(legacy).mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$legacy/_meta"),
+      "kind=x\nv=7\n".getBytes("UTF-8"))
+    assert(ModelStore.readMeta(spark, legacy, "artifact")("v") === "7",
+      "a legacy bare k=v _meta must parse through readPointer")
+  }
+
   test("online generation publish serves identically in both commit modes") {
     val dir = tmp("store")
     val fs = new FeatureStore(spark, s"$dir/values")

@@ -112,13 +112,14 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.build(vecs.filter(col("vec_id") < cut), "vec_id", path, nlist = 8)
 
     // simulate the crash: write the batch dirs exactly as add would,
-    // but never swap _meta
+    // but never swap _meta — capture the pre-add pointer bytes and
+    // restore them verbatim (r17: _meta rides the checksummed pointer
+    // format, so a raw string edit would read as a torn pointer)
+    val metaFile = java.nio.file.Paths.get(path, "_meta")
+    val preAdd = java.nio.file.Files.readAllBytes(metaFile)
     val idx0 = IvfIndex.load(spark, path)
     idx0.add(vecs.filter(col("vec_id") >= cut), "vec_id")
-    val metaFile = java.nio.file.Paths.get(path, "_meta")
-    val committed = new String(java.nio.file.Files.readAllBytes(metaFile), "UTF-8")
-    java.nio.file.Files.write(metaFile,
-      committed.replace("batches=0,1", "batches=0").getBytes("UTF-8"))
+    java.nio.file.Files.write(metaFile, preAdd)
     // the raw rewrite bypassed Hadoop's checksummed local FS — drop the
     // stale sidecar so the read path doesn't flag OUR edit as corruption
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, "._meta.crc"))
