@@ -479,9 +479,38 @@ private[graft] object BatchedState {
     * AUTO-DETECTED: a directory resolves as a manifest-mode pointer
     * ([[readManifestDir]]); a file as rename-mode content — torn v2
     * content refuses loudly ([[decodePointer]]), legacy bare content
-    * passes through. */
+    * passes through. One extension (r17, [[migratePointer]]): when the
+    * pointer does not resolve — absent, no complete manifest, or torn
+    * — and a COMPLETE migration stage (`.<name>.migrate`) sits beside
+    * it, the staged value is served: the stage exists only while a
+    * mode migration is in flight (verified complete before the old
+    * pointer is touched, removed after the new one commits), so a
+    * reader crossing any migration crash window reads the pointer's
+    * last committed value instead of "unpublished". The fallback costs
+    * one existence probe, and only on the paths that were already
+    * failing. */
   def readPointer(spark: SparkSession, src: Path): Option[String] = {
     val hfs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def staged: Option[String] =
+      if (src.getParent == null) None
+      else {
+        val st = migrateStagePath(src)
+        if (!hfs.exists(st)) None
+        else try readPointerRaw(spark, hfs, st)
+        catch { case _: IllegalStateException => None } // torn stage
+      }
+    try readPointerRaw(spark, hfs, src).orElse(staged)
+    catch {
+      case e: IllegalStateException =>
+        val st = staged
+        if (st.isDefined) st else throw e // torn pointer, no staged rescue
+    }
+  }
+
+  /** [[readPointer]] without the migration-stage fallback — the
+    * migration verb itself must see each location as it is. */
+  private def readPointerRaw(spark: SparkSession, hfs: FileSystem,
+      src: Path): Option[String] = {
     if (!hfs.exists(src)) None
     else if (hfs.getFileStatus(src).isDirectory) readManifestDir(hfs, src)
     else {
@@ -490,6 +519,133 @@ private[graft] object BatchedState {
       finally in.close()
       Some(decodePointer(txt, src.toString))
     }
+  }
+
+  // ---- pointer mode migration (r17 directive 3) -----------------------------
+
+  private[graft] def migrateStagePath(ptr: Path): Path =
+    new Path(ptr.getParent, s".${ptr.getName}.migrate")
+
+  private def migrateLockPath(ptr: Path): Path =
+    new Path(ptr.getParent, s".${ptr.getName}.migrate_lock")
+
+  /** Migrate a pointer path between commit modes IN PLACE — the verb a
+    * deployment flipping `spark.graft.commit.mode` over years of
+    * existing state needs (the alternative the mode-mixing guards
+    * prescribe, re-publishing every state under fresh paths, re-pays
+    * entire publishes for a metadata change). `to` is the target mode
+    * (Session resolves the knob); already-in-target-mode is an
+    * idempotent no-op.
+    *
+    * Protocol — stage-and-verify with a sentinel readers honor, ZERO
+    * renames of its own (spec counter-asserted through the
+    * copy+delete shim):
+    *
+    *  1. stage the pointer's committed value at `.<name>.migrate` in
+    *     the TARGET mode and verify it reads back byte-exactly;
+    *  2. delete the old-mode pointer (a file and a directory cannot
+    *     share a path — the unavoidable step this verb exists to
+    *     sequence safely);
+    *  3. build the new-mode pointer in place (create-new manifest-0,
+    *     or a create-new checksummed file — no rename either way),
+    *     verify it resolves, then remove the stage.
+    *
+    * Crash analysis, pinned by MigratePointerSpec at every point: a
+    * crash before (2) leaves the old pointer authoritative (readers
+    * unaffected; re-run re-stages); a crash inside the (2)→(3) window
+    * leaves the pointer absent/incomplete/torn — exactly the states
+    * [[readPointer]]'s stage fallback rescues, so readers still
+    * resolve the OLD value; re-running the verb completes the build
+    * from the verified stage. At no crash point does a reader observe
+    * "unpublished" or a wrong value, and the payload is preserved
+    * byte-exactly.
+    *
+    * Single-writer contract: run while the pointer's OWNING writer is
+    * quiesced (the same discipline any offline migration needs).
+    * Concurrent migrations exclude each other on a create-new lock
+    * (`.<name>.migrate_lock`; a hard-crashed run leaves a stale lock
+    * an operator removes). A writer that races the verb anyway fails
+    * loudly, never silently: the in-place build is create-new, and a
+    * writer re-creating the pointer mid-window collides with it. */
+  def migratePointer(spark: SparkSession, ptr: Path,
+      to: CommitMode): Unit = {
+    require(ptr.getParent != null,
+      s"cannot migrate a filesystem-root pointer: $ptr")
+    val target = to match {
+      case CommitMode.Session => resolveSessionMode(spark)
+      case m => m
+    }
+    val hfs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    acquireLock(spark, migrateLockPath(ptr), "pointer migration")
+    try {
+      val stage = migrateStagePath(ptr)
+      def resolveTolerant(p: Path): Option[String] =
+        try readPointerRaw(spark, hfs, p)
+        catch { case _: IllegalStateException => None } // torn = no value
+      val targetIsDir = target == CommitMode.Manifest
+      val ptrValue =
+        if (!hfs.exists(ptr)) None
+        else if (hfs.getFileStatus(ptr).isDirectory == targetIsDir) {
+          // already target mode. Complete = done (drop any stale
+          // stage); incomplete (a crash between the old-pointer delete
+          // and the in-place build's commit) = fall through and finish
+          // from the stage.
+          resolveTolerant(ptr) match {
+            case Some(_) => hfs.delete(stage, true): Unit; return
+            case None => None
+          }
+        } else resolveTolerant(ptr)
+
+      val payload = ptrValue match {
+        case Some(v) =>
+          // fresh (or restarted-before-delete) migration: (re)stage the
+          // authoritative value in the target mode, verified
+          hfs.delete(stage, true): Unit
+          stageValue(spark, hfs, stage, v, targetIsDir)
+          v
+        case None =>
+          // resuming inside the swap window: the verified stage is the
+          // only complete copy — require it, refuse loudly otherwise
+          resolveTolerant(stage).getOrElse(throw new IllegalStateException(
+            s"nothing to migrate at $ptr: the pointer holds no committed " +
+              "value and no complete migration stage exists — an " +
+              "unpublished pointer needs no migration (publish in the " +
+              "target mode instead); a torn pointer without a stage " +
+              "needs its owner's re-publish first"))
+      }
+      // the swap: remove whatever old-mode remnant occupies the path,
+      // then build the target mode IN PLACE — create-new only
+      hfs.delete(ptr, true): Unit
+      if (targetIsDir) {
+        hfs.mkdirs(ptr): Unit
+        createManifest(spark, ptr, 0L, payload)
+      } else {
+        val out = hfs.create(ptr, false) // create-new: racing writers collide loudly
+        try out.write(encodePointer(payload)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      require(readPointerRaw(spark, hfs, ptr).contains(payload),
+        s"migrated pointer at $ptr failed readback verification")
+      hfs.delete(stage, true): Unit
+    } finally releaseLock(spark, migrateLockPath(ptr))
+  }
+
+  /** Write the migration stage in the target mode, verified complete
+    * before the caller touches the live pointer. */
+  private def stageValue(spark: SparkSession, hfs: FileSystem, stage: Path,
+      payload: String, asManifestDir: Boolean): Unit = {
+    if (asManifestDir) {
+      hfs.mkdirs(stage): Unit
+      createManifest(spark, stage, 0L, payload)
+    } else {
+      val out = hfs.create(stage, true)
+      try out.write(encodePointer(payload)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    require(readPointerRaw(spark, hfs, stage).contains(payload),
+      s"staged migration at $stage failed readback verification")
   }
 
   /** The id-axis late-audit arithmetic, ONE spelling for both dedup
