@@ -705,6 +705,51 @@ private[graft] object BatchedState {
         "directory explicitly if the corpus genuinely shrank.")
   }
 
+  /** Persist a captured late-arrival frame under `sink/late-<n>` —
+    * the G45 quarantine convention carried onto the id axis (r17
+    * directive 4: G48 counted late rows; this keeps the rows
+    * themselves as evidence). Numbering is monotone create-style
+    * (max existing + 1; refreshes serialize on the operator's lock,
+    * so no two live writers race a number): a crash RETRY of the same
+    * delivery appends a duplicate capture rather than losing one, and
+    * [[readCapturedLate]] collapses duplicates by id — ids are the
+    * identity on this axis, so the read-side dedup is exact. Empty
+    * captures write nothing. Returns rows captured. */
+  private[graft] def captureLate(spark: SparkSession, sink: String,
+      rows: DataFrame): Long = {
+    val n = rows.count()
+    if (n > 0) {
+      val p = new Path(sink)
+      val hfs = fs(spark, sink)
+      val next =
+        if (!hfs.exists(p)) 0L
+        else hfs.listStatus(p).toSeq
+          .flatMap(_.getPath.getName.stripPrefix("late-").toLongOption)
+          .maxOption.fold(0L)(_ + 1L)
+      rows.write.mode("overwrite").parquet(s"$sink/late-$next")
+    }
+    n
+  }
+
+  /** Union of every capture under `sink`, one row per id (duplicate
+    * captures from crash retries collapse; latest delivery of an id
+    * wins arbitrarily — by the id-axis contract an id's payload never
+    * changes). Empty frame when nothing was ever captured. */
+  private[graft] def readCapturedLate(spark: SparkSession, sink: String,
+      schema: StructType, idCol: String): DataFrame = {
+    val p = new Path(sink)
+    val hfs = fs(spark, sink)
+    val dirs =
+      if (!hfs.exists(p)) Seq.empty
+      else hfs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("late-"))
+        .map(_.getPath.toString)
+    if (dirs.isEmpty) emptyDf(spark, schema)
+    else spark.read.parquet(dirs: _*)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+      .dropDuplicates(idCol)
+  }
+
   private def rebuildPath(statePath: String) =
     new Path(statePath, "_rebuild_pending")
 

@@ -183,6 +183,15 @@ object IncrementalDedup {
     * (spec-pinned as documented behavior, BatchedState.idAxisAudit).
     * Alert on lateRows or repair with [[reconcile]].
     *
+    * `lateSink` (r17) CAPTURES what the count measures: below-mark
+    * rows the label state has never incorporated tee into
+    * `lateSink/late-<n>` as evidence, so an operator inspects WHAT
+    * arrived late ([[lateArrivals]]) before paying the rebuild, and
+    * `reconcile(previous-feed ∪ lateArrivals)` is the fold-back
+    * (spec-pinned ≡ one-shot). Membership-based, so it is row-exact
+    * under ANY feed shape — the tally's full-corpus baseline caveat
+    * does not apply to the captured rows.
+    *
     * Writers SERIALIZE on the shared atomic create-new lock
     * ([[BatchedState.acquireLock]], `_lock_refresh`): the batch tag is
     * derived from the watermark, so two concurrent refreshes of one
@@ -198,7 +207,8 @@ object IncrementalDedup {
       idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.8, maxDf: Int = 1000,
       compactEvery: Int = 8, anchor: Anchor = Anchor.Local,
-      audit: Boolean = true): DedupRefreshResult = {
+      audit: Boolean = true,
+      lateSink: Option[String] = None): DedupRefreshResult = {
     BatchedState.acquireLock(spark, new Path(s"$statePath/_lock_refresh"),
       "IncrementalDedup refresh")
     try {
@@ -212,9 +222,20 @@ object IncrementalDedup {
       BatchedState.assertPointerWritable(spark,
         new Path(s"$statePath/_watermark"))
       refreshLocked(spark, docs, statePath, idCol, textCol, threshold,
-        maxDf, compactEvery, anchor, audit)
+        maxDf, compactEvery, anchor, audit, lateSink)
     } finally BatchedState.releaseLock(spark, new Path(s"$statePath/_lock_refresh"))
   }
+
+  /** Captured late documents across all deliveries into `lateSink` —
+    * (doc_id, text), one row per id (crash-retry duplicate captures
+    * collapse). The evidence frame an operator inspects before
+    * deciding rebuild-vs-ignore, and the quarantine side of the
+    * fold-back identity `reconcile(log ∪ lateArrivals) ≡ one-shot`
+    * (spec-pinned). Empty frame when nothing was ever captured. */
+  def lateArrivals(spark: SparkSession, lateSink: String): DataFrame =
+    BatchedState.readCapturedLate(spark, lateSink, StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType))),
+      "doc_id")
 
   /** The REPAIR verb for the audited loss (the G44 `reconcile` on the
     * id axis): a documented full REBUILD — wipe the state under the
@@ -276,7 +297,7 @@ object IncrementalDedup {
   private def refreshLocked(spark: SparkSession, docs: DataFrame,
       statePath: String, idCol: String, textCol: String, threshold: Double,
       maxDf: Int, compactEvery: Int, anchor: Anchor,
-      audit: Boolean): DedupRefreshResult = {
+      audit: Boolean, lateSink: Option[String] = None): DedupRefreshResult = {
     import Anchor.AnchorOps
     val (wm, incStored) = Incremental.watermarkState(spark, statePath)
     val fresh = docs.filter(col(idCol) > wm)
@@ -290,6 +311,25 @@ object IncrementalDedup {
     // full corpus, like the protocol's chunk-fed caveat
     val (inc0, late) =
       BatchedState.idAxisAudit(audit, docs.count(), nFresh, incStored)
+    // row-level capture (r17, the G45 convention on the id axis):
+    // below-mark input rows whose id the LABEL STATE has never seen
+    // tee into the sink as evidence. MEMBERSHIP-exact under any feed
+    // shape — the label state holds every incorporated doc_id, so
+    // unlike the tally arithmetic this needs no full-corpus baseline
+    // caveat: a late-only delta delivery captures exactly itself.
+    // Opt-in because it costs one below-mark ⋈ label-state anti-join
+    // per refresh (keyed shuffle, input-bounded).
+    lateSink.foreach { sink =>
+      if (wm != Long.MinValue) {
+        val below = docs.filter(col(idCol) <= wm)
+          .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+        val seen = assignParts(spark, statePath, wm)
+          .map(_.select(col("doc_id")))
+          .getOrElse(emptyDf(spark, assignSchema).select("doc_id"))
+        BatchedState.captureLate(spark, sink,
+          below.join(seen, Seq("doc_id"), "left_anti")): Unit
+      }
+    }
     if (nFresh == 0) {
       if (audit && incStored.isEmpty && wm != Long.MinValue)
         // pin the upgrade baseline so later audits attribute arrivals

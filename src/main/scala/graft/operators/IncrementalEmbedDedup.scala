@@ -117,7 +117,13 @@ object IncrementalEmbedDedup {
     * BASELINING refresh (no stored tally) must see the full corpus or
     * the next full feed over-reports (BatchedState.idAxisAudit's
     * caveat); −1 with `audit = false`). Alert on it or repair with
-    * [[reconcile]].
+    * [[reconcile]]. `lateSink` (r17) CAPTURES what the count measures:
+    * below-mark vectors the state's own vector store has never
+    * incorporated tee into `lateSink/late-<n>` ([[lateArrivals]]), so
+    * the operator sees WHAT arrived before paying the rebuild and
+    * `reconcile(previous-feed ∪ lateArrivals)` is the fold-back
+    * (spec-pinned ≡ one-shot). Membership-based — row-exact under any
+    * feed shape, no full-corpus baseline caveat.
     *
     * Writers SERIALIZE on the shared atomic create-new lock
     * ([[BatchedState.acquireLock]], `_lock_refresh`), exactly like
@@ -131,7 +137,8 @@ object IncrementalEmbedDedup {
       tables: Int = 24, planesPerTable: Int = 4,
       compactEvery: Int = 8, bucketWidth: Long = 1L << 20,
       maxAttachBuckets: Int = 65536, anchor: Anchor = Anchor.Local,
-      audit: Boolean = true): DedupRefreshResult = {
+      audit: Boolean = true,
+      lateSink: Option[String] = None): DedupRefreshResult = {
     val lock = new org.apache.hadoop.fs.Path(s"$statePath/_lock_refresh")
     BatchedState.acquireLock(spark, lock, "IncrementalEmbedDedup refresh")
     try {
@@ -144,9 +151,17 @@ object IncrementalEmbedDedup {
         new org.apache.hadoop.fs.Path(s"$statePath/_watermark"))
       refreshLocked(spark, vecs, statePath, idCol, dims, threshold,
         tables, planesPerTable, compactEvery, bucketWidth, maxAttachBuckets,
-        anchor, audit)
+        anchor, audit, lateSink)
     } finally BatchedState.releaseLock(spark, lock)
   }
+
+  /** Captured late vectors across all deliveries into `lateSink` —
+    * (vec_id, embedding), one row per id. The evidence frame and the
+    * quarantine side of `reconcile(log ∪ lateArrivals) ≡ one-shot`. */
+  def lateArrivals(spark: SparkSession, lateSink: String): DataFrame =
+    BatchedState.readCapturedLate(spark, lateSink, StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))), "vec_id")
 
   /** The REPAIR verb for the audited loss (the G44 `reconcile` on the
     * id axis): a documented full REBUILD — wipe the state under the
@@ -202,7 +217,7 @@ object IncrementalEmbedDedup {
       statePath: String, idCol: String, dims: Int, threshold: Double,
       tables: Int, planesPerTable: Int, compactEvery: Int,
       bucketWidth: Long, maxAttachBuckets: Int, anchor: Anchor,
-      audit: Boolean): DedupRefreshResult = {
+      audit: Boolean, lateSink: Option[String] = None): DedupRefreshResult = {
     import Anchor.AnchorOps
     val (wm, incStored) = Incremental.watermarkState(spark, statePath)
     val fresh = vecs.filter(col(idCol) > wm)
@@ -214,6 +229,19 @@ object IncrementalEmbedDedup {
     // must be full-fed (caveat stated at the helper)
     val (inc0, late) =
       BatchedState.idAxisAudit(audit, vecs.count(), nFresh, incStored)
+    // row-level capture (r17, the IncrementalDedup convention): the
+    // state's own vector store is the incorporated-id truth, so the
+    // anti-join is membership-exact under any feed shape. Opt-in —
+    // one below-mark ⋈ vector-store anti-join per refresh.
+    lateSink.foreach { sink =>
+      if (wm != Long.MinValue) {
+        val below = vecs.filter(col(idCol) <= wm)
+          .select(col(idCol).as("vec_id"), col("embedding"))
+        val seen = storedVectors(spark, statePath).select(col("vec_id"))
+        BatchedState.captureLate(spark, sink,
+          below.join(seen, Seq("vec_id"), "left_anti")): Unit
+      }
+    }
     if (nFresh == 0) {
       if (audit && incStored.isEmpty && wm != Long.MinValue)
         Incremental.writeWatermark(spark, statePath, wm, Some(inc0))

@@ -184,6 +184,73 @@ class DedupLateAuditSpec extends SparkSpec {
       threshold = 0.3).fresh === vecs.count())
   }
 
+  test("lateSink captures the below-mark rows exactly; reconcile over log ∪ captured ≡ one-shot; retries collapse") {
+    // r17 directive 4: G48 counted late arrivals — the sink keeps the
+    // ROWS (the G45 quarantine convention on the id axis), so the
+    // repair has evidence and the fold-back identity is checkable.
+    val state = tmp("txt-sink")
+    val sink = tmp("txt-sink-q")
+    val log = docs.filter(col("doc_id") >= 200) // the delivered feed
+    val missed = docs.filter(col("doc_id") < 200)
+    IncrementalDedup.refresh(spark, log, state, threshold = 0.5)
+    // the out-of-order full-corpus delivery, capture on
+    val r = IncrementalDedup.refresh(spark, docs, state, threshold = 0.5,
+      lateSink = Some(sink))
+    val captured = IncrementalDedup.lateArrivals(spark, sink)
+    assert(captured.count() === r.lateRows,
+      "capture and count must agree on a full-corpus feed")
+    assert(captured.select("doc_id").except(missed.select("doc_id")).count() === 0 &&
+      missed.select("doc_id").except(captured.select("doc_id")).count() === 0,
+      "captured set must be EXACTLY the below-mark rows the state never saw")
+    // a crash retry of the same delivery appends a duplicate capture;
+    // the reader collapses by id — still exact
+    IncrementalDedup.refresh(spark, docs, state, threshold = 0.5,
+      lateSink = Some(sink))
+    assert(IncrementalDedup.lateArrivals(spark, sink).count() === r.lateRows,
+      "duplicate captures from retries must collapse by id")
+    // the fold-back identity: reconcile over log ∪ captured ≡ one-shot
+    IncrementalDedup.reconcile(spark,
+      log.unionByName(IncrementalDedup.lateArrivals(spark, sink)), state,
+      threshold = 0.5)
+    val inc = IncrementalDedup.assignments(spark, state)
+    val full = DedupPipeline.dedup(docs, threshold = 0.5)
+    assert(inc.except(full).count() === 0 && full.except(inc).count() === 0,
+      "reconcile over log ∪ captured diverged from the one-shot")
+
+    // membership-exactness needs NO full-corpus feed: a late-only
+    // delta delivery captures exactly itself (where the tally
+    // arithmetic under-reports, clamped — the documented contrast)
+    val state2 = tmp("txt-sink-delta")
+    val sink2 = tmp("txt-sink-delta-q")
+    IncrementalDedup.refresh(spark, log, state2, threshold = 0.5)
+    val lateOnly = docs.filter(col("doc_id") < 100)
+    val r2 = IncrementalDedup.refresh(spark, lateOnly, state2,
+      threshold = 0.5, lateSink = Some(sink2))
+    assert(r2.lateRows === 0L, "tally under-reports on a delta feed (documented)")
+    assert(IncrementalDedup.lateArrivals(spark, sink2).count() ===
+      lateOnly.count(),
+      "capture must be row-exact even on the delta feed the tally clamps on")
+
+    // embed twin: capture ≡ below-mark set, fold-back ≡ one-shot
+    val state3 = tmp("emb-sink")
+    val sink3 = tmp("emb-sink-q")
+    val vlog = vecs.filter(col("vec_id") >= 150)
+    IncrementalEmbedDedup.refresh(spark, vlog, state3, threshold = 0.3)
+    val r3 = IncrementalEmbedDedup.refresh(spark, vecs, state3,
+      threshold = 0.3, lateSink = Some(sink3))
+    val vCaptured = IncrementalEmbedDedup.lateArrivals(spark, sink3)
+    assert(vCaptured.count() === r3.lateRows)
+    assert(vCaptured.select("vec_id")
+      .except(vecs.filter(col("vec_id") < 150).select("vec_id")).count() === 0)
+    IncrementalEmbedDedup.reconcile(spark,
+      vlog.unionByName(vCaptured), state3, threshold = 0.3)
+    val incP = IncrementalEmbedDedup.pairs(spark, state3)
+    val fullP = Similarity.lshNearDupPairs(vecs, "vec_id", dims = 64,
+      threshold = 0.3)
+    assert(incP.except(fullP).count() === 0 && fullP.except(incP).count() === 0,
+      "embed reconcile over log ∪ captured diverged from the one-shot")
+  }
+
   test("a mis-fed reconcile refuses BEFORE the wipe: empty and below-mark feeds leave state intact") {
     // ADVICE r16: reconcile wiped the watermark and every state dir
     // before looking at its input — an empty (or delta-fed) frame
