@@ -23,16 +23,21 @@ import org.apache.spark.sql.functions._
   * the cores treat their id opaquely), so no doc-keyed join ever
   * re-attaches it.
   *
-  * Scale shape: each signal family is one row-local projection over
-  * the corpus followed by one groupBy(source) whose partials collapse
-  * map-side — the shuffle carries sources × partitions aggregate rows,
-  * never documents; the text column never crosses an exchange. The
-  * per-source frames (sources rows each) then broadcast-join into one
-  * card. The corpus is scanned once per family (three rule families +
-  * the volume scan) — persist the input upstream if scan cost
-  * dominates; folding the families into one projection would trade the
-  * shared rule-core definitions for a scan, the wrong side of the G11
-  * argument. Duplication is estimated with HLL approx-distinct over
+  * Scale shape (r17 directive 5 — ONE corpus pass): the three rule
+  * cores are row-local Column trees keyed on an opaque doc_id, so they
+  * COMPOSE — each stage packs what later stages need inside the id it
+  * hands the next core, and Catalyst collapses the chain into a single
+  * projection over a single scan (no core forked: the verdicts are the
+  * literal qualityFlags / repetitionFlags / c4Clean outputs, same as
+  * ever). The per-doc measures (token/char counts, text hash, three
+  * verdict booleans) are projected BEFORE the rollup so the grouping-
+  * set Expand duplicates cheap numeric rows, never the text; one
+  * rollup(source) then yields every per-source row AND the `__total__`
+  * row from one exchange whose partials collapse map-side — the
+  * shuffle carries sources × partitions aggregate rows, never
+  * documents. (The pre-r17 shape scanned the corpus once per family;
+  * the fusion is ~3× less scan for byte-identical numerators.)
+  * Duplication is estimated with HLL approx-distinct over
   * xxhash64(text) (the G12 SketchOps convention — O(1) registers;
   * `dedup_exact` is the exact twin when a count, not an estimate, is
   * needed).
@@ -60,51 +65,63 @@ object CorpusReport {
     require(docs.columns.contains(idCol) && docs.columns.contains(textCol) &&
       docs.columns.contains(srcCol),
       s"docs needs ($idCol, $textCol, $srcCol)")
-    // the cores key on an opaque doc_id: pack (id, source) so source
-    // survives without a join-back
-    val packed = docs.select(
-      struct(col(idCol).as("id"), col(srcCol).as("src")).as("doc_id"),
+    // ONE chained projection (r17): the cores key on an opaque doc_id,
+    // so each stage packs everything later stages need INSIDE the id
+    // it hands on — source and text ride through qualityFlags, then
+    // (that + its verdict) through repetitionFlags, then through
+    // c4Clean. Catalyst's CollapseProject + GetStructField
+    // simplification fold the chain into a single projection over one
+    // scan; the cores themselves are called verbatim, never forked.
+    val in1 = docs.select(
+      struct(col(idCol).as("id"), col(srcCol).as("src"),
+        col(textCol).as("text")).as("doc_id"),
       col(textCol).as("text"))
-    val src = col("doc_id").getField("src").as("source")
+    val q = QualityOps.qualityFlags(in1)
+      .select(col("doc_id"), col("pass").as("_pass_q"))
+    val in2 = q.select(struct(col("doc_id"), col("_pass_q")).as("doc_id"),
+      col("doc_id.text").as("text"))
+    val r = GopherRepetition.repetitionFlags(in2)
+      .select(col("doc_id"), col("pass_repetition").as("_pass_r"))
+    val in3 = r.select(struct(col("doc_id"), col("_pass_r")).as("doc_id"),
+      col("doc_id.doc_id.text").as("text"))
+    val k = C4Filters.c4Clean(in3, blocklist = c4Blocklist)
+      .select(col("doc_id"), col("keep").as("_keep_c4"))
 
-    val vol = packed.groupBy(src).agg(
-      count(lit(1)).as("n_docs"),
-      sum(size(filter(split(col("text"), " "), w => length(w) > 0))
-        .cast("long")).as("n_tokens"),
-      sum(length(col("text")).cast("long")).as("n_chars"),
-      // rsd 0.01: ~8 KiB of HLL registers per source — still O(1)
+    // per-doc measures BEFORE the rollup, so the grouping-set Expand
+    // duplicates one narrow numeric row per doc, never the text
+    val perDoc = k.select(
+      col("doc_id.doc_id.doc_id.src").as("source"),
+      size(filter(split(col("doc_id.doc_id.doc_id.text"), " "),
+        w => length(w) > 0)).cast("long").as("_t"),
+      length(col("doc_id.doc_id.doc_id.text")).cast("long").as("_c"),
+      // rsd 0.01: ~8 KiB of HLL registers per group — still O(1)
       // state, tight enough that the card's duplication column is
       // decision-grade (the default 5% rsd can misstate a 10%-dup
       // source as clean)
-      approx_count_distinct(xxhash64(col("text")), 0.01)
-        .as("distinct_text_est"))
-    val gop = QualityOps.qualityFlags(packed).groupBy(src).agg(
-      sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass_gopher"))
-    val rep = GopherRepetition.repetitionFlags(packed).groupBy(src).agg(
-      sum(when(col("pass_repetition"), 1L).otherwise(0L)).as("n_pass_repetition"))
-    val c4 = C4Filters.c4Clean(packed, blocklist = c4Blocklist)
-      .groupBy(src).agg(
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep_c4"))
+      xxhash64(col("doc_id.doc_id.doc_id.text")).as("_h"),
+      col("doc_id.doc_id._pass_q").as("_pass_q"),
+      col("doc_id._pass_r").as("_pass_r"),
+      col("_keep_c4"))
 
-    // numerator frame: sources rows — broadcast joins, exact total row
-    // recombined from numerators before any rate is computed
-    val perSource = vol
-      .join(broadcast(gop), Seq("source"))
-      .join(broadcast(rep), Seq("source"))
-      .join(broadcast(c4), Seq("source"))
-    val total = perSource.groupBy(lit(TotalRow).as("source")).agg(
-      sum(col("n_docs")).as("n_docs"),
-      sum(col("n_tokens")).as("n_tokens"),
-      sum(col("n_chars")).as("n_chars"),
-      // HLL registers don't re-merge through this sum; the total
-      // distinct estimate is the per-source sum — exact when sources
-      // don't share texts, an upper bound otherwise (documented)
-      sum(col("distinct_text_est")).as("distinct_text_est"),
-      sum(col("n_pass_gopher")).as("n_pass_gopher"),
-      sum(col("n_pass_repetition")).as("n_pass_repetition"),
-      sum(col("n_keep_c4")).as("n_keep_c4"))
-
-    perSource.unionByName(total)
+    // rollup(source): every per-source row AND the total row off ONE
+    // aggregation exchange — integer numerators sum identically either
+    // way, so the total stays the exact recombination the oracle
+    // re-derives. The total's distinct_text_est is now the MERGED-HLL
+    // global estimate (pre-r17 it was the per-source sum — an upper
+    // bound whenever sources share texts; the merge estimates the true
+    // global distinct and is what the register algebra is for).
+    perDoc.rollup(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("_t")).as("n_tokens"),
+      sum(col("_c")).as("n_chars"),
+      approx_count_distinct(col("_h"), 0.01).as("distinct_text_est"),
+      sum(when(col("_pass_q"), 1L).otherwise(0L)).as("n_pass_gopher"),
+      sum(when(col("_pass_r"), 1L).otherwise(0L)).as("n_pass_repetition"),
+      sum(when(col("_keep_c4"), 1L).otherwise(0L)).as("n_keep_c4"),
+      grouping(col("source")).as("_g"))
+      .withColumn("source",
+        when(col("_g") === 1, lit(TotalRow)).otherwise(col("source")))
+      .drop("_g")
   }
 
   def report(docs: DataFrame, idCol: String = "doc_id",

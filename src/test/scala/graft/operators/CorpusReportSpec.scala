@@ -82,11 +82,28 @@ class CorpusReportSpec extends SparkSpec {
     }
   }
 
-  test("plan: no doc-keyed join — signal frames aggregate before any join, numerators broadcast") {
-    val plan = CorpusReport.report(docs).queryExecution.executedPlan.toString
-    assert(!plan.contains("SortMergeJoin"),
-      s"a corpus-keyed join crept into the card:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"), plan)
+  test("plan: fused to one pass — no join at all, one aggregation over one Expand, text never expands") {
+    // r17 directive 5: the three rule families + volumes ride ONE
+    // chained projection and ONE rollup — the pre-fusion shape scanned
+    // the corpus once per family and joined the numerator frames
+    val qe = CorpusReport.report(docs).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"the fused card must not join at all:\n$plan")
+    assert(plan.contains("Expand"),
+      s"rollup's grouping-set Expand missing — total row shape changed:\n$plan")
+    // the text column must be reduced to numeric measures BEFORE the
+    // Expand duplicates rows per grouping set (expanding text would
+    // double the heavy tokenization)
+    val expandLine = plan.linesIterator.find(_.contains("Expand")).get
+    assert(!expandLine.contains("text"),
+      s"Expand carries the text column:\n$expandLine")
+    // exactly one aggregation pair (partial+final) over the corpus:
+    // the optimized plan holds a single Aggregate over the chain
+    val agg = qe.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(agg.size === 1, s"expected ONE fused aggregate, got ${agg.size}")
   }
 
   test("guards: missing columns fail loudly") {
