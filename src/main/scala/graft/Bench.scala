@@ -170,19 +170,33 @@ object Bench {
     // driver's last-JSON-line parse off them
     println("BENCH_FULL " + jsonLine(names, full, sfDir, dp = 6, maxLen = Int.MaxValue))
     println("BENCH_MEDIAN " + jsonLine(names, med, sfDir, dp = 6, maxLen = Int.MaxValue))
+    // plan fingerprints per key (r17 directive 2): the canonical
+    // physical-plan hash beside each timing, so a future regression on
+    // diff-identical code is decidable from the artifact — same
+    // fingerprint = host variance, changed = plan drift. Computed
+    // AFTER the timed passes (construction may run driver-side prep;
+    // it must never be billed to a timing), planning only, never
+    // executing. Best-effort per key.
+    val plans = names.sorted.map { n =>
+      n -> (try graft.bench.PlanFingerprint.of(fnFor(n)(spark, sfDir))
+      catch { case _: Throwable => "err" })
+    }
+    val plansLine = plans.map { case (n, h) => "\"" + n + "\":\"" + h + "\"" }
+      .mkString("{\"plans\":{", ",", "}}")
     // full per-query record ON DISK each run (r15 directive 6): the
     // driver's recorded line truncates to the slowest ~90 keys, so
     // tail regressions were invisible round-over-round; the round's
     // copy is committed as bench/full_r<N>.json (BenchFullFileSpec
-    // pins its key set to SparkEntry.queries). Best-effort: a bench
-    // must never fail on a read-only working dir.
+    // pins its key set to SparkEntry.queries). Line 2 carries the
+    // fingerprints. Best-effort: a bench must never fail on a
+    // read-only working dir.
     try {
       val out = java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_BENCH_OUT", "bench/full_latest.json"))
       if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent): Unit
       java.nio.file.Files.write(out,
-        (jsonLine(names, full, sfDir, dp = 6, maxLen = Int.MaxValue) + "\n")
-          .getBytes("UTF-8")): Unit
+        (jsonLine(names, full, sfDir, dp = 6, maxLen = Int.MaxValue) + "\n" +
+          plansLine + "\n").getBytes("UTF-8")): Unit
     } catch { case e: Exception =>
       println(s"BENCH_SETUP full-record write skipped: $e") }
     println(jsonLine(names, full, sfDir, dp = 2))

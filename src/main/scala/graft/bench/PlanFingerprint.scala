@@ -1,0 +1,37 @@
+package graft.bench
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Canonical physical-plan fingerprint (r17 directive 2): the r15/r16
+  * verdicts adjudicated bench regressions on diff-identical code as
+  * "probably host variance" twice — with a fingerprint per key in the
+  * committed bench artifact, the call becomes decidable from
+  * artifacts: same fingerprint = host variance (no action), changed
+  * fingerprint = plan drift (investigate). The hash is over the
+  * FORMATTED physical explain with everything incidental normalized
+  * away — expression ids, plan ids, scan paths/locations, and every
+  * digit run (partition counts, statistics, scale-dependent sizes) —
+  * so the same code produces the same fingerprint across sessions,
+  * shuffle-partition settings, and scale factors, while any structural
+  * change (operator added/removed, join strategy flipped, pushed
+  * filters changed, exchange moved) changes it. Computing it PLANS the
+  * query but never executes it (query construction itself may
+  * materialize anchored intermediates — that is the construction's
+  * cost, not this hash's). */
+object PlanFingerprint {
+
+  private[bench] def normalize(explain: String): String = explain
+    .replaceAll("#\\d+", "#") // expression ids
+    .replaceAll("(?i)file:[^\\s,\\]\\)}]*", "<path>") // scan paths
+    .replaceAll("Location: .*", "Location: <loc>")
+    .replaceAll("\\d+", "N") // partition counts, sizes, plan ids
+
+  def of(df: DataFrame): String = {
+    val txt = df.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(normalize(txt).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+  }
+}

@@ -105,7 +105,7 @@ class BenchLineSpec extends AnyFunSuite {
     val txt = scala.io.Source.fromFile(latest).mkString
     val keyRe = """"([a-z0-9_]+)":""".r
     val keys = keyRe.findAllMatchIn(txt).map(_.group(1)).toSet --
-      Set("metric", "value", "unit", "queries", "sf")
+      Set("metric", "value", "unit", "queries", "sf", "plans")
     assert(keys === SparkEntry.queries.keySet,
       s"${latest.getName} is stale: missing " +
         s"${SparkEntry.queries.keySet.diff(keys)}, extra " +
