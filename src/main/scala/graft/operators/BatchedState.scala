@@ -482,29 +482,58 @@ private[graft] object BatchedState {
     * passes through. One extension (r17, [[migratePointer]]): when the
     * pointer does not resolve — absent, no complete manifest, or torn
     * — and a COMPLETE migration stage (`.<name>.migrate`) sits beside
-    * it, the staged value is served: the stage exists only while a
-    * mode migration is in flight (verified complete before the old
-    * pointer is touched, removed after the new one commits), so a
-    * reader crossing any migration crash window reads the pointer's
-    * last committed value instead of "unpublished". The fallback costs
-    * one existence probe, and only on the paths that were already
-    * failing. */
+    * it UNDER A LIVE MIGRATE LOCK, the staged value is served: the
+    * lock+stage pair exists exactly from staging until the migration
+    * commits (or hard-crashes — where the pointer is writer-quiesced
+    * by the verb's contract, so the staged value IS current), and the
+    * lock gate keeps an ORPHANED stage from ever overriding
+    * absent/torn semantics after the pointer has legitimately moved on
+    * (review wave r17: an abandoned stage would otherwise resurrect a
+    * stale value under a later torn copy, and defeat decertify-style
+    * pointer deletes — which [[deletePointer]] also hardens). A stage
+    * MISS after the pointer failed to resolve re-probes the pointer
+    * once: the migration commits monotonically (new pointer built
+    * before the stage is dropped), so a reader racing the completion
+    * finds the new value instead of misreporting "unpublished". The
+    * fallback costs existence probes only on paths already failing. */
   def readPointer(spark: SparkSession, src: Path): Option[String] = {
     val hfs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def staged: Option[String] =
-      if (src.getParent == null) None
-      else {
-        val st = migrateStagePath(src)
-        if (!hfs.exists(st)) None
-        else try readPointerRaw(spark, hfs, st)
-        catch { case _: IllegalStateException => None } // torn stage
-      }
-    try readPointerRaw(spark, hfs, src).orElse(staged)
+    // (migration-aware, lock-gated): returns the staged value, or —
+    // when a migration is provably in flight (lock present) but the
+    // stage missed — ONE re-probe of the pointer, covering a reader
+    // racing the completion. No lock = no migration = no extra probes
+    // beyond the one lock stat.
+    def fallback(): Option[String] = {
+      if (src.getParent == null) return None
+      if (!hfs.exists(migrateLockPath(src))) return None
+      val stagedVal =
+        try {
+          val st = migrateStagePath(src)
+          if (hfs.exists(st)) readPointerRaw(spark, hfs, st) else None
+        } catch {
+          case _: IllegalStateException => None // torn stage
+          case _: java.io.FileNotFoundException => None // vanished mid-read
+        }
+      stagedVal.orElse(readPointerRaw(spark, hfs, src))
+    }
+    try readPointerRaw(spark, hfs, src).orElse(fallback())
     catch {
       case e: IllegalStateException =>
-        val st = staged
+        val st = fallback()
         if (st.isDefined) st else throw e // torn pointer, no staged rescue
     }
+  }
+
+  /** Delete a pointer AND any migration stage beside it — the
+    * decertify/wipe primitive (review wave r17): a bare delete of the
+    * pointer file leaves a crashed migration's stage standing, and
+    * the reader fallback would resurrect the deleted value while the
+    * stale migrate lock survives. Never touches the migrate lock
+    * itself (an operator owns stale-lock removal). */
+  private[graft] def deletePointer(spark: SparkSession, ptr: Path): Unit = {
+    val hfs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(ptr, true): Unit
+    if (ptr.getParent != null) hfs.delete(migrateStagePath(ptr), true): Unit
   }
 
   /** [[readPointer]] without the migration-stage fallback — the
@@ -563,10 +592,15 @@ private[graft] object BatchedState {
     * Single-writer contract: run while the pointer's OWNING writer is
     * quiesced (the same discipline any offline migration needs).
     * Concurrent migrations exclude each other on a create-new lock
-    * (`.<name>.migrate_lock`; a hard-crashed run leaves a stale lock
-    * an operator removes). A writer that races the verb anyway fails
-    * loudly, never silently: the in-place build is create-new, and a
-    * writer re-creating the pointer mid-window collides with it. */
+    * (`.<name>.migrate_lock`). A hard-crashed run leaves the lock AND
+    * the stage standing — remove the stale lock and RE-RUN the verb as
+    * one recovery action (it completes or re-stages); the reader
+    * fallback is deliberately lock-GATED, so removing the lock alone
+    * renders an orphaned stage inert rather than letting it shadow the
+    * pointer's later life (review wave r17). A writer that races the
+    * verb anyway fails loudly, never silently: the in-place build is
+    * create-new, and a writer re-creating the pointer mid-window
+    * collides with it. */
   def migratePointer(spark: SparkSession, ptr: Path,
       to: CommitMode): Unit = {
     require(ptr.getParent != null,
@@ -717,18 +751,26 @@ private[graft] object BatchedState {
     * captures write nothing. Returns rows captured. */
   private[graft] def captureLate(spark: SparkSession, sink: String,
       rows: DataFrame): Long = {
-    val n = rows.count()
-    if (n > 0) {
-      val p = new Path(sink)
-      val hfs = fs(spark, sink)
-      val next =
-        if (!hfs.exists(p)) 0L
-        else hfs.listStatus(p).toSeq
-          .flatMap(_.getPath.getName.stripPrefix("late-").toLongOption)
-          .maxOption.fold(0L)(_ + 1L)
-      rows.write.mode("overwrite").parquet(s"$sink/late-$next")
-    }
-    n
+    // persist around count+write: the capture frame is an anti-join
+    // against operator state, and computing it twice (once to decide
+    // emptiness, once to write) would double the advertised
+    // one-anti-join cost (review wave r17)
+    val cached = rows.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = cached.count()
+      if (n > 0) {
+        val p = new Path(sink)
+        val hfs = fs(spark, sink)
+        val next =
+          if (!hfs.exists(p)) 0L
+          else hfs.listStatus(p).toSeq
+            .flatMap(_.getPath.getName.stripPrefix("late-").toLongOption)
+            .maxOption.fold(0L)(_ + 1L)
+        cached.write.mode("overwrite").parquet(s"$sink/late-$next")
+      }
+      n
+    } finally cached.unpersist(): Unit
   }
 
   /** Union of every capture under `sink`, one row per id (duplicate

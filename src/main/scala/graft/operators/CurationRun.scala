@@ -67,6 +67,13 @@ object CurationRun {
     require(stages.nonEmpty, "at least one stage")
     require(stages.map(_.name).distinct.size == stages.size,
       "duplicate stage names — each stage needs its own resume identity")
+    // commit-mode probe BEFORE any stage runs (review wave r17): the
+    // run manifest is written LAST, and a knob/manifest mode mismatch
+    // must refuse up front, not after hours of stages. (Stage markers
+    // need no probe: a recompute decertifies — deletes — its marker
+    // before rewriting, so they can never mode-mix.)
+    BatchedState.assertPointerWritable(spark,
+      new Path(s"$workDir/manifest.json"))
     val reports = scala.collection.mutable.ArrayBuffer.empty[StageReport]
     var cur = input
     var rowsIn = -1L // computed lazily: only if the first stage runs
@@ -216,6 +223,9 @@ object CurationRun {
     require(stages.nonEmpty, "at least one stage")
     require(stages.map(_.name).distinct.size == stages.size,
       "duplicate stage names")
+    // up-front mode probe — see run()
+    BatchedState.assertPointerWritable(spark,
+      new Path(s"$workDir/manifest.json"))
     val stageNames = stages.map(_.name).toSet
     require(inputs.keySet.intersect(stageNames).isEmpty,
       s"stage names shadow inputs: ${inputs.keySet.intersect(stageNames)}")

@@ -282,7 +282,9 @@ object IncrementalDedup {
       // marker BEFORE the first delete, removed only after the rebuild
       // commits — the wipe is observable at every crash point
       BatchedState.beginRebuild(spark, statePath)
-      f.delete(new Path(s"$statePath/_watermark"), true): Unit
+      // deletePointer, not a bare delete: a crashed watermark-pointer
+      // migration's stage must not resurrect the wiped mark
+      BatchedState.deletePointer(spark, new Path(s"$statePath/_watermark"))
       Seq("hashes", "shingles", "dfcounts", "dfcountsnap",
         "assign", "assignsnap").foreach(d =>
         f.delete(new Path(s"$statePath/$d"), true): Unit)

@@ -201,8 +201,9 @@ object IncrementalEmbedDedup {
       BatchedState.assertFullCorpusFeed(spark, vecs, idCol, statePath,
         "IncrementalEmbedDedup")
       BatchedState.beginRebuild(spark, statePath)
-      f.delete(new org.apache.hadoop.fs.Path(s"$statePath/_watermark"),
-        true): Unit
+      // deletePointer: see IncrementalDedup.reconcile
+      BatchedState.deletePointer(spark,
+        new org.apache.hadoop.fs.Path(s"$statePath/_watermark"))
       Seq("cells", "cellsnap", "pairs", "vectors", "vecsnap").foreach(d =>
         f.delete(new org.apache.hadoop.fs.Path(s"$statePath/$d"), true): Unit)
       val r = refreshLocked(spark, vecs, statePath, idCol, dims, threshold,

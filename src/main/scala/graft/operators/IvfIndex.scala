@@ -255,8 +255,14 @@ final class IvfIndex private[operators] (spark: SparkSession, path: String,
   // there for the filesystems it is and is not atomic on)
   private def addLockPath = new Path(s"$path/_lock_add")
 
-  private def acquireWriterLock(): Unit =
+  private def acquireWriterLock(): Unit = {
     BatchedState.acquireLock(spark, addLockPath, "IvfIndex")
+    // commit-mode probe BEFORE the encode/compact work (review wave
+    // r17): a knob/marker mode mismatch must refuse here, not at the
+    // final writeMeta after the batch tables were written
+    try BatchedState.assertPointerWritable(spark, IvfIndex.metaPath(path))
+    catch { case e: Throwable => releaseWriterLock(); throw e }
+  }
 
   private def releaseWriterLock(): Unit =
     BatchedState.releaseLock(spark, addLockPath)

@@ -78,12 +78,11 @@ private[graft] object ModelStore {
   /** Remove the commit marker (decertify). Recursive: in manifest mode
     * the marker is a DIRECTORY of numbered manifests, and leaving a
     * stale complete manifest under it would re-certify the directory
-    * the caller is about to overwrite. */
-  def deleteMeta(spark: SparkSession, path: String): Unit = {
-    val p = metaPath(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(p, true): Unit
-  }
+    * the caller is about to overwrite. Routed through
+    * [[BatchedState.deletePointer]] so a crashed pointer-migration's
+    * stage cannot resurrect the deleted marker (review wave r17). */
+  def deleteMeta(spark: SparkSession, path: String): Unit =
+    BatchedState.deletePointer(spark, metaPath(path))
 
   /** A loaded artifact must be the KIND and layout version the reader
     * understands — failing here names the mismatch instead of dying
@@ -100,13 +99,16 @@ private[graft] object ModelStore {
 
   /** Generation the next save commits: committed gen + 1, or 0 for a
     * fresh path. Called UNDER the writer lock (the read-increment-write
-    * is exactly the race the lock exists for). */
-  def nextGen(spark: SparkSession, path: String): Long = {
-    val f = fs(spark, path)
-    if (!f.exists(metaPath(path))) 0L
-    else readMeta(spark, path, "artifact").get("gen")
+    * is exactly the race the lock exists for). Resolves through
+    * readMetaOpt, NOT a raw existence probe (review wave r17): a
+    * crashed FIRST manifest-mode commit leaves a `_meta` directory
+    * with no complete manifest — exists() is true but nothing is
+    * committed, and throwing here would brick every retry save; the
+    * retry starts at gen 0 and overwrites the orphan, the documented
+    * crash contract. */
+  def nextGen(spark: SparkSession, path: String): Long =
+    readMetaOpt(spark, path).flatMap(_.get("gen"))
       .map(_.toLong + 1L).getOrElse(0L)
-  }
 
   /** Keep-two retention: drop every generation older than the one just
     * replaced. Best-effort — a failed delete costs disk, never
@@ -128,7 +130,15 @@ private[graft] object ModelStore {
   def withLock[T](spark: SparkSession, path: String, what: String)(
       body: => T): T = {
     BatchedState.acquireLock(spark, lockPath(path), what)
-    try body finally BatchedState.releaseLock(spark, lockPath(path))
+    try {
+      // commit-mode probe BEFORE the save's heavy work (review wave
+      // r17 — the r16-ADVICE shape at the sites the pointer migration
+      // touched): without it a knob/marker mode mismatch surfaced only
+      // at the final writeMeta, after the full artifact tables were
+      // written, and every retry re-paid the save
+      BatchedState.assertPointerWritable(spark, metaPath(path))
+      body
+    } finally BatchedState.releaseLock(spark, lockPath(path))
   }
 }
 

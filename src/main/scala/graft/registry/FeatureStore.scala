@@ -484,7 +484,9 @@ final class FeatureStore(spark: SparkSession, storePath: String,
     * the number of vectors published. */
   def publishOnlineView(path: String, buckets: Int = 64,
       featureNames: Option[Seq[String]] = None,
-      version: Option[String] = None): Long = {
+      version: Option[String] = None,
+      mode: graft.operators.CommitMode =
+        graft.operators.CommitMode.Session): Long = {
     require(buckets >= 1 && buckets <= (1 << 20), s"buckets=$buckets")
     val vecs = featureVectors(featureNames, version)
     // a feature named "bucket" would be silently overwritten by the
@@ -503,11 +505,15 @@ final class FeatureStore(spark: SparkSession, storePath: String,
     // to be a plain overwrite create — now it rides writePointer
     // (checksummed; manifest mode = create-new numbered manifests,
     // zero renames), so the fourth write-once artifact manifest obeys
-    // the same deployment knob as the live pointers. The parquet
-    // overwrite above wiped the directory, so each publish starts a
-    // fresh pointer — no cross-publish mode mixing at one path.
+    // the same deployment knob as the live pointers — and the same
+    // EXPLICIT per-call mode as the caller's `_latest` commit (review
+    // wave r17: publishOnlineGeneration(mode = Manifest) without the
+    // session conf used to leave exactly this meta on the rename
+    // path). The parquet overwrite above wiped the directory, so each
+    // publish starts a fresh pointer — no cross-publish mode mixing.
     graft.operators.BatchedState.writePointer(spark,
-      new Path(path, "_online_meta.json"), s"""{"buckets":$buckets}""")
+      new Path(path, "_online_meta.json"), s"""{"buckets":$buckets}""",
+      mode)
     // read-back count: verifies the written files are listable and
     // parseable; count(*) over parquet reads footers/row-group counts
     // only (empty ReadSchema), not the data pages
@@ -581,7 +587,8 @@ final class FeatureStore(spark: SparkSession, storePath: String,
       else Array.empty[Long]
       val gen = if (existing.isEmpty) 0L else existing.max + 1L
       val genName = s"gen=$gen"
-      publishOnlineView(s"$basePath/$genName", buckets, featureNames, version)
+      publishOnlineView(s"$basePath/$genName", buckets, featureNames,
+        version, mode)
       // ATOMIC swap in the checksummed pointer format — a reader must
       // observe the old pointer or the new one, never none and never a
       // torn prefix. NOTE (caught live by the r14 mid-stream poller):
@@ -698,10 +705,13 @@ object FeatureStore {
     * resolves its highest complete manifest. */
   def onlineBuckets(spark: SparkSession, path: String): Int = {
     val p = new Path(path, "_online_meta.json")
+    // absent meta stays a FileNotFoundException (the pre-r17 shape from
+    // fs.open): readOnlineVectorLatest's prune-race classifier keys on
+    // it to tell "this generation was just reclaimed" from corruption
     val txt = graft.operators.BatchedState.readPointer(spark, p)
-      .getOrElse(throw new IllegalStateException(
+      .getOrElse(throw new java.io.FileNotFoundException(
         s"no _online_meta.json under $path — publishOnlineView has " +
-          "never completed here"))
+          "never completed here (or this generation was pruned)"))
     """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
       .map(_.group(1).toInt)
       .getOrElse(throw new IllegalStateException(

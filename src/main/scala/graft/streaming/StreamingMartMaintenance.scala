@@ -198,9 +198,10 @@ object StreamingMartMaintenance {
     * the absorbed raw rows in the quarantine's column shape. */
   def foldBack(spark: SparkSession, log: DataFrame, quarantinePath: String,
       martPath: String, buckets: Int = 32): Int = {
-    val aligned = log.select(log.schema.fieldNames.map(col).toSeq: _*)
+    // quarantined() projects the quarantine to log's columns in log's
+    // order, so the bag subtraction lines up positionally
     val extra = quarantined(spark, quarantinePath, log.schema)
-      .exceptAll(aligned)
-    SupplyMart.reconcile(spark, aligned.unionByName(extra), martPath, buckets)
+      .exceptAll(log)
+    SupplyMart.reconcile(spark, log.unionByName(extra), martPath, buckets)
   }
 }

@@ -257,6 +257,13 @@ class CommitModeSpec extends SparkSpec {
         "G2|40|0|kind=x".getBytes("UTF-8"))
       assert(ModelStore.readMetaOpt(spark, tPath).isEmpty,
         "a torn first _meta commit must read as never-saved")
+      // ... and the retry SAVE is not bricked by it (review wave r17:
+      // nextGen used a raw exists() — true for the torn directory —
+      // then threw on the read, permanently blocking every retry)
+      assert(ModelStore.nextGen(spark, tPath) === 0L,
+        "a crashed first commit must retry at gen 0, not throw")
+      ModelStore.writeMeta(spark, tPath, Seq("kind" -> "x", "gen" -> "0"))
+      assert(ModelStore.nextGen(spark, tPath) === 1L)
 
       // --- IvfIndex: build + add + query entirely under the knob
       val vecs = graft.Tables.embeddings(spark, sf)
@@ -313,6 +320,35 @@ class CommitModeSpec extends SparkSpec {
       "kind=x\nv=7\n".getBytes("UTF-8"))
     assert(ModelStore.readMeta(spark, legacy, "artifact")("v") === "7",
       "a legacy bare k=v _meta must parse through readPointer")
+
+    // --- the migrated sites refuse a mode mismatch BEFORE their heavy
+    // work (review wave r17 — the r16-ADVICE shape, re-checked here):
+    // a legacy rename-mode IvfIndex under the manifest knob refuses at
+    // the writer-lock probe, before any batch is encoded or written
+    val vecs2 = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").limit(200)
+    val legacyIvf = s"$dir/legacy-ivf"
+    IvfIndex.build(vecs2.filter(col("vec_id") < 100), "vec_id", legacyIvf,
+      nlist = 4) // knob unset: rename-mode _meta file
+    val batchDirs = () => Option(new java.io.File(s"$legacyIvf/codes")
+      .listFiles()).getOrElse(Array.empty).count(_.getName.startsWith("batch="))
+    val before = batchDirs()
+    spark.conf.set("spark.graft.commit.mode", "manifest")
+    val eAdd = try intercept[IllegalStateException] {
+      IvfIndex.load(spark, legacyIvf)
+        .add(vecs2.filter(col("vec_id") >= 100), "vec_id")
+    } finally spark.conf.unset("spark.graft.commit.mode")
+    assert(eAdd.getMessage.contains("rename-mode"), eAdd.getMessage)
+    assert(batchDirs() === before,
+      "the mode probe must refuse before any batch directory is written")
+    // ModelStore saves share the probe via withLock
+    val eSave = try {
+      spark.conf.set("spark.graft.commit.mode", "manifest")
+      intercept[IllegalStateException] {
+        ModelStore.withLock(spark, legacy, "probe") { fail("body ran") }
+      }
+    } finally spark.conf.unset("spark.graft.commit.mode")
+    assert(eSave.getMessage.contains("rename-mode"), eSave.getMessage)
   }
 
   test("online generation publish serves identically in both commit modes") {
@@ -335,6 +371,12 @@ class CommitModeSpec extends SparkSpec {
     assert(new java.io.File(s"$manifestBase/_latest").isDirectory,
       "manifest-mode _latest must be a manifest directory")
     assert(new java.io.File(s"$renameBase/_latest").isFile)
+    // the EXPLICIT mode reaches the generation's _online_meta.json too
+    // (review wave r17: it used to follow the session knob only, so a
+    // mode=Manifest publish left this one commit on the rename path)
+    assert(new java.io.File(FeatureStore.resolveOnlineLatest(spark,
+      manifestBase) + "/_online_meta.json").isDirectory,
+      "the explicit publish mode must govern _online_meta.json")
     ids.foreach { id =>
       val viaRename = FeatureStore.readOnlineVectorLatest(spark, renameBase, id)
       val viaManifest = FeatureStore.readOnlineVectorLatest(spark, manifestBase, id)

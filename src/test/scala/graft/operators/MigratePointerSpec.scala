@@ -95,6 +95,16 @@ class MigratePointerSpec extends SparkSpec {
       BatchedState.writePointer(spark, p, "old-value")
       p
     }
+    // a hard-crashed migration leaves BOTH the stage and the migrate
+    // lock — the reader fallback is lock-GATED (an orphaned stage
+    // alone is inert), so every crash construction plants the lock,
+    // and recovery = remove the stale lock + re-run, as documented
+    def plantLock(name: String): Unit =
+      hfs.create(new Path(s"$dir/.$name.migrate_lock"), true).close()
+    def recover(name: String, p: Path, to: CommitMode): Unit = {
+      hfs.delete(new Path(s"$dir/.$name.migrate_lock"), false): Unit
+      BatchedState.migratePointer(spark, p, to)
+    }
 
     // crash point A: stage written (complete), old pointer untouched.
     // Readers see the pointer; re-run re-stages and completes.
@@ -102,8 +112,9 @@ class MigratePointerSpec extends SparkSpec {
     val aStage = new Path(s"$dir/._a.migrate")
     hfs.mkdirs(aStage): Unit
     BatchedState.createManifest(spark, aStage, 0L, "old-value")
+    plantLock("_a")
     assert(BatchedState.readPointer(spark, a) === Some("old-value"))
-    BatchedState.migratePointer(spark, a, CommitMode.Manifest)
+    recover("_a", a, CommitMode.Manifest)
     assert(new java.io.File(s"$dir/_a").isDirectory)
     assert(BatchedState.readPointer(spark, a) === Some("old-value"))
     assert(!stageOf(a).exists())
@@ -114,10 +125,11 @@ class MigratePointerSpec extends SparkSpec {
     val bStage = new Path(s"$dir/._b.migrate")
     hfs.mkdirs(bStage): Unit
     BatchedState.createManifest(spark, bStage, 0L, "old-value")
+    plantLock("_b")
     hfs.delete(b, false): Unit
     assert(BatchedState.readPointer(spark, b) === Some("old-value"),
       "mid-window readers must resolve the staged OLD value")
-    BatchedState.migratePointer(spark, b, CommitMode.Manifest)
+    recover("_b", b, CommitMode.Manifest)
     assert(new java.io.File(s"$dir/_b").isDirectory)
     assert(BatchedState.readPointer(spark, b) === Some("old-value"))
 
@@ -129,6 +141,7 @@ class MigratePointerSpec extends SparkSpec {
     val cStage = new Path(s"$dir/._c.migrate")
     hfs.mkdirs(cStage): Unit
     BatchedState.createManifest(spark, cStage, 0L, "old-value")
+    plantLock("_c")
     hfs.delete(c, false): Unit
     hfs.mkdirs(c): Unit
     java.nio.file.Files.write(
@@ -136,7 +149,7 @@ class MigratePointerSpec extends SparkSpec {
       "G2|40|0|old".getBytes("UTF-8"))
     assert(BatchedState.readPointer(spark, c) === Some("old-value"),
       "a torn in-place build must not hide the staged value")
-    BatchedState.migratePointer(spark, c, CommitMode.Manifest)
+    recover("_c", c, CommitMode.Manifest)
     assert(BatchedState.readPointer(spark, c) === Some("old-value"))
     assert(!stageOf(c).exists())
 
@@ -149,6 +162,7 @@ class MigratePointerSpec extends SparkSpec {
     val out = hfs.create(dStage, true)
     out.write(BatchedState.encodePointer("old-value").getBytes("UTF-8"))
     out.close()
+    plantLock("_d")
     hfs.delete(d, true): Unit
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/_d"),
       "G2|40|deadbeef|old-va".getBytes("UTF-8"))
@@ -156,7 +170,7 @@ class MigratePointerSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/._d.crc"))
     assert(BatchedState.readPointer(spark, d) === Some("old-value"),
       "a torn rebuilt file must not hide the staged value")
-    BatchedState.migratePointer(spark, d, CommitMode.Rename)
+    recover("_d", d, CommitMode.Rename)
     assert(new java.io.File(s"$dir/_d").isFile)
     assert(BatchedState.readPointer(spark, d) === Some("old-value"))
 
@@ -169,9 +183,47 @@ class MigratePointerSpec extends SparkSpec {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/._e.migrate/manifest-${"%020d".format(0L)}"),
       "G2|40|0|old".getBytes("UTF-8"))
+    plantLock("_e")
     assert(BatchedState.readPointer(spark, e) === Some("old-value"))
-    BatchedState.migratePointer(spark, e, CommitMode.Manifest)
+    recover("_e", e, CommitMode.Manifest)
     assert(BatchedState.readPointer(spark, e) === Some("old-value"))
+  }
+
+  test("an orphaned stage without its lock is INERT — absent reads absent, torn throws, deletes stay deleted") {
+    // review wave r17: a crashed migration whose stale lock an
+    // operator removed (without re-running the verb) must not leave a
+    // stage that shadows the pointer's later life — months on, a torn
+    // copy rescued by a stale value would be a silent rewind, and a
+    // decertify-style delete would be resurrected.
+    val dir = tmp("orphan")
+    val hfs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(s"$dir/_wm")
+    val stage = new Path(s"$dir/._wm.migrate")
+    hfs.mkdirs(stage): Unit
+    BatchedState.createManifest(spark, stage, 0L, "stale-value")
+
+    // absent pointer + orphaned stage (no lock): unpublished, not stale
+    assert(BatchedState.readPointer(spark, p) === None,
+      "an orphaned stage must not masquerade as a committed pointer")
+
+    // torn pointer + orphaned stage: the torn refusal stays loud
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/_wm"),
+      "G2|40|deadbeef|trunc".getBytes("UTF-8"))
+    intercept[IllegalStateException] {
+      BatchedState.readPointer(spark, p)
+    }
+    hfs.delete(p, false): Unit
+
+    // deletePointer removes the stage with the pointer — decertify
+    // cannot be resurrected even WITH a live lock standing
+    BatchedState.writePointer(spark, p, "live")
+    hfs.create(new Path(s"$dir/._wm.migrate_lock"), true).close()
+    hfs.delete(stage, true): Unit // fresh stage for this scenario
+    hfs.mkdirs(stage): Unit
+    BatchedState.createManifest(spark, stage, 0L, "live")
+    BatchedState.deletePointer(spark, p)
+    assert(BatchedState.readPointer(spark, p) === None,
+      "deletePointer must take the migration stage with it")
   }
 
   test("refusals: unpublished pointer, torn-without-stage, concurrent migration, root pointer") {
