@@ -152,12 +152,21 @@ object Bench {
     require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES=$passes (need >= 1)")
     val samples = collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
-    for (_ <- 1 to passes) {
+    // the LAST pass's constructed frame per key, kept for the plan
+    // fingerprints below — re-constructing 141 queries after the timed
+    // passes would re-pay every eager anchored construction (review
+    // wave 2, r17: record_link's construction alone materializes a
+    // 70-cpu-second checkpoint)
+    val lastFrame = collection.mutable.Map.empty[String, DataFrame]
+    for (pass <- 1 to passes) {
       System.gc() // pay accumulated garbage before the pass, not inside it
       names.foreach { name =>
         val t0 = System.nanoTime()
-        try runOnce(fnFor(name), sfDir)
-        catch { case _: Throwable => () }
+        try {
+          val df = fnFor(name)(spark, sfDir)
+          df.write.format("noop").mode("overwrite").save()
+          if (pass == passes) lastFrame(name) = df
+        } catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
         samples(name) = dt :: samples(name)
       }
@@ -173,12 +182,13 @@ object Bench {
     // plan fingerprints per key (r17 directive 2): the canonical
     // physical-plan hash beside each timing, so a future regression on
     // diff-identical code is decidable from the artifact — same
-    // fingerprint = host variance, changed = plan drift. Computed
-    // AFTER the timed passes (construction may run driver-side prep;
-    // it must never be billed to a timing), planning only, never
-    // executing. Best-effort per key.
+    // fingerprint = host variance, changed = plan drift. Hashed off
+    // the LAST timed pass's own frame (construction already paid
+    // inside the pass; hashing plans without executing), falling back
+    // to a fresh construction only for a key whose pass threw.
     val plans = names.sorted.map { n =>
-      n -> (try graft.bench.PlanFingerprint.of(fnFor(n)(spark, sfDir))
+      n -> (try graft.bench.PlanFingerprint.of(
+        lastFrame.getOrElse(n, fnFor(n)(spark, sfDir)))
       catch { case _: Throwable => "err" })
     }
     val plansLine = plans.map { case (n, h) => "\"" + n + "\":\"" + h + "\"" }

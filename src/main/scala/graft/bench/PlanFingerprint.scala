@@ -13,11 +13,17 @@ import org.apache.spark.sql.execution.ExplainMode
   * away — expression ids, plan ids, scan paths/locations, and every
   * digit run (partition counts, statistics, scale-dependent sizes) —
   * so the same code produces the same fingerprint across sessions,
-  * shuffle-partition settings, and scale factors, while any structural
-  * change (operator added/removed, join strategy flipped, pushed
-  * filters changed, exchange moved) changes it. Computing it PLANS the
-  * query but never executes it (query construction itself may
-  * materialize anchored intermediates — that is the construction's
+  * shuffle-partition settings, and scale factors, while any STRUCTURAL
+  * change (operator added/removed, join strategy flipped, a pushed
+  * filter appearing/disappearing, exchange moved) changes it. Stated
+  * limit of the digit normalization (review wave 2, r17): a
+  * constant-ONLY change (a filter threshold 10 → 99, a limit, a
+  * parameter) keeps the same fingerprint by design — scale-invariance
+  * requires erasing digits, and a constant change is a code change the
+  * round diff itself shows; the fingerprint adjudicates the
+  * diff-identical case, where no such change exists. Computing it
+  * PLANS the query but never executes it (query construction itself
+  * may materialize anchored intermediates — that is the construction's
   * cost, not this hash's). */
 object PlanFingerprint {
 

@@ -22,6 +22,10 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     val keys = if (args.nonEmpty) args.toSeq
       else Seq("ppr", "pagerank_weighted", "record_link", "scd2_asof")
+    val unknown = keys.filterNot(graft.SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown keys: ${unknown.mkString(", ")} — valid keys are " +
+        graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
     def run(k: String, dir: String): Unit =
       graft.SparkEntry.queries(k)(spark, dir)
         .write.format("noop").mode("overwrite").save()

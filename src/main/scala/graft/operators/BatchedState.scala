@@ -518,6 +518,11 @@ private[graft] object BatchedState {
     }
     try readPointerRaw(spark, hfs, src).orElse(fallback())
     catch {
+      // deleted between the exists probe and the open (a reader racing
+      // migratePointer's swap or deletePointer): absent-now semantics —
+      // the fallback serves a mid-migration stage, a plain delete
+      // resolves None (review wave 2, r17)
+      case _: java.io.FileNotFoundException => fallback()
       case e: IllegalStateException =>
         val st = fallback()
         if (st.isDefined) st else throw e // torn pointer, no staged rescue
@@ -532,8 +537,12 @@ private[graft] object BatchedState {
     * itself (an operator owns stale-lock removal). */
   private[graft] def deletePointer(spark: SparkSession, ptr: Path): Unit = {
     val hfs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    hfs.delete(ptr, true): Unit
+    // stage FIRST (review wave 2, r17): a crash between the two deletes
+    // must leave the pointer still present (decertify incomplete but
+    // value intact — re-run finishes), never a deleted pointer whose
+    // stage a stale migrate lock could resurrect
     if (ptr.getParent != null) hfs.delete(migrateStagePath(ptr), true): Unit
+    hfs.delete(ptr, true): Unit
   }
 
   /** [[readPointer]] without the migration-stage fallback — the
@@ -546,6 +555,18 @@ private[graft] object BatchedState {
       val in = hfs.open(src)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
+      // an interrupted NON-atomic pointer write (migratePointer's
+      // in-place build is the one writer that creates a reader-visible
+      // file non-atomically) can leave "", "G" or "G2" — prefixes of
+      // the v2 header that the legacy passthrough would happily serve
+      // as a (wrong) bare payload; every longer prefix already refuses
+      // inside decodePointer. No legal payload is blank or a strict
+      // header prefix, so refuse these loudly too (review wave 2, r17)
+      if (txt.trim.isEmpty || txt == "G" || txt == "G2")
+        throw new IllegalStateException(
+          s"torn or corrupt pointer file at $src (empty or header " +
+            "prefix) — an interrupted write left no complete payload; " +
+            "re-run the migration or publish that owns it")
       Some(decodePointer(txt, src.toString))
     }
   }
@@ -611,6 +632,12 @@ private[graft] object BatchedState {
     }
     val hfs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
     acquireLock(spark, migrateLockPath(ptr), "pointer migration")
+    // once the old pointer is deleted, the stage is the only committed
+    // copy and the reader fallback is gated on THIS lock — so a SOFT
+    // failure (exception, not a hard crash) inside the swap window must
+    // leave the lock standing, exactly like a hard crash, or the
+    // staged value goes dark (review wave 2, r17)
+    var inSwapWindow = false
     try {
       val stage = migrateStagePath(ptr)
       def resolveTolerant(p: Path): Option[String] =
@@ -650,6 +677,7 @@ private[graft] object BatchedState {
       // the swap: remove whatever old-mode remnant occupies the path,
       // then build the target mode IN PLACE — create-new only
       hfs.delete(ptr, true): Unit
+      inSwapWindow = true
       if (targetIsDir) {
         hfs.mkdirs(ptr): Unit
         createManifest(spark, ptr, 0L, payload)
@@ -662,7 +690,16 @@ private[graft] object BatchedState {
       require(readPointerRaw(spark, hfs, ptr).contains(payload),
         s"migrated pointer at $ptr failed readback verification")
       hfs.delete(stage, true): Unit
-    } finally releaseLock(spark, migrateLockPath(ptr))
+      inSwapWindow = false
+    } catch {
+      case e: Throwable if inSwapWindow => throw new IllegalStateException(
+        s"pointer migration at $ptr failed inside the swap window — the " +
+          "migrate lock is left standing DELIBERATELY so readers keep " +
+          "resolving the staged value; remove the stale lock and re-run " +
+          "migratePointer as one recovery action to complete it", e)
+    } finally {
+      if (!inSwapWindow) releaseLock(spark, migrateLockPath(ptr))
+    }
   }
 
   /** Write the migration stage in the target mode, verified complete

@@ -40,6 +40,16 @@ class PlanFingerprintSpec extends SparkSpec {
       s"recorded sf dir $sfDir not present on this host")
 
     pinned.foreach { key =>
+      // the bench records the TIMED plan — fnFor resolves benchOverride
+      // first — while this spec derives from queries(). Identical today
+      // because no pinned key is overridden; if one gains an override,
+      // its fingerprint must be derived via the override (which needs
+      // benchSetup state this spec cannot build) — fail with guidance
+      // rather than misreporting permanent "drift" (review wave 2, r17)
+      assert(!SparkEntry.benchOverride.contains(key),
+        s"$key is benchOverride-timed: derive its live fingerprint from " +
+          "the override plan (needs bench setup state) before pinning it " +
+          "here, or unpin it")
       assert(recorded.contains(key), s"record carries no fingerprint for $key")
       assert(recorded(key) != "err",
         s"recorded fingerprint for $key is 'err' — the bench run could " +
