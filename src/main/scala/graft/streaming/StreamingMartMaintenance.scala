@@ -190,9 +190,16 @@ object StreamingMartMaintenance {
     * key (lineitem's (l_orderkey, l_linenumber)) which makes the case
     * impossible; the 5-column MartRow spec shape is where it can
     * arise, and the contract there is the one the batch audit already
-    * states — run the next full-log `reconcile` to converge. The
-    * exceptAll is one keyed shuffle of each side (log-sized, same
-    * order as the reconcile scan it precedes), never all-pairs.
+    * states — run the next full-log `reconcile` to converge.
+    *
+    * Cost shape: the subtraction's log side is PRE-RESTRICTED to the
+    * quarantined DAYS (an over-captured copy is byte-identical to its
+    * log twin, so it shares the twin's day by construction — rows of
+    * other days cannot match and need not ride the wide exceptAll
+    * shuffle). The distinct quarantined-day frame is tiny and
+    * broadcast, so the exceptAll shuffles O(late-day volume), not
+    * O(log): at 50× the unrestricted form cost 37.6 s against 25M log
+    * rows where the restricted one pays only the ~5M same-day rows.
     *
     * Returns the reconcile's rewritten-bucket count. `log` must be
     * the absorbed raw rows in the quarantine's column shape. */
@@ -200,8 +207,18 @@ object StreamingMartMaintenance {
       martPath: String, buckets: Int = 32): Int = {
     // quarantined() projects the quarantine to log's columns in log's
     // order, so the bag subtraction lines up positionally
-    val extra = quarantined(spark, quarantinePath, log.schema)
-      .exceptAll(log)
+    val q = quarantined(spark, quarantinePath, log.schema)
+    val dayUs = 86400000000L
+    val ship = SupplyMart.shipUs
+    val dayFloor = ship - pmod(ship, lit(dayUs))
+    val qDays = q.select(dayFloor.as("_qday")).distinct()
+    val logSameDays = log.join(
+      org.apache.spark.sql.functions.broadcast(qDays),
+      dayFloor === col("_qday"), "left_semi")
+    // materialize the subtraction once (late-volume-sized): reconcile
+    // scans its input several times (partials, fingerprint diff,
+    // rewrites) and would re-execute the exceptAll subtree per scan
+    val extra = q.exceptAll(logSameDays).localCheckpoint(true)
     SupplyMart.reconcile(spark, log.unionByName(extra), martPath, buckets)
   }
 }
