@@ -114,8 +114,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(fn: (SparkSession, String) => DataFrame, dir: String): Unit =
-      fn(spark, dir).write.format("noop").mode("overwrite").save()
+    // returns the constructed frame so the timed loop can keep its
+    // final pass's plan for fingerprinting — ONE spelling of the
+    // construct+noop-write action for warmup and timed passes alike
+    def runOnce(fn: (SparkSession, String) => DataFrame,
+        dir: String): DataFrame = {
+      val df = fn(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      df
+    }
 
     // composite-key split (r15 directive 3): the timed body for a key
     // in benchOverride is the gate-certified PLAN; its structural
@@ -163,8 +170,7 @@ object Bench {
       names.foreach { name =>
         val t0 = System.nanoTime()
         try {
-          val df = fnFor(name)(spark, sfDir)
-          df.write.format("noop").mode("overwrite").save()
+          val df = runOnce(fnFor(name), sfDir)
           if (pass == passes) lastFrame(name) = df
         } catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9

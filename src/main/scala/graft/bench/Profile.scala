@@ -26,6 +26,16 @@ object Profile {
     require(unknown.isEmpty,
       s"unknown keys: ${unknown.mkString(", ")} — valid keys are " +
         graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+    // the bench record fingerprints the TIMED plan (benchOverride
+    // wins); this main runs queries() and has no benchSetup state, so
+    // an overridden key's printed fingerprint would structurally
+    // disagree with the record on identical code — refuse rather than
+    // misreport drift (the PlanFingerprintSpec guard, applied here)
+    val overridden = keys.filter(graft.SparkEntry.benchOverride.contains)
+    require(overridden.isEmpty,
+      s"keys ${overridden.mkString(", ")} are benchOverride-timed — " +
+        "their recorded fingerprints come from the override plan, which " +
+        "needs bench setup state this profiler does not build")
     def run(k: String, dir: String): Unit =
       graft.SparkEntry.queries(k)(spark, dir)
         .write.format("noop").mode("overwrite").save()

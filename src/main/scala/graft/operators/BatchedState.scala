@@ -675,9 +675,16 @@ private[graft] object BatchedState {
               "needs its owner's re-publish first"))
       }
       // the swap: remove whatever old-mode remnant occupies the path,
-      // then build the target mode IN PLACE — create-new only
-      hfs.delete(ptr, true): Unit
+      // then build the target mode IN PLACE — create-new only. The
+      // window opens BEFORE the delete (review wave 3, r17): the
+      // delete itself can fail partway (a recursive dir delete losing
+      // only the newest manifest), and releasing the lock there would
+      // both hide the stage from readers and let a re-run re-stage a
+      // silently rolled-back older value; the stage is verified
+      // complete by this point in every path, so holding the lock is
+      // always the right failure posture from here on
       inSwapWindow = true
+      hfs.delete(ptr, true): Unit
       if (targetIsDir) {
         hfs.mkdirs(ptr): Unit
         createManifest(spark, ptr, 0L, payload)

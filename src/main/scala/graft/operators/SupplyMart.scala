@@ -53,6 +53,21 @@ object SupplyMart {
   private[graft] def shipUs: org.apache.spark.sql.Column =
     unix_micros(col("l_shipdate").cast("timestamp"))
 
+  /** One day in epoch micros — the unit of the mart's admission
+    * boundary (windows are day-grain and indivisible). */
+  private[graft] val DayUs = 86400000000L
+
+  /** Integer day floor of an epoch-micros value — ONE spelling for the
+    * quarantine tee's admission predicate, the fold-back subtraction's
+    * day restriction, and the partial-fed straddle check (review wave
+    * 3, r17: three hand-spelled copies would drift silently if the
+    * boundary granularity ever changed). Column and driver-side forms
+    * agree: pmod and floorMod are the same non-negative remainder. */
+  private[graft] def dayFloorUs(us: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    us - pmod(us, lit(DayUs))
+  private[graft] def dayFloorUs(us: Long): Long =
+    us - java.lang.Math.floorMod(us, DayUs)
+
   /** ONE spelling of the mergeable measures — shared by the batch
     * partials below and the streaming window pre-aggregation
     * ([[graft.streaming.StreamingMartMaintenance]]); two spellings
@@ -191,7 +206,6 @@ object SupplyMart {
       martPath: String, buckets: Int = 32,
       shedSink: Option[DataFrame => Unit] = None)
       : IncrementalProtocol.RefreshResult = {
-    val dayUs = 86400000000L
     refreshLocked(spark, partialRows, martPath, buckets, audit = false,
       shedSink,
       tsOfRaw = col("max_ship_us"),
@@ -202,10 +216,9 @@ object SupplyMart {
       preCheck = (wm, rows) => if (wm != Long.MinValue) {
         // integer day floors on both sides (Spark's `/` on longs is
         // DOUBLE division — a fractional quotient never equals a day)
-        val wmDayFloor = wm - java.lang.Math.floorMod(wm, dayUs)
+        val wmDayFloor = dayFloorUs(wm)
         val straddle = rows.filter(col("max_ship_us") > wm &&
-          (col("max_ship_us") - pmod(col("max_ship_us"), lit(dayUs)))
-            === wmDayFloor).count()
+          dayFloorUs(col("max_ship_us")) === wmDayFloor).count()
         if (straddle > 0) throw new IllegalStateException(
           s"day-straddling handoff at $martPath: $straddle window " +
             s"partial(s) fall in the watermark's own day (wm=$wm) with " +

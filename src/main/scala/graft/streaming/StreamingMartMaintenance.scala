@@ -120,11 +120,9 @@ object StreamingMartMaintenance {
       martPath: String, quarantinePath: String, batchId: Long): Long = {
     val wm = graft.registry.Incremental.watermark(spark, martPath)
     if (wm == Long.MinValue) return 0L // nothing committed yet
-    val dayUs = 86400000000L
-    val wmDayFloor = wm - java.lang.Math.floorMod(wm, dayUs)
-    val ship = SupplyMart.shipUs
     val doomed = batch.filter(
-      (ship - pmod(ship, lit(dayUs))) <= lit(wmDayFloor))
+      SupplyMart.dayFloorUs(SupplyMart.shipUs) <=
+        lit(SupplyMart.dayFloorUs(wm)))
     val n = doomed.count()
     if (n > 0)
       doomed.write.mode("overwrite")
@@ -208,17 +206,21 @@ object StreamingMartMaintenance {
     // quarantined() projects the quarantine to log's columns in log's
     // order, so the bag subtraction lines up positionally
     val q = quarantined(spark, quarantinePath, log.schema)
-    val dayUs = 86400000000L
-    val ship = SupplyMart.shipUs
-    val dayFloor = ship - pmod(ship, lit(dayUs))
+    val dayFloor = SupplyMart.dayFloorUs(SupplyMart.shipUs)
     val qDays = q.select(dayFloor.as("_qday")).distinct()
     val logSameDays = log.join(
       org.apache.spark.sql.functions.broadcast(qDays),
       dayFloor === col("_qday"), "left_semi")
-    // materialize the subtraction once (late-volume-sized): reconcile
-    // scans its input several times (partials, fingerprint diff,
-    // rewrites) and would re-execute the exceptAll subtree per scan
-    val extra = q.exceptAll(logSameDays).localCheckpoint(true)
-    SupplyMart.reconcile(spark, log.unionByName(extra), martPath, buckets)
+    // persist the subtraction (late-volume-sized): reconcile scans its
+    // input several times (partials, fingerprint diff, rewrites) and
+    // would re-execute the exceptAll subtree per scan. persist, NOT
+    // localCheckpoint (review wave 3): truncated lineage cannot
+    // recompute a lost executor's blocks, and a library verb must stay
+    // recoverable; unpersisted after the repair so repeated repair
+    // cycles don't pin storage
+    val extra = q.exceptAll(logSameDays)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try SupplyMart.reconcile(spark, log.unionByName(extra), martPath, buckets)
+    finally extra.unpersist(): Unit
   }
 }
