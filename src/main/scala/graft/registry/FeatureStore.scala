@@ -752,18 +752,22 @@ object FeatureStore {
     require(attempts >= 1, s"attempts=$attempts")
     // a recursive prune is not atomic: mid-delete the generation DIR
     // still lists while its files are already gone, so "does the dir
-    // exist" cannot classify the failure. Two shapes observed LIVE by
-    // OnlineReadRaceSpec racing a real prune: a FileNotFound somewhere
-    // in the cause chain (file deleted between listing and open), and
-    // an UNABLE_TO_INFER_SCHEMA AnalysisException (every parquet file
-    // already gone from a still-listed dir). Both mean "the resolve
-    // went stale", and misclassification stays safe: a genuinely
-    // corrupt generation exhausts the bounded retries and fails loudly.
+    // exist" cannot classify the failure. THREE shapes observed LIVE
+    // by OnlineReadRaceSpec racing a real prune: a FileNotFound
+    // somewhere in the cause chain (file deleted between listing and
+    // open), an UNABLE_TO_INFER_SCHEMA AnalysisException (every
+    // parquet file already gone from a still-listed dir), and a
+    // PATH_NOT_FOUND AnalysisException (the bucket/generation dir
+    // itself already gone at DataSource path resolution — caught live
+    // by the r17 closing suite). All mean "the resolve went stale",
+    // and misclassification stays safe: a genuinely corrupt generation
+    // exhausts the bounded retries and fails loudly.
     def isVanished(t: Throwable): Boolean =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
         .exists(c => c.isInstanceOf[java.io.FileNotFoundException] ||
           (c.isInstanceOf[org.apache.spark.sql.AnalysisException] &&
-            String.valueOf(c.getMessage).contains("UNABLE_TO_INFER_SCHEMA")))
+            (String.valueOf(c.getMessage).contains("UNABLE_TO_INFER_SCHEMA") ||
+              String.valueOf(c.getMessage).contains("PATH_NOT_FOUND"))))
     var last: Throwable = null
     var sawException = false
     var i = 0
