@@ -75,6 +75,18 @@ object FeatureDef {
   }
 }
 
+/** What [[FeatureStore.loadDefs]] restored from the durable definition
+  * catalog. `unboundClosureFeatures` are the features whose computation
+  * is CODE (a Scala closure) — the catalog round-trips their
+  * declaration (name/table/type/description) but cannot round-trip the
+  * closure itself; they serve their already-materialized versions but
+  * refuse loudly at computeVersion until re-bound via
+  * [[FeatureStore.bindFeature]]. */
+final case class CatalogLoadReport(
+    tables: Seq[String],
+    sqlFeatures: Seq[String],
+    unboundClosureFeatures: Seq[String])
+
 final case class FeatureVersion(
     feature: String,
     version: String,

@@ -1,7 +1,7 @@
 package graft.registry
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -119,19 +119,12 @@ final class FeatureStore(spark: SparkSession, storePath: String,
       // only, no job — so a parse error, a column the schema lacks, or
       // a wrong output shape is rejected HERE, not at computeVersion
       // time on a cluster. Closure-defined features keep their existing
-      // contract (shape-checked at compute time).
+      // contract (shape-checked at compute time). ONE spelling shared
+      // with loadDefs, whose contract is the SAME registration-time
+      // analysis (refuse at load, never at serve).
       defn.logic.foreach { _ =>
-        try {
-          val out = defn.compute(tables(defn.table)._2)
-          val cols = out.columns
-          if (!cols.contains("entity_id") || cols.length != 2)
-            return Left(List(s"SQL feature '${defn.name}' must select exactly " +
-              s"(entity_id, value) columns, got (${cols.mkString(", ")})"))
-        } catch {
-          case e: org.apache.spark.sql.AnalysisException =>
-            return Left(List(s"SQL feature '${defn.name}' failed analysis " +
-              s"against table '${defn.table}': ${e.getSimpleMessage}"))
-        }
+        val errs = sqlFeatureErrors(defn, tables(defn.table)._2)
+        if (errs.nonEmpty) return Left(errs)
       }
       if (features.putIfAbsent(defn.name, defn).isDefined)
         Left(List(s"Feature '${defn.name}' already exists"))
@@ -141,6 +134,26 @@ final class FeatureStore(spark: SparkSession, storePath: String,
       }
     }
   }
+
+  /** The registration-time plan analysis of a SQL-defined feature —
+    * analysis only, no job: a parse error (ParseException is an
+    * AnalysisException), a column the schema lacks, or a wrong output
+    * shape all surface here. Shared verbatim by [[defineFeature]] and
+    * [[loadDefs]] so "re-validated at load with the same analysis" is
+    * one spelling, not a claim. */
+  private def sqlFeatureErrors(defn: FeatureDef, raw: DataFrame): List[String] =
+    try {
+      val out = defn.compute(raw)
+      val cols = out.columns
+      if (!cols.contains("entity_id") || cols.length != 2)
+        List(s"SQL feature '${defn.name}' must select exactly " +
+          s"(entity_id, value) columns, got (${cols.mkString(", ")})")
+      else Nil
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        List(s"SQL feature '${defn.name}' failed analysis " +
+          s"against table '${defn.table}': ${e.getSimpleMessage}")
+    }
 
   def listFeatures: Seq[FeatureDef] = features.values.toSeq.sortBy(_.name)
 
@@ -600,6 +613,182 @@ final class FeatureStore(spark: SparkSession, storePath: String,
       s"$basePath/$genName"
     } finally graft.operators.BatchedState.releaseLock(spark, lock)
   }
+
+  // ---- durable definition catalog (r18: the last reference-parity
+  // nuance — the reference's registry survives restarts because table
+  // and feature definitions live in its database, models.py:10-62 /
+  // database.py:16-31 / main.py:81-110; graft's registry was
+  // process-local, so every restart meant re-registering strings) -----
+
+  private def catalogPath = new Path(s"$storePath/_catalog")
+
+  /** Persist the DEFINITION catalog — every registered table def and
+    * feature def — as one JSON document through the knob-governed
+    * pointer protocol ([[graft.operators.BatchedState.writePointer]]:
+    * checksummed, torn-write-detected, and under
+    * `spark.graft.commit.mode=manifest` committed as create-new
+    * numbered manifests with zero renames, like every other pointer
+    * site in the repo). Deterministic (name-sorted) so repeated saves
+    * of the same catalog are byte-identical.
+    *
+    * What round-trips: table defs whole; SQL-defined features whole
+    * (their computation IS data — the `logic` string, reference
+    * models.py:25-42's computation_logic column); closure-defined
+    * features as DECLARATIONS (name/table/featureType/description) —
+    * a Scala closure is code and cannot serialize, which [[loadDefs]]
+    * surfaces loudly rather than silently dropping the feature. */
+  def saveDefs(mode: graft.operators.CommitMode =
+      graft.operators.CommitMode.Session): Unit = {
+    def opt(k: String, v: Option[String]): String =
+      v.fold("")(s => s""","$k":"${jsonEscape(s)}"""")
+    val tablesJson = tables.values.map(_._1).toSeq.sortBy(_.name).map { t =>
+      val types = t.columnTypes.toSeq.sortBy(_._1)
+        .map { case (c, ty) => s""""${jsonEscape(c)}":"${jsonEscape(ty)}"""" }
+        .mkString("{", ",", "}")
+      s"""{"name":"${jsonEscape(t.name)}","requiredColumns":[${
+        t.requiredColumns.map(c => s""""${jsonEscape(c)}"""").mkString(",")
+      }],"columnTypes":$types${opt("description", t.description)}}"""
+    }
+    val featuresJson = features.values.toSeq.sortBy(_.name).map { f =>
+      val kind = if (f.logic.isDefined) "sql" else "closure"
+      s"""{"name":"${jsonEscape(f.name)}","table":"${jsonEscape(f.table)}","featureType":"${jsonEscape(f.featureType)}","kind":"$kind"${
+        opt("logic", f.logic)}${opt("description", f.description)}}"""
+    }
+    graft.operators.BatchedState.writePointer(spark, catalogPath,
+      s"""{"tables":[${tablesJson.mkString(",")}],"features":[${featuresJson.mkString(",")}]}""",
+      mode)
+  }
+
+  /** Restore the definition catalog saved by [[saveDefs]] into THIS
+    * instance — the restart path. `resolveTable` re-binds each table
+    * name to its data (the data never lives in the catalog; at scale
+    * it is a parquet path the deployment knows). Everything is
+    * re-validated HERE with the same checks registration runs — table
+    * schemas through [[SchemaValidator]], SQL features through the
+    * registration-time plan analysis — so a parse error, a schema
+    * drift, or a wrong output shape refuses AT LOAD, never at serve,
+    * and a refusal leaves the registry untouched (validate-everything-
+    * then-register-everything, no partial load). Closure-defined
+    * features load as declared-but-UNBOUND: they list, and their
+    * stored versions keep serving (serving needs only the durable
+    * version manifest), but computeVersion refuses loudly until
+    * [[bindFeature]] re-attaches code. */
+  def loadDefs(resolveTable: String => DataFrame)
+      : Either[List[String], CatalogLoadReport] = {
+    import org.apache.spark.sql.Encoders
+    val payload = graft.operators.BatchedState
+      .readPointer(spark, catalogPath).getOrElse(
+        return Left(List(s"no definition catalog under $storePath — " +
+          "saveDefs has never completed here")))
+    val tSchema = StructType(Seq(
+      StructField("name", StringType), StructField("table", StringType),
+      StructField("featureType", StringType), StructField("kind", StringType),
+      StructField("logic", StringType), StructField("description", StringType)))
+    val schema = StructType(Seq(
+      StructField("tables", ArrayType(StructType(Seq(
+        StructField("name", StringType),
+        StructField("requiredColumns", ArrayType(StringType)),
+        StructField("columnTypes", MapType(StringType, StringType)),
+        StructField("description", StringType))))),
+      StructField("features", ArrayType(tSchema))))
+    val row = spark.read.schema(schema)
+      .json(spark.createDataset(Seq(payload))(Encoders.STRING)).head()
+    if (row.isNullAt(0) && row.isNullAt(1))
+      return Left(List(s"definition catalog at $catalogPath did not " +
+        s"parse as a catalog document: ${payload.take(120)}"))
+    def optStr(r: Row, f: String): Option[String] =
+      if (r.isNullAt(r.fieldIndex(f))) None else Some(r.getAs[String](f))
+    val tableDefs = (if (row.isNullAt(0)) Seq.empty[Row]
+      else row.getSeq[Row](0)).map { r =>
+      TableDef(r.getAs[String]("name"),
+        Option(r.getSeq[String](r.fieldIndex("requiredColumns")))
+          .getOrElse(Seq.empty),
+        Option(r.getMap[String, String](r.fieldIndex("columnTypes")))
+          .map(_.toMap).getOrElse(Map.empty),
+        optStr(r, "description"))
+    }
+    val featRows = if (row.isNullAt(1)) Seq.empty[Row] else row.getSeq[Row](1)
+
+    // phase 1: validate EVERYTHING before registering ANYTHING
+    val errs = scala.collection.mutable.ListBuffer.empty[String]
+    val resolved = tableDefs.map { t =>
+      if (tables.contains(t.name))
+        errs += s"Raw table '${t.name}' already registered in this session"
+      val data = try Some(resolveTable(t.name)) catch {
+        case e: Exception =>
+          errs += s"resolveTable failed for '${t.name}': ${e.getMessage}"; None
+      }
+      data.foreach(d => SchemaValidator.validate(d.schema, t).swap
+        .foreach(es => errs ++= es.map(e => s"table '${t.name}': $e")))
+      t.name -> data
+    }.toMap
+    val defs = featRows.map { r =>
+      val name = r.getAs[String]("name")
+      val table = r.getAs[String]("table")
+      val kind = Option(r.getAs[String]("kind")).getOrElse("closure")
+      val defn = (kind, optStr(r, "logic")) match {
+        case ("sql", Some(sqlText)) =>
+          FeatureDef.sql(name, table, r.getAs[String]("featureType"),
+            sqlText, optStr(r, "description"))
+        case ("sql", None) =>
+          errs += s"SQL feature '$name' has no logic in the catalog " +
+            "(corrupt save?)"
+          FeatureDef(name, table, r.getAs[String]("featureType"),
+            unboundCompute(name), optStr(r, "description"))
+        case _ =>
+          FeatureDef(name, table, r.getAs[String]("featureType"),
+            unboundCompute(name), optStr(r, "description"))
+      }
+      requireSafe("Feature name", name).swap.foreach(errs ++= _)
+      if (features.contains(name))
+        errs += s"Feature '$name' already registered in this session"
+      if (!resolved.contains(table))
+        errs += s"Feature '$name' references table '$table' which is " +
+          "not in the catalog"
+      else if (defn.logic.isDefined)
+        resolved(table).foreach(raw => errs ++= sqlFeatureErrors(defn, raw))
+      defn
+    }
+    if (errs.nonEmpty) return Left(errs.toList.distinct)
+
+    // phase 2: register — nothing below can fail
+    tableDefs.foreach(t => tables.put(t.name, (t, resolved(t.name).get)))
+    defs.foreach { d =>
+      features.put(d.name, d)
+      featureTypes.put(d.name, d.featureType)
+    }
+    Right(CatalogLoadReport(
+      tableDefs.map(_.name),
+      defs.filter(_.logic.isDefined).map(_.name),
+      defs.filter(_.logic.isEmpty).map(_.name)))
+  }
+
+  /** The loud placeholder behind a catalog-loaded closure feature: the
+    * declaration is real (it lists, its versions serve) but the code
+    * is not — computing refuses with the remediation, never a silent
+    * wrong answer. */
+  private def unboundCompute(name: String): DataFrame => DataFrame = _ =>
+    throw new IllegalStateException(
+      s"feature '$name' was loaded from the definition catalog as a " +
+        "CLOSURE-DEFINED feature — its computation is code, which the " +
+        "catalog cannot round-trip; stored versions keep serving, but " +
+        "computing a new version needs bindFeature(name, compute) first")
+
+  /** Re-attach code to a catalog-loaded closure feature (or replace a
+    * live one's computation deliberately). The declared table and type
+    * stay authoritative — only the computation changes. */
+  def bindFeature(name: String,
+      compute: DataFrame => DataFrame): Either[List[String], FeatureDef] =
+    features.get(name) match {
+      case None => Left(List(s"Feature '$name' not found"))
+      case Some(f) if f.logic.isDefined =>
+        Left(List(s"Feature '$name' is SQL-defined — its computation is " +
+          "catalog data already; redefine it instead of binding code"))
+      case Some(f) =>
+        val nf = f.copy(compute = compute)
+        features.put(name, nf)
+        Right(nf)
+    }
 
   // ---- durable version manifest ----------------------------------------
 
