@@ -498,14 +498,31 @@ private[graft] object BatchedState {
     * fallback costs existence probes only on paths already failing. */
   def readPointer(spark: SparkSession, src: Path): Option[String] = {
     val hfs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // (migration-aware, lock-gated): returns the staged value, or —
-    // when a migration is provably in flight (lock present) but the
-    // stage missed — ONE re-probe of the pointer, covering a reader
-    // racing the completion. No lock = no migration = no extra probes
-    // beyond the one lock stat.
+    // (migration-aware): returns the staged value when a migration is
+    // provably in flight (lock present), and otherwise ONE raw
+    // re-probe of the pointer — because a failed first resolve can
+    // also mean the pointer CHANGED SHAPE under our feet: a
+    // migratePointer that COMPLETED between our stat and our
+    // open/list (file→directory or directory→file, lock already
+    // released) leaves the new-mode pointer fully readable, yet the
+    // first pass surfaces it as FileNotFound (file became a
+    // directory) or as an empty manifest listing resolving None
+    // (directory became a file mid-readManifestDir). Both were found
+    // BY CONSTRUCTION by the r18 vanish-step enumeration
+    // (OnlineReadRaceEnumSpec — race shapes four and five, after
+    // three rounds of timing-luck finds); returning None would
+    // misreport a published pointer as "unpublished" to every caller.
+    // A pointer genuinely deleted (deletePointer/decertify) re-probes
+    // to None — the absent-now semantics this path always had — and
+    // the probe costs one stat on a path that already failed.
     def fallback(): Option[String] = {
       if (src.getParent == null) return None
-      if (!hfs.exists(migrateLockPath(src))) return None
+      if (!hfs.exists(migrateLockPath(src)))
+        return try readPointerRaw(spark, hfs, src)
+        catch {
+          case _: java.io.FileNotFoundException => None // really gone
+          case _: IllegalStateException => None // torn now; caller rethrows original
+        }
       val stagedVal =
         try {
           val st = migrateStagePath(src)
@@ -520,8 +537,9 @@ private[graft] object BatchedState {
     catch {
       // deleted between the exists probe and the open (a reader racing
       // migratePointer's swap or deletePointer): absent-now semantics —
-      // the fallback serves a mid-migration stage, a plain delete
-      // resolves None (review wave 2, r17)
+      // the fallback serves a mid-migration stage, a completed
+      // migration's new-mode pointer re-probes clean, a plain delete
+      // resolves None (review wave 2, r17; shape-change re-probe r18)
       case _: java.io.FileNotFoundException => fallback()
       case e: IllegalStateException =>
         val st = fallback()
