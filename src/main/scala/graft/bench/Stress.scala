@@ -1685,7 +1685,18 @@ object Stress {
       rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(rp, true)
       val m = s"$root/mart"; val qd = s"$root/quarantine"
-      val li = Tables.lineitem(spark, dir)
+      // a KEYED copy of the fact log, written once: the keyed foldBack
+      // (r18) needs a unique row key, and the SYNTHETIC corpus does
+      // not carry TPC-H's (l_orderkey, l_linenumber) uniqueness (the
+      // keyed guard itself proved that at 50× — pinned below). A real
+      // deployment's fact log has one; here a surrogate id is stamped
+      // ONCE at write time, so every later read (spans, tee, log,
+      // twin) sees stable keys.
+      val keyedOut = s"$root/lineitem_keyed.parquet"
+      Tables.lineitem(spark, dir)
+        .withColumn("l_rowkey", monotonically_increasing_id())
+        .write.mode("overwrite").parquet(keyedOut)
+      val li = spark.read.parquet(keyedOut)
       // six contiguous DAY-ALIGNED spans (refreshFromPartials refuses
       // day-straddling handoffs — alignment is the operating contract)
       val dayCol = col("l_shipdate").cast("date")
@@ -1722,13 +1733,33 @@ object Stress {
       val qn = StreamingMartMaintenance.quarantineBatch(spark, late, m, qd, 99L)
       println(f"STRESS mart_quarantine_late_tee     ${(System.nanoTime() - t0) / 1e9}%8.2f s   captured=$qn of $lateN")
       require(qn == lateN, s"tee captured $qn of $lateN late rows")
-      // fold-back via the SAFE verb (r17 ADVICE fix): foldBack bags
-      // quarantine − log before reconciling, so the measured cost
-      // includes the over-capture subtraction a lagging tee needs
       val absorbed = (1 to 5).map(span).reduce(_ unionByName _)
+      // the natural TPC-H key is NOT unique in this synthetic corpus —
+      // pin that the keyed guard REFUSES it at 50× instead of silently
+      // corrupting the repair (and that the refusal leaves the mart
+      // untouched for the measured run below)
+      val naturalRefused =
+        try {
+          StreamingMartMaintenance.foldBack(spark, absorbed, qd, m,
+            buckets = 64, keyCols = Seq("l_orderkey", "l_linenumber"))
+          false
+        } catch {
+          case e: IllegalStateException
+            if e.getMessage.contains("not unique") => true
+        }
+      require(naturalRefused, "expected the keyed guard to refuse the " +
+        "non-unique synthetic (l_orderkey, l_linenumber) — if the " +
+        "generator became unique, measure on the natural key instead")
+      println("STRESS mart_quarantine_keyguard     refused non-unique natural key (mart untouched)")
+      // fold-back via the SAFE verb, KEYED on the surrogate unique row
+      // key (r18 directive 3: the keyed form closes the bag residual —
+      // byte-identical duplicate rows split across absorbed/dropped —
+      // and this measures its real cost: the key uniqueness probes +
+      // the keyed join with payload-consistency check replacing
+      // exceptAll, all restricted to the quarantined days)
       t0 = System.nanoTime()
       val rewritten = StreamingMartMaintenance.foldBack(
-        spark, absorbed, qd, m, buckets = 64)
+        spark, absorbed, qd, m, buckets = 64, keyCols = Seq("l_rowkey"))
       println(f"STRESS mart_quarantine_reconcile    ${(System.nanoTime() - t0) / 1e9}%8.2f s   buckets_rewritten=$rewritten")
       val twin = s"$root/twin"
       SupplyMart.refresh(spark, li, twin, buckets = 64): Unit

@@ -181,14 +181,24 @@ object StreamingMartMaintenance {
     * multiplicity), then reconciles: absorbed-and-over-quarantined
     * rows count once, genuinely dropped rows count once.
     *
-    * Residual, stated: two BYTE-IDENTICAL rows of which one was
-    * absorbed and one dropped are indistinguishable to bag
-    * subtraction — the dropped copy is removed with the absorbed one
-    * and the repair under-counts it. Real fact logs carry a unique row
-    * key (lineitem's (l_orderkey, l_linenumber)) which makes the case
-    * impossible; the 5-column MartRow spec shape is where it can
-    * arise, and the contract there is the one the batch audit already
-    * states — run the next full-log `reconcile` to converge.
+    * Residual of the BAG form, stated: two BYTE-IDENTICAL rows of
+    * which one was absorbed and one dropped are indistinguishable to
+    * bag subtraction — the dropped copy is removed with the absorbed
+    * one and the repair under-counts it. Real fact logs carry a
+    * unique row key (lineitem's (l_orderkey, l_linenumber)), and
+    * passing it as `keyCols` switches the subtraction to KEY
+    * identity (r18 directive 3), which closes the residual: a
+    * quarantined row is dropped exactly when its key is absent from
+    * the same-day log, so identical measure payloads under distinct
+    * keys can never shadow each other. The keyed form is also
+    * defensive about its own contract — it refuses loudly when the
+    * "unique" key repeats within the quarantine or the same-day log
+    * (a duplicate key would silently duplicate or mis-drop rows
+    * through the join), and when a shared key carries DIFFERENT
+    * non-key bytes on the two sides (the key does not determine the
+    * row — upstream corruption a silent anti-join would absorb).
+    * Keep the bag form for genuinely keyless inputs, with its
+    * residual as documented.
     *
     * Cost shape: the subtraction's log side is PRE-RESTRICTED to the
     * quarantined DAYS (an over-captured copy is byte-identical to its
@@ -202,7 +212,8 @@ object StreamingMartMaintenance {
     * Returns the reconcile's rewritten-bucket count. `log` must be
     * the absorbed raw rows in the quarantine's column shape. */
   def foldBack(spark: SparkSession, log: DataFrame, quarantinePath: String,
-      martPath: String, buckets: Int = 32): Int = {
+      martPath: String, buckets: Int = 32,
+      keyCols: Seq[String] = Nil): Int = {
     // quarantined() projects the quarantine to log's columns in log's
     // order, so the bag subtraction lines up positionally
     val q = quarantined(spark, quarantinePath, log.schema)
@@ -218,9 +229,61 @@ object StreamingMartMaintenance {
     // recompute a lost executor's blocks, and a library verb must stay
     // recoverable; unpersisted after the repair so repeated repair
     // cycles don't pin storage
-    val extra = q.exceptAll(logSameDays)
+    val extra = (if (keyCols.isEmpty) q.exceptAll(logSameDays)
+      else keyedSubtract(q, logSameDays, log.columns.toSeq, keyCols))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try SupplyMart.reconcile(spark, log.unionByName(extra), martPath, buckets)
     finally extra.unpersist(): Unit
+  }
+
+  /** The KEY-exact subtraction behind `foldBack(keyCols = …)`: a
+    * quarantined row survives iff its key is absent from the same-day
+    * log. Every check and the subtraction itself ride frames already
+    * restricted to the quarantined DAYS, so the whole verb stays
+    * O(late-day volume) like the bag form. Refusals (all cheap limit-1
+    * probes): a key column the frames lack; a repeated key on either
+    * side (the join's semantics need uniqueness — a duplicated
+    * "unique" key would silently duplicate or mis-drop rows); a key
+    * present on both sides with different non-key bytes (the key does
+    * not determine the row: the feed is corrupt, and absorbing the
+    * quarantined copy silently would bury it). */
+  private def keyedSubtract(q: DataFrame, logSameDays: DataFrame,
+      columns: Seq[String], keyCols: Seq[String]): DataFrame = {
+    val missing = keyCols.filterNot(columns.contains)
+    require(missing.isEmpty,
+      s"foldBack keyCols ${missing.mkString(", ")} not in the log/quarantine " +
+        s"columns (${columns.mkString(", ")})")
+    val nonKey = columns.filterNot(keyCols.contains)
+    require(nonKey.nonEmpty, "foldBack keyCols must not cover every column " +
+      "— an all-column key is the bag form; omit keyCols instead")
+    def refuseDupKeys(df: DataFrame, what: String): Unit =
+      if (!df.groupBy(keyCols.map(col): _*)
+          .count().filter(col("count") > 1L).isEmpty)
+        throw new IllegalStateException(
+          s"foldBack keyCols (${keyCols.mkString(", ")}) repeat within the " +
+            s"$what — the key is not unique there, and a keyed subtraction " +
+            "over a repeated key silently corrupts the repair; fix the " +
+            "feed or fall back to the bag form (omit keyCols) with its " +
+            "documented duplicate residual")
+    refuseDupKeys(q, "quarantine")
+    refuseDupKeys(logSameDays, "same-day log")
+    val qk = q.select(keyCols.map(col) ++
+      nonKey.map(c => col(c).as(s"_q_$c")): _*)
+    val lk = logSameDays.select(keyCols.map(col) ++
+      nonKey.map(c => col(c).as(s"_l_$c")) :+ lit(true).as("_l_present"): _*)
+    val joined = lk.join(qk, keyCols.toSeq, "right")
+    val payloadDiffers = nonKey
+      .map(c => !(col(s"_q_$c") <=> col(s"_l_$c")))
+      .reduce(_ || _)
+    if (!joined.filter(col("_l_present") && payloadDiffers).isEmpty)
+      throw new IllegalStateException(
+        s"foldBack keyCols (${keyCols.mkString(", ")}) matched a log row " +
+          "whose non-key columns DIFFER from the quarantined copy — the " +
+          "key does not determine the row, so the subtraction cannot " +
+          "decide which bytes are authoritative; repair the feed first")
+    joined.filter(col("_l_present").isNull)
+      .select(keyCols.map(col) ++
+        nonKey.map(c => col(s"_q_$c").as(c)): _*)
+      .select(columns.map(col): _*)
   }
 }

@@ -11,6 +11,13 @@ import java.sql.Timestamp
 case class MartRow(l_partkey: Long, l_suppkey: Long,
     l_extendedprice: Double, l_quantity: Double, l_shipdate: Timestamp)
 
+/** The real-lineitem shape: a unique row key ((l_orderkey,
+  * l_linenumber)) rides beside the measures — what `foldBack(keyCols)`
+  * needs for duplicate-exact repair (r18 directive 3). */
+case class KeyedMartRow(l_orderkey: Long, l_linenumber: Int,
+    l_partkey: Long, l_suppkey: Long,
+    l_extendedprice: Double, l_quantity: Double, l_shipdate: Timestamp)
+
 /** Directive: the IncrementalProtocol × Streaming loop — out-of-order
   * micro-batches must converge to EXACTLY the batch full compute
   * (the event-time watermark genuinely handles disorder within the
@@ -228,6 +235,109 @@ class StreamingMartMaintenanceSpec extends SparkSpec {
     SupplyMart.refresh(spark, twice.toDF(), dupTruth, 8)
     assert(martRows(dupMart) === martRows(dupTruth),
       "bag subtraction must preserve legitimate duplicate multiplicity")
+  }
+
+  // ---- keyed foldBack (r18 directive 3) --------------------------------
+
+  private def krow(ok: Long, ln: Int, pk: Long, sk: Long, price: Double,
+      qty: Double, day: Int) =
+    KeyedMartRow(ok, ln, pk, sk, price, qty, ts(day))
+
+  private def keyedPartials(rows: Seq[KeyedMartRow]): DataFrame =
+    rows.toDF()
+      .withColumn("_ship_ts", col("l_shipdate").cast("timestamp"))
+      .groupBy(window(col("_ship_ts"), "1 day"),
+        col("l_partkey"), col("l_suppkey"))
+      .agg(SupplyMart.measureExprs.head, SupplyMart.measureExprs.tail: _*)
+      .drop("window", "_ship_ts")
+
+  test("a split duplicate mis-repairs under the bag form and repairs EXACTLY under keyCols") {
+    // the documented bag residual, planted: rows A (absorbed) and B
+    // (dropped→quarantined) are byte-identical in every MEASURE column
+    // — same part, supplier, price, quantity, day — and differ only in
+    // the unique row key. Bag subtraction cannot tell B from A's log
+    // copy and removes it; key subtraction cannot confuse them.
+    val a = krow(100, 1, 1, 1, 50.0, 2, 1)
+    val b = krow(200, 7, 1, 1, 50.0, 2, 1) // same bytes, different key
+    val dir = java.nio.file.Files.createTempDirectory("graft-smm-key").toString
+    val quarantine = s"$dir/quarantine"
+
+    val truth = tmp("key-truth")
+    SupplyMart.refresh(spark, Seq(a, b).toDF(), truth, 8)
+
+    // bag form over the KEYLESS projection (the 5-column MartRow shape
+    // the residual is documented on — with the key columns present even
+    // exceptAll can tell A from B): the subtraction eats B
+    val bagMart = s"$dir/bag-mart"
+    StreamingMartMaintenance.applyBatch(spark, keyedPartials(Seq(a)), bagMart, 8)
+    assert(StreamingMartMaintenance.quarantineBatch(spark,
+      Seq(b).toDF(), bagMart, quarantine, 1L) === 1L)
+    StreamingMartMaintenance.foldBack(spark,
+      Seq(a).toDF().drop("l_orderkey", "l_linenumber"), quarantine,
+      bagMart, 8)
+    assert(martRows(bagMart) !== martRows(truth),
+      "expected the bag form to PROVABLY mis-repair the planted split " +
+        "duplicate — if it converged, the planted case no longer " +
+        "exercises the residual; re-derive it")
+
+    // keyed form over the SAME quarantine: B survives the subtraction
+    val keyMart = s"$dir/key-mart"
+    StreamingMartMaintenance.applyBatch(spark, keyedPartials(Seq(a)), keyMart, 8)
+    assert(StreamingMartMaintenance.foldBack(spark, Seq(a).toDF(), quarantine,
+      keyMart, 8, keyCols = Seq("l_orderkey", "l_linenumber")) > 0)
+    assert(martRows(keyMart) === martRows(truth),
+      "keyCols must repair the split duplicate exactly")
+  }
+
+  test("keyed foldBack stays exact under tee over-capture, and refuses a broken key contract") {
+    // over-capture under keys: the lagging tee quarantined the absorbed
+    // row A (same key on both sides) AND the genuinely-late row B — the
+    // keyed subtraction drops exactly A's copy
+    val a = krow(300, 1, 2, 2, 80.0, 1, 1)
+    val b = krow(301, 1, 3, 3, 60.0, 2, 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-smm-keyoc").toString
+    val mart = s"$dir/mart"; val quarantine = s"$dir/quarantine"
+    StreamingMartMaintenance.applyBatch(spark, keyedPartials(Seq(a)), mart, 8)
+    assert(StreamingMartMaintenance.quarantineBatch(spark,
+      Seq(a, b).toDF(), mart, quarantine, 1L) === 2L)
+    val truth = tmp("keyoc-truth")
+    SupplyMart.refresh(spark, Seq(a, b).toDF(), truth, 8)
+    StreamingMartMaintenance.foldBack(spark, Seq(a).toDF(), quarantine, mart,
+      8, keyCols = Seq("l_orderkey", "l_linenumber"))
+    assert(martRows(mart) === martRows(truth),
+      "keyed subtraction must count an over-quarantined absorbed row once")
+
+    // a repeated "unique" key refuses loudly instead of corrupting
+    val dupDir = java.nio.file.Files.createTempDirectory("graft-smm-keydup").toString
+    val dm = s"$dupDir/mart"; val dq = s"$dupDir/quarantine"
+    StreamingMartMaintenance.applyBatch(spark, keyedPartials(Seq(a)), dm, 8)
+    assert(StreamingMartMaintenance.quarantineBatch(spark,
+      Seq(b, b).toDF(), dm, dq, 1L) === 2L)
+    val eDup = intercept[IllegalStateException] {
+      StreamingMartMaintenance.foldBack(spark, Seq(a).toDF(), dq, dm, 8,
+        keyCols = Seq("l_orderkey", "l_linenumber"))
+    }
+    assert(eDup.getMessage.contains("not unique"))
+
+    // a shared key with DIFFERENT payload bytes refuses loudly — the
+    // key does not determine the row, so no silent absorb
+    val misDir = java.nio.file.Files.createTempDirectory("graft-smm-keymis").toString
+    val mm = s"$misDir/mart"; val mq = s"$misDir/quarantine"
+    StreamingMartMaintenance.applyBatch(spark, keyedPartials(Seq(a)), mm, 8)
+    assert(StreamingMartMaintenance.quarantineBatch(spark,
+      Seq(a.copy(l_extendedprice = 999.0)).toDF(), mm, mq, 1L) === 1L)
+    val eMis = intercept[IllegalStateException] {
+      StreamingMartMaintenance.foldBack(spark, Seq(a).toDF(), mq, mm, 8,
+        keyCols = Seq("l_orderkey", "l_linenumber"))
+    }
+    assert(eMis.getMessage.contains("does not determine"))
+
+    // a key column the frames lack refuses at the door
+    val eMissing = intercept[IllegalArgumentException] {
+      StreamingMartMaintenance.foldBack(spark, Seq(a).toDF(), mq, mm, 8,
+        keyCols = Seq("no_such_col"))
+    }
+    assert(eMissing.getMessage.contains("no_such_col"))
   }
 
   test("a replayed micro-batch is shed exactly — SUM partials never double") {
