@@ -727,6 +727,87 @@ private[graft] object BatchedState {
     }
   }
 
+  /** Every pointer-site NAME in the repo — the discovery set behind
+    * [[migrateAll]]. One entry per writePointer call-site class:
+    * `_watermark` (Incremental marks + tallies — value snapshots,
+    * marts, dedup state), `_latest` (online generation head),
+    * `_online_meta.json` (per-generation bucket meta),
+    * `_mart_meta.json` (SupplyMart layout), `_pending_commit` /
+    * `_rebuild_pending` (crash markers), `_gen` (value-store partition
+    * generation), `_meta` (IvfIndex + ModelStore/TokenizerArtifact +
+    * CurationRun stage markers), `manifest.json` (CurationRun's run
+    * manifest), `_stats_index_ptr` (file-stats index head), and
+    * `_catalog` (the definition catalog, r18). A NEW writePointer
+    * call site must add its name here or a whole-store migration
+    * silently skips it — MigrateAllSpec cross-checks this set against
+    * the main-source writePointer sites. */
+  private[graft] val PointerSiteNames: Set[String] = Set(
+    "_watermark", "_latest", "_online_meta.json", "_mart_meta.json",
+    "_pending_commit", "_rebuild_pending", "_gen", "_meta",
+    "manifest.json", "_stats_index_ptr", "_catalog")
+
+  /** The whole-store knob flip (r18 directive 5): discover every
+    * pointer site under `root` by name ([[PointerSiteNames]]) and
+    * apply [[migratePointer]] to each — one verb where a deployment
+    * flipping `spark.graft.commit.mode` over a populated store
+    * previously had ≥11 site classes to enumerate by hand. Returns
+    * the migrated site paths (sorted).
+    *
+    * Semantics, all inherited from the per-pointer verb: idempotent
+    * (already-in-target-mode sites are no-ops, so a crash mid-sweep
+    * re-runs to completion); readers never observe "unpublished" at
+    * any crash point (the staged-sentinel protocol); a torn site with
+    * no committed value refuses loudly naming it (its owner must
+    * re-publish first — migrating corruption forward would bless it).
+    *
+    * Discovery is name-based and conservative: dot-prefixed entries
+    * (stages, locks, temp files) are skipped, and the walk does not
+    * descend INTO a discovered site (a manifest-mode pointer is a
+    * directory whose children are commit files, not sites). ONE
+    * dot-entry class IS evidence of a site: `.<name>.migrate` /
+    * `.<name>.migrate_lock` remnants of a crashed migration whose
+    * live pointer sits deleted inside the swap window — there is no
+    * `<name>` entry to discover, and skipping it would leave the site
+    * stuck on its stage forever while the sweep reports success
+    * (found by MigrateAllSpec's crash fixture). Such remnants
+    * surface `<name>` as a site when the name is a known pointer
+    * class, so the re-run completes the crashed migration.
+    *
+    * Contract: run writer-quiesced over the whole root (the same
+    * discipline as the per-pointer verb, store-wide). A lock left by
+    * a hard-crashed earlier migration blocks its site loudly;
+    * re-run with `reclaimStaleLocks = true` AFTER confirming no other
+    * migration is live — under the quiesced contract every
+    * encountered lock is stale, but reclaiming is destructive enough
+    * to demand the explicit flag. */
+  def migrateAll(spark: SparkSession, root: String, to: CommitMode,
+      reclaimStaleLocks: Boolean = false): Seq[String] = {
+    val hfs = fs(spark, root)
+    val rootPath = new Path(root)
+    if (!hfs.exists(rootPath)) return Seq.empty
+    val sites = scala.collection.mutable.LinkedHashSet.empty[Path]
+    val migrateRemnant = "^\\.(.+)\\.migrate(_lock)?$".r
+    def walk(dir: Path): Unit =
+      hfs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (!name.startsWith(".")) {
+          if (PointerSiteNames(name)) sites += st.getPath
+          else if (st.isDirectory) walk(st.getPath)
+        } else name match {
+          case migrateRemnant(base, _) if PointerSiteNames(base) =>
+            sites += new Path(dir, base)
+          case _ => ()
+        }
+      }
+    walk(rootPath)
+    val ordered = sites.toSeq.sortBy(_.toString)
+    ordered.foreach { ptr =>
+      if (reclaimStaleLocks) hfs.delete(migrateLockPath(ptr), false): Unit
+      migratePointer(spark, ptr, to)
+    }
+    ordered.map(_.toString)
+  }
+
   /** Write the migration stage in the target mode, verified complete
     * before the caller touches the live pointer. */
   private def stageValue(spark: SparkSession, hfs: FileSystem, stage: Path,
@@ -772,13 +853,24 @@ private[graft] object BatchedState {
     * the watermark and every state directory before looking at its
     * input, so an empty — or accidentally delta-fed — frame destroyed
     * all committed state and returned DedupRefreshResult(0, 0) with no
-    * refusal). Two loud checks, both cheap next to the full rebuild
+    * refusal). Three loud checks, all cheap next to the full rebuild
     * the verb is about to pay: an empty frame can never be "the full
-    * corpus", and a max id below the stored watermark proves the feed
-    * is missing documents the committed state has already seen. Max id
-    * EQUAL to the mark is legal (a reconcile that repairs late
-    * below-mark rows adds no new ids). Runs under the caller's lock so
-    * the watermark read is consistent with the wipe decision. */
+    * corpus"; a max id below the stored watermark proves the feed is
+    * missing documents the committed state has already seen; and a
+    * row count below the committed corpus tally proves the same even
+    * when the feed DOES contain the max id (r18 directive 4 — the
+    * one-directional guard's blind spot: a partial feed that happened
+    * to include the newest document sailed through and still wiped
+    * state). Max id EQUAL to the mark is legal (a reconcile that
+    * repairs late below-mark rows adds no new ids), and so is a count
+    * EQUAL to the tally (the identical-corpus re-feed) or above it
+    * (the late-repair superset feed, `log ∪ lateArrivals`). The floor
+    * is available exactly when the last refresh was audited — the
+    * tally and the mark advance in one swap (the G44 invariant); an
+    * unaudited refresh drops the tally and this check honestly
+    * degrades to the max-id direction until the next audited one
+    * re-baselines. Runs under the caller's lock so the watermark read
+    * is consistent with the wipe decision. */
   private[graft] def assertFullCorpusFeed(spark: SparkSession,
       docs: DataFrame, idCol: String, statePath: String,
       what: String): Unit = {
@@ -786,12 +878,14 @@ private[graft] object BatchedState {
       org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)),
       org.apache.spark.sql.functions.max(col(idCol))).head()
-    if (r.getLong(0) == 0L) throw new IllegalStateException(
+    val n = r.getLong(0)
+    if (n == 0L) throw new IllegalStateException(
       s"$what reconcile at $statePath fed an EMPTY frame — reconcile " +
         "is a stop-the-world rebuild from the FULL corpus; an empty " +
         "feed would erase all committed state. Nothing was wiped.")
     val maxId = r.getLong(1)
-    val wm = graft.registry.Incremental.watermark(spark, statePath)
+    val (wm, tally) = graft.registry.Incremental
+      .watermarkState(spark, statePath)
     if (wm != Long.MinValue && maxId < wm) throw new IllegalStateException(
       s"$what reconcile at $statePath fed a frame whose max $idCol " +
         s"($maxId) is BELOW the committed watermark ($wm) — the feed is " +
@@ -799,6 +893,14 @@ private[graft] object BatchedState {
         "higher ids), so rebuilding from it would erase documents. " +
         "Nothing was wiped; feed the full corpus, or delete the state " +
         "directory explicitly if the corpus genuinely shrank.")
+    for (floor <- tally if wm != Long.MinValue && n < floor)
+      throw new IllegalStateException(
+        s"$what reconcile at $statePath fed $n rows where the committed " +
+          s"state incorporated $floor — the feed is provably not the " +
+          "full corpus even though it reaches the watermark (a partial " +
+          "feed containing the newest documents). Nothing was wiped; " +
+          "feed the full corpus, or delete the state directory " +
+          "explicitly if the corpus genuinely shrank.")
   }
 
   /** Persist a captured late-arrival frame under `sink/late-<n>` —

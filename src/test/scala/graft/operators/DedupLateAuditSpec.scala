@@ -309,6 +309,57 @@ class DedupLateAuditSpec extends SparkSpec {
       "a refused embed reconcile must leave the pair state untouched")
   }
 
+  test("a partial feed CONTAINING the max id refuses on the count floor; the late-repair superset passes — both operators") {
+    // r18 directive 4 — the one-directional guard's blind spot: a
+    // partial feed that happens to include the newest document reaches
+    // the watermark and used to sail through, wiping state. The
+    // committed corpus tally (stored beside the mark, one swap) is the
+    // second direction: feed count < tally = provably partial.
+    val d = Seq((1L, "a b c d e f"), (2L, "p q r s t u"),
+      (4L, "x y z w v u"), (5L, "m n o p q r")).toDF("doc_id", "text")
+    val state = tmp("txt-floor")
+    IncrementalDedup.refresh(spark, d, state, threshold = 0.35) // tally = 4
+    val before = IncrementalDedup.assignments(spark, state)
+      .collect().map(_.toSeq).toSet
+    val e = intercept[IllegalStateException] {
+      IncrementalDedup.reconcile(spark, d.filter(col("doc_id") >= 4),
+        state, threshold = 0.35) // contains max id 5, but 2 rows < 4
+    }
+    assert(e.getMessage.contains("incorporated"), e.getMessage)
+    assert(IncrementalDedup.assignments(spark, state)
+      .collect().map(_.toSeq).toSet === before,
+      "the count-floor refusal must leave state untouched")
+    // the LEGAL late-repair superset (log ∪ a below-mark arrival the
+    // state never saw): count 5 ≥ 4, max id = mark — passes
+    val late = Seq((3L, "h i j k l m")).toDF("doc_id", "text")
+    assert(IncrementalDedup.reconcile(spark, d.unionByName(late), state,
+      threshold = 0.35).fresh === 5L)
+
+    // same floor, embed operator
+    val state2 = tmp("emb-floor")
+    val n = vecs.count()
+    IncrementalEmbedDedup.refresh(spark, vecs, state2, threshold = 0.3)
+    val maxVec = vecs.agg(max(col("vec_id"))).head().getLong(0)
+    val e2 = intercept[IllegalStateException] {
+      IncrementalEmbedDedup.reconcile(spark,
+        vecs.filter(col("vec_id") > maxVec / 2), state2, threshold = 0.3)
+    }
+    assert(e2.getMessage.contains("incorporated"), e2.getMessage)
+    // the identical re-feed (count == tally) stays legal
+    assert(IncrementalEmbedDedup.reconcile(spark, vecs, state2,
+      threshold = 0.3).fresh === n)
+
+    // honest degradation: an UNAUDITED refresh drops the tally, so the
+    // floor is unavailable and only the max-id direction holds — the
+    // documented trade until the next audited refresh re-baselines
+    val state3 = tmp("txt-unaudited")
+    IncrementalDedup.refresh(spark, d, state3, threshold = 0.35,
+      audit = false)
+    assert(IncrementalDedup.reconcile(spark, d.filter(col("doc_id") >= 4),
+      state3, threshold = 0.35).fresh === 2L,
+      "without a tally the partial-with-max-id feed is undetectable, as documented")
+  }
+
   test("the baselining refresh must be full-fed: a delta-fed baseline over-reports, as documented") {
     // the protocol's chunk-fed caveat on the id axis (review wave r16,
     // pinned as DOCUMENTED behavior, not fixed away: with no stored
