@@ -62,7 +62,7 @@ object RollingWindowFp {
   final val Base = 0x100000001b3L
   private final val FnvOffset = 0xcbf29ce484222325L
 
-  private def wordHash(w: UTF8String): Long = {
+  private[graft] def wordHash(w: UTF8String): Long = {
     var h = FnvOffset
     var i = 0
     val n = w.numBytes()

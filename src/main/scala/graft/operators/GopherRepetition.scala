@@ -28,15 +28,18 @@ import org.apache.spark.sql.graft.RollingWindowFp
   * Scale shape — the ideal one: every signal is a function of the row
   * alone, so the whole suite is ONE narrow projection. No shuffle, no
   * join, no window, no state; 100 TB costs exactly one scan,
-  * embarrassingly parallel. The per-doc work is O(tokens × log tokens)
-  * per order (an `array_sort` of fingerprints replaces the hash map a
-  * single-node implementation would use: equal grams become ADJACENT,
-  * so duplicate marking is one neighbor scan and the most-common gram
-  * is the longest run). N-gram identity is the codegen'd Rabin-Karp
-  * rolling fingerprint ([[RollingWindowFp]] — each token hashed once,
-  * O(1) per slide); the C8 collision class applies (a 2⁻⁶⁴ collision
-  * can overstate repetition, never understate; SpanDupSpec pins the
-  * rolling/joined paths equal on the real corpus).
+  * embarrassingly parallel. All nine n-gram statistics come from ONE
+  * custom expression
+  * ([[org.apache.spark.sql.graft.NgramRepetition]], r18): each token
+  * hashed once, lengths prefix-summed once, one O(tokens) rolling-
+  * fingerprint slide + open-addressed count pass per order — O(9·T)
+  * flat, no sorts, no interpreted lambda dispatch (the first
+  * implementation's nine `array_sort`+`aggregate` HOF chains were
+  * corpus_report's measured compute floor). N-gram identity is the
+  * Rabin-Karp rolling fingerprint ([[RollingWindowFp]]'s exact math);
+  * the C8 collision class applies (a 2⁻⁶⁴ collision can overstate
+  * repetition, never understate; SpanDupSpec pins the rolling/joined
+  * paths equal on the real corpus).
   *
   * Definition choices, pinned here and mirrored by the spec's
   * single-node reference:
@@ -85,66 +88,22 @@ object GopherRepetition {
       (charsAll - charsDistinct).as(s"_${prefix}_dup_chars"))
   }
 
-  /** count × chars of the best run over the (hash, chars)-sorted
-    * fingerprint structs — equal grams are adjacent after the sort, so
-    * one linear fold with four scalars of state finds the maximum.
-    * `_tl` indexing is always in bounds: fingerprint position i spans
-    * tokens [i, i+n) and the fingerprint array has size(toks)−n+1
-    * elements. */
-  private def topGramExpr(n: Int): String = {
-    val charLen =
-      (0 until n).map(j => s"_tl[i + $j]").mkString(" + ") + s" + ${n - 1}"
-    s"""aggregate(
-       |  array_sort(transform(_fps$n,
-       |    (x, i) -> named_struct('h', x, 'c', CAST($charLen AS BIGINT)))),
-       |  named_struct('ph', CAST(0 AS BIGINT), 'rl', CAST(0 AS BIGINT),
-       |               'rc', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
-       |  (st, x) -> CASE
-       |    WHEN st.rl = 0 THEN
-       |      named_struct('ph', x.h, 'rl', CAST(1 AS BIGINT), 'rc', x.c, 'best', st.best)
-       |    WHEN x.h = st.ph THEN
-       |      named_struct('ph', st.ph, 'rl', st.rl + CAST(1 AS BIGINT), 'rc', st.rc, 'best', st.best)
-       |    ELSE
-       |      named_struct('ph', x.h, 'rl', CAST(1 AS BIGINT), 'rc', x.c,
-       |                   'best', greatest(st.best, st.rl * st.rc))
-       |    END,
-       |  st -> greatest(st.best, st.rl * st.rc))""".stripMargin
-  }
-
-  /** Characters covered by the union of all occurrences of duplicated
-    * n-grams: flag positions whose fingerprint has an equal NEIGHBOR in
-    * the sorted struct array (⇔ occurs ≥ 2 times), re-sort the flagged
-    * positions, and run the C8 interval-union fold over [p, p+n) spans.
-    * Interval chars are summed when an interval CLOSES via an inner
-    * fold over exactly the covered token slice — merged intervals are
-    * disjoint, so the inner work totals O(tokens) per document. */
-  private def dupCoverExpr(n: Int): String = {
-    val intervalChars =
-      s"""aggregate(slice(_toks, st.s + 1, st.e - st.s), CAST(0 AS BIGINT),
-         |         (a, x) -> a + length(x)) + st.e - st.s - 1""".stripMargin
-    s"""CASE WHEN size(_fps$n) < 2 THEN CAST(0 AS BIGINT) ELSE
-       |aggregate(
-       |  array_sort(transform(
-       |    filter(_srt$n, (x, i) ->
-       |      (i > 0 AND x.h = _srt$n[i - 1].h)
-       |      OR (i < size(_srt$n) - 1 AND x.h = _srt$n[i + 1].h)),
-       |    x -> x.p)),
-       |  named_struct('s', -1, 'e', -1, 'acc', CAST(0 AS BIGINT)),
-       |  (st, p) -> CASE
-       |    WHEN st.s < 0 THEN named_struct('s', p, 'e', p + $n, 'acc', st.acc)
-       |    WHEN p <= st.e THEN
-       |      named_struct('s', st.s, 'e', greatest(st.e, p + $n), 'acc', st.acc)
-       |    ELSE named_struct('s', p, 'e', p + $n, 'acc', st.acc + $intervalChars)
-       |    END,
-       |  st -> CASE WHEN st.s < 0 THEN CAST(0 AS BIGINT)
-       |        ELSE st.acc + $intervalChars END)
-       |END""".stripMargin
-  }
-
   /** All thirteen repetition signals per document — one projection, no
     * exchange (plan-audit spec'd). Input needs (idCol, textCol);
     * output: idCol, n_chars, n_tokens, n_lines, n_paras, and the
-    * signal columns named as in [[DefaultThresholds]]. */
+    * signal columns named as in [[DefaultThresholds]].
+    *
+    * The nine n-gram statistics come from ONE custom expression
+    * ([[org.apache.spark.sql.graft.NgramRepetition]], r18 directive
+    * 6): the first implementation ran nine interpreted
+    * `array_sort`+`aggregate` higher-order-function chains per row —
+    * corpus_report's measured 2.02 s compute floor at sf0.1 — where
+    * duplicate detection needs only a shared-hash count pass. The
+    * fused expression hashes each token once, prefix-sums lengths
+    * once, and slides all nine fingerprint orders over the shared
+    * arrays; identical values by the same definitions (spec-pinned
+    * bit-exact against the string-keyed single-node reference, gate-
+    * pinned against DuckDB's literal-gram recomputation). */
   def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val base = docs.select(
@@ -153,18 +112,10 @@ object GopherRepetition {
         split(col(textCol), " ").as("_toks"),
         split(col(textCol), "\n").as("_lines"),
         split(col(textCol), "\n\n").as("_paras")): _*)
-      .withColumn("_tl", transform(col("_toks"), t => length(t)))
-    val withFps = (TopNs ++ DupNs).foldLeft(base) { (df, n) =>
-      df.withColumn(s"_fps$n", RollingWindowFp.rollingFp(col("_toks"), n))
-    }
-    val withSrt = DupNs.foldLeft(withFps) { (df, n) =>
-      df.withColumn(s"_srt$n", expr(
-        s"array_sort(transform(_fps$n, (x, i) -> named_struct('h', x, 'p', i)))"))
-    }
-    val withSegs = withSrt.select(
-      Seq(col(idCol), col("_nc"), col("_toks"), col("_tl")) ++
-        (TopNs ++ DupNs).map(n => col(s"_fps$n")) ++
-        DupNs.map(n => col(s"_srt$n")) ++
+    val withSegs = base.select(
+      Seq(col(idCol), col("_nc"), size(col("_toks")).cast("long").as("_nt"),
+        org.apache.spark.sql.graft.NgramRepetition
+          .ngramRepetition(col("_toks")).as("_rep")) ++
         dupSegCols(col("_lines"), "line") ++
         dupSegCols(col("_paras"), "para"): _*)
     def overChars(c: Column): Column =
@@ -172,15 +123,15 @@ object GopherRepetition {
     withSegs.select(
       Seq(col(idCol),
         col("_nc").as("n_chars"),
-        size(col("_toks")).cast("long").as("n_tokens"),
+        col("_nt").as("n_tokens"),
         col("_line_n").as("n_lines"),
         col("_para_n").as("n_paras"),
         (col("_line_dup_n").cast("double") / col("_line_n")).as("dup_line_frac"),
         (col("_para_dup_n").cast("double") / col("_para_n")).as("dup_para_frac"),
         overChars(col("_line_dup_chars")).as("dup_line_char_frac"),
         overChars(col("_para_dup_chars")).as("dup_para_char_frac")) ++
-        TopNs.map(n => overChars(expr(topGramExpr(n))).as(s"top_${n}gram_char_frac")) ++
-        DupNs.map(n => overChars(expr(dupCoverExpr(n))).as(s"dup_${n}gram_char_frac")): _*)
+        TopNs.map(n => overChars(col(s"_rep.top$n")).as(s"top_${n}gram_char_frac")) ++
+        DupNs.map(n => overChars(col(s"_rep.dup$n")).as(s"dup_${n}gram_char_frac")): _*)
   }
 
   /** Signals + one boolean flag per rule (`flag_<signal>`, true =
