@@ -1736,8 +1736,14 @@ object Stress {
       val absorbed = (1 to 5).map(span).reduce(_ unionByName _)
       // the natural TPC-H key is NOT unique in this synthetic corpus —
       // pin that the keyed guard REFUSES it at 50× instead of silently
-      // corrupting the repair (and that the refusal leaves the mart
-      // untouched for the measured run below)
+      // corrupting the repair. ANY of the key-contract refusals counts
+      // (a generator change could surface the null-key or
+      // key-vs-payload shape instead of non-uniqueness); a refusal
+      // fires before reconcile, so the mart stays untouched for the
+      // measured run below — whereas a fully-SUCCEEDING foldBack here
+      // means the generator now enforces the key: the require tells
+      // the maintainer to measure on the natural key instead (the mart
+      // is then already repaired; re-derive the scenario).
       val naturalRefused =
         try {
           StreamingMartMaintenance.foldBack(spark, absorbed, qd, m,
@@ -1745,7 +1751,7 @@ object Stress {
           false
         } catch {
           case e: IllegalStateException
-            if e.getMessage.contains("not unique") => true
+            if e.getMessage.contains("foldBack keyCols") => true
         }
       require(naturalRefused, "expected the keyed guard to refuse the " +
         "non-unique synthetic (l_orderkey, l_linenumber) — if the " +

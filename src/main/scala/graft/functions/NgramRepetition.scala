@@ -60,8 +60,13 @@ case class NgramRepetition(child: Expression)
 }
 
 object NgramRepetition {
-  private val TopNs = 2 to 4
-  private val DupNs = 5 to 10
+  /** The computed orders — PUBLIC so the consumer (GopherRepetition)
+    * can assert its own order sets line up with the struct fields
+    * instead of trusting three definitions to agree (review wave 2,
+    * r18). The slot loop below additionally relies on the two ranges
+    * being contiguous. */
+  val TopNs: Range = 2 to 4
+  val DupNs: Range = 5 to 10
 
   val outputType: StructType = StructType(
     TopNs.map(n => StructField(s"top$n", LongType, nullable = false)) ++
@@ -73,7 +78,20 @@ object NgramRepetition {
     * as sorting (h, c) pairs and reading the run head, so a 2⁻⁶⁴
     * fingerprint collision produces the identical (over-counting,
     * never under-counting) statistic the sorted form produced. */
+  /** Largest supported gram count per document — far past any real
+    * document (≈268M tokens) and REFUSED loudly past it: the
+    * power-of-two capacity doubling would otherwise overflow Int and
+    * spin (review wave 2, r18 — the sort-based form degraded
+    * gracefully on the same pathological input; a library must not
+    * hang where it used to crawl). */
+  private val MaxGrams = 1 << 28
+
   private final class FpCounter(expected: Int) {
+    require(expected <= MaxGrams,
+      s"document yields $expected n-grams — past the $MaxGrams " +
+        "per-document limit of the fused repetition expression; split " +
+        "the document (a quarter-billion-token row is upstream damage, " +
+        "not a corpus document)")
     private val cap = {
       var c = 4
       while (c < expected * 2) c <<= 1
@@ -117,27 +135,6 @@ object NgramRepetition {
     }
   }
 
-  /** Rolling fingerprints of order `ng` over pre-hashed tokens — the
-    * RollingWindowFp slide, reusing the shared per-token hashes. */
-  private def rolling(hs: Array[Long], ng: Int, m: Int): Array[Long] = {
-    val base = RollingWindowFp.Base
-    var pow = 1L
-    var i = 1
-    while (i < ng) { pow *= base; i += 1 }
-    val fp = new Array[Long](m)
-    var h = 0L
-    i = 0
-    while (i < ng) { h = h * base + hs(i); i += 1 }
-    fp(0) = h
-    i = 1
-    while (i < m) {
-      h = (h - hs(i - 1) * pow) * base + hs(i + ng - 1)
-      fp(i) = h
-      i += 1
-    }
-    fp
-  }
-
   def compute(arr: ArrayData): InternalRow = {
     val n = arr.numElements()
     val hs = new Array[Long](n)
@@ -161,7 +158,10 @@ object NgramRepetition {
       out(slot) =
         if (m <= 0 || (!isTop && m < 2)) 0L
         else {
-          val fp = rolling(hs, ng, m)
+          // the ONE fingerprint slide (RollingWindowFp.slide) over the
+          // shared per-token hashes — parity with the string path is
+          // structural, not copy-maintained
+          val fp = RollingWindowFp.slide(hs, ng)
           val counter = new FpCounter(m)
           var p = 0
           while (p < m) { counter.add(fp(p), chars(p, ng)); p += 1 }

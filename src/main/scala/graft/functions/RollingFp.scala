@@ -70,16 +70,17 @@ object RollingWindowFp {
     h
   }
 
-  /** Shared by interpreted eval and codegen — the math lives once. */
-  def compute(arr: ArrayData, window: Int): ArrayData = {
-    val n = arr.numElements()
-    val m = n - window + 1
-    if (m <= 0) return new GenericArrayData(Array.empty[Long])
-    val hs = new Array[Long](n)
-    var i = 0
-    while (i < n) { hs(i) = wordHash(arr.getUTF8String(i)); i += 1 }
+  /** The polynomial slide over pre-hashed words — ONE spelling, shared
+    * with [[NgramRepetition]] (review wave r18: the fused repetition
+    * expression re-implemented this loop, so a future change to the
+    * fingerprint math would silently break the spec'd fingerprint-vs-
+    * string parity; now both expressions call here and the parity is
+    * structural). Returns the `numWords − window + 1` fingerprints;
+    * caller guarantees that count is ≥ 1. */
+  private[graft] def slide(hs: Array[Long], window: Int): Array[Long] = {
+    val m = hs.length - window + 1
     var pow = 1L
-    i = 1
+    var i = 1
     while (i < window) { pow *= Base; i += 1 }
     val out = new Array[Long](m)
     var h = 0L
@@ -92,7 +93,17 @@ object RollingWindowFp {
       out(i) = h
       i += 1
     }
-    new GenericArrayData(out)
+    out
+  }
+
+  /** Shared by interpreted eval and codegen — the math lives once. */
+  def compute(arr: ArrayData, window: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n - window + 1 <= 0) return new GenericArrayData(Array.empty[Long])
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = wordHash(arr.getUTF8String(i)); i += 1 }
+    new GenericArrayData(slide(hs, window))
   }
 
   /** Fingerprint array of `words` as a Column. */

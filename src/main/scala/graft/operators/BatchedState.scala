@@ -795,7 +795,12 @@ private[graft] object BatchedState {
           else if (st.isDirectory) walk(st.getPath)
         } else name match {
           case migrateRemnant(base, _) if PointerSiteNames(base) =>
-            sites += new Path(dir, base)
+            // anchor on the listed entry's QUALIFIED parent, not the
+            // walk argument: the root call receives the caller's
+            // possibly-unqualified Path, and two spellings of one
+            // root-level site (live entry + remnant) would both
+            // survive the de-dup set and migrate twice (review r18)
+            sites += new Path(st.getPath.getParent, base)
           case _ => ()
         }
       }

@@ -73,6 +73,14 @@ object GopherRepetition {
 
   val TopNs: Seq[Int] = Seq(2, 3, 4)
   val DupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)
+  // the fused expression's struct fields must line up with THESE order
+  // sets (review wave 2, r18): a drift would otherwise surface only as
+  // an unresolved `_rep.top$n` at some call site, not at the seam
+  require(org.apache.spark.sql.graft.NgramRepetition.TopNs == TopNs &&
+    org.apache.spark.sql.graft.NgramRepetition.DupNs == DupNs,
+    "GopherRepetition's order sets diverged from NgramRepetition's — " +
+      "the fused expression computes the orders its struct declares; " +
+      "change both together")
 
   /** Characters of the duplicated-line (or paragraph) occurrences
     * beyond the first: Σ over all segments − Σ over distinct segments

@@ -229,26 +229,43 @@ object StreamingMartMaintenance {
     // recompute a lost executor's blocks, and a library verb must stay
     // recoverable; unpersisted after the repair so repeated repair
     // cycles don't pin storage
-    val extra = (if (keyCols.isEmpty) q.exceptAll(logSameDays)
-      else keyedSubtract(q, logSameDays, log.columns.toSeq, keyCols))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exactly ONE late-volume frame stays pinned through reconcile
+    // (review wave 2, r18 — the keyed path briefly double-cached):
+    // bag form persists the exceptAll result; keyed form persists the
+    // JOIN (already materialized whole by its consistency probe) and
+    // `extra` is a cheap filter+project over it
+    val (extra, cached) =
+      if (keyCols.isEmpty) {
+        val e = q.exceptAll(logSameDays)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (e, e)
+      } else keyedSubtract(q, logSameDays, log.columns.toSeq, keyCols)
     try SupplyMart.reconcile(spark, log.unionByName(extra), martPath, buckets)
-    finally extra.unpersist(): Unit
+    finally cached.unpersist(): Unit
   }
 
   /** The KEY-exact subtraction behind `foldBack(keyCols = …)`: a
     * quarantined row survives iff its key is absent from the same-day
     * log. Every check and the subtraction itself ride frames already
     * restricted to the quarantined DAYS, so the whole verb stays
-    * O(late-day volume) like the bag form. Refusals (all cheap limit-1
-    * probes): a key column the frames lack; a repeated key on either
-    * side (the join's semantics need uniqueness — a duplicated
-    * "unique" key would silently duplicate or mis-drop rows); a key
-    * present on both sides with different non-key bytes (the key does
-    * not determine the row: the feed is corrupt, and absorbing the
-    * quarantined copy silently would bury it). */
+    * O(late-day volume) like the bag form — the probes below are
+    * full passes over those restricted frames (not limit-1 bailouts:
+    * the healthy path must prove the ABSENCE of a violation), which
+    * is the stated price of the refuse-loudly contract. The join
+    * itself executes once (persisted; the second element of the
+    * returned pair is the caller's unpersist handle). Refusals: a
+    * key column the frames lack; a NULL key on either side (an
+    * equi-join never matches null keys, so a null-keyed absorbed row
+    * would silently survive the subtraction and double-count —
+    * review wave r18); a repeated key on either side (the join's
+    * semantics need uniqueness — a duplicated "unique" key would
+    * silently duplicate or mis-drop rows); a key present on both
+    * sides with different non-key bytes (the key does not determine
+    * the row: the feed is corrupt, and absorbing the quarantined
+    * copy silently would bury it). */
   private def keyedSubtract(q: DataFrame, logSameDays: DataFrame,
-      columns: Seq[String], keyCols: Seq[String]): DataFrame = {
+      columns: Seq[String], keyCols: Seq[String])
+      : (DataFrame, DataFrame) = {
     val missing = keyCols.filterNot(columns.contains)
     require(missing.isEmpty,
       s"foldBack keyCols ${missing.mkString(", ")} not in the log/quarantine " +
@@ -256,34 +273,77 @@ object StreamingMartMaintenance {
     val nonKey = columns.filterNot(keyCols.contains)
     require(nonKey.nonEmpty, "foldBack keyCols must not cover every column " +
       "— an all-column key is the bag form; omit keyCols instead")
-    def refuseDupKeys(df: DataFrame, what: String): Unit =
-      if (!df.groupBy(keyCols.map(col): _*)
-          .count().filter(col("count") > 1L).isEmpty)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // the two day-restricted inputs each feed a probe AND the join —
+    // persist for the probe window so the quarantine scan and the
+    // log semi-join execute once, not three times (review wave 2,
+    // r18); released below once the join itself is fully cached
+    val qP = q.persist(lvl)
+    val lP = logSameDays.persist(lvl)
+    var joinedOpt: Option[DataFrame] = None
+    try {
+      // ONE aggregation per side carries BOTH key-contract probes:
+      // null keys group together (the grouped row's key IS NULL) and
+      // repeated keys surface as count > 1
+      val anyNullKey = keyCols.map(col(_).isNull).reduce(_ || _)
+      def refuseBadKeys(df: DataFrame, what: String): Unit =
+        df.groupBy(keyCols.map(col): _*).count()
+          .filter(col("count") > 1L || anyNullKey).limit(1).collect()
+          .headOption.foreach { r =>
+            if (keyCols.indices.exists(r.isNullAt))
+              throw new IllegalStateException(
+                s"foldBack keyCols (${keyCols.mkString(", ")}) contain " +
+                  s"NULLs in the $what — an equi-join never matches null " +
+                  "keys, so a null-keyed absorbed row would silently " +
+                  "survive the subtraction and double-count; repair the " +
+                  "feed or fall back to the bag form (omit keyCols)")
+            else throw new IllegalStateException(
+              s"foldBack keyCols (${keyCols.mkString(", ")}) repeat " +
+                s"within the $what — the key is not unique there, and a " +
+                "keyed subtraction over a repeated key silently corrupts " +
+                "the repair; fix the feed or fall back to the bag form " +
+                "(omit keyCols) with its documented duplicate residual")
+          }
+      refuseBadKeys(qP, "quarantine")
+      refuseBadKeys(lP, "same-day log")
+      val qk = qP.select(keyCols.map(col) ++
+        nonKey.map(c => col(c).as(s"_q_$c")): _*)
+      val lk = lP.select(keyCols.map(col) ++
+        nonKey.map(c => col(c).as(s"_l_$c")) :+ lit(true).as("_l_present"): _*)
+      val joined = lk.join(qk, keyCols.toSeq, "right").persist(lvl)
+      joinedOpt = Some(joined)
+      val payloadDiffers = nonKey
+        .map(c => !(col(s"_q_$c") <=> col(s"_l_$c")))
+        .reduce(_ || _)
+      // count(), not a limit-1 probe, ON PURPOSE: the healthy path must
+      // scan everything to prove no mismatch anyway, and a full count
+      // materializes the ENTIRE join into the cache — so the parent
+      // frames can be released here and every later consumer (the
+      // extra projection, reconcile's repeated scans) reads the cache,
+      // never re-executing the scan+join lineage
+      val mismatches = joined
+        .filter(col("_l_present") && payloadDiffers).count()
+      if (mismatches > 0)
         throw new IllegalStateException(
-          s"foldBack keyCols (${keyCols.mkString(", ")}) repeat within the " +
-            s"$what — the key is not unique there, and a keyed subtraction " +
-            "over a repeated key silently corrupts the repair; fix the " +
-            "feed or fall back to the bag form (omit keyCols) with its " +
-            "documented duplicate residual")
-    refuseDupKeys(q, "quarantine")
-    refuseDupKeys(logSameDays, "same-day log")
-    val qk = q.select(keyCols.map(col) ++
-      nonKey.map(c => col(c).as(s"_q_$c")): _*)
-    val lk = logSameDays.select(keyCols.map(col) ++
-      nonKey.map(c => col(c).as(s"_l_$c")) :+ lit(true).as("_l_present"): _*)
-    val joined = lk.join(qk, keyCols.toSeq, "right")
-    val payloadDiffers = nonKey
-      .map(c => !(col(s"_q_$c") <=> col(s"_l_$c")))
-      .reduce(_ || _)
-    if (!joined.filter(col("_l_present") && payloadDiffers).isEmpty)
-      throw new IllegalStateException(
-        s"foldBack keyCols (${keyCols.mkString(", ")}) matched a log row " +
-          "whose non-key columns DIFFER from the quarantined copy — the " +
-          "key does not determine the row, so the subtraction cannot " +
-          "decide which bytes are authoritative; repair the feed first")
-    joined.filter(col("_l_present").isNull)
-      .select(keyCols.map(col) ++
-        nonKey.map(c => col(s"_q_$c").as(c)): _*)
-      .select(columns.map(col): _*)
+          s"foldBack keyCols (${keyCols.mkString(", ")}) matched " +
+            s"$mismatches log row(s) whose non-key columns DIFFER from " +
+            "the quarantined copy — the key does not determine the row, " +
+            "so the subtraction cannot decide which bytes are " +
+            "authoritative; repair the feed first")
+      (joined.filter(col("_l_present").isNull)
+        .select(keyCols.map(col) ++
+          nonKey.map(c => col(s"_q_$c").as(c)): _*)
+        .select(columns.map(col): _*), joined)
+    } catch {
+      // any failure — the deliberate refusals or a transient job error
+      // — must not leak the join's cache entry into a long-lived
+      // driver (review wave 2, r18)
+      case t: Throwable =>
+        joinedOpt.foreach(_.unpersist(): Unit)
+        throw t
+    } finally {
+      qP.unpersist(): Unit
+      lP.unpersist(): Unit
+    }
   }
 }

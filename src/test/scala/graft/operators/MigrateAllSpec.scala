@@ -179,6 +179,26 @@ class MigrateAllSpec extends SparkSpec {
       "the completed migration must release its lock")
   }
 
+  test("a root-level site with BOTH a live pointer and a crash remnant is discovered once, not twice") {
+    // review wave r18: the remnant branch used to anchor on the walk's
+    // possibly-unqualified root Path while live entries carry
+    // listStatus's qualified paths — two spellings of one site both
+    // survived the de-dup set and migrated twice
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-migrate-root").toString
+    BatchedState.writePointer(spark, new Path(s"$root/_watermark"), "41 7")
+    // crash-before-delete shape: stage + lock beside the LIVE pointer
+    Files.write(Paths.get(s"$root/._watermark.migrate"),
+      BatchedState.encodePointer("41 7").getBytes(UTF_8)): Unit
+    Files.write(Paths.get(s"$root/._watermark.migrate_lock"),
+      Array.empty[Byte]): Unit
+    val migrated = BatchedState.migrateAll(spark, root, CommitMode.Manifest,
+      reclaimStaleLocks = true)
+    assert(migrated.size == 1, s"one site, one entry: $migrated")
+    assert(BatchedState.readPointer(spark, new Path(s"$root/_watermark"))
+      == Some("41 7"))
+  }
+
   test("the discovery set stays in lockstep with the main-source writePointer sites") {
     // a NEW writePointer call site must register its pointer NAME in
     // PointerSiteNames or migrateAll silently skips it. Cheap source

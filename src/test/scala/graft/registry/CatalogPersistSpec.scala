@@ -142,6 +142,18 @@ class CatalogPersistSpec extends SparkSpec {
     val Left(errs3) = s3b.loadDefs(binder): @unchecked
     assert(errs3.exists(e => e.contains("bad") && e.contains("analysis")))
 
+    // (b2) DUPLICATE names within a hand-edited document refuse whole —
+    // last-wins registration would silently serve whichever entry sat
+    // later in the JSON array (review wave r18)
+    graft.operators.BatchedState.writePointer(spark,
+      new org.apache.hadoop.fs.Path(s"$s3root/values/_catalog"),
+      s"""{"tables":[{"name":"orders","requiredColumns":["o_custkey"]}],"features":[{"name":"dup","table":"orders","featureType":"numeric","kind":"sql","logic":"${spendSql.replace("\n", " ")}"},{"name":"dup","table":"orders","featureType":"numeric","kind":"closure"}]}""")
+    val s3c = new FeatureStore(spark, s"$s3root/values")
+    val Left(errsDup) = s3c.loadDefs(binder): @unchecked
+    assert(errsDup.exists(e => e.contains("dup") && e.contains("2 times")),
+      errsDup.mkString("; "))
+    assert(s3c.listFeatures.isEmpty)
+
     // (c) missing required column in the re-bound table frame → the
     // SchemaValidator refusal names the table
     val Left(errs4) = new FeatureStore(spark, s"$root/values").loadDefs {

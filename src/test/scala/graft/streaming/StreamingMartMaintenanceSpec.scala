@@ -338,6 +338,22 @@ class StreamingMartMaintenanceSpec extends SparkSpec {
         keyCols = Seq("no_such_col"))
     }
     assert(eMissing.getMessage.contains("no_such_col"))
+
+    // a NULL key refuses — an equi-join never matches null keys, so a
+    // null-keyed absorbed row would silently survive the subtraction
+    // and double-count (review wave r18)
+    val nullDir = java.nio.file.Files.createTempDirectory("graft-smm-keynull").toString
+    val nm = s"$nullDir/mart"; val nq = s"$nullDir/quarantine"
+    StreamingMartMaintenance.applyBatch(spark, keyedPartials(Seq(a)), nm, 8)
+    val nullKeyed = Seq(a).toDF()
+      .withColumn("l_orderkey", lit(null).cast("long"))
+    assert(StreamingMartMaintenance.quarantineBatch(spark,
+      nullKeyed, nm, nq, 1L) === 1L)
+    val eNull = intercept[IllegalStateException] {
+      StreamingMartMaintenance.foldBack(spark, nullKeyed, nq, nm, 8,
+        keyCols = Seq("l_orderkey", "l_linenumber"))
+    }
+    assert(eNull.getMessage.contains("NULL"), eNull.getMessage)
   }
 
   test("a replayed micro-batch is shed exactly — SUM partials never double") {
