@@ -71,16 +71,13 @@ object GopherRepetition {
     "dup_7gram_char_frac" -> 0.13, "dup_8gram_char_frac" -> 0.12,
     "dup_9gram_char_frac" -> 0.11, "dup_10gram_char_frac" -> 0.10)
 
-  val TopNs: Seq[Int] = Seq(2, 3, 4)
-  val DupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)
-  // the fused expression's struct fields must line up with THESE order
-  // sets (review wave 2, r18): a drift would otherwise surface only as
-  // an unresolved `_rep.top$n` at some call site, not at the seam
-  require(org.apache.spark.sql.graft.NgramRepetition.TopNs == TopNs &&
-    org.apache.spark.sql.graft.NgramRepetition.DupNs == DupNs,
-    "GopherRepetition's order sets diverged from NgramRepetition's — " +
-      "the fused expression computes the orders its struct declares; " +
-      "change both together")
+  // aliases of the fused expression's order sets — ONE definition, so
+  // the struct fields and the signal names cannot drift (review wave
+  // 3, r18: wave 2 equality-ASSERTED two copies, which still ships a
+  // divergence and fails only at class-load; aliasing makes it
+  // impossible by construction)
+  val TopNs: Seq[Int] = org.apache.spark.sql.graft.NgramRepetition.TopNs
+  val DupNs: Seq[Int] = org.apache.spark.sql.graft.NgramRepetition.DupNs
 
   /** Characters of the duplicated-line (or paragraph) occurrences
     * beyond the first: Σ over all segments − Σ over distinct segments

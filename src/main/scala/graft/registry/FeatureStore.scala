@@ -714,16 +714,15 @@ final class FeatureStore(spark: SparkSession, storePath: String,
     // duplicate names WITHIN the document (a hand-edited or corrupt
     // catalog — saveDefs itself cannot produce them): last-wins
     // registration would silently serve whichever entry sat later in
-    // the JSON array (review wave r18) — refuse instead
-    tableDefs.groupBy(_.name).foreach { case (n, xs) =>
-      if (xs.size > 1)
-        errs += s"table '$n' appears ${xs.size} times in the catalog document"
-    }
-    featRows.map(_.getAs[String]("name")).groupBy(identity).foreach {
-      case (n, xs) if xs.size > 1 =>
-        errs += s"feature '$n' appears ${xs.size} times in the catalog document"
-      case _ => ()
-    }
+    // the JSON array (review wave r18) — refuse instead, ONE spelling
+    // per entity kind
+    def dupNames(names: Seq[String], what: String): Unit =
+      names.groupBy(identity).foreach { case (n, xs) =>
+        if (xs.size > 1)
+          errs += s"$what '$n' appears ${xs.size} times in the catalog document"
+      }
+    dupNames(tableDefs.map(_.name), "table")
+    dupNames(featRows.map(_.getAs[String]("name")), "feature")
     val resolved = tableDefs.map { t =>
       if (tables.contains(t.name))
         errs += s"Raw table '${t.name}' already registered in this session"

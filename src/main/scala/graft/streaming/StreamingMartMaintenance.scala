@@ -194,7 +194,10 @@ object StreamingMartMaintenance {
     * defensive about its own contract — it refuses loudly when the
     * "unique" key repeats within the quarantine or the same-day log
     * (a duplicate key would silently duplicate or mis-drop rows
-    * through the join), and when a shared key carries DIFFERENT
+    * through the join), when any key column is NULL on either side
+    * (an equi-join never matches null keys — a null-keyed absorbed
+    * row would silently survive the subtraction and double-count),
+    * and when a shared key carries DIFFERENT
     * non-key bytes on the two sides (the key does not determine the
     * row — upstream corruption a silent anti-join would absorb).
     * Keep the bag form for genuinely keyless inputs, with its
@@ -229,11 +232,11 @@ object StreamingMartMaintenance {
     // recompute a lost executor's blocks, and a library verb must stay
     // recoverable; unpersisted after the repair so repeated repair
     // cycles don't pin storage
-    // exactly ONE late-volume frame stays pinned through reconcile
-    // (review wave 2, r18 — the keyed path briefly double-cached):
-    // bag form persists the exceptAll result; keyed form persists the
-    // JOIN (already materialized whole by its consistency probe) and
-    // `extra` is a cheap filter+project over it
+    // exactly ONE late-volume frame — the survivors — stays pinned
+    // through reconcile (review waves 2+3, r18): bag form persists
+    // the exceptAll result; keyed form materializes its probes off a
+    // transiently-cached join, pins only the extracted extra frame,
+    // and has released everything else before reconcile starts
     val (extra, cached) =
       if (keyCols.isEmpty) {
         val e = q.exceptAll(logSameDays)
@@ -252,8 +255,10 @@ object StreamingMartMaintenance {
     * full passes over those restricted frames (not limit-1 bailouts:
     * the healthy path must prove the ABSENCE of a violation), which
     * is the stated price of the refuse-loudly contract. The join
-    * itself executes once (persisted; the second element of the
-    * returned pair is the caller's unpersist handle). Refusals: a
+    * itself executes once (cached transiently; only the PERSISTED
+    * survivor frame — returned as both elements of the pair, the
+    * second being the caller's unpersist handle — outlives this
+    * call). Refusals: a
     * key column the frames lack; a NULL key on either side (an
     * equi-join never matches null keys, so a null-keyed absorbed row
     * would silently survive the subtraction and double-count —
@@ -281,6 +286,7 @@ object StreamingMartMaintenance {
     val qP = q.persist(lvl)
     val lP = logSameDays.persist(lvl)
     var joinedOpt: Option[DataFrame] = None
+    var extraOpt: Option[DataFrame] = None
     try {
       // ONE aggregation per side carries BOTH key-contract probes:
       // null keys group together (the grouped row's key IS NULL) and
@@ -318,9 +324,9 @@ object StreamingMartMaintenance {
       // count(), not a limit-1 probe, ON PURPOSE: the healthy path must
       // scan everything to prove no mismatch anyway, and a full count
       // materializes the ENTIRE join into the cache — so the parent
-      // frames can be released here and every later consumer (the
-      // extra projection, reconcile's repeated scans) reads the cache,
-      // never re-executing the scan+join lineage
+      // frames can be released here and the extra projection below
+      // materializes from the cache, never re-executing the
+      // scan+join lineage
       val mismatches = joined
         .filter(col("_l_present") && payloadDiffers).count()
       if (mismatches > 0)
@@ -330,16 +336,27 @@ object StreamingMartMaintenance {
             "the quarantined copy — the key does not determine the row, " +
             "so the subtraction cannot decide which bytes are " +
             "authoritative; repair the feed first")
-      (joined.filter(col("_l_present").isNull)
+      // pin only the SURVIVORS through reconcile (review wave 3, r18:
+      // the full join — matched majority included, double-width —
+      // stayed cached through the heaviest phase, and every reconcile
+      // scan re-filtered it). One cheap pass over the cached join
+      // materializes the small extra frame, then the join releases.
+      val extra = joined.filter(col("_l_present").isNull)
         .select(keyCols.map(col) ++
           nonKey.map(c => col(s"_q_$c").as(c)): _*)
-        .select(columns.map(col): _*), joined)
+        .select(columns.map(col): _*)
+        .persist(lvl)
+      extraOpt = Some(extra)
+      extra.count(): Unit // materialize BEFORE the join's cache drops
+      joined.unpersist(): Unit
+      (extra, extra)
     } catch {
       // any failure — the deliberate refusals or a transient job error
-      // — must not leak the join's cache entry into a long-lived
-      // driver (review wave 2, r18)
+      // — must not leak a cache entry into a long-lived driver
+      // (review wave 2, r18)
       case t: Throwable =>
         joinedOpt.foreach(_.unpersist(): Unit)
+        extraOpt.foreach(_.unpersist(): Unit)
         throw t
     } finally {
       qP.unpersist(): Unit
