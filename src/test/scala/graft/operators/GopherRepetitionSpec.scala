@@ -166,5 +166,15 @@ class GopherRepetitionSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected exchange:\n$plan")
     assert(!plan.contains("Join"), s"unexpected join:\n$plan")
     assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    // the fused NgramRepetition expression must stay INSIDE whole-stage
+    // codegen (the static-call doGenCode form, r18) — a fallback to
+    // interpreted projection would silently re-pay the per-row virtual
+    // dispatch the fusion removed
+    val exec = df.queryExecution.executedPlan
+    val codegenned = exec.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.exists(_.exists(_.isInstanceOf[org.apache.spark.sql.execution.ProjectExec]))
+    assert(codegenned,
+      s"the signal projection fell out of WholeStageCodegen:\n$plan")
   }
 }
