@@ -183,6 +183,37 @@ class CatalogPersistSpec extends SparkSpec {
     assert(s3.loadDefs(binder).isRight)
   }
 
+  test("manifest-mode saveDefs performs ZERO renames (the cdfs counter-assertion, G47 discipline)") {
+    // the catalog is the 12th pointer site: under the knob its commit
+    // path must be create-new only — an armed crash on the FIRST
+    // rename through the copy+delete filesystem proves none happen
+    val c = spark.sparkContext.hadoopConfiguration
+    c.set("fs.cdfs.impl",
+      classOf[graft.operators.CopyDeleteFileSystem].getName)
+    c.set("fs.AbstractFileSystem.cdfs.impl",
+      classOf[graft.operators.CopyDeleteAbstractFs].getName)
+    val root = dir()
+    spark.conf.set("spark.graft.commit.mode", "manifest")
+    try {
+      val s1 = new FeatureStore(spark, s"cdfs:$root/values")
+      assert(s1.registerTable(ordersDef, orders).isRight)
+      assert(s1.defineFeature(FeatureDef.sql("total_spend", "orders",
+        "numeric", spendSql)).isRight)
+      val renamesBefore = graft.operators.CopyDeleteFileSystem.renames.get()
+      graft.operators.CopyDeleteFileSystem.armCrash(0)
+      s1.saveDefs()
+      s1.saveDefs() // a second commit appends manifest-1, still no rename
+      assert(graft.operators.CopyDeleteFileSystem.renames.get()
+        == renamesBefore,
+        "saveDefs performed a rename under the manifest knob")
+      graft.operators.CopyDeleteFileSystem.armCrash(-1)
+      assert(new java.io.File(s"$root/values/_catalog").isDirectory)
+      val s2 = new FeatureStore(spark, s"cdfs:$root/values")
+      val Right(r) = s2.loadDefs(binder): @unchecked
+      assert(r.sqlFeatures == Seq("total_spend"))
+    } finally spark.conf.unset("spark.graft.commit.mode")
+  }
+
   test("loadDefs without a saved catalog refuses with the remediation") {
     val s = new FeatureStore(spark, s"${dir()}/values")
     val Left(errs) = s.loadDefs(binder): @unchecked
