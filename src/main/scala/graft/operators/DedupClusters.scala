@@ -53,10 +53,26 @@ object DedupClusters {
     // anchored once — every propagation round joins against the edge
     // list, and without this each round would recompute the caller's
     // whole pair pipeline (candidate generation, jaccard verify, ...)
-    val und = anchor(edges
+    val undWide = anchor(edges
       .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
       .union(edges
         .select(col(dstCol).cast("long").as("s"), col(srcCol).cast("long").as("d"))))
+    // SIZE-ADAPTIVE partitioning (r18, guide §2): the anchored edge
+    // list inherits its producer's partition count (union doubles it),
+    // and every round's map stages re-pay one task per partition —
+    // for a near-dup edge set of a few thousand rows that was ~10× 64-
+    // task stages of almost pure per-task overhead. The edge count is
+    // already materialized (the anchor is eager), so counting it is a
+    // block scan, and coalesce is narrow (no shuffle). ~64k edges per
+    // task keeps round work amortized at any scale; large edge sets
+    // keep full parallelism (capped by defaultParallelism).
+    val npart = math.max(1,
+      edges.sparkSession.sparkContext.defaultParallelism)
+    val target = math.min(npart.toLong,
+      undWide.count() / 65536L + 1L).toInt
+    val und =
+      if (target < undWide.rdd.getNumPartitions) undWide.coalesce(target)
+      else undWide
     var labels = anchor(und.select(col("s").as("id")).distinct()
       .withColumn("comp", col("id")))
     var converged = false

@@ -72,28 +72,41 @@ object RecordLinkage {
       blockingKeys: Seq[Column], maxBlockSize: Int = 1000): DataFrame = {
     require(blockingKeys.nonEmpty, "at least one blocking key")
     require(maxBlockSize > 1, s"maxBlockSize $maxBlockSize")
+    val npart = math.max(1,
+      records.sparkSession.sparkContext.defaultParallelism)
     val perKey = blockingKeys.zipWithIndex.map { case (k, i) =>
       val keyed = records.select(col(id).as("_id"), k.as("_blk"))
         .filter(col("_blk").isNotNull)
-      // the raise_error must sit ON the key's data flow — as a dropped
-      // side column Catalyst would prune it and the guard would vanish
-      val guarded = keyed
-        .withColumn("_n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("_blk"))))
-        .select(col("_id"),
-          when(col("_n") > maxBlockSize,
-            raise_error(concat(lit(s"blocking key #$i value "),
-              col("_blk").cast("string"),
-              lit(s" exceeds maxBlockSize $maxBlockSize — refine the key"))))
-            .otherwise(col("_blk")).as("_blk"))
-      guarded.as("a").join(guarded.as("b"),
-          col("a._blk") === col("b._blk") && col("a._id") < col("b._id"))
-        .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      // ONE groupBy collapses each block to an id-array cell (the
+      // dedupNgramJaccard doc-list device — r18 optimization: this
+      // replaces a window-count guard + a two-sided self-join, whose
+      // three _blk-keyed exchanges AQE coalesced to a SINGLE task at
+      // the gate's 25-block key — the whole 5.4M-pair generation ran
+      // sequentially, 3.4 cpu-s in one task, guide §2.5's "AQE counts
+      // bytes, not downstream compute"). The raise_error rides the
+      // array column itself — Catalyst cannot prune the guard.
+      val cells = keyed.groupBy(col("_blk"))
+        .agg(collect_list(col("_id")).as("_ids"))
+        .select(when(size(col("_ids")) > maxBlockSize,
+          raise_error(concat(lit(s"blocking key #$i value "),
+            col("_blk").cast("string"),
+            lit(s" exceeds maxBlockSize $maxBlockSize — refine the key"))))
+          .otherwise(col("_ids")).as("_ids"))
+        .filter(size(col("_ids")) > 1)
+      // explicit numPartitions: an AQE-coalesced read of the tiny cell
+      // frame would serialize the quadratic explode; pinning the count
+      // keeps pair GENERATION spread across the cores the blocks can
+      // reach (≤ one task per block — the block cap bounds each task's
+      // quadratic at maxBlockSize²)
+      cells.repartition(npart, col("_ids"))
+        .select(explode(col("_ids")).as("id_a"), col("_ids"))
+        .select(col("id_a"), explode(col("_ids")).as("id_b"))
+        .filter(col("id_a") < col("id_b"))
     }
     // the distinct is semantically needed only across keys (single-key
     // pairs are unique by construction), but it is kept UNCONDITIONALLY
-    // as the rebalancing exchange: the self-join output is partitioned
-    // by the block key — few, skewed values by the nature of blocking —
+    // as the rebalancing exchange: pair generation is partitioned by
+    // the block key — few, skewed values by the nature of blocking —
     // and the distinct redistributes pairs by (id_a, id_b) so the
     // per-pair field scoring downstream parallelizes over all cores.
     // Measured on the sf0.1 gate (25 nation blocks): skipping it for
@@ -116,10 +129,102 @@ object RecordLinkage {
     val score = fields.map(f =>
       f.sim(col(s"ra.${f.colName}"), col(s"rb.${f.colName}")) * f.weight)
       .reduce(_ + _)
+    // shuffle_hash, build = the record roster: the pair frame is the
+    // blocked quadratic — its row-count ESTIMATE under-reports through
+    // the Generate/distinct chain, and an estimate-driven broadcast
+    // would collect millions of pairs to the driver and serialize the
+    // similarity kernel onto the roster's few partitions (measured:
+    // 0.6 s → 15 s at sf0.1). Build-per-partition of the roster is the
+    // scale-safe side, and hash beats sort-merge here because the
+    // streamed pair side never pays a sort.
     pairs
-      .join(a, col("id_a") === col("ra._id"))
-      .join(b, col("id_b") === col("rb._id"))
+      .join(a.hint("shuffle_hash"), col("id_a") === col("ra._id"))
+      .join(b.hint("shuffle_hash"), col("id_b") === col("rb._id"))
       .select(col("id_a"), col("id_b"), score.as("score"))
+  }
+
+  /** [[scorePairs]] + threshold filter with the threshold PUSHED INTO
+    * the edit-distance kernel (optimization guide §1.2 "per-task
+    * work": the full O(len²) Levenshtein DP was the single hottest
+    * stage of the linkage gate — 77.7 of ~105 cpu-s at sf0.1).
+    *
+    * For a Fuzzy field f with weight w, every OTHER field contributes
+    * at most 1−w to the score, so `score ≥ t` forces
+    * `sim_f ≥ 1 − (1−t)/w`, i.e. `lev_f ≤ maxlen·(1−t)/w`. Passing
+    * that bound (+1 slack, see below) as the banded-levenshtein
+    * threshold makes the kernel O(len·band) and lets it bail the DP
+    * row-wise the moment the band is exceeded; `-1` (= band exceeded)
+    * PROVES `score < t`, so the pair is dropped with zero further
+    * work. Surviving pairs see the exact distance, so their score is
+    * the bit-identical IEEE sum [[scorePairs]] produces and the
+    * emitted (pairs, scores) set is EXACTLY `scorePairs.filter(score
+    * ≥ t)` — spec-pinned, and the oracle gate re-certifies it.
+    *
+    * Band slack: the bound is evaluated in IEEE doubles while the
+    * derivation above is real arithmetic; `floor(x + 1e-9) + 1` can
+    * only ENLARGE the band (a slightly-too-wide band costs a few DP
+    * cells; a too-narrow one would drop a boundary pair), and the +1
+    * puts every pruned pair a full 1/maxlen of similarity below the
+    * threshold — six orders of magnitude past double rounding error
+    * for any realistic string. A field whose bound reaches maxlen
+    * (ratio ≥ 1: small weight or low threshold) keeps the plain
+    * kernel — banding cannot prune it. */
+  private[operators] def scorePairsThresholded(records: DataFrame,
+      pairs: DataFrame, id: String, fields: Seq[FieldSim],
+      threshold: Double): DataFrame = {
+    require(fields.nonEmpty, "at least one field")
+    require(math.abs(fields.map(_.weight).sum - 1.0) < 1e-9,
+      s"weights must sum to 1: ${fields.map(_.weight)}")
+    require(fields.forall(_.weight > 0), "weights must be positive")
+    val cols = col(id).as("_id") +: fields.map(f => col(f.colName))
+    val a = records.select(cols: _*).as("ra")
+    val b = records.select(cols: _*).as("rb")
+    // shuffle_hash on the roster sides — same rationale as scorePairs
+    val joined = pairs
+      .join(a.hint("shuffle_hash"), col("id_a") === col("ra._id"))
+      .join(b.hint("shuffle_hash"), col("id_b") === col("rb._id"))
+    // which Fuzzy fields CAN prune (bound below maxlen)
+    val prunable = fields.zipWithIndex.collect {
+      case (f: Fuzzy, i) if (1.0 - threshold) / f.weight < 1.0 => i -> f
+    }.toMap
+    // ONE projection carries the pair ids, every field under an
+    // unambiguous alias, and one banded distance per prunable field —
+    // computed once and shared by the prune predicate and the score
+    // expression (never re-derived under a different parent: the r3
+    // lesson that codegen CSE does not merge across operator nodes)
+    val proj = joined.select(
+      Seq(col("id_a"), col("id_b")) ++
+        fields.zipWithIndex.flatMap { case (f, i) => Seq(
+          col(s"ra.${f.colName}").as(s"_a$i"),
+          col(s"rb.${f.colName}").as(s"_b$i")) } ++
+        prunable.toSeq.sortBy(_._1).map { case (i, f) =>
+          val fa = col(s"ra.${f.colName}"); val fb = col(s"rb.${f.colName}")
+          val band = (floor(greatest(length(fa), length(fb)).cast("double") *
+            lit((1.0 - threshold) / f.weight) + lit(1e-9)) + 1).cast("int")
+          call_function("levenshtein", fa, fb, band).as(s"_d$i")
+        }: _*)
+    // band exceeded (−1) on any field proves score < threshold; NULL
+    // distances (null field) pass through to the when()-guard below,
+    // which scores them 0 exactly like Fuzzy.sim
+    val pruned = prunable.keys.foldLeft(proj) { (df, i) =>
+      df.filter(col(s"_d$i").isNull || col(s"_d$i") =!= -1)
+    }
+    // the score expression MUST be the literal scorePairs chain with
+    // the already-computed distance substituted for the plain kernel:
+    // same when-guard, same division, same weight products, same sum
+    // order — IEEE-bit-identical on every surviving pair
+    val score = fields.zipWithIndex.map { case (f, i) =>
+      val fa = col(s"_a$i"); val fb = col(s"_b$i")
+      val sim =
+        if (prunable.contains(i))
+          when(fa.isNull || fb.isNull, 0.0).otherwise(
+            lit(1.0) - col(s"_d$i") /
+              greatest(length(fa), length(fb)).cast("double"))
+        else f.sim(fa, fb)
+      sim * f.weight
+    }.reduce(_ + _)
+    pruned.select(col("id_a"), col("id_b"), score.as("score"))
+      .filter(col("score") >= threshold)
   }
 
   /** SORTED-NEIGHBORHOOD candidate pairs — the standard recall rescue
@@ -223,11 +328,18 @@ object RecordLinkage {
     * record returns (id, entity_id, keep) under the min-id keeper
     * convention. */
   def linkWithPairs(records: DataFrame, id: String, candidates: DataFrame,
-      fields: Seq[FieldSim], threshold: Double): DataFrame = {
+      fields: Seq[FieldSim], threshold: Double,
+      anchor: Anchor = Anchor.Local): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold $threshold")
-    val pairs = scorePairs(records, candidates, id, fields)
-      .filter(col("score") >= threshold)
-    val comps = DedupClusters.connectedComponents(pairs, "id_a", "id_b")
+    // anchored: connectedComponents consumes the scored pairs through a
+    // union of both edge directions, and without the anchor each branch
+    // re-runs the ENTIRE block+score pipeline (r18 profile: the scoring
+    // stage billed ~2× its isolated cost). The anchored frame is the
+    // thresholded edge set — tiny relative to the candidate volume.
+    val pairs = anchor(
+      scorePairsThresholded(records, candidates, id, fields, threshold))
+    val comps = DedupClusters
+      .connectedComponents(pairs, "id_a", "id_b", anchor = anchor)
       .select(col("id").as("_cid"), col("comp"))
     records.select(col(id))
       .join(comps, col(id) === col("_cid"), "left")
@@ -241,10 +353,10 @@ object RecordLinkage {
     * (the repo keeper convention); singletons are their own entity. */
   def link(records: DataFrame, id: String, blockingKeys: Seq[Column],
       fields: Seq[FieldSim], threshold: Double,
-      maxBlockSize: Int = 1000): DataFrame =
+      maxBlockSize: Int = 1000, anchor: Anchor = Anchor.Local): DataFrame =
     linkWithPairs(records, id,
       candidatePairs(records, id, blockingKeys, maxBlockSize), fields,
-      threshold)
+      threshold, anchor)
 
   /** The two frames a delta linkage produces. */
   final case class DeltaLink(assignments: DataFrame, mergeCandidates: DataFrame)
@@ -306,8 +418,7 @@ object RecordLinkage {
     // side's delta row), so unlike candidatePairs the single-key path
     // still needs the dedup
     val pairs = perKeyPairs.reduce(_ unionByName _).distinct()
-    val matched = scorePairs(union, pairs, id, fields)
-      .filter(col("score") >= threshold)
+    val matched = scorePairsThresholded(union, pairs, id, fields, threshold)
       .select("id_a", "id_b")
 
     // component edges: matched pairs, with OLD records standing in for

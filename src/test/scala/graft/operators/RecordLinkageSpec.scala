@@ -51,6 +51,35 @@ class RecordLinkageSpec extends SparkSpec {
         Seq(RecordLinkage.Fuzzy("name", 0.9))) } // weights must sum to 1
   }
 
+  test("scorePairsThresholded ≡ scorePairs.filter — set AND bit-exact " +
+    "scores, nulls and boundary pairs included") {
+    // a spread of distances around the prune band (threshold 0.75,
+    // fuzzy weight 0.5 → band reaches maxlen: unprunable; threshold
+    // 0.9 → band ~len/5: prunable), plus null fields on either side
+    val recs = Seq(
+      (1L, "abcdefgh", Some("X")), (2L, "abcdefgx", Some("X")), // lev 1
+      (3L, "abcdxxxx", Some("X")), // lev 4 from 1
+      (4L, "zzzzzzzz", Some("Y")), // lev 8 from 1
+      (5L, null.asInstanceOf[String], Some("X")), // null fuzzy side
+      (6L, "abcdefgh", Option.empty[String]) // null exact side
+    ).toDF("id", "name", "seg")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L),
+      (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    for (t <- Seq(0.9, 0.75, 0.5, 0.2)) {
+      val fields = Seq(RecordLinkage.Fuzzy("name", 0.75),
+        RecordLinkage.Exact("seg", 0.25))
+      val ref = RecordLinkage.scorePairs(recs, pairs, "id", fields)
+        .filter(col("score") >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      val got = RecordLinkage
+        .scorePairsThresholded(recs, pairs, "id", fields, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      assert(got === ref, s"threshold $t") // bit-exact doubles via ===
+    }
+  }
+
   test("link: transitive closure merges chains, min-id keeps, singletons stand") {
     // A~B and B~C are each within edit 1; A~C is at edit 2 and alone
     // would miss the threshold — CC must still merge all three
