@@ -31,40 +31,54 @@ import org.apache.spark.sql.functions._
   */
 object BasketOps {
 
-  /** Distinct (basket, item) incidence with the loud basket-size cap
-    * riding the item column itself. */
-  private def boundedItems(df: DataFrame, basket: String, item: String,
-      maxBasket: Int): DataFrame = {
-    val items = df.select(col(basket), col(item)).distinct()
-    val sizes = items.groupBy(col(basket)).agg(count(lit(1)).as("_bsz"))
-    val guarded: Column = when(col("_bsz") > maxBasket,
-      raise_error(concat(lit(s"basket over maxBasket=$maxBasket: "),
-        col(basket).cast("string"), lit(" has "), col("_bsz"))))
-      .otherwise(col(item)).as(item)
-    items.join(sizes, basket).select(col(basket), guarded)
-  }
-
   /** Co-occurrence pairs with support ≥ minSupport and lift.
     * Output: (item_a, item_b, n_pair, n_a, n_b, lift), item_a < item_b.
     * `nBaskets` (the N in lift) is derived from the same incidence
     * frame — callers never pass a count that could drift from the
-    * data. */
+    * data.
+    *
+    * Shape (r18, the candidatePairs cell rewrite): each basket
+    * collapses to ONE distinct-item array row — the size cap rides the
+    * array column (Catalyst cannot prune the guard), and the per-item
+    * counts, the basket count AND the pair explosion all derive from
+    * the anchored cell frame, so the incidence scan+distinct runs once
+    * instead of four times (the old boundedItems self-join shape also
+    * let AQE serialize the quadratic onto the basket key's few
+    * post-shuffle partitions). The cell frame is explicitly
+    * repartitioned so pair generation keeps full width. */
   def copurchasePairs(df: DataFrame, basket: String, item: String,
       minSupport: Long, maxBasket: Int = 1000): DataFrame = {
     require(minSupport >= 1, s"minSupport $minSupport")
     require(maxBasket >= 2, s"maxBasket $maxBasket")
-    val items = boundedItems(df, basket, item, maxBasket)
-    val a = items.toDF(basket, "item_a")
-    val b = items.toDF(basket, "item_b")
-    val pairs = a.join(b, Seq(basket))
+    val npart = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    // one basket-keyed exchange serves BOTH the distinct and the cell
+    // aggregation (basket-hash partitioning satisfies the (basket,
+    // item) clustering — the pagerank src-partitioning device); skew
+    // is bounded by the maxBasket cap
+    val cells = df.select(col(basket), col(item))
+      .repartition(npart, col(basket)).distinct()
+      .groupBy(col(basket))
+      .agg(sort_array(collect_list(col(item))).as("_its"))
+      .select(col(basket),
+        when(size(col("_its")) > maxBasket,
+          raise_error(concat(lit(s"basket over maxBasket=$maxBasket: "),
+            col(basket).cast("string"), lit(" has "),
+            size(col("_its")).cast("string"))))
+          .otherwise(col("_its")).as("_its"))
+      .repartition(npart, col(basket))
+      .localCheckpoint(eager = true)
+    val pairs = cells
+      .select(explode(col("_its")).as("item_a"), col("_its"))
+      .select(col("item_a"), explode(col("_its")).as("item_b"))
       .filter(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minSupport)
-    val itemCounts = items.groupBy(col(item)).agg(count(lit(1)).as("_n"))
+    val itemCounts = cells.select(explode(col("_its")).as(item))
+      .groupBy(col(item)).agg(count(lit(1)).as("_n"))
     // N as a 1-row aggregate crossJoin (broadcast, no driver action) —
     // the plan stays fully lazy and N can never drift from the data
-    val nBaskets = items.agg(count_distinct(col(basket)).as("_nb"))
+    val nBaskets = cells.agg(count(lit(1)).as("_nb"))
     pairs
       .join(itemCounts.toDF("item_a", "n_a"), "item_a")
       .join(itemCounts.toDF("item_b", "n_b"), "item_b")

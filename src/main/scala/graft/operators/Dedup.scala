@@ -24,8 +24,18 @@ object Dedup {
 
   private def shingles(spark: SparkSession, d: String): DataFrame = {
     // materialize the token array once: indexing split(...) inside the
-    // lambda would re-split the string per element access (O(tokens^2))
+    // lambda would re-split the string per element access (O(tokens^2)).
+    // doc_id-hash repartition before tokenization (r18): the documents
+    // table arrives as a single parquet row group, so the whole
+    // tokenize+shingle+explode chain otherwise runs in ONE scan task
+    // (profiled 0.74 cpu-s serial at sf0.1, guide §2.5 "input skew —
+    // repartition immediately after the read"); one narrow shuffle of
+    // (doc_id, text) buys full-width parallelism for the heavy
+    // per-token work at any scale.
+    val npart = math.max(1, spark.sparkContext.defaultParallelism)
     Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+      .repartition(npart, col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
@@ -124,7 +134,10 @@ object Dedup {
 
   /** C4: 32-bit simhash per document from per-token md5-derived hashes. */
   def dedupSimhash(spark: SparkSession, d: String): DataFrame = {
+    val npart = math.max(1, spark.sparkContext.defaultParallelism)
     val tok = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+      .repartition(npart, col("doc_id")) // single-row-group scan — see shingles
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", md5Hash(col("tok"), 1, 8))
     val bits = tok
@@ -157,9 +170,16 @@ object Dedup {
     val e = Tables.embeddings(spark, d)
       .select(col("vec_id"), col("embedding"),
         VecDot.vecNorm(col("embedding")).as("nrm"))
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    // stream side spread across cores (r18): the embeddings table is a
+    // single parquet row group, so the nested-loop pair verification —
+    // the dominant cost of this small-SF oracle twin — ran in ONE task
+    // (profiled: two sequential 0.8 cpu-s single-task stages); the
+    // broadcast side stays as-is
+    val npart = math.max(1, spark.sparkContext.defaultParallelism)
+    val a = e.repartition(npart, col("vec_id"))
+      .select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("cos", VecDot.cosine(col("ea"), col("na"), col("eb"), col("nb")))
       .filter(col("cos") >= 0.45)
       .select("id_a", "id_b", "cos")

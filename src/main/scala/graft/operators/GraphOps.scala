@@ -37,6 +37,13 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Explicit width for the pre-anchor edge repartitions below: an
+    * AQE-coalescible keyed repartition collapses small-at-test-scale
+    * edge frames back to a handful of partitions, re-serializing the
+    * per-iteration work the repartition exists to spread. */
+  private def npart(df: DataFrame): Int =
+    math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+
   /** Exact integer PageRank. `edges`: first two columns are (src, dst).
     * Returns (id, rank) with rank in `scale` units. */
   def pagerank(edges: DataFrame, iters: Int = 3, dampingPct: Int = 85,
@@ -46,11 +53,23 @@ object GraphOps {
     require(dampingPct >= 1 && dampingPct <= 99, s"dampingPct=$dampingPct")
     val Seq(s, t) = edges.columns.take(2).toSeq
     // anchored: degrees, the degree-join and the node set all read
-    // e — without it the caller's edge derivation re-runs three times
+    // e — without it the caller's edge derivation re-runs three times.
+    // Partitioned by src BEFORE the anchor (r18, guide §2.4): the
+    // src-hash layout satisfies the clustering of the distinct, the
+    // degree aggregation, the degree join AND every iteration's rank
+    // join, so the O(E) frame crosses the network ONCE and is never
+    // re-exchanged or sorted per iteration (the checkpoint preserves
+    // the partitioning). Skew note: a hub node's out-edges were
+    // already co-located by the per-src rank join in the previous
+    // shape — this adds no new hot spot.
     val e = anchor(edges.select(col(s).cast("long").as("src"),
-      col(t).cast("long").as("dst")).distinct())
+      col(t).cast("long").as("dst")).repartition(npart(edges), col("src")).distinct())
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val ed = anchor(e.join(deg, Seq("src")))
+    // shuffle_hash, build = the per-src degree/rank side: sort-merge
+    // would re-SORT the anchored edge frame at every join even though
+    // its partitioning is reused — the hash build touches only the
+    // V-sized side and streams the edges (guide §3.1)
+    val ed = anchor(e.join(deg.hint("shuffle_hash"), Seq("src")))
     val nodes = anchor(e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct())
     val teleport = scale * (100L - dampingPct) / 100L
@@ -58,11 +77,12 @@ object GraphOps {
     // function and demand an OVER clause
     var r = nodes.withColumn("pr", lit(scale))
     for (_ <- 1 to iters) {
-      val contrib = ed.join(r, ed("src") === r("id"))
+      val contrib = ed.join(r.hint("shuffle_hash"), ed("src") === r("id"))
         .select(col("dst"),
           expr(s"(pr * $dampingPct) div (100 * outdeg)").as("m"))
         .groupBy(col("dst")).agg(sum(col("m")).as("m"))
-      r = anchor(nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+      r = anchor(nodes.join(contrib.hint("shuffle_hash"),
+          nodes("id") === contrib("dst"), "left")
         .select(col("id"), (lit(teleport) + coalesce(col("m"), lit(0L)))
           .as("pr")))
     }
@@ -86,10 +106,11 @@ object GraphOps {
     require(iters >= 1 && iters <= 50, s"iters=$iters out of [1,50]")
     require(dampingPct >= 1 && dampingPct <= 99, s"dampingPct=$dampingPct")
     val Seq(s, t) = edges.columns.take(2).toSeq
+    // src-partitioned anchor + hash-build joins: see [[pagerank]] (r18)
     val e = anchor(edges.select(col(s).cast("long").as("src"),
-      col(t).cast("long").as("dst")).distinct())
+      col(t).cast("long").as("dst")).repartition(npart(edges), col("src")).distinct())
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val ed = anchor(e.join(deg, Seq("src")))
+    val ed = anchor(e.join(deg.hint("shuffle_hash"), Seq("src")))
     val sd = seeds.select(col(seeds.columns.head).cast("long").as("id"))
       .distinct()
     val nodes = anchor(e.select(col("src").as("id"))
@@ -100,11 +121,12 @@ object GraphOps {
     var r = nodes.select(col("id"),
       when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("pr"))
     for (_ <- 1 to iters) {
-      val contrib = ed.join(r, ed("src") === r("id"))
+      val contrib = ed.join(r.hint("shuffle_hash"), ed("src") === r("id"))
         .select(col("dst"),
           expr(s"(pr * $dampingPct) div (100 * outdeg)").as("m"))
         .groupBy(col("dst")).agg(sum(col("m")).as("m"))
-      r = anchor(nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+      r = anchor(nodes.join(contrib.hint("shuffle_hash"),
+          nodes("id") === contrib("dst"), "left")
         .select(col("id"),
           (when(col("is_seed"), lit(teleport)).otherwise(lit(0L)) +
             coalesce(col("m"), lit(0L))).as("pr")))
@@ -132,25 +154,28 @@ object GraphOps {
     require(iters >= 1 && iters <= 50, s"iters=$iters out of [1,50]")
     require(dampingPct >= 1 && dampingPct <= 99, s"dampingPct=$dampingPct")
     val Seq(s, t, w) = edges.columns.take(3).toSeq
+    // src-partitioned anchor + hash-build joins: see [[pagerank]] (r18)
     val e = anchor(edges.select(col(s).cast("long").as("src"),
         col(t).cast("long").as("dst"), col(w).cast("long").as("w"))
       .withColumn("w", when(col("w").isNull || col("w") <= 0, raise_error(
         concat(lit("pagerankWeighted: null or non-positive weight on edge "),
           col("src").cast("string"), lit("->"), col("dst").cast("string"))))
         .otherwise(col("w")))
+      .repartition(npart(edges), col("src"))
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")))
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
-    val ed = anchor(e.join(outw, Seq("src")))
+    val ed = anchor(e.join(outw.hint("shuffle_hash"), Seq("src")))
     val nodes = anchor(e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct())
     val teleport = scale * (100L - dampingPct) / 100L
     var r = nodes.withColumn("pr", lit(scale))
     for (_ <- 1 to iters) {
-      val contrib = ed.join(r, ed("src") === r("id"))
+      val contrib = ed.join(r.hint("shuffle_hash"), ed("src") === r("id"))
         .select(col("dst"),
           expr(s"(((pr * $dampingPct) div 100) * w) div outw").as("m"))
         .groupBy(col("dst")).agg(sum(col("m")).as("m"))
-      r = anchor(nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+      r = anchor(nodes.join(contrib.hint("shuffle_hash"),
+          nodes("id") === contrib("dst"), "left")
         .select(col("id"), (lit(teleport) + coalesce(col("m"), lit(0L)))
           .as("pr")))
     }
@@ -204,13 +229,26 @@ object GraphOps {
           .otherwise(struct(col("b").as("src"), col("a").as("dst")))
           .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(npart(edges), col("src"))
       .localCheckpoint()
-    val wedges = o.select(col("src"), col("dst").as("v"))
-      .join(o.select(col("src"), col("dst").as("w")), Seq("src"))
-      .filter(col("v") =!= col("w"))
-    val closing = o.select(col("src").as("v"), col("dst").as("w"))
-    val tri = wedges.join(closing, Seq("v", "w"))
-      .agg(count(lit(1)).as("n_triangles"))
+    // adjacency-intersection census (r18, guide §2.3 "shuffle fewer
+    // bytes"): the former wedge self-join MATERIALIZED Σ outdeg² wedge
+    // rows and shuffled them into the closing-edge join; grouping the
+    // oriented neighbors once and intersecting the two endpoint lists
+    // per edge counts the identical (wedge, closing-edge) matches —
+    // Σ_{(u,v)∈E} |N⁺(u) ∩ N⁺(v)| — while the shuffles carry only
+    // O(E) rows (edges + one adjacency array per node). Per-row cost
+    // stays O(outdeg), bounded by the orientation's O(√m). `o` is
+    // src-partitioned so the grouping and the u-side attach reuse one
+    // exchange.
+    val adj = o.groupBy(col("src")).agg(collect_list(col("dst")).as("ns"))
+    val tri = o
+      .join(adj.select(col("src").as("u"), col("ns").as("nu")),
+        col("src") === col("u"))
+      .join(adj.select(col("src").as("v"), col("ns").as("nv")),
+        col("dst") === col("v"))
+      .select(size(array_intersect(col("nu"), col("nv"))).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
     // integer floor-div, NOT double /2-then-cast: the sum is even by
     // construction so div is exact at any scale, where the double path
     // would silently round past 2^53 (ANSI overflow past 2^63 is loud)
@@ -224,10 +262,13 @@ object GraphOps {
 
   // ---------------------------------------------------------------- gate
 
-  /** Gate `pagerank`: 3 exact iterations over the customer↔supplier
-    * trade graph (who bought from whom, both directions; supplier ids
-    * offset by 10⁶ into a disjoint id space). */
-  def pagerankGate(spark: SparkSession, d: String): DataFrame = {
+  /** The bidirectional customer↔supplier trade edge set shared by the
+    * pagerank / ppr / khop gates. The distinct (cust, supp) derivation
+    * is anchored BEFORE the direction union (r18): the union's two
+    * branches are separate subtrees to Catalyst, so the un-anchored
+    * form scanned lineitem and paid the distinct TWICE per gate
+    * (profiled: a 188 MiB double-scan stage at sf0.1). */
+  private def tradeEdges(spark: SparkSession, d: String): DataFrame = {
     val trade = Tables.lineitem(spark, d)
       .select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(spark, d).select(col("o_orderkey"), col("o_custkey")),
@@ -235,10 +276,16 @@ object GraphOps {
       .select(col("o_custkey").as("cust"),
         (col("l_suppkey") + 1000000L).as("supp"))
       .distinct()
-    val edges = trade.select(col("cust").as("src"), col("supp").as("dst"))
+      .localCheckpoint(eager = true)
+    trade.select(col("cust").as("src"), col("supp").as("dst"))
       .unionByName(trade.select(col("supp").as("src"), col("cust").as("dst")))
-    pagerank(edges, iters = 3).orderBy(col("id"))
   }
+
+  /** Gate `pagerank`: 3 exact iterations over the customer↔supplier
+    * trade graph (who bought from whom, both directions; supplier ids
+    * offset by 10⁶ into a disjoint id space). */
+  def pagerankGate(spark: SparkSession, d: String): DataFrame =
+    pagerank(tradeEdges(spark, d), iters = 3).orderBy(col("id"))
 
   val pagerankSql: String =
     """WITH trade AS (
@@ -284,18 +331,26 @@ object GraphOps {
       anchor: Anchor = Anchor.Local): DataFrame = {
     require(k >= 1 && k <= 30, s"k=$k out of [1,30]")
     val Seq(s, t) = edges.columns.take(2).toSeq
+    // src-partitioned anchor + hash-build frontier join: the O(E)
+    // frame is exchanged once and streamed per hop (see [[pagerank]],
+    // r18); `settled` stays a LAZY union of the per-hop anchored
+    // frontiers — every constituent is already lineage-truncated, so
+    // re-anchoring the union only re-copied ≤ V rows per hop and
+    // added a blocking job
     val e = anchor(edges.select(col(s).cast("long").as("src"),
-      col(t).cast("long").as("dst")).distinct())
+      col(t).cast("long").as("dst")).repartition(npart(edges), col("src")).distinct())
     var settled = anchor(seeds.select(col(seeds.columns.head).cast("long").as("id"))
       .distinct().withColumn("dist", lit(0L)))
     var frontier = settled
     var hop = 1
     while (hop <= k && !frontier.isEmpty) {
-      val next = anchor(e.join(frontier.select(col("id").as("src")), Seq("src"))
+      val next = anchor(e.join(
+          frontier.select(col("id").as("src")).hint("shuffle_hash"),
+          Seq("src"))
         .select(col("dst").as("id")).distinct()
         .join(settled.select(col("id")), Seq("id"), "left_anti")
         .withColumn("dist", lit(hop.toLong)))
-      settled = anchor(settled.unionByName(next))
+      settled = settled.unionByName(next)
       frontier = next
       hop += 1
     }
@@ -356,19 +411,10 @@ object GraphOps {
     * nation-0 suppliers — hop 1 = their customers, hop 2 = the OTHER
     * suppliers those customers also buy from (supply-chain exposure). */
   def khopGate(spark: SparkSession, d: String): DataFrame = {
-    val trade = Tables.lineitem(spark, d)
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(spark, d).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("cust"),
-        (col("l_suppkey") + 1000000L).as("supp"))
-      .distinct()
-    val edges = trade.select(col("cust").as("src"), col("supp").as("dst"))
-      .unionByName(trade.select(col("supp").as("src"), col("cust").as("dst")))
     val seeds = Tables.supplier(spark, d)
       .filter(col("s_nationkey") === 0)
       .select((col("s_suppkey") + 1000000L).as("id"))
-    khopDistances(edges, seeds, k = 2).orderBy(col("id"))
+    khopDistances(tradeEdges(spark, d), seeds, k = 2).orderBy(col("id"))
   }
 
   val khopSql: String =
@@ -401,15 +447,7 @@ object GraphOps {
     * suppliers sit closest to this nation's supply base", the
     * related-entities question B34's global rank cannot answer. */
   def pprGate(spark: SparkSession, d: String): DataFrame = {
-    val trade = Tables.lineitem(spark, d)
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(spark, d).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("cust"),
-        (col("l_suppkey") + 1000000L).as("supp"))
-      .distinct()
-    val edges = trade.select(col("cust").as("src"), col("supp").as("dst"))
-      .unionByName(trade.select(col("supp").as("src"), col("cust").as("dst")))
+    val edges = tradeEdges(spark, d)
     val sup = Tables.supplier(spark, d)
       .select(col("s_suppkey"), col("s_nationkey"))
     val minNat = sup.agg(min(col("s_nationkey")).as("_mn"))
@@ -464,6 +502,7 @@ object GraphOps {
     * B34's unweighted rank flattens (a 100-order relationship counts
     * like a 1-order one there). */
   def pagerankWeightedGate(spark: SparkSession, d: String): DataFrame = {
+    // anchored before the direction union — the tradeEdges rationale
     val trade = Tables.lineitem(spark, d)
       .select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(spark, d).select(col("o_orderkey"), col("o_custkey")),
@@ -473,6 +512,7 @@ object GraphOps {
       .distinct()
       .groupBy(col("cust"), col("supp"))
       .agg(count(lit(1)).as("w"))
+      .localCheckpoint(eager = true)
     val edges = trade.select(col("cust").as("src"), col("supp").as("dst"), col("w"))
       .unionByName(trade.select(col("supp").as("src"), col("cust").as("dst"), col("w")))
     pagerankWeighted(edges, iters = 3).orderBy(col("id"))
