@@ -38,7 +38,15 @@ object CorpusOverlap {
     * shingle convention (token array materialized once). */
   def corpusShingles(docs: DataFrame, corpusCol: String, textCol: String)
       : DataFrame =
-    docs.select(col(corpusCol).as("corpus"), split(col(textCol), " ").as("toks"))
+    docs.select(col(corpusCol).as("corpus"), col(textCol).as("_t"))
+      // text-hash repartition after the read (r18): shingling is the
+      // heavy row-local phase and a single-row-group input runs it in
+      // one task otherwise (the Dedup.shingles note); corpus alone is
+      // too coarse a key — corpora are few by definition
+      .repartition(math.max(1,
+        docs.sparkSession.sparkContext.defaultParallelism),
+        col("corpus"), col("_t"))
+      .select(col("corpus"), split(col("_t"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("corpus"), explode(array_distinct(expr(
         "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))

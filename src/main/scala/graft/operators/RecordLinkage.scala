@@ -304,20 +304,32 @@ object RecordLinkage {
       q: Int = 3, dfCap: Int = 500): DataFrame = {
     require(q >= 2 && q <= 8, s"q $q must be in [2, 8]")
     require(dfCap >= 2, s"dfCap $dfCap must be >= 2")
+    val npart = math.max(1,
+      records.sparkSession.sparkContext.defaultParallelism)
+    // id-keyed repartition after the read: gram explosion is the heavy
+    // row-local phase and a single-row-group input would run it in one
+    // task (the shingles note in Dedup, r18)
     val grams = records
       .select(col(id).as("_id"), lower(col(field)).as("_s"))
       .filter(col("_s").isNotNull && length(col("_s")) >= q)
+      .repartition(npart, col("_id"))
       .select(col("_id"), explode(array_distinct(expr(
         s"transform(sequence(1, length(_s) - ${q - 1}), " +
           s"i -> substring(_s, i, $q))"))).as("_blk"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_blk"))
-    val kept = grams
-      .withColumn("_n", count(lit(1)).over(w))
-      .filter(col("_n") <= dfCap) // df-capped blocking (see scaladoc)
-      .select(col("_id"), col("_blk"))
-    kept.as("a").join(kept.as("b"),
-        col("a._blk") === col("b._blk") && col("a._id") < col("b._id"))
-      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+    // one gram-keyed aggregation replaces the window count AND the
+    // two-sided self-join (the candidatePairs cell device, r18): the
+    // cell's array size IS the gram's document frequency, so the
+    // df-cap becomes a size filter, and pairs explode from the
+    // surviving cells (every cell ≤ dfCap ids by construction). The
+    // explicit repartition keeps pair generation at full width.
+    val cells = grams.groupBy(col("_blk"))
+      .agg(collect_list(col("_id")).as("_ids"))
+      .filter(size(col("_ids")).between(2, dfCap))
+    cells.repartition(npart, col("_ids"))
+      .select(explode(col("_ids")).as("id_a"), col("_ids"))
+      .select(col("id_a"), explode(col("_ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
   }
 

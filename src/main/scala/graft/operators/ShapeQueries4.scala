@@ -56,6 +56,29 @@ object ShapeQueries4 {
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("_uc")).as("cost_c"))
 
+  /** [[ps]] restricted to a part-key set BEFORE the pair rollup (r18,
+    * guide §3.2): a per-(part, supplier) MIN commutes with any
+    * partkey-level filter, so a gate whose output only surfaces a
+    * known part subset can shrink the rollup's input ~selectivity-fold
+    * before it shuffles. The mart-fed `*From` variants are untouched
+    * (the mart is already materialized at full grain). */
+  private def psFor(spark: SparkSession, d: String,
+      partkeys: DataFrame): DataFrame =
+    Tables.lineitem(spark, d)
+      .select(col("l_partkey"), col("l_suppkey"),
+        cents(col("l_extendedprice") / col("l_quantity")).as("_uc"))
+      .join(broadcast(partkeys.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("_uc")).as("cost_c"))
+
+  /** Q2's part predicate — ONE spelling for the gate's supply
+    * pre-filter and the From-variant's dimension join. */
+  private def q2Parts(spark: SparkSession, d: String): DataFrame =
+    Tables.part(spark, d)
+      .filter(col("p_type") === "SMALL" && col("p_size") <= 15)
+      .select(col("p_partkey"), col("p_name"))
+
   /** Suppliers of one region with their nation name (broadcast-sized:
     * the supplier dimension). */
   private def regionSuppliers(spark: SparkSession, d: String,
@@ -79,7 +102,7 @@ object ShapeQueries4 {
     * back on equality — ties (several suppliers at the min) all
     * surface, exactly TPC-H semantics. */
   def q2MinCost(spark: SparkSession, d: String): DataFrame =
-    q2MinCostFrom(spark, d, ps(spark, d))
+    q2MinCostFrom(spark, d, psFor(spark, d, q2Parts(spark, d)))
 
   /** Q2 over an explicit supply relation — point it at
     * [[SupplyMart.read]] and the fact table drops out of the plan
@@ -87,9 +110,7 @@ object ShapeQueries4 {
     * bit-identical to the inline form (SupplyMartSpec). */
   def q2MinCostFrom(spark: SparkSession, d: String,
       supply: DataFrame): DataFrame = {
-    val parts = Tables.part(spark, d)
-      .filter(col("p_type") === "SMALL" && col("p_size") <= 15)
-      .select(col("p_partkey"), col("p_name"))
+    val parts = q2Parts(spark, d)
     val rps = supply.select(col("l_partkey"), col("l_suppkey"), col("cost_c"))
       .join(broadcast(regionSuppliers(spark, d, "EUROPE")),
         col("l_suppkey") === col("s_suppkey"))
@@ -133,8 +154,19 @@ object ShapeQueries4 {
     * supplier nation and order year. profit per lineitem, all in
     * 10⁻⁴-dollar integer units: revenue cents·(100−disc) minus derived
     * unit cost · quantity · 100. ONE final IEEE division per group. */
-  def q9Profit(spark: SparkSession, d: String): DataFrame =
-    q9ProfitFrom(spark, d, ps(spark, d))
+  def q9Profit(spark: SparkSession, d: String): DataFrame = {
+    // pre-filter the supply DERIVATION by the gizmo part set (r18,
+    // guide §3.2 "reduce the big side before shuffling"): the final
+    // result only ever surfaces gizmo pairs (the fact side is
+    // semi-joined on the same set), and a per-pair MIN is untouched by
+    // a partkey-level filter — so both sides of the pair-grain join
+    // shrink ~18× (p_name LIKE selectivity) before the groupBy and the
+    // join pay their shuffles. The mart-fed q9ProfitFrom path reads
+    // the prebuilt full mart unchanged.
+    val gizmo = Tables.part(spark, d)
+      .filter(col("p_name").like("%gizmo%")).select(col("p_partkey"))
+    q9ProfitFrom(spark, d, psFor(spark, d, gizmo))
+  }
 
   /** Q9 over an explicit supply relation: the fact joins the mart ONCE
     * (pair grain) instead of re-deriving it — one lineitem scan, zero
@@ -250,23 +282,32 @@ object ShapeQueries4 {
     * (deficit account stands in for the complaint filter) via
     * anti-join, and excluding one brand + one type + off-list sizes. */
   def q16SupplierCnt(spark: SparkSession, d: String): DataFrame =
+    // part-level pre-filter commutes with the pair distinct (r18, the
+    // psFor rationale); q16Parts is the From-variant's own predicate
     q16SupplierCntFrom(spark, d,
       Tables.lineitem(spark, d)
-        .select(col("l_partkey"), col("l_suppkey")).distinct())
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(q16Parts(spark, d).select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .distinct())
 
   /** Q16 over an explicit supply relation — the mart's keys ARE the
     * distinct (part, supplier) pairs, so with [[SupplyMart.read]] the
     * distinct-shuffle over the fact disappears. `supply` needs only
     * the two key columns. */
+  /** Q16's part predicate — ONE spelling (gate pre-filter + join). */
+  private def q16Parts(spark: SparkSession, d: String): DataFrame =
+    Tables.part(spark, d)
+      .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+
   def q16SupplierCntFrom(spark: SparkSession, d: String,
       supplyPairs: DataFrame): DataFrame = {
     val supply = supplyPairs.select(col("l_partkey"), col("l_suppkey"))
     val excluded = Tables.supplier(spark, d)
       .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
-    val pts = Tables.part(spark, d)
-      .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
-        col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49))
-      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val pts = q16Parts(spark, d)
     supply
       .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
         "left_anti")
