@@ -23,6 +23,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+
+  /** `documents` spread across the cores by doc_id BEFORE heavy
+    * row-local text work (r18): the corpus can arrive as one parquet
+    * row group (the driver testdata does), which makes every scan a
+    * single task and serializes tokenize/n-gram/regex pipelines
+    * (guide §2.5 — "one huge unsplittable file ... repartition
+    * immediately after the read"). One narrow (doc_id, text, …)
+    * exchange buys full-width parallelism; the width is explicit so
+    * AQE cannot coalesce the tiny-at-test-scale shuffle back to one
+    * task. Operators whose downstream work is trivial keep the plain
+    * loader — the exchange is not free. */
+  def documentsSpread(s: SparkSession, d: String): DataFrame = {
+    val npart = math.max(1, s.sparkContext.defaultParallelism)
+    documents(s, d).repartition(npart,
+      org.apache.spark.sql.functions.col("doc_id"))
+  }
   /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) (Spark 4
     * refuses to map it to TimestampType — read as a raw long via the
     * legacy conf and truncate to microseconds) and, in later testdata

@@ -215,7 +215,7 @@ object Bm25 {
     * oracle can and cannot gate). */
   def bm25Postings(spark: SparkSession, d: String): DataFrame = {
     val idx = buildIndex(
-      Tables.documents(spark, d).select(col("doc_id"), col("text")))
+      Tables.documentsSpread(spark, d).select(col("doc_id"), col("text")))
     val probe = Seq("table", "spark", "window", "quantum")
     val p = idx.postings.where(col("term").isin(probe: _*))
     val agg = p.groupBy(col("term"))

@@ -99,7 +99,7 @@ object C4Filters {
 
   /** Harness entry over the documents table. */
   def c4Filter(spark: SparkSession, d: String): DataFrame =
-    c4Clean(Tables.documents(spark, d).select(col("doc_id"), col("text")))
+    c4Clean(Tables.documentsSpread(spark, d).select(col("doc_id"), col("text")))
 
   /** Gated harness entry. The synthetic corpus is single-line prose
     * with no punctuation, so the query derives a multi-line page
@@ -139,7 +139,7 @@ object C4Filters {
       .drop("_p1", "_p2")
 
   def c4Gate(spark: SparkSession, d: String): DataFrame = {
-    val page = gatePage(Tables.documents(spark, d)
+    val page = gatePage(Tables.documentsSpread(spark, d)
         .select(col("doc_id"), col("lang"), col("text")))
       .select(col("doc_id"), col("page"))
     c4Clean(page, textCol = "page", blocklist = Seq("verboten"))

@@ -308,7 +308,7 @@ object Contamination {
     * benchmark doc. Self-hits (a benchmark doc matching itself) are
     * excluded on both engines by keying the join on doc_id != bench_id. */
   def textContamination(spark: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(spark, d)
+    val docs = Tables.documentsSpread(spark, d)
     val bench = docs.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("bench_id"), col("text"))
     val corpus = docs.filter(col("doc_id") % 50 =!= 0)
@@ -346,7 +346,7 @@ object Contamination {
     * gaps-and-islands, clamping AFTER the merge, and the kept-text
     * rebuild as an anti-join + ordered string_agg. */
   def spanClean(spark: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val docs = Tables.documentsSpread(spark, d).select(col("doc_id"), col("text"))
     val bench = docs.filter(pmod(col("doc_id"), lit(100)) === 11)
       .select(col("doc_id").as("bench_id"),
         concat_ws(" ", slice(split(col("text"), " "), 5, 13)).as("text"))

@@ -174,7 +174,7 @@ object CorpusReport {
     * pass conjunction. */
   def corpusReportGate(spark: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
-    val paged = C4Filters.gatePage(graft.Tables.documents(spark, d)
+    val paged = C4Filters.gatePage(graft.Tables.documentsSpread(spark, d)
         .select(col("doc_id"), col("lang"), col("source"), col("text")))
       .select(col("doc_id"), col("page").as("text"), col("source"))
     reportExact(paged, c4Blocklist = Seq("verboten"))

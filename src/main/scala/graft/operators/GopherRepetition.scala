@@ -165,7 +165,7 @@ object GopherRepetition {
     * callers that want line/paragraph signals on this newline-free
     * synthetic corpus). */
   def gopherRepetition(spark: SparkSession, d: String): DataFrame =
-    repetitionFlags(Tables.documents(spark, d).select(col("doc_id"), col("text")))
+    repetitionFlags(Tables.documentsSpread(spark, d).select(col("doc_id"), col("text")))
 
   /** Gated subset of the signal suite: the five signals DuckDB can
     * recompute independently on this corpus — top 2/3/4-gram coverage
@@ -179,7 +179,7 @@ object GopherRepetition {
     * (every doc is one line), so they stay spec-gated on constructed
     * fixtures rather than wasting a trivially-constant oracle. */
   def gopherRep(spark: SparkSession, d: String): DataFrame =
-    repetitionSignals(Tables.documents(spark, d)
+    repetitionSignals(Tables.documentsSpread(spark, d)
         .select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("n_chars"), col("n_tokens"),
         col("top_2gram_char_frac"), col("top_3gram_char_frac"),

@@ -54,7 +54,7 @@ object KeywordOps {
     * table — every ranking comparison is exact integers, so DuckDB
     * re-derives the identical list including every tie break. */
   def topTermsGate(spark: SparkSession, d: String): DataFrame =
-    topTerms(Tables.load(spark, d, "documents"), "doc_id", "text", k = 3)
+    topTerms(Tables.documentsSpread(spark, d), "doc_id", "text", k = 3)
       .orderBy(col("doc_id"), col("rank"))
 
   val topTermsSql: String =

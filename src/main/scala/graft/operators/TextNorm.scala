@@ -102,7 +102,7 @@ object TextNorm {
     * folding, digit unification, \p{C} stripping, whitespace collapse
     * and trim order are all independently confirmed. */
   def normClean(spark: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val docs = graft.Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val docs = graft.Tables.documentsSpread(spark, d).select(col("doc_id"), col("text"))
     val orig = docs.select(col("doc_id"),
       concat(col("text"), lit(" Page 1 of 4")).as("t"))
     val variant = docs

@@ -87,7 +87,7 @@ object TextRepair {
     * iteration, and its veto all have to land on the independently
     * constructed expectation, byte for byte, across the whole corpus. */
   def repairGate(spark: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val docs = graft.Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val docs = graft.Tables.documentsSpread(spark, d).select(col("doc_id"), col("text"))
     val derived = docs.select(col("doc_id"),
       concat(col("text"),
         when(col("doc_id") % 3 === 0, lit(InjSingle)).otherwise(lit("")),
