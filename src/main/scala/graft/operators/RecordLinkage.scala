@@ -103,16 +103,17 @@ object RecordLinkage {
         .select(col("id_a"), explode(col("_ids")).as("id_b"))
         .filter(col("id_a") < col("id_b"))
     }
-    // the distinct is semantically needed only across keys (single-key
-    // pairs are unique by construction), but it is kept UNCONDITIONALLY
-    // as the rebalancing exchange: pair generation is partitioned by
-    // the block key — few, skewed values by the nature of blocking —
-    // and the distinct redistributes pairs by (id_a, id_b) so the
-    // per-pair field scoring downstream parallelizes over all cores.
-    // Measured on the sf0.1 gate (25 nation blocks): skipping it for
-    // the single-key case "saved" the shuffle and DOUBLED the operator
-    // (7.6 s → 13.0 s) — ~25 hot tasks ran every levenshtein.
-    perKey.reduce(_ unionByName _).distinct()
+    // the distinct dedupes pairs ACROSS keys only: within one key every
+    // record carries exactly one block value, so a pair cannot repeat.
+    // Single-key blocking therefore skips it (r18): the r17 measurement
+    // that made it unconditional ("skipping saved the shuffle and
+    // DOUBLED the operator — ~25 hot tasks ran every levenshtein")
+    // predates the cell rewrite above — generation is now explicitly
+    // repartitioned to full width and the scoring joins rebalance by
+    // pair id through their own exchanges, so the extra pair-wide
+    // shuffle+dedupe was pure overhead on the single-key path.
+    if (perKey.size == 1) perKey.head
+    else perKey.reduce(_ unionByName _).distinct()
   }
 
   /** Weighted field-similarity score for each candidate pair:
