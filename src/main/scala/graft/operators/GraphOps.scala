@@ -48,7 +48,8 @@ object GraphOps {
     * Returns (id, rank) with rank in `scale` units. */
   def pagerank(edges: DataFrame, iters: Int = 3, dampingPct: Int = 85,
                scale: Long = 1000000000L,
-               anchor: Anchor = Anchor.Local): DataFrame = {
+               anchor: Anchor = Anchor.Local,
+               edgesDistinct: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters=$iters out of [1,50]")
     require(dampingPct >= 1 && dampingPct <= 99, s"dampingPct=$dampingPct")
     val Seq(s, t) = edges.columns.take(2).toSeq
@@ -62,8 +63,14 @@ object GraphOps {
     // the partitioning). Skew note: a hub node's out-edges were
     // already co-located by the per-src rank join in the previous
     // shape — this adds no new hot spot.
-    val e = anchor(edges.select(col(s).cast("long").as("src"),
-      col(t).cast("long").as("dst")).repartition(npart(edges), col("src")).distinct())
+    // `edgesDistinct = true` is the caller's PROOF the edge frame is
+    // already duplicate-free (duplicates would inflate outdeg and
+    // corrupt the exact ranks) — it skips the dedup aggregation
+    // outright (guide §2.4 "a distinct on data that is already
+    // unique"), one full hash-agg pass over E saved at any scale.
+    val eraw = edges.select(col(s).cast("long").as("src"),
+      col(t).cast("long").as("dst")).repartition(npart(edges), col("src"))
+    val e = anchor(if (edgesDistinct) eraw else eraw.distinct())
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // shuffle_hash, build = the per-src degree/rank side: sort-merge
     // would re-SORT the anchored edge frame at every join even though
@@ -102,13 +109,16 @@ object GraphOps {
     * Dangling mass evaporates, matching [[pagerank]]. */
   def personalizedPagerank(edges: DataFrame, seeds: DataFrame,
       iters: Int = 3, dampingPct: Int = 85, scale: Long = 1000000000L,
-      anchor: Anchor = Anchor.Local): DataFrame = {
+      anchor: Anchor = Anchor.Local,
+      edgesDistinct: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters=$iters out of [1,50]")
     require(dampingPct >= 1 && dampingPct <= 99, s"dampingPct=$dampingPct")
     val Seq(s, t) = edges.columns.take(2).toSeq
-    // src-partitioned anchor + hash-build joins: see [[pagerank]] (r18)
-    val e = anchor(edges.select(col(s).cast("long").as("src"),
-      col(t).cast("long").as("dst")).repartition(npart(edges), col("src")).distinct())
+    // src-partitioned anchor + hash-build joins + caller-proved
+    // distinct skip: see [[pagerank]] (r18/r19)
+    val eraw = edges.select(col(s).cast("long").as("src"),
+      col(t).cast("long").as("dst")).repartition(npart(edges), col("src"))
+    val e = anchor(if (edgesDistinct) eraw else eraw.distinct())
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val ed = anchor(e.join(deg.hint("shuffle_hash"), Seq("src")))
     val sd = seeds.select(col(seeds.columns.head).cast("long").as("id"))
@@ -284,8 +294,13 @@ object GraphOps {
   /** Gate `pagerank`: 3 exact iterations over the customer↔supplier
     * trade graph (who bought from whom, both directions; supplier ids
     * offset by 10⁶ into a disjoint id space). */
+  // edgesDistinct: tradeEdges is a checkpointed DISTINCT (cust, supp)
+  // set unioned with its swap, and the two directions live in disjoint
+  // id spaces (supp offset by 10⁶), so no (src, dst) pair can repeat —
+  // the in-operator dedup would be a full no-op aggregation over E.
   def pagerankGate(spark: SparkSession, d: String): DataFrame =
-    pagerank(tradeEdges(spark, d), iters = 3).orderBy(col("id"))
+    pagerank(tradeEdges(spark, d), iters = 3, edgesDistinct = true)
+      .orderBy(col("id"))
 
   val pagerankSql: String =
     """WITH trade AS (
@@ -328,7 +343,8 @@ object GraphOps {
     * work is O(E · avg-eccentricity-within-k), not O(E·k). Output:
     * (id, dist) for every node within k hops, seeds at dist 0. */
   def khopDistances(edges: DataFrame, seeds: DataFrame, k: Int,
-      anchor: Anchor = Anchor.Local): DataFrame = {
+      anchor: Anchor = Anchor.Local,
+      edgesDistinct: Boolean = false): DataFrame = {
     require(k >= 1 && k <= 30, s"k=$k out of [1,30]")
     val Seq(s, t) = edges.columns.take(2).toSeq
     // src-partitioned anchor + hash-build frontier join: the O(E)
@@ -336,9 +352,13 @@ object GraphOps {
     // r18); `settled` stays a LAZY union of the per-hop anchored
     // frontiers — every constituent is already lineage-truncated, so
     // re-anchoring the union only re-copied ≤ V rows per hop and
-    // added a blocking job
-    val e = anchor(edges.select(col(s).cast("long").as("src"),
-      col(t).cast("long").as("dst")).repartition(npart(edges), col("src")).distinct())
+    // added a blocking job. edgesDistinct (caller-proved duplicate-free
+    // input) skips the dedup aggregation; duplicates would not change
+    // min-dist semantics (the per-hop distinct absorbs them) but would
+    // inflate every frontier join's output.
+    val eraw = edges.select(col(s).cast("long").as("src"),
+      col(t).cast("long").as("dst")).repartition(npart(edges), col("src"))
+    val e = anchor(if (edgesDistinct) eraw else eraw.distinct())
     var settled = anchor(seeds.select(col(seeds.columns.head).cast("long").as("id"))
       .distinct().withColumn("dist", lit(0L)))
     var frontier = settled
@@ -414,7 +434,9 @@ object GraphOps {
     val seeds = Tables.supplier(spark, d)
       .filter(col("s_nationkey") === 0)
       .select((col("s_suppkey") + 1000000L).as("id"))
-    khopDistances(tradeEdges(spark, d), seeds, k = 2).orderBy(col("id"))
+    khopDistances(tradeEdges(spark, d), seeds, k = 2,
+      edgesDistinct = true) // provably duplicate-free: see pagerankGate
+      .orderBy(col("id"))
   }
 
   val khopSql: String =
@@ -454,7 +476,9 @@ object GraphOps {
     val seeds = sup.crossJoin(broadcast(minNat)) // 1-row scalar
       .filter(col("s_nationkey") === col("_mn"))
       .select((col("s_suppkey") + 1000000L).as("id"))
-    personalizedPagerank(edges, seeds, iters = 3).orderBy(col("id"))
+    personalizedPagerank(edges, seeds, iters = 3,
+      edgesDistinct = true) // provably duplicate-free: see pagerankGate
+      .orderBy(col("id"))
   }
 
   val pprSql: String =
