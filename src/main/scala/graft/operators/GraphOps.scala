@@ -44,6 +44,17 @@ object GraphOps {
   private def npart(df: DataFrame): Int =
     math.max(1, df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Rank-frame lineage truncation cadence for the PageRank loops
+    * (r19). The edge/degree and node frames are eager anchors (leaves),
+    * so an UN-anchored round adds one join + one aggregation over those
+    * leaves to the growing plan — cheap until analysis cost compounds.
+    * Anchoring each round, by contrast, costs a blocking job plus a
+    * V-sized checkpoint copy per iteration. Every [[AnchorEvery]]
+    * rounds bounds plan depth for long runs while short (gate-sized)
+    * runs fuse into one query. Bit-identical either way (the Anchor
+    * contract). */
+  private val AnchorEvery = 7
+
   /** Exact integer PageRank. `edges`: first two columns are (src, dst).
     * Returns (id, rank) with rank in `scale` units. */
   def pagerank(edges: DataFrame, iters: Int = 3, dampingPct: Int = 85,
@@ -77,21 +88,34 @@ object GraphOps {
     // its partitioning is reused — the hash build touches only the
     // V-sized side and streams the edges (guide §3.1)
     val ed = anchor(e.join(deg.hint("shuffle_hash"), Seq("src")))
-    val nodes = anchor(e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct())
+    // node set in ONE pass over the anchored edges (r19): the former
+    // src∪dst union scanned the checkpoint twice — profiled as the
+    // single most expensive stage of the gate (~190 MiB of block reads
+    // + two partial-distinct passes); explode emits both endpoints per
+    // edge in one read (guide §2.3: half the bytes into the same
+    // exchange).
+    val nodes = anchor(e.select(explode(array(col("src"), col("dst")))
+      .as("id")).distinct())
     val teleport = scale * (100L - dampingPct) / 100L
     // "pr" internally: `rank` inside expr() would parse as the window
-    // function and demand an OVER clause
+    // function and demand an OVER clause.
+    // Rank frames anchor only every [[AnchorEvery]] rounds (r19): with
+    // ed and nodes already materialized LEAVES, the chain of rounds in
+    // between fuses into the consumer's single query — each round is
+    // one contrib exchange, with no blocking job and no V-sized store
+    // per round. Anchoring every round cost one eager job + checkpoint
+    // copy per iteration and bought nothing until plan depth grows.
     var r = nodes.withColumn("pr", lit(scale))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = ed.join(r.hint("shuffle_hash"), ed("src") === r("id"))
         .select(col("dst"),
           expr(s"(pr * $dampingPct) div (100 * outdeg)").as("m"))
         .groupBy(col("dst")).agg(sum(col("m")).as("m"))
-      r = anchor(nodes.join(contrib.hint("shuffle_hash"),
+      val rNew = nodes.join(contrib.hint("shuffle_hash"),
           nodes("id") === contrib("dst"), "left")
         .select(col("id"), (lit(teleport) + coalesce(col("m"), lit(0L)))
-          .as("pr")))
+          .as("pr"))
+      r = if (i % AnchorEvery == 0 && i < iters) anchor(rNew) else rNew
     }
     r.select(col("id"), col("pr").as("rank"))
   }
@@ -123,23 +147,26 @@ object GraphOps {
     val ed = anchor(e.join(deg.hint("shuffle_hash"), Seq("src")))
     val sd = seeds.select(col(seeds.columns.head).cast("long").as("id"))
       .distinct()
-    val nodes = anchor(e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).union(sd).distinct()
+    // single-pass endpoint explode: see [[pagerank]] (r19)
+    val nodes = anchor(e.select(explode(array(col("src"), col("dst")))
+      .as("id")).union(sd).distinct()
       .join(sd.withColumn("_s", lit(true)), Seq("id"), "left")
       .select(col("id"), coalesce(col("_s"), lit(false)).as("is_seed")))
     val teleport = scale * (100L - dampingPct) / 100L
     var r = nodes.select(col("id"),
       when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("pr"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = ed.join(r.hint("shuffle_hash"), ed("src") === r("id"))
         .select(col("dst"),
           expr(s"(pr * $dampingPct) div (100 * outdeg)").as("m"))
         .groupBy(col("dst")).agg(sum(col("m")).as("m"))
-      r = anchor(nodes.join(contrib.hint("shuffle_hash"),
+      val rNew = nodes.join(contrib.hint("shuffle_hash"),
           nodes("id") === contrib("dst"), "left")
         .select(col("id"),
           (when(col("is_seed"), lit(teleport)).otherwise(lit(0L)) +
-            coalesce(col("m"), lit(0L))).as("pr")))
+            coalesce(col("m"), lit(0L))).as("pr"))
+      // see [[pagerank]]: anchor only every AnchorEvery rounds
+      r = if (i % AnchorEvery == 0 && i < iters) anchor(rNew) else rNew
     }
     r.select(col("id"), col("pr").as("rank"))
   }
@@ -175,19 +202,22 @@ object GraphOps {
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")))
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     val ed = anchor(e.join(outw.hint("shuffle_hash"), Seq("src")))
-    val nodes = anchor(e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct())
+    // single-pass endpoint explode: see [[pagerank]] (r19)
+    val nodes = anchor(e.select(explode(array(col("src"), col("dst")))
+      .as("id")).distinct())
     val teleport = scale * (100L - dampingPct) / 100L
     var r = nodes.withColumn("pr", lit(scale))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = ed.join(r.hint("shuffle_hash"), ed("src") === r("id"))
         .select(col("dst"),
           expr(s"(((pr * $dampingPct) div 100) * w) div outw").as("m"))
         .groupBy(col("dst")).agg(sum(col("m")).as("m"))
-      r = anchor(nodes.join(contrib.hint("shuffle_hash"),
+      val rNew = nodes.join(contrib.hint("shuffle_hash"),
           nodes("id") === contrib("dst"), "left")
         .select(col("id"), (lit(teleport) + coalesce(col("m"), lit(0L)))
-          .as("pr")))
+          .as("pr"))
+      // see [[pagerank]]: anchor only every AnchorEvery rounds
+      r = if (i % AnchorEvery == 0 && i < iters) anchor(rNew) else rNew
     }
     r.select(col("id"), col("pr").as("rank"))
   }
@@ -226,8 +256,9 @@ object GraphOps {
         greatest(col("x"), col("y")).as("b"))
       .distinct()
       .localCheckpoint()
-    val deg = und.select(col("a").as("id"))
-      .unionAll(und.select(col("b").as("id")))
+    // single-pass endpoint explode (r19): one read of the checkpointed
+    // edge set instead of two union branches — see [[pagerank]]
+    val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
     val o = und
       .join(deg.select(col("id").as("a"), col("d").as("da")), Seq("a"))

@@ -47,8 +47,32 @@ object PercentileOps {
     * fails every range comparison, so letting it into `base` would
     * strand it outside all bands and desync the counts. */
   def percentileDisc(df: DataFrame, groupCol: String, valueCol: String,
-      ps: Seq[Double], bands: Int = 1024, directCap: Long = 16384,
-      maxIter: Int = 8, maxGroups: Int = 4096): Map[(String, Double), Double] = {
+      ps: Seq[Double], bands: Int = 1024, directCap: Long = 65536,
+      maxIter: Int = 8, maxGroups: Int = 4096): Map[(String, Double), Double] =
+    percentileDiscWithCounts(df, groupCol, valueCol, ps, bands, directCap,
+      maxIter, maxGroups)._1
+
+  /** [[percentileDisc]] plus each group's non-null value count — the
+    * count already rides the selector's first statistics pass, so a
+    * caller that needs both (RobustStats' (n, median, mad) frame)
+    * saves one full scan-aggregate job by reading it from here
+    * instead of re-counting (guide §2.4: don't recompute what an
+    * existing pass already produced).
+    *
+    * directCap default 65536 (r19, raised from 16384): the cap bounds
+    * the DRIVER transfer of the terminal pass — at most directCap
+    * (value, count) pairs per unresolved state, ~1.5 MiB at 64Ki —
+    * and every group under it skips a whole banded scan pass. The
+    * former 16 Ki cap forced an extra full-input pass on groups of
+    * 17k-64k rows to save a megabyte of driver traffic — the wrong
+    * trade at any scale (driver budget documented here, not tuned to
+    * the local testdata: the worst case is maxGroups·directCap pairs
+    * only if every group is simultaneously near the cap, the same
+    * envelope the old default had). */
+  def percentileDiscWithCounts(df: DataFrame, groupCol: String,
+      valueCol: String, ps: Seq[Double], bands: Int = 1024,
+      directCap: Long = 65536, maxIter: Int = 8, maxGroups: Int = 4096)
+      : (Map[(String, Double), Double], Map[String, Long]) = {
     val spark = df.sparkSession
     import spark.implicits._
     val valued = df.filter(col(valueCol).isNotNull)
@@ -165,7 +189,7 @@ object PercentileOps {
       }
       iter += 1
     }
-    resolved.toMap
+    (resolved.toMap, stats.map(r => r.getString(0) -> r.getLong(1)).toMap)
   }
 
   /** A31 (gated `feat_quantile_bin`): exact quantile BINNING — the
@@ -182,10 +206,17 @@ object PercentileOps {
     * cross-engine gate can pin. */
   def featQuantileBin(spark: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
+    // anchored (r19): the spend rollup feeds the quantile selector's
+    // statistics pass, its terminal pass, the final projection AND the
+    // output sort's range sampling — un-anchored, the orders scan and
+    // customer aggregation re-ran for each (4 computations of the same
+    // frame). One materialization of a customers-sized rollup instead
+    // (guide §2.4); results are bit-identical.
     val spend = graft.Tables.orders(spark, d)
       .groupBy(col("o_custkey"))
       .agg(sum(graft.functions.Exact.cents(col("o_totalprice")))
         .as("spend_cents"))
+      .localCheckpoint()
     val cuts = percentileDisc(
       spend.withColumn("_one", lit("all")), "_one", "spend_cents",
       Seq(0.25, 0.5, 0.75))

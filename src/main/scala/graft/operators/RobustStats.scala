@@ -36,23 +36,30 @@ import org.apache.spark.sql.functions._
   */
 object RobustStats {
 
-  /** Exact per-group (n, median, mad): a groups-sized frame. */
+  /** Exact per-group (n, median, mad): a groups-sized frame.
+    *
+    * r19 shape: the group counts ride the median selector's own first
+    * statistics pass ([[PercentileOps.percentileDiscWithCounts]]) and
+    * the three per-group statistics are zipped DRIVER-side into one
+    * local frame — the former standalone n aggregation (a full scan)
+    * and the two distributed n⋈med⋈mad joins are gone (guide §2.4).
+    * Same rows, same dtypes: n counts non-null values (NaN included),
+    * exactly what the dropped filter+count computed. */
   def medianMad(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val med = PercentileOps.percentileDisc(df, groupCol, valueCol, Seq(0.5))
-      .map { case ((g, _), v) => (g, v) }.toSeq.toDF("_g", "median")
+    val (medMap, counts) = PercentileOps.percentileDiscWithCounts(
+      df, groupCol, valueCol, Seq(0.5))
+    val med = medMap.map { case ((g, _), v) => (g, v) }.toSeq
+      .toDF("_g", "median")
     val dev = df
       .join(broadcast(med), df(groupCol).cast("string") === med("_g"))
       .withColumn("_absdev", abs(col(valueCol) - col("median")))
     val mad = PercentileOps.percentileDisc(dev, groupCol, "_absdev", Seq(0.5))
-      .map { case ((g, _), v) => (g, v) }.toSeq.toDF("_g", "mad")
-    val n = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(groupCol).cast("string").as("_g"))
-      .agg(count(lit(1)).as("n"))
-    n.join(med, "_g").join(mad, "_g")
-      .select(col("_g").as(groupCol), col("n"), col("median"), col("mad"))
+    medMap.toSeq.sortBy(_._1._1) // deterministic local-frame order
+      .map { case ((g, _), m) => (g, counts(g), m, mad((g, 0.5))) }
+      .toDF(groupCol, "n", "median", "mad")
   }
 
   /** Every input row + (n, median, mad, is_outlier): the modified z-score

@@ -204,8 +204,14 @@ object Scd2 {
     val med = PercentileOps.percentileDisc(
       ev.select(lit("all").as("_g"), unix_micros(col("ts")).as("_us")),
       "_g", "_us", Seq(0.5))(("all", 0.5))
+    // anchored (r19): the as-of snapshot is keys-sized (one row per
+    // user alive at the pivot), but the declared output sort's range
+    // sampling re-ran the whole SCD2 window build to sample those few
+    // rows — materialize the snapshot once and sort the anchor
+    // (guide §2.4; bit-identical rows).
     asOf(hist, timestamp_micros(lit(med.toLong)))
       .drop("event_id")
+      .localCheckpoint()
       .orderBy(col("user_id"))
   }
 
