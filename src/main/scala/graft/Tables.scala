@@ -34,10 +34,24 @@ object Tables {
     * AQE cannot coalesce the tiny-at-test-scale shuffle back to one
     * task. Operators whose downstream work is trivial keep the plain
     * loader — the exchange is not free. */
-  def documentsSpread(s: SparkSession, d: String): DataFrame = {
-    val npart = math.max(1, s.sparkContext.defaultParallelism)
-    documents(s, d).repartition(npart,
-      org.apache.spark.sql.functions.col("doc_id"))
+  def documentsSpread(s: SparkSession, d: String): DataFrame =
+    spreadByKey(documents(s, d), "doc_id")
+
+  /** Keyed spread GATED on observed scan width (r19). The repartition
+    * cures the one-row-group testdata pathology (a single-task scan
+    * serializing heavy row-local work), but at production scale the
+    * table is thousands of splits and the scan is already wide — an
+    * unconditional keyed exchange would then move the whole corpus for
+    * nothing. `df.rdd.getNumPartitions` is planning-only (no job runs);
+    * when the source already yields at least half the cores' worth of
+    * partitions, the spread is skipped. Semantics-free either way
+    * (keyed repartition only relocates rows). */
+  def spreadByKey(df: DataFrame, keys: String*): DataFrame = {
+    val npart =
+      math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    if (df.rdd.getNumPartitions * 2 >= npart) df
+    else df.repartition(npart,
+      keys.map(org.apache.spark.sql.functions.col): _*)
   }
   /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) (Spark 4
     * refuses to map it to TimestampType — read as a raw long via the

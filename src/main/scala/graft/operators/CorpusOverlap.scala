@@ -38,14 +38,14 @@ object CorpusOverlap {
     * shingle convention (token array materialized once). */
   def corpusShingles(docs: DataFrame, corpusCol: String, textCol: String)
       : DataFrame =
-    docs.select(col(corpusCol).as("corpus"), col(textCol).as("_t"))
-      // text-hash repartition after the read (r18): shingling is the
-      // heavy row-local phase and a single-row-group input runs it in
-      // one task otherwise (the Dedup.shingles note); corpus alone is
-      // too coarse a key — corpora are few by definition
-      .repartition(math.max(1,
-        docs.sparkSession.sparkContext.defaultParallelism),
-        col("corpus"), col("_t"))
+    // text-hash spread after the read (r18, scan-width-gated r19 —
+    // see Tables.spreadByKey): shingling is the heavy row-local phase
+    // and a single-row-group input runs it in one task otherwise (the
+    // Dedup.shingles note); corpus alone is too coarse a key — corpora
+    // are few by definition
+    graft.Tables.spreadByKey(
+        docs.select(col(corpusCol).as("corpus"), col(textCol).as("_t")),
+        "corpus", "_t")
       .select(col("corpus"), split(col("_t"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("corpus"), explode(array_distinct(expr(

@@ -32,10 +32,9 @@ object Dedup {
     // repartition immediately after the read"); one narrow shuffle of
     // (doc_id, text) buys full-width parallelism for the heavy
     // per-token work at any scale.
-    val npart = math.max(1, spark.sparkContext.defaultParallelism)
-    Tables.documents(spark, d)
-      .select(col("doc_id"), col("text"))
-      .repartition(npart, col("doc_id"))
+    // scan-width-gated spread (r19): see Tables.spreadByKey
+    Tables.spreadByKey(Tables.documents(spark, d)
+        .select(col("doc_id"), col("text")), "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
@@ -64,7 +63,13 @@ object Dedup {
     // ~35% faster than the two-sided self-join. A pathological hot
     // shingle would make one doc-list row huge; the df-capped scale path
     // (NgramDedup.scalablePairs) bounds that at 100 TB.
-    val sh = shingles(spark, d).select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+    // anchored (r19): sh feeds BOTH the per-doc size aggregate and the
+    // blocking cells — un-anchored, the whole tokenize+shingle+explode
+    // pipeline (the dominant per-row cost) ran twice. One (doc_id,
+    // hash) materialization instead (guide §2.4).
+    val sh = shingles(spark, d)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .localCheckpoint()
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val cells = sh.groupBy(col("sh")).agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -134,10 +139,8 @@ object Dedup {
 
   /** C4: 32-bit simhash per document from per-token md5-derived hashes. */
   def dedupSimhash(spark: SparkSession, d: String): DataFrame = {
-    val npart = math.max(1, spark.sparkContext.defaultParallelism)
-    val tok = Tables.documents(spark, d)
-      .select(col("doc_id"), col("text"))
-      .repartition(npart, col("doc_id")) // single-row-group scan — see shingles
+    val tok = Tables.spreadByKey(Tables.documents(spark, d)
+        .select(col("doc_id"), col("text")), "doc_id") // gated — see shingles
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", md5Hash(col("tok"), 1, 8))
     val bits = tok
@@ -175,8 +178,7 @@ object Dedup {
     // the dominant cost of this small-SF oracle twin — ran in ONE task
     // (profiled: two sequential 0.8 cpu-s single-task stages); the
     // broadcast side stays as-is
-    val npart = math.max(1, spark.sparkContext.defaultParallelism)
-    val a = e.repartition(npart, col("vec_id"))
+    val a = Tables.spreadByKey(e, "vec_id") // gated (r19) — see Tables
       .select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(broadcast(b), col("id_a") < col("id_b"))

@@ -282,7 +282,12 @@ object GraphOps {
     // stays O(outdeg), bounded by the orientation's O(√m). `o` is
     // src-partitioned so the grouping and the u-side attach reuse one
     // exchange.
+    // anchored (r19): adj feeds BOTH endpoint attaches — un-anchored,
+    // the neighbor-array aggregation over E ran twice (once per join
+    // side; the u-side is co-partitioned with o, the v-side pays its
+    // one dst-keyed exchange either way)
     val adj = o.groupBy(col("src")).agg(collect_list(col("dst")).as("ns"))
+      .localCheckpoint()
     val tri = o
       .join(adj.select(col("src").as("u"), col("ns").as("nu")),
         col("src") === col("u"))

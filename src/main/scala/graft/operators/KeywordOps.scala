@@ -38,8 +38,15 @@ object KeywordOps {
     val toks = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
       .filter(length(col("term")) > 0)
+    // anchored (r19): tf feeds BOTH the df aggregate and the ranked
+    // join — un-anchored, Catalyst duplicates the whole tokenize +
+    // count subtree and the corpus is exploded and aggregated twice
+    // (plan-verified: two identical Scan→Generate→HashAggregate
+    // chains). One materialization of the (doc, term, tf) rollup
+    // instead (guide §2.4).
     val tf = toks.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfCounts = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol))

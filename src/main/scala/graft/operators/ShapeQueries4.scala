@@ -350,8 +350,15 @@ object ShapeQueries4 {
       .join(ord97, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .join(broadcast(red), col("l_partkey") === col("p_partkey"),
         "left_semi")
+    // anchored (r19): perPS feeds both the per-part total and the
+    // dominance join — un-anchored, Catalyst duplicates the whole
+    // lineitem scan + two semi-joins + rollup subtree (plan-verified:
+    // 18 parquet scans for a 4-table query). The (part, supplier)
+    // rollup is the small decision frame; materialize it once
+    // (guide §2.4 / §8 "decide with small rows").
     val perPS = li97.groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("_q")).as("sq"))
+      .localCheckpoint()
     val perP = perPS.groupBy(col("l_partkey")).agg(sum(col("sq")).as("tq"))
     val dominant = perPS.join(perP, Seq("l_partkey"))
       .filter(col("sq") * 2 > col("tq"))

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 class CurationPipelineSpec extends SparkSpec {
   import spark.implicits._
 
-  test("text→tensor end to end, token-conserving at every stage boundary") {
+  test("text→tensor end to end, token-conserving at every stage boundary", graft.Slow) {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "source", "text").cache()
     val tmp = java.nio.file.Files.createTempDirectory("curpipe")

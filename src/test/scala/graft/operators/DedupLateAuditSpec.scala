@@ -24,7 +24,7 @@ class DedupLateAuditSpec extends SparkSpec {
   private def vecs = Tables.embeddings(spark, sf)
     .select("vec_id", "embedding")
 
-  test("text dedup: ordered feed audits zero late rows at every refresh") {
+  test("text dedup: ordered feed audits zero late rows at every refresh", graft.Slow) {
     val state = tmp("txt-ordered")
     for (cut <- Seq(200L, 350L, Long.MaxValue)) {
       val r = IncrementalDedup.refresh(spark,
@@ -59,7 +59,7 @@ class DedupLateAuditSpec extends SparkSpec {
       "audit must read clean after reconcile")
   }
 
-  test("text dedup: crash retry reads replays as zero late loss; delta feeds under-report clamped") {
+  test("text dedup: crash retry reads replays as zero late loss; delta feeds under-report clamped", graft.Slow) {
     val state = tmp("txt-crash")
     val d = Seq((1L, "a b c d e f"), (2L, "p q r s t u"),
       (3L, "x y z w v u"), (4L, "m n o p q r")).toDF("doc_id", "text")
@@ -89,7 +89,7 @@ class DedupLateAuditSpec extends SparkSpec {
       .lateRows === 0L, "full-corpus read after delta feeds must be exact")
   }
 
-  test("embed dedup: ordered feed zero, out-of-order exact, reconcile repairs to one-shot parity") {
+  test("embed dedup: ordered feed zero, out-of-order exact, reconcile repairs to one-shot parity", graft.Slow) {
     val stateOrd = tmp("emb-ordered")
     for (cut <- Seq(150L, 350L, Long.MaxValue)) {
       val r = IncrementalEmbedDedup.refresh(spark,
@@ -121,7 +121,7 @@ class DedupLateAuditSpec extends SparkSpec {
       "audit must read clean after reconcile")
   }
 
-  test("embed dedup: crash retry zero late loss; the delta-feed contract stays clamped") {
+  test("embed dedup: crash retry zero late loss; the delta-feed contract stays clamped", graft.Slow) {
     val state = tmp("emb-crash")
     IncrementalEmbedDedup.refresh(spark, vecs.filter(col("vec_id") < 250),
       state, threshold = 0.3)
@@ -140,7 +140,7 @@ class DedupLateAuditSpec extends SparkSpec {
       .lateRows === 0L)
   }
 
-  test("an interrupted reconcile wipe refuses plain refresh; reconcile retry repairs") {
+  test("an interrupted reconcile wipe refuses plain refresh; reconcile retry repairs", graft.Slow) {
     // review wave r16: the rebuild lands at batch=init (tag MinValue),
     // and a pre-wipe snapshot dir SURVIVING a mid-wipe crash would
     // outrank it in latest-tag resolution once the mark re-advances —
@@ -184,7 +184,7 @@ class DedupLateAuditSpec extends SparkSpec {
       threshold = 0.3).fresh === vecs.count())
   }
 
-  test("lateSink captures the below-mark rows exactly; reconcile over log ∪ captured ≡ one-shot; retries collapse") {
+  test("lateSink captures the below-mark rows exactly; reconcile over log ∪ captured ≡ one-shot; retries collapse", graft.Slow) {
     // r17 directive 4: G48 counted late arrivals — the sink keeps the
     // ROWS (the G45 quarantine convention on the id axis), so the
     // repair has evidence and the fold-back identity is checkable.
@@ -309,7 +309,7 @@ class DedupLateAuditSpec extends SparkSpec {
       "a refused embed reconcile must leave the pair state untouched")
   }
 
-  test("a partial feed CONTAINING the max id refuses on the count floor; the late-repair superset passes — both operators") {
+  test("a partial feed CONTAINING the max id refuses on the count floor; the late-repair superset passes — both operators", graft.Slow) {
     // r18 directive 4 — the one-directional guard's blind spot: a
     // partial feed that happens to include the newest document reaches
     // the watermark and used to sail through, wiping state. The
@@ -360,7 +360,7 @@ class DedupLateAuditSpec extends SparkSpec {
       "without a tally the partial-with-max-id feed is undetectable, as documented")
   }
 
-  test("the baselining refresh must be full-fed: a delta-fed baseline over-reports, as documented") {
+  test("the baselining refresh must be full-fed: a delta-fed baseline over-reports, as documented", graft.Slow) {
     // the protocol's chunk-fed caveat on the id axis (review wave r16,
     // pinned as DOCUMENTED behavior, not fixed away: with no stored
     // tally the engine cannot distinguish 'this delta is everything'
@@ -390,7 +390,7 @@ class DedupLateAuditSpec extends SparkSpec {
       .lateRows === 0L)
   }
 
-  test("legacy bare-long watermark baselines on first audited read, both operators") {
+  test("legacy bare-long watermark baselines on first audited read, both operators", graft.Slow) {
     def rewriteBare(state: String): Unit = {
       val wm = Incremental.watermark(spark, state)
       java.nio.file.Files.deleteIfExists(

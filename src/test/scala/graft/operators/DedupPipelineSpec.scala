@@ -37,7 +37,7 @@ class DedupPipelineSpec extends SparkSpec {
     assert(keepers.filter(col("n") =!= 1).count() === 0)
   }
 
-  test("pipeline agrees with running near-dup over the full corpus") {
+  test("pipeline agrees with running near-dup over the full corpus", graft.Slow) {
     // the exact-first optimization must not change the final clusters
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
     val viaPipeline = DedupPipeline.dedup(docs, threshold = 0.5, maxDf = 1000)
@@ -118,7 +118,7 @@ class DedupPipelineSpec extends SparkSpec {
     }
   }
 
-  test("curate with lineMinDocs ≡ dedupLines then curate, on the real corpus") {
+  test("curate with lineMinDocs ≡ dedupLines then curate, on the real corpus", graft.Slow) {
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
     // universal chrome on every page — flagged at any minDocs
     val seeded = docs.select(col("doc_id"),
@@ -135,7 +135,7 @@ class DedupPipelineSpec extends SparkSpec {
       "the chrome must actually be gone or the test is vacuous")
   }
 
-  test("curate ≡ dedup then spanDedup over the keepers, on the real corpus; labels unchanged") {
+  test("curate ≡ dedup then spanDedup over the keepers, on the real corpus; labels unchanged", graft.Slow) {
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
     val viaCurate = DedupPipeline.curate(docs, threshold = 0.5,
       spanWindow = 8, spanMinDupCount = 2L).cache()

@@ -37,7 +37,7 @@ class GraphPropertySpec extends SparkSpec {
     nodes.map(v => v -> find(v)).toMap
   }
 
-  test("CC matches single-node union-find on 12 random graphs (paths, blobs, dup/reversed edges)") {
+  test("CC matches single-node union-find on 12 random graphs (paths, blobs, dup/reversed edges)", graft.Slow) {
     val rnd = new Random(13)
     for (trial <- 1 to 12) {
       val shape = trial % 3

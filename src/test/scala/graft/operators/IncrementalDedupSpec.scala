@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 class IncrementalDedupSpec extends SparkSpec {
   import spark.implicits._
 
-  test("three incremental refreshes equal the one-shot pipeline on the real corpus") {
+  test("three incremental refreshes equal the one-shot pipeline on the real corpus", graft.Slow) {
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
     val state = java.nio.file.Files.createTempDirectory("graft-incdedup").toString
     val n1 = IncrementalDedup.refresh(spark, docs.filter(col("doc_id") < 200),
@@ -27,7 +27,7 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(IncrementalDedup.refresh(spark, docs, state, threshold = 0.5).fresh === 0L)
   }
 
-  test("crash-retry is idempotent: a half-committed batch is invisible") {
+  test("crash-retry is idempotent: a half-committed batch is invisible", graft.Slow) {
     import java.nio.file.{Files, Path}
     def copyTree(from: Path, to: Path): Unit = {
       Files.walk(from).forEach { p =>
@@ -64,7 +64,7 @@ class IncrementalDedupSpec extends SparkSpec {
       "retry after simulated crash diverged from the one-shot recompute")
   }
 
-  test("delta assigns + compaction: parity across snapshot boundaries, old state pruned") {
+  test("delta assigns + compaction: parity across snapshot boundaries, old state pruned", graft.Slow) {
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
     val state = java.nio.file.Files.createTempDirectory("graft-inccompact").toString
     // compactEvery=2: refreshes alternate snapshot/delta — parity must
@@ -92,7 +92,7 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(batchDirs("assign").size < 3, batchDirs("assign").toString)
   }
 
-  test("non-compaction refreshes write delta-sized label batches, not corpus-sized") {
+  test("non-compaction refreshes write delta-sized label batches, not corpus-sized", graft.Slow) {
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
     val state = java.nio.file.Files.createTempDirectory("graft-incdelta").toString
     // compactEvery high enough that refreshes 2..3 write deltas
@@ -143,7 +143,7 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(IncrementalDedup.refresh(spark, docs, state, threshold = 0.35).fresh === 0L)
   }
 
-  test("a held refresh lock makes refresh fail loudly and write nothing") {
+  test("a held refresh lock makes refresh fail loudly and write nothing", graft.Slow) {
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
     val state = java.nio.file.Files.createTempDirectory("graft-inclock").toString
     IncrementalDedup.refresh(spark, docs.filter(col("doc_id") < 200),
@@ -169,7 +169,7 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(inc.except(full).count() === 0 && full.except(inc).count() === 0)
   }
 
-  test("two concurrent refreshes: exactly one processes the delta — no silent drop") {
+  test("two concurrent refreshes: exactly one processes the delta — no silent drop", graft.Slow) {
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
     val state = java.nio.file.Files.createTempDirectory("graft-incrace").toString
     IncrementalDedup.refresh(spark, docs.filter(col("doc_id") < 200),

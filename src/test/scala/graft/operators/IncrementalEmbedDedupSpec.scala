@@ -10,7 +10,7 @@ class IncrementalEmbedDedupSpec extends SparkSpec {
   private def tmpState(): String =
     java.nio.file.Files.createTempDirectory("graft-incembed").toString
 
-  test("three incremental refreshes equal one-shot lshNearDupPairs on the real embeddings") {
+  test("three incremental refreshes equal one-shot lshNearDupPairs on the real embeddings", graft.Slow) {
     val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").cache()
     val state = tmpState()
     val n1 = IncrementalEmbedDedup.refresh(spark,
@@ -82,7 +82,7 @@ class IncrementalEmbedDedupSpec extends SparkSpec {
     assert(IncrementalEmbedDedup.refresh(spark, vecs, state, threshold = 0.3).fresh > 0)
   }
 
-  test("cells compaction: parity across snapshot boundaries, old batches pruned") {
+  test("cells compaction: parity across snapshot boundaries, old batches pruned", graft.Slow) {
     val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").cache()
     val state = tmpState()
     // compactEvery=2: refreshes alternate snapshot/delta cell writes —

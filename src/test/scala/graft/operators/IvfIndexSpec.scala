@@ -63,7 +63,7 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
-  test("add appends a committed batch; queries then match a full transient rebuild") {
+  test("add appends a committed batch; queries then match a full transient rebuild", graft.Slow) {
     val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").cache()
     val cut = 400L
     val oldVecs = vecs.filter(col("vec_id") < cut)
@@ -105,7 +105,7 @@ class IvfIndexSpec extends SparkSpec {
     assert(a.filter(col("neighbor_id") >= cut).count() > 0)
   }
 
-  test("a crashed add (no meta swap) is invisible; retry lands it once") {
+  test("a crashed add (no meta swap) is invisible; retry lands it once", graft.Slow) {
     val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").cache()
     val cut = 400L
     val path = tmpPath()
@@ -329,7 +329,7 @@ class IvfIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("live path"))
   }
 
-  test("a crashed compact retries over its orphan dirs; an already-compact call purges the recorded generation") {
+  test("a crashed compact retries over its orphan dirs; an already-compact call purges the recorded generation", graft.Slow) {
     val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").cache()
     val path = tmpPath()
     IvfIndex.build(vecs.filter(col("vec_id") < 250), "vec_id", path, nlist = 8)
@@ -375,7 +375,7 @@ class IvfIndexSpec extends SparkSpec {
     sameResult(idx2.topK(q, "vec_id", k = 5, nprobe = 4).cache(), before)
   }
 
-  test("compact folds batches into one generation: same answers, pruned orphans, adds continue") {
+  test("compact folds batches into one generation: same answers, pruned orphans, adds continue", graft.Slow) {
     val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").cache()
     val path = tmpPath()
     IvfIndex.build(vecs.filter(col("vec_id") < 250), "vec_id", path, nlist = 8)

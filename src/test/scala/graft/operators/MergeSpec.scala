@@ -115,7 +115,7 @@ class MergeSpec extends SparkSpec {
   }
 
   test("randomized round-trip law: applyChanges(old, changeSet(old, cur)) " +
-    "== cur over 20 random keyed-table pairs") {
+    "== cur over 20 random keyed-table pairs", graft.Slow) {
     val rnd = new scala.util.Random(7)
     (1 to 20).foreach { trial =>
       // random keyed tables with overlapping key ranges, random nulls

@@ -92,7 +92,7 @@ class MigrateAllSpec extends SparkSpec {
   private def payloads(sites: Seq[String]): Map[String, Option[String]] =
     sites.map(s => s -> BatchedState.readPointer(spark, new Path(s))).toMap
 
-  test("one call flips every site class; values byte-identical; idempotent; round-trips") {
+  test("one call flips every site class; values byte-identical; idempotent; round-trips", graft.Slow) {
     val (root, sites) = buildPopulatedRoot()
     val names = sites.map(new Path(_).getName).toSet
     assert(BatchedState.PointerSiteNames.subsetOf(names),
@@ -137,7 +137,7 @@ class MigrateAllSpec extends SparkSpec {
     assert(payloads(sites) == before)
   }
 
-  test("a crash mid-sweep re-runs to completion; readers never observe unpublished") {
+  test("a crash mid-sweep re-runs to completion; readers never observe unpublished", graft.Slow) {
     val (root, sites) = buildPopulatedRoot()
     val before = payloads(sites)
     // plant a hard-crashed single-site migration at one watermark:

@@ -34,7 +34,7 @@ class Scd2PropertySpec extends SparkSpec {
     rows.toDF("k", "attr", "us", "tie")
       .withColumn("ts", timestamp_micros(col("us"))).drop("us")
 
-  test("applyChanges == full rebuild over 20 random PURE-APPEND splits") {
+  test("applyChanges == full rebuild over 20 random PURE-APPEND splits", graft.Slow) {
     // the exact-law regime: every delta row sorts after the key's base
     // rows, so no delta lands inside a collapsed no-op run
     for (trial <- 1 to 20) {

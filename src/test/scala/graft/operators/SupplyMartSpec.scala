@@ -19,7 +19,7 @@ class SupplyMartSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
 
-  test("3 incremental refreshes over a shipdate split == one full compute, byte-identical") {
+  test("3 incremental refreshes over a shipdate split == one full compute, byte-identical", graft.Slow) {
     val full = tmp("full")
     val split = tmp("split")
     assert(SupplyMart.refresh(spark, li, full).touched > 0)
@@ -85,7 +85,7 @@ class SupplyMartSpec extends SparkSpec {
     assert(scanCount(q9, "graft-mart") >= 1)
   }
 
-  test("refresh only rewrites touched buckets; watermark skips stale rows; lock refuses a second writer") {
+  test("refresh only rewrites touched buckets; watermark skips stale rows; lock refuses a second writer", graft.Slow) {
     val mart = tmp("delta")
     val early = li.filter(year(col("l_shipdate")) <= 1995)
     val late = li.filter(year(col("l_shipdate")) > 1995)
@@ -114,7 +114,7 @@ class SupplyMartSpec extends SparkSpec {
     assert(lock.delete())
   }
 
-  test("crash between snapshot commit and watermark advance: retry does not double value_c") {
+  test("crash between snapshot commit and watermark advance: retry does not double value_c", graft.Slow) {
     // the r14 review seam, mart flavor: SUM(value_c) would silently
     // double on a replayed delta without the per-partition effective
     // watermark. Simulate the crash window by rewinding the global

@@ -164,7 +164,7 @@ class TrainingExportSpec extends SparkSpec {
     assert(three.count() >= one.count())
   }
 
-  test("token shards: packSequences -> writeTokenShards -> readTokenShards is bit-exact and pruned") {
+  test("token shards: packSequences -> writeTokenShards -> readTokenShards is bit-exact and pruned", graft.Slow) {
     // the full text -> tensor-ready path on the real table: learn
     // merges, freeze a vocab, encode, pack to 32-id rows, shard 4
     // sequences per shard, then read a slice back as a trainer would

@@ -170,7 +170,7 @@ class UnigramTokenizerSpec extends SparkSpec {
     compounds.foreach(w => assert(got(w) === ref(w), s"parity on '$w'"))
   }
 
-  test("subword-regularization sampling: exact FFBS parity, limits, frequencies") {
+  test("subword-regularization sampling: exact FFBS parity, limits, frequencies", graft.Slow) {
     // hand-set model so every segmentation's probability is enumerable:
     // "ab" segments as [ab] (p=.5) or [a][b] (.25*.25) -> P([ab]) = 8/9
     val m = UnigramTokenizer.Model(

@@ -632,7 +632,7 @@ class FeatureStoreSpec extends SparkSpec {
       "publish leaked its writer lock")
   }
 
-  test("online view: empty buckets read as absent, 'bucket' feature name refuses") {
+  test("online view: empty buckets read as absent, 'bucket' feature name refuses", graft.Slow) {
     val fs = freshStore()
     fs.registerTable(ordersDef, Tables.orders(spark, sf))
     fs.defineFeature(FeatureDef("total_spend", "orders", "numeric",

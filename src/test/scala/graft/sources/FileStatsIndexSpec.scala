@@ -99,7 +99,7 @@ class FileStatsIndexSpec extends SparkSpec {
       .count() == 0)
   }
 
-  test("randomized bounds: pruned-read-then-filter == full-read-then-filter") {
+  test("randomized bounds: pruned-read-then-filter == full-read-then-filter", graft.Slow) {
     val rnd = new scala.util.Random(11)
     (1 to 25).foreach { _ =>
       val a = rnd.nextInt(5000) - 500
@@ -167,7 +167,7 @@ class FileStatsIndexSpec extends SparkSpec {
   }
 
   test("readSince feeds the G17 incremental refresh: O(delta) compute " +
-    "AND O(delta) IO, same state as a full-frame twin") {
+    "AND O(delta) IO, same state as a full-frame twin", graft.Slow) {
     import graft.operators.IncrementalDedup
     import graft.registry.Incremental
     def mkDocs(lo: Long, hi: Long) = spark.range(lo, hi).toDF("doc_id")

@@ -45,7 +45,7 @@ class StreamingMartMaintenanceSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4))).toSet
 
-  test("out-of-order micro-batches converge byte-identical to the batch full compute") {
+  test("out-of-order micro-batches converge byte-identical to the batch full compute", graft.Slow) {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-smm-e2e").toString
     val mart = s"$dir/mart"
@@ -97,7 +97,7 @@ class StreamingMartMaintenanceSpec extends SparkSpec {
       SupplyMart.read(spark, twin).collect().length)
   }
 
-  test("quarantine tee: rows of committed days land row-for-row; mart stays byte-identical; reconcile folds them back") {
+  test("quarantine tee: rows of committed days land row-for-row; mart stays byte-identical; reconcile folds them back", graft.Slow) {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-smm-q").toString
     val mart = s"$dir/mart"
@@ -175,7 +175,7 @@ class StreamingMartMaintenanceSpec extends SparkSpec {
       Seq(late1).toDF(), s"$dir/never-built", quarantine, 1L) === 0L)
   }
 
-  test("a LAGGING tee over-quarantines an absorbed row: foldBack stays exact where the blind union double-counts") {
+  test("a LAGGING tee over-quarantines an absorbed row: foldBack stays exact where the blind union double-counts", graft.Slow) {
     // ADVICE r16: nothing enforces tee-before-fold in production — a
     // tee processing offsets AFTER the fold committed their day
     // classifies absorbed rows as unreachable and quarantines them.
@@ -289,7 +289,7 @@ class StreamingMartMaintenanceSpec extends SparkSpec {
       "keyCols must repair the split duplicate exactly")
   }
 
-  test("keyed foldBack stays exact under tee over-capture, and refuses a broken key contract") {
+  test("keyed foldBack stays exact under tee over-capture, and refuses a broken key contract", graft.Slow) {
     // over-capture under keys: the lagging tee quarantined the absorbed
     // row A (same key on both sides) AND the genuinely-late row B — the
     // keyed subtraction drops exactly A's copy

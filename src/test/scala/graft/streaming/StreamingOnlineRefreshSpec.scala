@@ -27,7 +27,7 @@ class StreamingOnlineRefreshSpec extends SparkSpec {
       lit(null).cast("string").as("value_str"),
       col("ts").as("computed_at"), col("feature_name"), col("version"))
 
-  test("mid-stream readers resolve only complete generations; corrections surface after the swap") {
+  test("mid-stream readers resolve only complete generations; corrections surface after the swap", graft.Slow) {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmp("store")
     val vsf = new ParquetValueStore(spark, s"$dir/values")
