@@ -81,20 +81,25 @@ object GraphOps {
     // unique"), one full hash-agg pass over E saved at any scale.
     val eraw = edges.select(col(s).cast("long").as("src"),
       col(t).cast("long").as("dst")).repartition(npart(edges), col("src"))
-    val e = anchor(if (edgesDistinct) eraw else eraw.distinct())
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // shuffle_hash, build = the per-src degree/rank side: sort-merge
-    // would re-SORT the anchored edge frame at every join even though
-    // its partitioning is reused — the hash build touches only the
-    // V-sized side and streams the edges (guide §3.1)
-    val ed = anchor(e.join(deg.hint("shuffle_hash"), Seq("src")))
+    val eplan = if (edgesDistinct) eraw else eraw.distinct()
+    // ONE anchored E-sized frame (r19): out-degrees ride a
+    // src-partitioned WINDOW over the already-src-keyed exchange —
+    // identical rows to the former e ⋈ deg shape, but that shape
+    // anchored e, re-read the checkpoint twice (degree aggregation +
+    // join stream) and anchored the joined result AGAIN (profiled:
+    // the two E-sized anchor stores and the double checkpoint read
+    // were the gate's hottest stages). The window pays one
+    // in-partition sort of E instead.
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+    val ed = anchor(eplan.withColumn("outdeg", count(lit(1)).over(wSrc)))
     // node set in ONE pass over the anchored edges (r19): the former
     // src∪dst union scanned the checkpoint twice — profiled as the
     // single most expensive stage of the gate (~190 MiB of block reads
     // + two partial-distinct passes); explode emits both endpoints per
     // edge in one read (guide §2.3: half the bytes into the same
     // exchange).
-    val nodes = anchor(e.select(explode(array(col("src"), col("dst")))
+    val nodes = anchor(ed.select(explode(array(col("src"), col("dst")))
       .as("id")).distinct())
     val teleport = scale * (100L - dampingPct) / 100L
     // "pr" internally: `rank` inside expr() would parse as the window
@@ -138,17 +143,18 @@ object GraphOps {
     require(iters >= 1 && iters <= 50, s"iters=$iters out of [1,50]")
     require(dampingPct >= 1 && dampingPct <= 99, s"dampingPct=$dampingPct")
     val Seq(s, t) = edges.columns.take(2).toSeq
-    // src-partitioned anchor + hash-build joins + caller-proved
+    // one anchored E-sized frame (windowed out-degrees) + caller-proved
     // distinct skip: see [[pagerank]] (r18/r19)
     val eraw = edges.select(col(s).cast("long").as("src"),
       col(t).cast("long").as("dst")).repartition(npart(edges), col("src"))
-    val e = anchor(if (edgesDistinct) eraw else eraw.distinct())
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val ed = anchor(e.join(deg.hint("shuffle_hash"), Seq("src")))
+    val eplan = if (edgesDistinct) eraw else eraw.distinct()
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+    val ed = anchor(eplan.withColumn("outdeg", count(lit(1)).over(wSrc)))
     val sd = seeds.select(col(seeds.columns.head).cast("long").as("id"))
       .distinct()
     // single-pass endpoint explode: see [[pagerank]] (r19)
-    val nodes = anchor(e.select(explode(array(col("src"), col("dst")))
+    val nodes = anchor(ed.select(explode(array(col("src"), col("dst")))
       .as("id")).union(sd).distinct()
       .join(sd.withColumn("_s", lit(true)), Seq("id"), "left")
       .select(col("id"), coalesce(col("_s"), lit(false)).as("is_seed")))
@@ -191,19 +197,22 @@ object GraphOps {
     require(iters >= 1 && iters <= 50, s"iters=$iters out of [1,50]")
     require(dampingPct >= 1 && dampingPct <= 99, s"dampingPct=$dampingPct")
     val Seq(s, t, w) = edges.columns.take(3).toSeq
-    // src-partitioned anchor + hash-build joins: see [[pagerank]] (r18)
-    val e = anchor(edges.select(col(s).cast("long").as("src"),
+    // one anchored E-sized frame: out-weights ride a src-partitioned
+    // window over the additive-merge aggregation — see [[pagerank]]
+    // (r18/r19; same fold, sum instead of count)
+    val eplan = edges.select(col(s).cast("long").as("src"),
         col(t).cast("long").as("dst"), col(w).cast("long").as("w"))
       .withColumn("w", when(col("w").isNull || col("w") <= 0, raise_error(
         concat(lit("pagerankWeighted: null or non-positive weight on edge "),
           col("src").cast("string"), lit("->"), col("dst").cast("string"))))
         .otherwise(col("w")))
       .repartition(npart(edges), col("src"))
-      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")))
-    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
-    val ed = anchor(e.join(outw.hint("shuffle_hash"), Seq("src")))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+    val ed = anchor(eplan.withColumn("outw", sum(col("w")).over(wSrc)))
     // single-pass endpoint explode: see [[pagerank]] (r19)
-    val nodes = anchor(e.select(explode(array(col("src"), col("dst")))
+    val nodes = anchor(ed.select(explode(array(col("src"), col("dst")))
       .as("id")).distinct())
     val teleport = scale * (100L - dampingPct) / 100L
     var r = nodes.withColumn("pr", lit(scale))
