@@ -74,8 +74,12 @@ object BasketOps {
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minSupport)
+    // anchored (r19): itemCounts attaches to BOTH pair endpoints —
+    // un-anchored, the explode+count over the cell arrays ran twice
+    // (plan-verified: two identical subtrees off the cells anchor)
     val itemCounts = cells.select(explode(col("_its")).as(item))
       .groupBy(col(item)).agg(count(lit(1)).as("_n"))
+      .localCheckpoint()
     // N as a 1-row aggregate crossJoin (broadcast, no driver action) —
     // the plan stays fully lazy and N can never drift from the data
     val nBaskets = cells.agg(count(lit(1)).as("_nb"))

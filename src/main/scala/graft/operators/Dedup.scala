@@ -70,7 +70,11 @@ object Dedup {
     val sh = shingles(spark, d)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
       .localCheckpoint()
+    // sz attaches to both pair endpoints — anchored for the same
+    // reason as sh (the per-doc count over the shingle anchor would
+    // otherwise run twice)
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val cells = sh.groupBy(col("sh")).agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
     val pairs = cells

@@ -266,9 +266,12 @@ object GraphOps {
       .distinct()
       .localCheckpoint()
     // single-pass endpoint explode (r19): one read of the checkpointed
-    // edge set instead of two union branches — see [[pagerank]]
+    // edge set instead of two union branches — see [[pagerank]].
+    // Anchored: deg feeds BOTH orientation attaches AND the wedge
+    // statistics — un-anchored, the degree aggregation ran three times.
     val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
     val o = und
       .join(deg.select(col("id").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("id").as("b"), col("d").as("db")), Seq("b"))
